@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Local-mode defaults follow the tuning notes in the public Spark docs:
+shuffle partitions ~ cores (not 200), AQE on (runtime coalesce + skew
+join), Arrow on for the Pandas-UDF slow path, UTC session timezone so
+results compare cleanly against a DuckDB oracle (naive-UTC timestamps).
+
+``spark.sql.legacy.parquet.nanosAsLong=true`` is required because the
+test corpus's ``events.parquet`` carries TIMESTAMP(NANOS), which the
+vanilla Spark 4 Parquet reader rejects; with the flag the column reads
+as a nanosecond-epoch BIGINT and `sources.tables` converts it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs that `ensure_conf` applies to sessions we did
+#: not create (e.g. the correctness driver's session).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def get_spark(app_name: str = "ethereum_export_pipeline_spark",
+              cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for this engine.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. On a real
+    cluster the same confs apply, minus master/driver-memory, which the
+    cluster manager owns.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # shuffle width ~ cores for local mode; AQE coalesces further.
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_conf(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs to an externally created session.
+
+    The correctness driver hands us its own SparkSession; these confs
+    are all runtime-settable so queries behave identically there.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — keep going
+    return spark

@@ -1,0 +1,83 @@
+"""E3 parity: CSV → typed projection → partitioned Parquet round-trip,
+golden-schema assertions (decimal(38,0) survival — the regression the
+reference itself hit, SURVEY §1.3), Hive layout naming, DropNullFields."""
+
+import decimal
+import os
+
+from pyspark.sql import functions as F
+
+from ethereum_export_pipeline_spark.operators.convert import convert_to_parquet
+from ethereum_export_pipeline_spark.operators.nulls import drop_null_fields, null_profile
+from ethereum_export_pipeline_spark.partitioning import default_export_plan, range_cols
+from ethereum_export_pipeline_spark.schemas import table_schema
+from ethereum_export_pipeline_spark.sources.csv_source import (
+    read_table_csv, write_partition_csv,
+)
+
+
+def _stage_csvs(spark, eth_fixture_dir, tmp_path, table, key="block_number"):
+    """Fixture parquet → range-partitioned stage-1 CSVs (what the
+    reference's export stage would have produced)."""
+    df = spark.read.parquet(os.path.join(eth_fixture_dir, f"{table}.parquet"))
+    csv_root = str(tmp_path / "csv")
+    for start, end in [(0, 19), (20, 39)]:
+        part = df.where(F.col(key).between(start, end))
+        write_partition_csv(part, csv_root, table, start, end)
+    return csv_root, df
+
+
+def test_csv_parquet_roundtrip_blocks(spark, eth_fixture_dir, tmp_path):
+    csv_root, src = _stage_csvs(spark, eth_fixture_dir, tmp_path, "blocks", key="number")
+
+    raw = read_table_csv(spark, csv_root, "blocks")
+    assert raw.count() == src.count()
+
+    out_root = str(tmp_path / "pq")
+    convert_to_parquet(spark, csv_root, "blocks", out_root)
+
+    back = spark.read.parquet(f"{out_root}/blocks")
+    # golden schema: every declared column lands with its declared type
+    want = {f.name: f.dataType for f in table_schema("blocks")}
+    got = {f.name: f.dataType for f in back.schema}
+    for name, dtype in want.items():
+        assert got[name] == dtype, (name, dtype, got[name])
+    # decimal(38,0) wei values > 2^63 survive the round trip exactly
+    top = back.agg(F.max("total_difficulty").alias("m")).collect()[0]["m"]
+    src_top = src.agg(F.max("total_difficulty").alias("m")).collect()[0]["m"]
+    assert decimal.Decimal(top) == decimal.Decimal(src_top) > 2 ** 64
+
+    # Hive layout: %08d-padded range dirs
+    dirs = sorted(os.listdir(f"{out_root}/blocks"))
+    assert "start_block=00000000" in dirs and "start_block=00000020" in dirs
+
+
+def test_partition_pruning_on_range_layout(spark, eth_fixture_dir, tmp_path):
+    csv_root, _ = _stage_csvs(spark, eth_fixture_dir, tmp_path, "blocks", key="number")
+    out_root = str(tmp_path / "pq")
+    convert_to_parquet(spark, csv_root, "blocks", out_root)
+    back = spark.read.parquet(f"{out_root}/blocks")
+    pruned = back.where(F.col("start_block") == "00000000")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 20
+    # partition filter must appear in the scan (pruning, not post-filter)
+    assert "PartitionFilters" in plan
+
+
+def test_drop_null_fields(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, None)], "id long, dead string, half string")
+    prof = null_profile(df)
+    assert prof == {"id": 2, "dead": 0, "half": 1}
+    assert drop_null_fields(df).columns == ["id", "half"]
+
+
+def test_range_cols_with_convert(spark, eth_fixture_dir, tmp_path):
+    """blocks fixture → derive plan range cols from `number` (the
+    volume-balanced bucketing, O1+O9) and write partitioned."""
+    df = spark.read.parquet(os.path.join(eth_fixture_dir, "blocks.parquet"))
+    s, e = range_cols("number", [(0, 19), (20, 39)])
+    out = str(tmp_path / "ranged")
+    df.select("number", s, e).write.partitionBy("start_block", "end_block").parquet(out)
+    names = sorted(d for d in os.listdir(out) if d.startswith("start_block"))
+    assert names == ["start_block=00000000", "start_block=00000020"]
