@@ -1,0 +1,230 @@
+"""Deduplication operators over a document table (north-star
+extensions): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All four are pure DataFrame compositions (no UDFs) built on the
+cross-engine md5 hashes in `functions`, so every one of them is
+verifiable against a DuckDB oracle running the same arithmetic.
+
+Scale design (the 100 TB story):
+  * exact      — one hash-aggregate on md5(text): map-side combine,
+                 single shuffle on a 128-bit key.
+  * ngram      — inverted-index join (explode shingles → equi-join on
+                 shingle → count per pair). Never O(n²): candidate
+                 pairs only materialize for docs that SHARE a shingle.
+                 Hot shingles are the skew risk → `max_shingle_df`
+                 drops shingles shared by more than N docs (standard
+                 df-cut), bounding join fan-out.
+  * minhash    — K=16 permutation mins per doc (one aggregate), then
+                 LSH banding (8 bands × 2 rows): candidates only for
+                 band collisions, verified with exact Jaccard.
+  * simhash    — 48-bit fingerprint from per-bit token votes (one
+                 aggregate with 48 conditional sums), candidates via
+                 4×12-bit band join, Hamming ≤ 3 verify via bit_count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import MERSENNE31, hash_family, tokens
+
+NGRAM_N = 3          # words per shingle
+MINHASH_K = 16       # signature length
+MINHASH_BANDS = 8    # 8 bands × 2 rows
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 4    # 4 × 12 bits
+SIMHASH_MAX_HAMMING = 3
+
+#: shared deterministic permutation family (lockstep with oracle SQL)
+MINHASH_FAMILY = hash_family(MINHASH_K, seed=13)
+
+
+def _h32_expr(x: str) -> str:
+    return f"(CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT) % {MERSENNE31})"
+
+
+# ------------------------------------------------------------- exact
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Group documents by exact content hash; keeper = min id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_key"))
+          .agg(F.min(id_col).alias("keep_doc_id"),
+               F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------- shingles
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = NGRAM_N) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+    Docs with fewer than n tokens contribute no shingles."""
+    joined = ", ".join(f"element_at(t, i + {k + 1})" for k in range(n))
+    expr = (
+        f"CASE WHEN size(t) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {joined})) END"
+    )
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("t"))
+          .select(id_col, F.explode(F.expr(expr)).alias("shingle"))
+          .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.5,
+                        n: int = NGRAM_N,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard via an inverted-index
+    self-join. Output: (doc_a, doc_b, n_common, jaccard)."""
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").count()
+                 .where(F.col("count") > max_shingle_df).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+         .where(F.col("doc_a") < F.col("doc_b"))
+         .groupBy("doc_a", "doc_b")
+         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+             .withColumn("jaccard",
+                         (F.col("n_common")
+                          / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")))
+                         .cast("double"))
+             .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_common",
+                      F.col("jaccard").cast("decimal(18,6)").alias("jaccard"))
+
+
+# ----------------------------------------------------------- minhash
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = NGRAM_N) -> DataFrame:
+    """K minhash values per doc: m_k = min over shingles of
+    (a_k·h32(shingle) + b_k) mod p. One explode + one aggregate."""
+    sh = shingles(df, id_col, text_col, n)
+    hashed = sh.select(id_col, F.expr(_h32_expr("shingle")).alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % MERSENNE31).alias(f"m{k}")
+        for k, (a, b) in enumerate(MINHASH_FAMILY)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.5,
+                      n: int = NGRAM_N) -> DataFrame:
+    """MinHash LSH near-dup pairs, verified with exact Jaccard.
+    Output: (doc_a, doc_b, n_common, jaccard) for candidates whose
+    verified Jaccard ≥ threshold."""
+    sig = minhash_signatures(df, id_col, text_col, n)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_cols = []
+    for band in range(MINHASH_BANDS):
+        ms = [f"m{band * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws(",", F.lit(str(band)), *ms)).alias(f"band{band}"))
+    banded = sig.select(id_col, *band_cols)
+
+    melted = banded.select(
+        id_col,
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)]))
+         .alias("bucket"))
+    l = melted.select(F.col(id_col).alias("doc_a"), "bucket")
+    r = melted.select(F.col(id_col).alias("doc_b"), "bucket")
+    cand = (l.join(r, "bucket").where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+
+    # verify candidates with exact Jaccard (inverted index restricted
+    # to candidate docs — semi-join pushdown keeps this cheap)
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(cand.select("doc_a").distinct(), "doc_a", "left_semi")
+         .join(b.join(cand.select("doc_b").distinct(), "doc_b", "left_semi"),
+               "shingle")
+         .join(cand, ["doc_a", "doc_b"], "left_semi")
+         .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+             .withColumn("jaccard",
+                         (F.col("n_common")
+                          / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")))
+                         .cast("double"))
+             .where(F.col("jaccard") >= threshold)
+             .select("doc_a", "doc_b", "n_common",
+                     F.col("jaccard").cast("decimal(18,6)").alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------------- simhash
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc simhash: bit b of the fingerprint is the sign of the
+    vote Σ_tokens (±1 per token's hash bit b) over distinct tokens."""
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+          .distinct()
+          .select(id_col, F.expr(
+              f"CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").alias("h"))
+    )
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+               .otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return per_doc.select(id_col, fp.alias("fingerprint"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs with Hamming(fingerprint) ≤ max_hamming.
+    Candidates via 4×12-bit band collisions (any identical band —
+    sound for ≤3 flipped bits over 4 bands by pigeonhole)."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    melted = fps.select(
+        F.col(id_col), F.col("fingerprint"),
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(c)),
+                        (F.shiftright(F.col("fingerprint"), c * width)
+                          .bitwiseAND((1 << width) - 1)).cast("string"))
+            for c in range(SIMHASH_BANDS)])).alias("bucket"))
+    l = melted.select(F.col(id_col).alias("doc_a"),
+                      F.col("fingerprint").alias("fp_a"), "bucket")
+    r = melted.select(F.col(id_col).alias("doc_b"),
+                      F.col("fingerprint").alias("fp_b"), "bucket")
+    return (
+        l.join(r, "bucket").where(F.col("doc_a") < F.col("doc_b"))
+         .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
+         .withColumn("hamming",
+                     F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long"))
+         .where(F.col("hamming") <= max_hamming)
+         .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,96 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as `binary` columns with a struct of typed
+metadata next to them. The Spark-side plumbing — schema, batch shape,
+`mapInPandas` signatures, partition sizing — is real and tested; the
+actual media decode is STUBBED (`_decode_image_stub`) because codec
+libraries are not in this environment: it derives deterministic fake
+"pixels"/features from the bytes so the pipeline shape is exercised
+end-to-end. Swap the stub for PIL/torchaudio/decord in production.
+
+Scale notes: binary payloads dominate row size, so feature extraction
+uses `mapInPandas` (Arrow batches, zero row-at-a-time serde) and
+`spark.sql.files.maxPartitionBytes` should be sized so one batch of
+payloads fits executor memory (e.g. 64 MB batches of ~1 MB images).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Make an opaque-binary media table out of the documents fixture:
+    payload = utf-8 bytes, metadata struct alongside — the canonical
+    multimodal column layout."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("format"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def _decode_image_stub(payload: bytes) -> list[float]:
+    """Deterministic fake 'decode': 8 byte-histogram features.
+    Production would decode real pixels here."""
+    if payload is None:
+        raise NotImplementedError("real media decode not available in this env")
+    buckets = [0] * 8
+    for byte in payload:
+        buckets[byte >> 5] += 1
+    total = max(len(payload), 1)
+    return [b / total for b in buckets]
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column via
+    mapInPandas — the real multimodal hot path shape."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "feature": pdf["payload"].map(_decode_image_stub),
+            })
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def binary_stats(media: DataFrame, format_col: str = "meta.format") -> DataFrame:
+    """Oracle-checkable part of the multimodal surface: pure byte-level
+    accounting over the binary column (no decode)."""
+    return (
+        media.groupBy(F.col(format_col).alias("format"))
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
+                  F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
+                  F.min(F.octet_length("payload")).cast("long").alias("min_bytes"))
+    )

@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, as a training-data pipeline needs them:
+  * brute-force cosine top-k — the exactness baseline; O(Q·N) dot
+    products as a broadcast nested-loop join. Fine for Q·N up to ~1e8
+    per executor-core; beyond that use the LSH path.
+  * random-hyperplane LSH — the scale path: 16 signed projections →
+    16-bit bucket; candidates share the bucket, ranked by exact cosine
+    within. At 100 TB the bucket join is an equi-shuffle on a 16-bit
+    key (salt-able), never O(N²).
+
+Cross-engine determinism: embeddings are float32; float sums are
+order-sensitive, so engines could disagree in the last bits and flip
+top-k ranks. We therefore QUANTIZE to integers (round(x·10⁴)) and
+compute dot/norm as exact int64 arithmetic; the final cosine is then
+a pure function of exact integers — bit-identical on Spark and DuckDB.
+The hyperplanes are ±1 vectors derived from md5 (functions.h32
+semantics) computed AT PLAN-BUILD TIME in Python and inlined as
+literals, so both engines see the same planes.
+
+No UDFs: dot products are `aggregate(zip_with(...))` — Catalyst
+higher-order functions, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+QUANT_SCALE = 10_000
+N_PLANES = 16
+EMB_DIM = 64
+
+
+def py_h32(s: str) -> int:
+    """Python twin of functions.h32 (same md5-prefix definition)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2_147_483_647
+
+
+def plane_signs(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign(p,d) from md5('plane:p:d')."""
+    return [[1 if py_h32(f"plane:{p}:{d}") % 2 == 0 else -1 for d in range(dim)]
+            for p in range(n_planes)]
+
+
+def quantize_expr(col: str) -> str:
+    """array<float> → array<bigint> of round(x·10⁴)."""
+    return (f"transform({col}, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE}.0) AS BIGINT))")
+
+
+def dot_expr(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, "
+            f"(acc, v) -> acc + v)")
+
+
+def with_quantized(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Adds qvec (quantized ints) and n2 (exact squared norm)."""
+    return (
+        df.withColumn("qvec", F.expr(quantize_expr(emb_col)))
+          .withColumn("n2", F.expr(dot_expr("qvec", "qvec")))
+    )
+
+
+def _cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
+    # n2a*n2b can exceed int64 → multiply as doubles (identical IEEE on
+    # both engines since the inputs are exact integers).
+    return dot.cast("double") / F.sqrt(n2a.cast("double") * n2b.cast("double"))
+
+
+def brute_force_topk(df: DataFrame, id_col: str = "vec_id",
+                     emb_col: str = "embedding", k: int = 5,
+                     query_pred: str = "vec_id < 10") -> DataFrame:
+    """Exact cosine top-k for the rows matching `query_pred` against the
+    whole table. Output: (query_id, neighbor_id, cosine, rank)."""
+    base = with_quantized(df, emb_col).select(id_col, "qvec", "n2")
+    q = (base.where(query_pred)
+             .select(F.col(id_col).alias("query_id"),
+                     F.col("qvec").alias("qv"), F.col("n2").alias("qn2")))
+    c = (base.select(F.col(id_col).alias("neighbor_id"),
+                     F.col("qvec").alias("cv"), F.col("n2").alias("cn2")))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+         .where(F.col("neighbor_id") != F.col("query_id"))
+         .withColumn("dot", F.expr(dot_expr("qv", "cv")))
+         .withColumn("cosine", _cosine(F.col("dot"), F.col("qn2"), F.col("cn2")))
+    )
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc()))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k)
+              .select("query_id", "neighbor_id",
+                      F.col("cosine").cast("decimal(18,6)").alias("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def lsh_bucket_expr(qvec_col: str = "qvec",
+                    planes: list[list[int]] | None = None) -> str:
+    """bucket = Σ_p [proj_p ≥ 0]·2^p with proj_p = Σ_d sign(p,d)·qvec[d]."""
+    planes = planes or plane_signs()
+    terms = []
+    for p, signs in enumerate(planes):
+        lit = "array(" + ", ".join(f"{s}L" for s in signs) + ")"
+        proj = (f"aggregate(zip_with({qvec_col}, {lit}, (x, s) -> x * s), 0L, "
+                f"(acc, v) -> acc + v)")
+        terms.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p}L ELSE 0L END)")
+    return " + ".join(terms)
+
+
+def lsh_topk(df: DataFrame, id_col: str = "vec_id",
+             emb_col: str = "embedding", k: int = 5,
+             query_pred: str = "vec_id < 10") -> DataFrame:
+    """Approximate top-k: exact cosine, but only among candidates in the
+    query's LSH bucket. Output: (query_id, neighbor_id, cosine, rank)."""
+    base = (with_quantized(df, emb_col)
+            .withColumn("bucket", F.expr(lsh_bucket_expr()))
+            .select(id_col, "qvec", "n2", "bucket"))
+    q = (base.where(query_pred)
+             .select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qv"),
+                     F.col("n2").alias("qn2"), "bucket"))
+    c = (base.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"),
+                     F.col("n2").alias("cn2"), "bucket"))
+    scored = (
+        q.join(c, "bucket")
+         .where(F.col("neighbor_id") != F.col("query_id"))
+         .withColumn("dot", F.expr(dot_expr("qv", "cv")))
+         .withColumn("cosine", _cosine(F.col("dot"), F.col("qn2"), F.col("cn2")))
+    )
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc()))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k)
+              .select("query_id", "neighbor_id",
+                      F.col("cosine").cast("decimal(18,6)").alias("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
+                            emb_col: str = "embedding",
+                            threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets: pairs in
+    the same bucket with cosine ≥ threshold (the scale path — exact
+    all-pairs would be O(N²)). Output: (id_a, id_b, cosine)."""
+    base = (with_quantized(df, emb_col)
+            .withColumn("bucket", F.expr(lsh_bucket_expr()))
+            .select(id_col, "qvec", "n2", "bucket"))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("qvec").alias("va"),
+                    F.col("n2").alias("na"), "bucket")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("qvec").alias("vb"),
+                    F.col("n2").alias("nb"), "bucket")
+    return (
+        a.join(b, "bucket")
+         .where(F.col("id_a") < F.col("id_b"))
+         .withColumn("dot", F.expr(dot_expr("va", "vb")))
+         .withColumn("cosine", _cosine(F.col("dot"), F.col("na"), F.col("nb")))
+         .where(F.col("cosine") >= threshold)
+         .select("id_a", "id_b",
+                 F.col("cosine").cast("decimal(18,6)").alias("cosine"))
+    )

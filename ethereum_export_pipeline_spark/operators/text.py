@@ -1,0 +1,141 @@
+"""Text-analysis operators over a document table (north-star
+extensions, BASELINE.json): language ID, quality scoring, token
+counting, document fingerprinting.
+
+Cross-engine discipline: every operator here is verified against a
+DuckDB oracle, so all logic is deterministic integer/regex arithmetic
+expressible in both engines — tokenization via a shared regex, hashes
+via the md5-derived `functions.h32`, ratios via double arithmetic on
+exact integers (IEEE-identical on both engines). No UDFs anywhere:
+everything stays in whole-stage codegen.
+
+Scale: each operator is a single narrow projection + aggregation over
+the documents table — embarrassingly parallel, no shuffle except the
+final group-bys. Token explosion is bounded by document length; at
+100 TB the explode happens map-side and feeds partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import MERSENNE31, tokens
+
+#: Tiny embedded stopword lexicons (top function words). Deliberately
+#: small and inline: they are part of the operator's deterministic
+#: definition (shared verbatim with the oracle SQL), not a model.
+STOPWORDS = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich",
+           "auf", "des", "dem", "den", "von", "zu", "sich", "sie", "er"],
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "was",
+           "for", "on", "are", "as", "with", "his", "they", "at", "be"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es",
+           "no", "por", "con", "para", "como", "su", "al", "lo", "se"],
+    "fr": ["le", "la", "les", "et", "des", "en", "un", "une", "du", "que",
+           "est", "pour", "dans", "ce", "il", "qui", "ne", "sur", "pas"],
+}
+
+TOKENS_COL = "toks"
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(TOKENS_COL, tokens(text_col))
+
+
+def _in_list(col: str, words: list[str]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({col}, x -> x IN ({quoted})))"
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID. Per language: count of tokens in its
+    lexicon; prediction = argmax, ties broken by language code
+    ascending, 'und' when no stopword hits at all."""
+    d = with_tokens(df, text_col)
+    langs = sorted(STOPWORDS)  # tie-break order: code ascending
+    hits = [F.expr(_in_list(TOKENS_COL, STOPWORDS[lg])).cast("long").alias(f"hits_{lg}")
+            for lg in langs]
+    d = d.select(F.col(id_col), *hits)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    # CASE evaluates in code order, so listing languages ascending
+    # implements the tie-break (first max wins).
+    cases = F.when((best > 0) & (F.col(f"hits_{langs[0]}") == best), F.lit(langs[0]))
+    for lg in langs[1:]:
+        cases = cases.when((best > 0) & (F.col(f"hits_{lg}") == best), F.lit(lg))
+    pred = cases.otherwise(F.lit("und"))
+    return d.select(
+        id_col, pred.alias("pred_lang"),
+        *[F.col(f"hits_{lg}") for lg in langs])
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, token stats, alnum ratio,
+    stopword ratio, composite score. All ratios are double arithmetic
+    over exact integers → engine-identical."""
+    d = with_tokens(df, text_col)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = F.size(F.col(TOKENS_COL)).cast("long")
+    tok_chars = F.expr(f"aggregate({TOKENS_COL}, 0L, (a, x) -> a + length(x))")
+    alnum = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))
+    stop_hits = F.expr(_in_list(TOKENS_COL, STOPWORDS["en"])).cast("long")
+    d = d.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        tok_chars.cast("long").alias("n_token_chars"),
+        alnum.cast("long").alias("n_alnum"),
+        stop_hits.alias("n_stopwords"),
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    nc = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    avg_tok = F.col("n_token_chars") / nt
+    alnum_ratio = F.col("n_alnum") / nc
+    stop_ratio = F.col("n_stopwords") / nt
+    score = (
+        F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0)) * 0.25
+        + alnum_ratio * 0.25
+        + stop_ratio * 0.25
+        + F.when((avg_tok >= 3.0) & (avg_tok <= 10.0), 0.25).otherwise(0.0)
+    )
+    return d.select(
+        id_col, "n_chars", "n_tokens", "n_token_chars", "n_alnum", "n_stopwords",
+        avg_tok.cast("decimal(18,6)").alias("avg_token_len"),
+        alnum_ratio.cast("decimal(18,6)").alias("alnum_ratio"),
+        stop_ratio.cast("decimal(18,6)").alias("stopword_ratio"),
+        score.cast("decimal(18,6)").alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    ([a-z0-9]+ word pieces), plus char length — the cheap
+    size-accounting pass a training-data pipeline runs first."""
+    ws = F.expr(f"size(filter(split({text_col}, '\\\\s+'), x -> x <> ''))")
+    return with_tokens(df, text_col).select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        ws.cast("long").alias("ws_tokens"),
+        F.size(F.col(TOKENS_COL)).cast("long").alias("re_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint: a positional polynomial
+    hash over word tokens, fp = Σ_i ((i+1)·h32(tok_i)) mod p. Stays in
+    [0, p); products < 2^51 and the running sum < 2^48 — exact int64
+    arithmetic on both engines."""
+    p = MERSENNE31
+    expr = (
+        f"aggregate(transform({TOKENS_COL}, (x, i) -> "
+        f"((CAST(i + 1 AS BIGINT) * (CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT) % {p})) % {p})"
+        f"), 0L, (a, b) -> a + b) % {p}"
+    )
+    return with_tokens(df, text_col).select(
+        F.col(id_col),
+        F.expr(expr).cast("long").alias("fingerprint"),
+        F.size(F.col(TOKENS_COL)).cast("long").alias("re_tokens"),
+    )
