@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import MERSENNE31, hash_family, tokens
+from ..functions import MERSENNE31, h32, h60, hash_family, tokens
 
 NGRAM_N = 3          # words per shingle
 MINHASH_K = 16       # signature length
@@ -35,21 +35,28 @@ SIMHASH_BITS = 48
 SIMHASH_BANDS = 4    # 4 × 12 bits
 SIMHASH_MAX_HAMMING = 3
 
+#: df-cut: shingles/buckets shared by more docs than this are dropped
+#: before the candidate join — bounds inverted-index fan-out (the skew
+#: tail on web-scale text: stop-word shingles are quadratic in the
+#: hottest shingle's doc frequency). Callers may raise it; None = off.
+DEFAULT_MAX_DF = 1000
+
 #: shared deterministic permutation family (lockstep with oracle SQL)
 MINHASH_FAMILY = hash_family(MINHASH_K, seed=13)
-
-
-def _h32_expr(x: str) -> str:
-    return f"(CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT) % {MERSENNE31})"
 
 
 # ------------------------------------------------------------- exact
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Group documents by exact content hash; keeper = min id."""
+    """Group documents by exact content hash; keeper = min id.
+
+    NULL-text rows are excluded up front: md5(NULL) is NULL, which would
+    otherwise collapse every null document into one bogus dup cluster.
+    """
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("content_key"))
+        df.where(F.col(text_col).isNotNull())
+          .groupBy(F.md5(F.col(text_col)).alias("content_key"))
           .agg(F.min(id_col).alias("keep_doc_id"),
                F.count(F.lit(1)).alias("n_copies"))
     )
@@ -76,7 +83,7 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", threshold: float = 0.5,
                         n: int = NGRAM_N,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = DEFAULT_MAX_DF) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard via an inverted-index
     self-join. Output: (doc_a, doc_b, n_common, jaccard)."""
     sh = shingles(df, id_col, text_col, n)
@@ -115,7 +122,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """K minhash values per doc: m_k = min over shingles of
     (a_k·h32(shingle) + b_k) mod p. One explode + one aggregate."""
     sh = shingles(df, id_col, text_col, n)
-    hashed = sh.select(id_col, F.expr(_h32_expr("shingle")).alias("h"))
+    hashed = sh.select(id_col, h32(F.col("shingle")).alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % MERSENNE31).alias(f"m{k}")
         for k, (a, b) in enumerate(MINHASH_FAMILY)
@@ -184,8 +191,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
     toks = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
           .distinct()
-          .select(id_col, F.expr(
-              f"CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").alias("h"))
+          .select(id_col, h60(F.col("tok")).alias("h"))
     )
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
@@ -203,10 +209,14 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
-                  max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+                  max_hamming: int = SIMHASH_MAX_HAMMING,
+                  max_bucket_df: int | None = DEFAULT_MAX_DF) -> DataFrame:
     """Near-dup pairs with Hamming(fingerprint) ≤ max_hamming.
     Candidates via 4×12-bit band collisions (any identical band —
-    sound for ≤3 flipped bits over 4 bands by pigeonhole)."""
+    sound for ≤3 flipped bits over 4 bands by pigeonhole).
+    `max_bucket_df` drops buckets shared by more docs than the cut —
+    the hot-bucket skew guard (boilerplate text makes one 12-bit band
+    value quadratic at web scale)."""
     fps = simhash_fingerprints(df, id_col, text_col)
     width = SIMHASH_BITS // SIMHASH_BANDS
     melted = fps.select(
@@ -216,6 +226,10 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                         (F.shiftright(F.col("fingerprint"), c * width)
                           .bitwiseAND((1 << width) - 1)).cast("string"))
             for c in range(SIMHASH_BANDS)])).alias("bucket"))
+    if max_bucket_df is not None:
+        hot = (melted.groupBy("bucket").count()
+                     .where(F.col("count") > max_bucket_df).select("bucket"))
+        melted = melted.join(F.broadcast(hot), "bucket", "left_anti")
     l = melted.select(F.col(id_col).alias("doc_a"),
                       F.col("fingerprint").alias("fp_a"), "bucket")
     r = melted.select(F.col(id_col).alias("doc_b"),

@@ -59,11 +59,14 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _decode_image_stub(payload: bytes) -> list[float]:
+def _decode_image_stub(payload: bytes | None) -> list[float] | None:
     """Deterministic fake 'decode': 8 byte-histogram features.
-    Production would decode real pixels here."""
+    Production would decode real pixels here (PIL/torchaudio/decord —
+    not in this environment, so this stub keeps the pipeline shape
+    real). NULL payload → NULL feature, never an exception: one bad
+    row must not fail a 100 TB job."""
     if payload is None:
-        raise NotImplementedError("real media decode not available in this env")
+        return None
     buckets = [0] * 8
     for byte in payload:
         buckets[byte >> 5] += 1
@@ -78,7 +81,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
         for pdf in batches:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "n_bytes": pdf["payload"].map(
+                    lambda b: 0 if b is None else len(b)).astype("int64"),
                 "feature": pdf["payload"].map(_decode_image_stub),
             })
     return media.mapInPandas(run, FEATURE_SCHEMA)

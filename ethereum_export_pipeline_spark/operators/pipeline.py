@@ -62,7 +62,9 @@ def run_export_dag(chain: FixtureChain, start: int, end: int,
                    export_contracts: bool = True,
                    export_tokens: bool = True) -> ExportResult:
     """Build the full E2 lineage for one block range. Nothing executes
-    until a sink action; feature flags mirror config.py:18-22."""
+    until a sink action. The feature flags correspond to the
+    reference's config.py:18-22 switches (which ship receipts/contracts
+    off by default; here they default on so the full DAG is exercised)."""
     blocks, txs = chain.export_blocks_and_transactions(start, end)
     transfers = chain.export_token_transfers(start, end)
     res = ExportResult(blocks=blocks, transactions=txs, token_transfers=transfers)
@@ -78,8 +80,7 @@ def run_export_dag(chain: FixtureChain, start: int, end: int,
 
     if export_tokens:
         token_addrs = distinct_keys(transfers, "token_address")      # A1
-        res.tokens = chain.export_tokens(
-            token_addrs.withColumnRenamed("token_address", "token_address"))  # J3
+        res.tokens = chain.export_tokens(token_addrs)                # J3
 
     res.tables = {k: v for k, v in {
         "blocks": res.blocks, "transactions": res.transactions,

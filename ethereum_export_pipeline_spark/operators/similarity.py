@@ -71,9 +71,14 @@ def _cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
 
 def brute_force_topk(df: DataFrame, id_col: str = "vec_id",
                      emb_col: str = "embedding", k: int = 5,
-                     query_pred: str = "vec_id < 10") -> DataFrame:
-    """Exact cosine top-k for the rows matching `query_pred` against the
-    whole table. Output: (query_id, neighbor_id, cosine, rank)."""
+                     query_pred: str | None = None) -> DataFrame:
+    """Exact cosine top-k for the rows matching `query_pred` (default:
+    ``{id_col} < 10``) against the whole table. Output: (query_id,
+    neighbor_id, cosine, rank).
+
+    This is the O(Q·N) exactness BASELINE — the broadcast side is the
+    query set, which must stay small; use `lsh_topk` as the scale path."""
+    query_pred = query_pred or f"{id_col} < 10"
     base = with_quantized(df, emb_col).select(id_col, "qvec", "n2")
     q = (base.where(query_pred)
              .select(F.col(id_col).alias("query_id"),
@@ -113,11 +118,17 @@ def lsh_bucket_expr(qvec_col: str = "qvec",
 
 def lsh_topk(df: DataFrame, id_col: str = "vec_id",
              emb_col: str = "embedding", k: int = 5,
-             query_pred: str = "vec_id < 10") -> DataFrame:
+             query_pred: str | None = None, dim: int = EMB_DIM) -> DataFrame:
     """Approximate top-k: exact cosine, but only among candidates in the
-    query's LSH bucket. Output: (query_id, neighbor_id, cosine, rank)."""
-    base = (with_quantized(df, emb_col)
-            .withColumn("bucket", F.expr(lsh_bucket_expr()))
+    query's LSH bucket. Output: (query_id, neighbor_id, cosine, rank).
+
+    `dim` must match the embedding width: rows of any other size are
+    filtered out up front (zip_with against the plane literals would
+    NULL-pad and silently send every row to bucket 0 — a degenerate
+    cross join — instead of erroring)."""
+    query_pred = query_pred or f"{id_col} < 10"
+    base = (with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+            .withColumn("bucket", F.expr(lsh_bucket_expr(planes=plane_signs(dim=dim))))
             .select(id_col, "qvec", "n2", "bucket"))
     q = (base.where(query_pred)
              .select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qv"),
@@ -144,12 +155,14 @@ def lsh_topk(df: DataFrame, id_col: str = "vec_id",
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             emb_col: str = "embedding",
-                            threshold: float = 0.9) -> DataFrame:
+                            threshold: float = 0.9,
+                            dim: int = EMB_DIM) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets: pairs in
     the same bucket with cosine ≥ threshold (the scale path — exact
-    all-pairs would be O(N²)). Output: (id_a, id_b, cosine)."""
-    base = (with_quantized(df, emb_col)
-            .withColumn("bucket", F.expr(lsh_bucket_expr()))
+    all-pairs would be O(N²)). Output: (id_a, id_b, cosine).
+    Same `dim` guard as `lsh_topk`."""
+    base = (with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+            .withColumn("bucket", F.expr(lsh_bucket_expr(planes=plane_signs(dim=dim))))
             .select(id_col, "qvec", "n2", "bucket"))
     a = base.select(F.col(id_col).alias("id_a"), F.col("qvec").alias("va"),
                     F.col("n2").alias("na"), "bucket")
