@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin views over ``ethereum_export_pipeline_spark.plans.ALL_QUERIES`` —
+the query catalog pairing every implemented operator (SURVEY §2 +
+LLM-pipeline extensions) with its DuckDB oracle SQL. See
+``plans/base.py`` for the cross-engine typing rules that make the
+value hashes engine-identical.
 """
 
 from __future__ import annotations
@@ -13,26 +13,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ethereum_export_pipeline_spark import plans
+from ethereum_export_pipeline_spark.session import ensure_conf
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 shape: scan → pushed filter → codegen'd
+    hash agg) on /root/testdata/sf0.001."""
+    ensure_conf(spark)
+    return plans.flagship(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY §2 (+ extensions).
+    Each callable takes (spark, sf_dir) and returns a DataFrame."""
+    return {name: q.fn for name, q in plans.ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (omitted only for
+    the mapInPandas decode path, which is not SQL-expressible)."""
+    return {name: q.sql for name, q in plans.ALL_QUERIES.items()
+            if q.sql is not None}

@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as plan-build + full execution (count-style
+consume via a collect of the, usually small, result). The headline set
+covers every operator family: scan/agg, joins, windows, events,
+dedup, similarity, multimodal, streaming.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_window_topn",
+    "q_window_running",
+    "q_rollup",
+    "q_events_tumbling",
+    "q_events_sessions",
+    "eth_typed_projection",
+    "eth_partition_plan",
+    "eth_semi_join",
+    "eth_parquet_partitioned",
+    "eth_range_join",
+    "doc_dedup_exact",
+    "doc_ngram_pairs",
+    "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "doc_language_id",
+    "doc_quality",
+    "doc_fingerprint",
+    "emb_bruteforce_topk",
+    "emb_lsh_topk",
+    "emb_neardup_pairs",
+    "mm_binary_stats",
+    "stream_tumbling_counts",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ethereum_export_pipeline_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark("bench")
+    qs = e.queries()
+
+    # warm the JVM + file listing once, outside the timed region
+    qs["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        n = len(qs[name](spark, sf_dir).collect())
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

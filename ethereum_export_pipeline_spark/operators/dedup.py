@@ -111,8 +111,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                          .cast("double"))
              .where(F.col("jaccard") >= threshold)
     )
-    return out.select("doc_a", "doc_b", "n_common",
-                      F.col("jaccard").cast("decimal(18,6)").alias("jaccard"))
+    return out.select("doc_a", "doc_b", "n_common", "jaccard")
 
 
 # ----------------------------------------------------------- minhash
@@ -176,8 +175,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                           / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")))
                          .cast("double"))
              .where(F.col("jaccard") >= threshold)
-             .select("doc_a", "doc_b", "n_common",
-                     F.col("jaccard").cast("decimal(18,6)").alias("jaccard"))
+             .select("doc_a", "doc_b", "n_common", "jaccard")
     )
 
 

@@ -97,8 +97,7 @@ def brute_force_topk(df: DataFrame, id_col: str = "vec_id",
     return (
         scored.withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= k)
-              .select("query_id", "neighbor_id",
-                      F.col("cosine").cast("decimal(18,6)").alias("cosine"),
+              .select("query_id", "neighbor_id", "cosine",
                       F.col("rank").cast("long").alias("rank"))
     )
 
@@ -118,17 +117,23 @@ def lsh_bucket_expr(qvec_col: str = "qvec",
 
 def lsh_topk(df: DataFrame, id_col: str = "vec_id",
              emb_col: str = "embedding", k: int = 5,
-             query_pred: str | None = None, dim: int = EMB_DIM) -> DataFrame:
+             query_pred: str | None = None, dim: int = EMB_DIM,
+             n_planes: int = N_PLANES) -> DataFrame:
     """Approximate top-k: exact cosine, but only among candidates in the
     query's LSH bucket. Output: (query_id, neighbor_id, cosine, rank).
 
     `dim` must match the embedding width: rows of any other size are
     filtered out up front (zip_with against the plane literals would
     NULL-pad and silently send every row to bucket 0 — a degenerate
-    cross join — instead of erroring)."""
+    cross join — instead of erroring).
+
+    `n_planes` trades recall for bucket size: 2^n_planes buckets, so
+    pick it against the corpus size (~log2(N / desired bucket
+    population)); the default 16 suits 10^7+ rows."""
     query_pred = query_pred or f"{id_col} < 10"
+    planes = plane_signs(n_planes, dim)
     base = (with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
-            .withColumn("bucket", F.expr(lsh_bucket_expr(planes=plane_signs(dim=dim))))
+            .withColumn("bucket", F.expr(lsh_bucket_expr(planes=planes)))
             .select(id_col, "qvec", "n2", "bucket"))
     q = (base.where(query_pred)
              .select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qv"),
@@ -147,8 +152,7 @@ def lsh_topk(df: DataFrame, id_col: str = "vec_id",
     return (
         scored.withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= k)
-              .select("query_id", "neighbor_id",
-                      F.col("cosine").cast("decimal(18,6)").alias("cosine"),
+              .select("query_id", "neighbor_id", "cosine",
                       F.col("rank").cast("long").alias("rank"))
     )
 
@@ -156,13 +160,15 @@ def lsh_topk(df: DataFrame, id_col: str = "vec_id",
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             emb_col: str = "embedding",
                             threshold: float = 0.9,
-                            dim: int = EMB_DIM) -> DataFrame:
+                            dim: int = EMB_DIM,
+                            n_planes: int = N_PLANES) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets: pairs in
     the same bucket with cosine ≥ threshold (the scale path — exact
     all-pairs would be O(N²)). Output: (id_a, id_b, cosine).
-    Same `dim` guard as `lsh_topk`."""
+    Same `dim` guard and `n_planes` trade-off as `lsh_topk`."""
+    planes = plane_signs(n_planes, dim)
     base = (with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
-            .withColumn("bucket", F.expr(lsh_bucket_expr(planes=plane_signs(dim=dim))))
+            .withColumn("bucket", F.expr(lsh_bucket_expr(planes=planes)))
             .select(id_col, "qvec", "n2", "bucket"))
     a = base.select(F.col(id_col).alias("id_a"), F.col("qvec").alias("va"),
                     F.col("n2").alias("na"), "bucket")
@@ -174,6 +180,5 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
          .withColumn("dot", F.expr(dot_expr("va", "vb")))
          .withColumn("cosine", _cosine(F.col("dot"), F.col("na"), F.col("nb")))
          .where(F.col("cosine") >= threshold)
-         .select("id_a", "id_b",
-                 F.col("cosine").cast("decimal(18,6)").alias("cosine"))
+         .select("id_a", "id_b", "cosine")
     )

@@ -101,10 +101,10 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     )
     return d.select(
         id_col, "n_chars", "n_tokens", "n_token_chars", "n_alnum", "n_stopwords",
-        avg_tok.cast("decimal(18,6)").alias("avg_token_len"),
-        alnum_ratio.cast("decimal(18,6)").alias("alnum_ratio"),
-        stop_ratio.cast("decimal(18,6)").alias("stopword_ratio"),
-        score.cast("decimal(18,6)").alias("quality_score"),
+        avg_tok.alias("avg_token_len"),
+        alnum_ratio.alias("alnum_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
     )
 
 

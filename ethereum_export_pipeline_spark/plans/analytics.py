@@ -1,0 +1,357 @@
+"""Analytics query catalog: the workload the reference's consumers run
+over the exported tables (README.md:5 Medium-article style joins and
+aggregates), plus the event-stream queries the engine adds. Every
+entry follows plans.base's cross-engine typing rules.
+
+Scale notes per query live in the docstrings; the common themes:
+filters reach the parquet scan (PushedFilters), aggregates combine
+map-side, small dims broadcast, window functions partition by the
+grouping key so the shuffle is the partition key, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import load_table
+from .base import Query, cents, qty, revenue_e4
+
+CUTOFF = "1998-06-01"
+# Event-time arithmetic is in MICROSECONDS: the corpus stores
+# TIMESTAMP(NANOS), but DuckDB truncates that to µs on read, so any
+# ns-precision output would differ in the sub-µs digits. `ts_ns div
+# 1000` (Spark) ↔ `epoch_us(ts)` (DuckDB) agree exactly.
+WINDOW_US = 600_000_000        # 10 min tumbling
+SESSION_GAP_US = 1_800_000_000  # 30 min inactivity
+
+
+# -------------------------------------------------------------- Q1-ish
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — scan → filter → 6-group hash agg, the flagship:
+    single stage after the scan, fully codegen'd, map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.where(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp_ntz"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+              F.expr(f"CAST(sum({qty('l_quantity')}) AS BIGINT)").alias("sum_qty"),
+              F.expr(f"CAST(sum({cents('l_extendedprice')}) AS BIGINT)").alias("sum_base_cents"),
+              F.expr(f"CAST(sum({revenue_e4()}) AS BIGINT)").alias("sum_disc_e4"),
+              F.expr(f"CAST(sum({revenue_e4()} * (100 + {cents('l_tax')})) AS BIGINT)").alias("sum_charge_e6"),
+              F.count(F.lit(1)).alias("n_rows"),
+          )
+    )
+    return g.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+        "sum_disc_e4", "sum_charge_e6", "n_rows",
+        (F.col("sum_qty") / F.col("n_rows")).alias("avg_qty"),
+        (F.col("sum_base_cents") / F.col("n_rows") / F.lit(100.0)).alias("avg_price"),
+    )
+
+
+_PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents, sum_disc_e4,
+       sum_charge_e6, n_rows,
+       sum_qty / n_rows AS avg_qty,
+       sum_base_cents / n_rows / 100.0 AS avg_price
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum({qty('l_quantity')}) AS BIGINT) AS sum_qty,
+         CAST(sum({cents('l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+         CAST(sum({revenue_e4()}) AS BIGINT) AS sum_disc_e4,
+         CAST(sum({revenue_e4()} * (100 + {cents('l_tax')})) AS BIGINT) AS sum_charge_e6,
+         count(*) AS n_rows
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{CUTOFF}'
+  GROUP BY 1, 2
+)
+"""
+
+
+# -------------------------------------------------------------- Q3-ish
+
+def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — 3-way join, filter each side before the join
+    (pushdown), top-10 by revenue with a deterministic tie-break."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(CUTOFF).cast("timestamp_ntz"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(CUTOFF).cast("timestamp_ntz"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+          .groupBy("l_orderkey",
+                   F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+                   "o_orderpriority")
+          .agg(F.expr(f"CAST(sum({revenue_e4()}) AS BIGINT)").alias("revenue_e4"))
+          .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey").asc())
+          .limit(10)
+    )
+
+
+_SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       o_orderpriority,
+       CAST(sum({revenue_e4()}) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{CUTOFF}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# -------------------------------------------------------------- Q5-ish
+
+def _region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — star join through two broadcast dims, revenue
+    per nation for one region-year slice."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.date_format("o_orderdate", "yyyy") == "1997")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("c_custkey", "n_name"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+          .groupBy(F.col("n_name").alias("nation"))
+          .agg(F.count(F.lit(1)).alias("n_items"),
+               F.expr(f"CAST(sum({revenue_e4()}) AS BIGINT)").alias("revenue_e4"))
+    )
+
+
+_REGION_REVENUE_SQL = f"""
+SELECT n_name AS nation, count(*) AS n_items,
+       CAST(sum({revenue_e4()}) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND strftime(o_orderdate, '%Y') = '1997'
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------ window fns
+
+def _window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via row_number — the partitioned window shuffles
+    on the group key only, no global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("segment").orderBy(
+        F.col("bal_cents").desc(), F.col("c_custkey").asc())
+    return (
+        c.select("c_custkey", F.col("c_mktsegment").alias("segment"),
+                 F.expr(cents("c_acctbal")).alias("bal_cents"))
+         .withColumn("rk", F.row_number().over(w).cast("long"))
+         .where(F.col("rk") <= 3)
+    )
+
+
+_WINDOW_TOPN_SQL = f"""
+SELECT c_custkey, segment, bal_cents, rk FROM (
+  SELECT c_custkey, c_mktsegment AS segment,
+         {cents('c_acctbal')} AS bal_cents,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY {cents('c_acctbal')} DESC, c_custkey ASC) AS BIGINT) AS rk
+  FROM customer
+) WHERE rk <= 3
+"""
+
+
+def _window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer order total — explicit ROWS frame so both
+    engines agree on peers."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+               .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.expr(cents("o_totalprice"))).over(w).cast("long").alias("run_cents"),
+    )
+
+
+_WINDOW_RUNNING_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(sum({cents('o_totalprice')}) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+FROM orders
+"""
+
+
+# --------------------------------------------------------------- rollup
+
+def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over segment × nation; NULL subtotal markers
+    folded to 'ALL' so no nulls reach the compare."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        j.rollup("c_mktsegment", "n_name")
+         .agg(F.count(F.lit(1)).alias("n_cust"),
+              F.expr(f"CAST(sum({cents('c_acctbal')}) AS BIGINT)").alias("bal_cents"))
+         .select(F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+                 F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                 "n_cust", "bal_cents")
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_cust,
+       CAST(sum({cents('c_acctbal')}) AS BIGINT) AS bal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (c_mktsegment, n_name)
+"""
+
+
+# --------------------------------------------------------------- set ops
+
+def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics: customers with both urgent and
+    low-priority orders, minus any with a failed ('F') order."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    failed = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return urgent.intersect(low).subtract(failed).select(
+        F.col("o_custkey").alias("cust_key"))
+
+
+_SET_OPS_SQL = """
+SELECT o_custkey AS cust_key FROM (
+  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+   INTERSECT
+   SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+"""
+
+
+# ---------------------------------------------------------- event stream
+
+def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows over the event stream — integer
+    microsecond arithmetic, no timestamp types in flight."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.expr(f"(ts_ns div 1000) div {WINDOW_US}").alias("win"),
+                  "event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.expr(f"CAST(sum({cents('value')}) AS BIGINT)").alias("value_cents"),
+              F.min("event_id").alias("first_event"),
+              F.max("event_id").alias("last_event"))
+         .withColumn("win_start_s", (F.col("win") * (WINDOW_US // 1_000_000)).cast("long"))
+    )
+
+
+_EVENTS_TUMBLING_SQL = f"""
+SELECT epoch_us(ts) // {WINDOW_US} AS win, event_type, count(*) AS n,
+       CAST(sum({cents('value')}) AS BIGINT) AS value_cents,
+       min(event_id) AS first_event, max(event_id) AS last_event,
+       (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US // 10 ** 6} AS win_start_s
+FROM events
+GROUP BY 1, 2, 7
+"""
+
+
+def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap → lag + cumulative flag
+    sum, then per-session rollup. Pure integer window arithmetic."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000"))
+    by_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc())
+    run = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = (
+        e.select("user_id", "event_id", "ts_us")
+         .withColumn("prev_us", F.lag("ts_us").over(by_user))
+         .withColumn("is_new",
+                     F.when(F.col("prev_us").isNull()
+                            | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US),
+                            F.lit(1)).otherwise(F.lit(0)))
+         .withColumn("session_seq", F.sum("is_new").over(run).cast("long"))
+    )
+    return (
+        flagged.groupBy("user_id", "session_seq")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.min("ts_us").alias("start_us"),
+                    (F.max("ts_us") - F.min("ts_us")).alias("dur_us"))
+    )
+
+
+_EVENTS_SESSIONS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, event_id, ts_us,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
+FROM sess GROUP BY 1, 2
+"""
+
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a declared column domain (never inferred — inference
+    is an extra pass and nondeterministic at scale)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+         .pivot("event_type", PIVOT_TYPES)
+         .agg(F.count(F.lit(1)))
+         .na.fill(0, PIVOT_TYPES)
+    )
+
+
+_EVENTS_PIVOT_SQL = "SELECT user_id, " + ", ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in PIVOT_TYPES
+) + " FROM events GROUP BY 1"
+
+
+QUERIES: dict[str, Query] = {
+    "q1_pricing_summary": Query(_pricing_summary, _PRICING_SUMMARY_SQL,
+                                "flagship scan→filter→agg"),
+    "q3_shipping_priority": Query(_shipping_priority, _SHIPPING_PRIORITY_SQL,
+                                  "3-way join, top-10"),
+    "q5_region_revenue": Query(_region_revenue, _REGION_REVENUE_SQL,
+                               "star join through broadcast dims"),
+    "q_window_topn": Query(_window_topn, _WINDOW_TOPN_SQL, "per-group top-N"),
+    "q_window_running": Query(_window_running, _WINDOW_RUNNING_SQL,
+                              "running sum, explicit ROWS frame"),
+    "q_rollup": Query(_rollup, _ROLLUP_SQL, "rollup subtotals"),
+    "q_set_ops": Query(_set_ops, _SET_OPS_SQL, "intersect/except"),
+    "q_events_tumbling": Query(_events_tumbling, _EVENTS_TUMBLING_SQL,
+                               "tumbling window agg"),
+    "q_events_sessions": Query(_events_sessions, _EVENTS_SESSIONS_SQL,
+                               "gap sessionization"),
+    "q_events_pivot": Query(_events_pivot, _EVENTS_PIVOT_SQL,
+                            "pivot, declared domain"),
+}

@@ -1,0 +1,347 @@
+"""Reference-parity operators (SURVEY §2) exercised over the driver
+corpus, each with a DuckDB oracle.
+
+The reference's own tables (blocks/transactions/…) are not in the
+oracle's view set, so each operator is exercised on the TPC-H-ish
+corpus with the SAME plan shape it has in the engine: the semi-join
+driving receipts export (J1) is the semi-join driving `eth_semi_join`
+here, the `%08d` volume-balanced range layout (O1/O9/A2) buckets
+`o_orderkey` instead of block numbers, and so on. The Ethereum-schema
+versions of these operators are unit-tested against generated chain
+fixtures in tests/ (same code paths).
+
+Reference citations per query are in each docstring.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..partitioning import range_cols, volume_balanced_plan
+from ..sources.tables import load_table, register_views
+from .base import Query, cents
+
+# Volume-balanced plan over the o_orderkey domain — same ragged-tier
+# semantics as the reference's block plan (config.py:3-14): one wide
+# leading range, then fixed-width tails.
+KEY_TIERS = [(65_536, 65_536), (2 ** 24, 4_096)]
+KEY_PLAN = volume_balanced_plan(2 ** 24 - 1, tiers=KEY_TIERS)
+
+
+def _bucket_sql(key: str, str_type: str) -> tuple[str, str]:
+    """(start_expr, end_expr) — the padded range-bucket expressions for
+    `KEY_TIERS`, as SQL text. `str_type` is STRING (Spark) or VARCHAR
+    (DuckDB); everything else parses identically in both engines.
+    Mirrors partitioning.range_cols' piecewise tier expression."""
+    arms_s, arms_e = [], []
+    lo = 0
+    for bound, width in KEY_TIERS:
+        start = f"(CAST(floor(({key} - {lo}) / {width}.0) AS BIGINT) * {width} + {lo})"
+        arms_s.append(f"WHEN {key} >= {lo} AND {key} < {bound} THEN {start}")
+        arms_e.append(f"WHEN {key} >= {lo} AND {key} < {bound} THEN {start} + {width - 1}")
+        lo = bound
+    s = "CASE " + " ".join(arms_s) + " END"
+    e = "CASE " + " ".join(arms_e) + " END"
+    pad = "lpad(CAST({x} AS %s), 8, '0')" % str_type
+    return pad.format(x=s), pad.format(x=e)
+
+
+# ---------------------------------------------------------------- P1-P3
+
+def _typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApplyMapping parity (P1–P3 + F1 scalars): select, rename, and
+    per-column cast — the Glue `ApplyMapping` shape
+    (reference convert_blocks_to_parquet.py:26-46) over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        F.expr(cents("l_extendedprice")).alias("price_cents"),
+        F.expr(cents("l_discount")).alias("discount_pct"),
+        F.expr(cents("l_tax")).alias("tax_pct"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )
+
+
+_TYPED_PROJECTION_SQL = f"""
+SELECT l_orderkey AS order_id,
+       CAST(l_linenumber AS BIGINT) AS line_no,
+       {cents('l_extendedprice')} AS price_cents,
+       {cents('l_discount')} AS discount_pct,
+       {cents('l_tax')} AS tax_pct,
+       concat_ws('/', l_returnflag, l_linestatus) AS flag,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+FROM lineitem
+"""
+
+
+# ------------------------------------------------------------ O1/O9/A2
+
+def _partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_to_batches + %08d + per-range grouping (O1/O9/A2,
+    reference utils.py:1-5, config.py:32-33): assign each order to its
+    volume-balanced range, aggregate per range."""
+    o = load_table(spark, sf_dir, "orders")
+    start, end = range_cols("o_orderkey", KEY_PLAN)
+    return (
+        o.select("o_orderkey", "o_totalprice", start, end)
+         .groupBy("start_block", "end_block")
+         .agg(F.count(F.lit(1)).alias("n_orders"),
+              F.expr(f"CAST(sum({cents('o_totalprice')}) AS BIGINT)")
+               .alias("total_cents"))
+    )
+
+
+def _partition_plan_sql() -> str:
+    s, e = _bucket_sql("o_orderkey", "VARCHAR")
+    return f"""
+SELECT {s} AS start_block, {e} AS end_block,
+       count(*) AS n_orders,
+       CAST(sum({cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- P4 + A1
+
+def _extract_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_csv_column + `sort|uniq` (P4/A1, config.py:56): project
+    one column, distinct. Catalyst picks a map-side-combining hash agg
+    — strictly better than the reference's global sort(1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(F.col("l_suppkey").alias("supp_key")).distinct()
+
+
+# ------------------------------------------------------------------ J1
+
+def _semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx_hashes → receipts keyed-fetch parity (J1, config.py:40-42):
+    fetch lineitem rows whose order key is in the urgent-order key set
+    — a broadcast left-semi join against the deduped keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    keys = (o.where(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey").distinct())
+    return (
+        li.join(F.broadcast(keys), li.l_orderkey == keys.o_orderkey, "left_semi")
+          .select("l_orderkey", F.col("l_linenumber").cast("long").alias("line_no"),
+                  F.expr(cents("l_extendedprice")).alias("price_cents"))
+    )
+
+
+_SEMI_JOIN_SQL = f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+       {cents('l_extendedprice')} AS price_cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+# -------------------------------------------------------------- J2 / P7
+
+def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complement of the keyed fetch (anti join) — customers with
+    no orders. The reference's pipe drops keys with no fetch result
+    implicitly; the anti join is the queryable form."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey").distinct(),
+               c.c_custkey == F.col("o_custkey"), "left_anti")
+         .select("c_custkey", "c_name", F.col("c_mktsegment").alias("segment"))
+    )
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment AS segment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# -------------------------------------------------------------- J3 / S4
+
+def _keyed_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract → distinct → fetch (J3/S4, config.py:56-58): the
+    token-metadata pipe — distinct part keys from high-quantity line
+    items drive a broadcast semi-join fetch of part metadata."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    keys = (li.where(F.col("l_quantity") >= 48)
+              .select("l_partkey").distinct())
+    return (
+        p.join(F.broadcast(keys), p.p_partkey == keys.l_partkey, "left_semi")
+         .select("p_partkey", "p_brand",
+                 F.expr(cents("p_retailprice")).alias("price_cents"))
+    )
+
+
+_KEYED_FETCH_SQL = f"""
+SELECT p_partkey, p_brand, {cents('p_retailprice')} AS price_cents
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+"""
+
+
+# ------------------------------------------------------------- P6 / P7
+
+def _null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-key filtering (P7, config.py:46-48): derive a nullable key
+    (nullif), drop null rows, group over survivors — the
+    contract_address IS NOT NULL gate in the contracts pipe."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("final_status", F.expr("nullif(o_orderstatus, 'O')"))
+         .where(F.col("final_status").isNotNull())
+         .groupBy("final_status")
+         .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_NULL_FILTER_SQL = """
+SELECT final_status, count(*) AS n_orders
+FROM (SELECT nullif(o_orderstatus, 'O') AS final_status FROM orders)
+WHERE final_status IS NOT NULL
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------- S6 / S7
+
+def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source with declared schema (S6/S7, config.py:37-58):
+    write a table as headered CSV, read it back with an explicit
+    StructType (never inferred — SURVEY §2.1), return the rows."""
+    n = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    n.write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ])
+    return (spark.read.option("header", True).schema(schema).csv(out)
+                 .select("n_nationkey", "n_name", "n_regionkey"))
+
+
+_CSV_ROUNDTRIP_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+# ------------------------------------------------------- S10 + S9 + A2
+
+def _parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Parquet sink + pruned read-back (S10,
+    convert_blocks_to_parquet.py:63-67): write lineitem Hive-partitioned
+    by its %08d range cols, read back with a range predicate (partition
+    pruning), aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    start, end = range_cols("l_orderkey", KEY_PLAN)
+    out = tempfile.mkdtemp(prefix="spark_graft_pq_") + "/lineitem"
+    (li.select("l_orderkey", "l_extendedprice", start, end)
+       .write.mode("overwrite")
+       .partitionBy("start_block", "end_block").parquet(out))
+    from ..sources.csv_source import read_table_parquet
+    back = read_table_parquet(spark, out.rsplit("/", 1)[0], "lineitem")
+    return (
+        back.where(F.col("start_block") <= "00065535")   # lexicographic == numeric
+            .groupBy("start_block", "end_block")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.expr(f"CAST(sum({cents('l_extendedprice')}) AS BIGINT)")
+                  .alias("price_cents"))
+    )
+
+
+def _parquet_partitioned_sql() -> str:
+    s, e = _bucket_sql("l_orderkey", "VARCHAR")
+    return f"""
+SELECT start_block, end_block, count(*) AS n_rows,
+       CAST(sum({cents('l_extendedprice')}) AS BIGINT) AS price_cents
+FROM (SELECT {s} AS start_block, {e} AS end_block, l_extendedprice FROM lineitem)
+WHERE start_block <= '00065535'
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ S9
+
+_SQL_SURFACE = """
+SELECT n_name AS nation, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/SQL scan surface (S9, convert_blocks_to_parquet.py:20-21
+    `from_catalog`): register the corpus in the session catalog and run
+    the query as SQL text — the exact same text the oracle runs."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE)
+
+
+# ------------------------------------------------------------------ J4
+
+RANGE_JOIN_N = 49  # 0..65535 plus 48 × 4096-wide ranges → covers sf0.1
+
+def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-aligned range join (J4,
+    templates/export_pipeline_template.py:147-153): join facts to the
+    range dimension on BETWEEN. The dim is tiny → broadcast
+    nested-loop; at 100 TB the same query prunes partitions instead."""
+    o = load_table(spark, sf_dir, "orders")
+    ranges = spark.createDataFrame(KEY_PLAN[:RANGE_JOIN_N], "lo long, hi long")
+    return (
+        o.join(F.broadcast(ranges), o.o_orderkey.between(F.col("lo"), F.col("hi")))
+         .groupBy("lo", "hi")
+         .agg(F.count(F.lit(1)).alias("n_orders"),
+              F.expr(f"CAST(sum({cents('o_totalprice')}) AS BIGINT)")
+               .alias("total_cents"))
+    )
+
+
+def _range_join_sql() -> str:
+    values = ", ".join(f"({lo}, {hi})" for lo, hi in KEY_PLAN[:RANGE_JOIN_N])
+    return f"""
+SELECT CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+       count(*) AS n_orders,
+       CAST(sum({cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM (VALUES {values}) r(lo, hi)
+JOIN orders ON o_orderkey BETWEEN lo AND hi
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "eth_typed_projection": Query(_typed_projection, _TYPED_PROJECTION_SQL,
+                                  "P1-P3 ApplyMapping typed projection"),
+    "eth_partition_plan": Query(_partition_plan, _partition_plan_sql(),
+                                "O1/O9/A2 volume-balanced %08d ranges"),
+    "eth_extract_distinct": Query(
+        _extract_distinct,
+        "SELECT DISTINCT l_suppkey AS supp_key FROM lineitem",
+        "P4/A1 extract column + sort|uniq distinct"),
+    "eth_semi_join": Query(_semi_join, _SEMI_JOIN_SQL,
+                           "J1 keyed-fetch broadcast semi join"),
+    "eth_anti_join": Query(_anti_join, _ANTI_JOIN_SQL,
+                           "anti join (complement of keyed fetch)"),
+    "eth_keyed_fetch": Query(_keyed_fetch, _KEYED_FETCH_SQL,
+                             "J3/S4 extract→distinct→fetch pipe"),
+    "eth_null_filter": Query(_null_filter, _NULL_FILTER_SQL,
+                             "P6/P7 null-key gate"),
+    "eth_csv_roundtrip": Query(_csv_roundtrip, _CSV_ROUNDTRIP_SQL,
+                               "S6/S7 CSV sink+source, declared schema"),
+    "eth_parquet_partitioned": Query(_parquet_partitioned,
+                                     _parquet_partitioned_sql(),
+                                     "S10 partitioned parquet sink + pruned read"),
+    "eth_sql_surface": Query(_sql_surface, _SQL_SURFACE,
+                             "S9 catalog SQL surface"),
+    "eth_range_join": Query(_range_join, _range_join_sql(),
+                            "J4 partition-aligned range join"),
+}

@@ -1,0 +1,419 @@
+"""LLM-training-data operators (dedup / text analysis / similarity /
+multimodal) as catalog entries, each paired with a DuckDB oracle whose
+SQL is GENERATED from the same constants the Spark operators use
+(functions.hash_family, similarity.plane_signs, STOPWORDS, …) — the
+two engines execute the same deterministic integer/regex arithmetic,
+so value hashes must agree bit-for-bit.
+
+DuckDB↔Spark expression map used below:
+  Spark regexp_extract_all(lower(x),'[a-z0-9]+',0)  ↔ regexp_extract_all(lower(x),'[a-z0-9]+')
+  Spark transform(sequence(0,n),i->…) + explode     ↔ UNNEST(range(n+1)) u(i)  (i 0-based)
+  Spark aggregate(zip_with(a,b,(x,y)->x*y),0,+)     ↔ list_sum(list_transform(list_zip(a,b), s->s[1]*s[2]))
+  Spark (x,i) lambdas are 0-based; DuckDB's are 1-based — every use
+  below aligns them explicitly (t[i+1] vs element_at(t, i+1)).
+  DuckDB sum(BIGINT) widens to HUGEINT → always CAST(sum(…) AS BIGINT).
+  DuckDB regexp_replace needs the 'g' flag to match Spark's
+  replace-all default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import MERSENNE31, h32_sql, h60_sql
+from ..operators import dedup, multimodal, similarity, text
+from ..sources.tables import load_table
+from .base import Query, cents
+
+P = MERSENNE31
+
+# ------------------------------------------------------ shared oracle CTEs
+
+TOKS_CTE = ("SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t "
+            "FROM documents WHERE text IS NOT NULL")
+
+SHINGLES_CTE = (
+    "SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle "
+    "FROM toks, UNNEST(range(len(t) - 2)) u(i) WHERE len(t) >= 3")
+
+_JACCARD_TAIL = """
+SELECT doc_a, doc_b, n_common, jaccard FROM (
+  SELECT doc_a, doc_b, n_common,
+         n_common / (sa.sz + sb.sz - n_common) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+) WHERE jaccard >= {threshold}
+"""
+
+
+# ----------------------------------------------------------- exact dedup
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_key, min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents WHERE text IS NOT NULL GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------- n-gram pairs
+
+NGRAM_THRESHOLD = 0.5
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
+                                     threshold=NGRAM_THRESHOLD)
+
+
+def _ngram_pairs_sql() -> str:
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+sh0 AS ({SHINGLES_CTE}),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+         HAVING count(*) <= {dedup.DEFAULT_MAX_DF}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+{_JACCARD_TAIL.format(threshold=NGRAM_THRESHOLD)}
+"""
+
+
+# --------------------------------------------------------- minhash pairs
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
+                                   threshold=NGRAM_THRESHOLD)
+
+
+def _minhash_pairs_sql() -> str:
+    k, bands = dedup.MINHASH_K, dedup.MINHASH_BANDS
+    rows = k // bands
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {P}) AS m{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_FAMILY))
+    band_cols = ", ".join(
+        "md5(concat_ws(',', '%d', %s)) AS band%d"
+        % (band,
+           ", ".join(f"CAST(m{band * rows + r} AS VARCHAR)" for r in range(rows)),
+           band)
+        for band in range(bands))
+    band_list = ", ".join(f"band{b}" for b in range(bands))
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+sh AS ({SHINGLES_CTE}),
+hashed AS (SELECT doc_id, {h32_sql('shingle')} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY 1),
+banded AS (SELECT doc_id, {band_cols} FROM sig),
+melted AS (SELECT doc_id, unnest([{band_list}]) AS bucket FROM banded),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM melted l JOIN melted r USING (bucket) WHERE l.doc_id < r.doc_id),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+  GROUP BY 1, 2
+)
+{_JACCARD_TAIL.format(threshold=NGRAM_THRESHOLD)}
+"""
+
+
+# --------------------------------------------------------- simhash pairs
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs_sql() -> str:
+    bits, bands = dedup.SIMHASH_BITS, dedup.SIMHASH_BANDS
+    width = bits // bands
+    mask = (1 << width) - 1
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits))
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits))
+    buckets = ", ".join(
+        f"'{c}:' || CAST((fingerprint >> {c * width}) & {mask} AS VARCHAR)"
+        for c in range(bands))
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+tok1 AS (SELECT DISTINCT doc_id, tok
+         FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+h AS (SELECT doc_id, {h60_sql('tok')} AS h FROM tok1),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY 1),
+fp AS (SELECT doc_id, {fp} AS fingerprint FROM votes),
+melted AS (SELECT doc_id, fingerprint, unnest([{buckets}]) AS bucket FROM fp),
+keep AS (SELECT bucket FROM melted GROUP BY bucket
+         HAVING count(*) <= {dedup.DEFAULT_MAX_DF}),
+m2 AS (SELECT melted.* FROM melted JOIN keep USING (bucket)),
+pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                 l.fingerprint AS fp_a, r.fingerprint AS fp_b
+          FROM m2 l JOIN m2 r USING (bucket) WHERE l.doc_id < r.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= {dedup.SIMHASH_MAX_HAMMING}
+"""
+
+
+# ------------------------------------------------------------- language ID
+
+def _language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _language_id_sql() -> str:
+    langs = sorted(text.STOPWORDS)
+    hit_cols = ", ".join(
+        "CAST(len(list_filter(t, x -> x IN (%s))) AS BIGINT) AS hits_%s"
+        % (", ".join(f"'{w}'" for w in text.STOPWORDS[lg]), lg)
+        for lg in langs)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    cases = " ".join(
+        f"WHEN {best} > 0 AND hits_{lg} = {best} THEN '{lg}'" for lg in langs)
+    hits_out = ", ".join(f"hits_{lg}" for lg in langs)
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+hits AS (SELECT doc_id, {hit_cols} FROM toks)
+SELECT doc_id, CASE {cases} ELSE 'und' END AS pred_lang, {hits_out} FROM hits
+"""
+
+
+# ----------------------------------------------------------- quality score
+
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+    return f"""
+WITH toks AS (SELECT doc_id, text,
+              regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+base AS (SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS n_token_chars,
+  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+  CAST(len(list_filter(t, x -> x IN ({en}))) AS BIGINT) AS n_stopwords
+  FROM toks)
+SELECT doc_id, n_chars, n_tokens, n_token_chars, n_alnum, n_stopwords,
+  n_token_chars / greatest(n_tokens, 1) AS avg_token_len,
+  n_alnum / greatest(n_chars, 1) AS alnum_ratio,
+  n_stopwords / greatest(n_tokens, 1) AS stopword_ratio,
+  least(n_tokens / 100.0, 1.0) * 0.25
+    + (n_alnum / greatest(n_chars, 1)) * 0.25
+    + (n_stopwords / greatest(n_tokens, 1)) * 0.25
+    + CASE WHEN n_token_chars / greatest(n_tokens, 1) >= 3.0
+            AND n_token_chars / greatest(n_tokens, 1) <= 10.0
+           THEN 0.25 ELSE 0.0 END AS quality_score
+FROM base
+"""
+
+
+# ------------------------------------------------------------ token counts
+
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS re_tokens
+FROM documents
+"""
+
+
+# ------------------------------------------------------------- fingerprint
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def _fingerprint_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+s AS (SELECT doc_id,
+      CAST(sum(((i + 1) * {h32_sql('t[i+1]')}) % {P}) % {P} AS BIGINT) AS fp
+      FROM toks, UNNEST(range(len(t))) u(i) GROUP BY 1)
+SELECT toks.doc_id, coalesce(s.fp, 0) AS fingerprint,
+       CAST(len(toks.t) AS BIGINT) AS re_tokens
+FROM toks LEFT JOIN s ON s.doc_id = toks.doc_id
+"""
+
+
+# ------------------------------------------------------- similarity search
+
+TOPK_K = 5
+NEARDUP_COS = 0.3   # corpus max pairwise cosine is ~0.51; 0.3 keeps a tail
+LSH_PLANES = 8      # 2^8 buckets suits the 500-5000-vector corpus
+                    # (production default of 16 would leave buckets empty)
+
+_QUANT = ("list_transform(embedding, x -> "
+          f"CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT_SCALE}.0) AS BIGINT))")
+
+_BASE_CTES = f"""
+base AS (SELECT vec_id, {_QUANT} AS q FROM embeddings
+         WHERE len(embedding) = {similarity.EMB_DIM}),
+wn AS (SELECT vec_id, q,
+       CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM base)
+"""
+
+_DOT = "CAST(list_sum(list_transform(qv, (x, i) -> x * cv[i])) AS BIGINT)"
+_COS = "CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE))"
+
+
+def _bucket_sql_expr() -> str:
+    """DuckDB twin of similarity.lsh_bucket_expr — same inlined planes."""
+    terms = []
+    for p, signs in enumerate(similarity.plane_signs(LSH_PLANES)):
+        lit = "[" + ", ".join(str(s) for s in signs) + "]"
+        proj = f"list_sum(list_transform(list_zip(q, {lit}), s -> s[1] * s[2]))"
+        terms.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _topk_tail(k: int) -> str:
+    return f"""
+SELECT query_id, neighbor_id, cosine, rk AS "rank" FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rk
+  FROM cos
+) WHERE rk <= {k}
+"""
+
+
+def _brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"),
+                                       k=TOPK_K)
+
+
+def _brute_topk_sql() -> str:
+    return f"""
+WITH {_BASE_CTES},
+q AS (SELECT vec_id AS query_id, q AS qv, n2 AS qn2 FROM wn WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, q AS cv, n2 AS cn2 FROM wn),
+scored AS (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2
+           FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+cos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM scored)
+{_topk_tail(TOPK_K)}
+"""
+
+
+def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(load_table(spark, sf_dir, "embeddings"),
+                               k=TOPK_K, n_planes=LSH_PLANES)
+
+
+def _lsh_topk_sql() -> str:
+    return f"""
+WITH {_BASE_CTES},
+bkt AS (SELECT vec_id, q, n2, {_bucket_sql_expr()} AS bucket FROM wn),
+q AS (SELECT vec_id AS query_id, q AS qv, n2 AS qn2, bucket FROM bkt WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, q AS cv, n2 AS cn2, bucket FROM bkt),
+scored AS (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2
+           FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id),
+cos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM scored)
+{_topk_tail(TOPK_K)}
+"""
+
+
+def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS,
+        n_planes=LSH_PLANES)
+
+
+def _emb_neardup_sql() -> str:
+    return f"""
+WITH {_BASE_CTES},
+bkt AS (SELECT vec_id, q, n2, {_bucket_sql_expr()} AS bucket FROM wn),
+a AS (SELECT vec_id AS id_a, q AS qv, n2 AS qn2, bucket FROM bkt),
+b AS (SELECT vec_id AS id_b, q AS cv, n2 AS cn2, bucket FROM bkt),
+scored AS (SELECT id_a, id_b, {_DOT} AS dot, qn2, cn2
+           FROM a JOIN b USING (bucket) WHERE id_a < id_b)
+SELECT id_a, id_b, cosine FROM
+  (SELECT id_a, id_b, {_COS} AS cosine FROM scored)
+WHERE cosine >= {NEARDUP_COS}
+"""
+
+
+# --------------------------------------------------------------- multimodal
+
+def _doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media table with the per-source format tag."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.col("source").alias("format"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def _binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.binary_stats(_doc_media(spark, sf_dir))
+
+
+_BINARY_STATS_SQL = """
+SELECT source AS format, count(*) AS n_items,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+       CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes
+FROM documents GROUP BY 1
+"""
+
+
+def _extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas Arrow-batched feature extraction — the decode stub is
+    Python, so there is deliberately NO SQL oracle (driver records the
+    rows-only check)."""
+    return multimodal.extract_features(_doc_media(spark, sf_dir))
+
+
+QUERIES: dict[str, Query] = {
+    "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
+                             "exact dedup via md5 hash-agg"),
+    "doc_ngram_pairs": Query(_ngram_pairs, _ngram_pairs_sql(),
+                             "n-gram Jaccard inverted-index near-dup"),
+    "doc_minhash_pairs": Query(_minhash_pairs, _minhash_pairs_sql(),
+                               "MinHash+LSH banded near-dup"),
+    "doc_simhash_pairs": Query(_simhash_pairs, _simhash_pairs_sql(),
+                               "SimHash banded near-dup"),
+    "doc_language_id": Query(_language_id, _language_id_sql(),
+                             "stopword-vote language ID"),
+    "doc_quality": Query(_quality, _quality_sql(), "quality heuristics"),
+    "doc_token_counts": Query(_token_counts, _TOKEN_COUNTS_SQL,
+                              "token/char accounting"),
+    "doc_fingerprint": Query(_fingerprint, _fingerprint_sql(),
+                             "positional polynomial fingerprint"),
+    "emb_bruteforce_topk": Query(_brute_topk, _brute_topk_sql(),
+                                 "exact cosine top-k baseline"),
+    "emb_lsh_topk": Query(_lsh_topk, _lsh_topk_sql(),
+                          "hyperplane-LSH bucketed top-k"),
+    "emb_neardup_pairs": Query(_emb_neardup, _emb_neardup_sql(),
+                               "embedding-cosine near-dup pairs"),
+    "mm_binary_stats": Query(_binary_stats, _BINARY_STATS_SQL,
+                             "binary payload accounting"),
+    "mm_extract_features": Query(_extract_features, None,
+                                 "mapInPandas decode (stub) — rows-only"),
+}

@@ -1,0 +1,29 @@
+"""Streaming catalog entries — executed by Structured Streaming,
+verified against the batch-equivalent DuckDB SQL (the strongest
+correctness statement available for a stream: its complete-mode output
+must equal the batch answer over the same inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import WINDOW_US, stream_tumbling_counts
+from .base import Query
+
+
+def _stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_tumbling_counts(spark,
+                                  f"{sf_dir.rstrip('/')}/events.parquet")
+
+
+_STREAM_TUMBLING_SQL = f"""
+SELECT epoch_us(ts) // {WINDOW_US} AS win, count(*) AS n,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM events GROUP BY 1
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "stream_tumbling_counts": Query(_stream_tumbling, _STREAM_TUMBLING_SQL,
+                                    "availableNow streaming window agg"),
+}
