@@ -10,12 +10,13 @@ Layout:
     session        SparkSession factory tuned for local[N] + AQE
     schemas        the 7-table Ethereum star schema (explicit StructTypes)
     partitioning   block-range partition plan (split_to_batches parity)
-    sources/       CSV / Parquet / fixture-chain sources and sinks
-    operators/     convert, null-pruning, export-DAG, dedup, similarity,
-                   text analysis, multimodal
+    incremental    manifest-based bookmarks (Glue job-bookmark parity)
+    sources/       CSV / Parquet / fixture-chain sources, catalog DDL
+    operators/     convert, null-pruning, export-DAG, log decoding,
+                   dedup, similarity, text analysis, multimodal
     functions/     cross-engine deterministic hash + tokenization exprs
     plans/         the query catalog (Spark impl + DuckDB oracle SQL)
-    streaming/     incremental/manifest + Structured Streaming ops
+    streaming/     Structured Streaming ops (availableNow file source)
 """
 
 __version__ = "0.1.0"

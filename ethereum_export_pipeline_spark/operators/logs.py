@@ -1,0 +1,74 @@
+"""Event-log decoding: token transfers from raw logs (operator S5).
+
+The reference's `export_token_transfers` (config.py:51-53) is an
+event-topic-filtered log scan: keep logs whose topic0 is the ERC-20
+Transfer event signature, then decode (token, from, to, value) from
+the topics/data fields. Here that is a pure Catalyst pipeline:
+
+    logs → parse_topics → filter(topic0 == TRANSFER_SIG ∧ 3 topics)
+         → project(address, topic1→from, topic2→to, data→value)
+
+Scale shape: narrow filter + projection over the logs scan — the
+topic0 equality pushes down to parquet, no shuffle, no UDF.
+
+Value decoding: log data is a 0x-prefixed 64-hex-char uint256.
+`conv()` is only exact to 64 bits, so the value is assembled from two
+exact 64-bit limbs (hi·2^64 + lo) with try_multiply/try_add — exact
+for every value < 2^128 (≈3.4e38; ETH total supply is ~2^87), NULL
+beyond, which is strictly safer than the reference's decimal(38,0)
+cast-from-string (same 38-digit ceiling, but we can't silently wrap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..schemas import parse_topics
+
+#: keccak256("Transfer(address,address,uint256)") — the public ERC-20
+#: event signature (also ERC-721 Transfer).
+TRANSFER_SIG = "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+
+_2_64 = "18446744073709551616"  # 2^64 as a decimal literal
+
+
+def topic_address(topic: Column) -> Column:
+    """A 32-byte-padded topic ('0x' + 64 hex) → the 20-byte address it
+    right-aligns ('0x' + last 40 hex chars)."""
+    return F.concat(F.lit("0x"), F.substring(topic, 27, 40))
+
+
+def hex_uint_expr(col: str) -> str:
+    """SQL text: 0x-hex uint256 in `col` → decimal(38,0) wei, exact
+    below 2^128, NULL at/above it (and NULL on any 38-digit overflow,
+    via try_multiply/try_add)."""
+    h = f"lpad(regexp_replace({col}, '^0x', ''), 64, '0')"
+    hi = f"CAST(conv(substring({h}, 33, 16), 16, 10) AS DECIMAL(38,0))"
+    lo = f"CAST(conv(substring({h}, 49, 16), 16, 10) AS DECIMAL(38,0))"
+    return (
+        f"CASE WHEN substring({h}, 1, 32) <> repeat('0', 32) THEN CAST(NULL AS DECIMAL(38,0)) "
+        f"ELSE CAST(try_add(try_multiply({hi}, CAST({_2_64} AS DECIMAL(38,0))), {lo}) AS DECIMAL(38,0)) END"
+    )
+
+
+def token_transfers_from_logs(logs: DataFrame,
+                              topics_col: str = "topics") -> DataFrame:
+    """S5 — decode ERC-20 Transfer events out of raw logs
+    (reference config.py:51-53 semantics). Accepts `topics` either as
+    the CSV comma-joined string or already as array<string>."""
+    df = logs
+    if dict(df.dtypes).get(topics_col) == "string":
+        df = parse_topics(df, topics_col)
+    t = F.col(topics_col)
+    return (
+        df.where((F.element_at(t, 1) == TRANSFER_SIG) & (F.size(t) == 3))
+          .select(
+              F.col("address").alias("token_address"),
+              topic_address(F.element_at(t, 2)).alias("from_address"),
+              topic_address(F.element_at(t, 3)).alias("to_address"),
+              F.expr(hex_uint_expr("data")).alias("value"),
+              F.col("transaction_hash"),
+              F.col("log_index"),
+              F.col("block_number"),
+          )
+    )

@@ -1,0 +1,185 @@
+"""Known-answer tests for the LLM-pipeline extension operators
+(dedup / text / similarity / multimodal) — hand-computed fixtures, no
+oracle needed."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows], "doc_id long, text string")
+
+
+# ------------------------------------------------------------- dedup
+
+def test_dedup_exact_clusters_and_null_text(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import dedup_exact
+    df = docs(spark, [(1, "hello world"), (2, "hello world"),
+                      (3, "different"), (4, None), (5, None)])
+    out = {r.keep_doc_id: r.n_copies for r in dedup_exact(df).collect()}
+    # null-text docs are excluded, not clustered together
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_known_count(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import shingles
+    df = docs(spark, [(1, "a b c d"), (2, "x y")])
+    got = sorted((r.doc_id, r.shingle) for r in shingles(df).collect())
+    assert got == [(1, "a b c"), (1, "b c d")]  # doc 2: <3 tokens → none
+
+
+def test_ngram_jaccard_known_value(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    # doc1: shingles {abc, bcd, cde}; doc2: {abc, bcd, cdx} → J = 2/4
+    df = docs(spark, [(1, "a b c d e"), (2, "a b c d x")])
+    [row] = ngram_jaccard_pairs(df, threshold=0.4).collect()
+    assert (row.doc_a, row.doc_b, row.n_common) == (1, 2, 2)
+    assert row.jaccard == pytest.approx(0.5)
+
+
+def test_ngram_df_cut_drops_hot_shingles(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    # every doc shares the hot shingle "t t t"; with the cut at 2 the
+    # hot shingle is dropped and no candidate pairs survive
+    df = docs(spark, [(i, "t t t") for i in range(5)])
+    assert ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=2).count() == 0
+    assert ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=None).count() == 10
+
+
+def test_minhash_finds_identical_docs(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = docs(spark, [(1, text), (2, text), (3, "completely other words here")])
+    [row] = minhash_lsh_pairs(df, threshold=0.9).collect()
+    assert (row.doc_a, row.doc_b) == (1, 2)
+    assert row.jaccard == pytest.approx(1.0)
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        simhash_fingerprints, simhash_pairs)
+    text = "spark engines like wide codegen stages"
+    df = docs(spark, [(1, text), (2, text), (3, "unrelated content entirely")])
+    fps = {r.doc_id: r.fingerprint for r in simhash_fingerprints(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
+    pairs = [(r.doc_a, r.doc_b, r.hamming) for r in simhash_pairs(df).collect()]
+    assert (1, 2, 0) in pairs
+
+
+# -------------------------------------------------------------- text
+
+def test_language_id_votes(spark):
+    from ethereum_export_pipeline_spark.operators.text import language_id
+    df = docs(spark, [(1, "the cat and the dog"), (2, "der Hund und die Katze"),
+                      (3, "zzz qqq")])
+    got = {r.doc_id: r.pred_lang for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_score_hand_computed(spark):
+    from ethereum_export_pipeline_spark.operators.text import quality_score
+    # "the cat." → n_chars=8, tokens [the, cat] → n_tokens=2,
+    # token_chars=6, alnum=6, stopwords=1 (the)
+    df = docs(spark, [(1, "the cat.")])
+    [r] = quality_score(df).collect()
+    assert (r.n_chars, r.n_tokens, r.n_token_chars, r.n_alnum,
+            r.n_stopwords) == (8, 2, 6, 6, 1)
+    assert r.avg_token_len == pytest.approx(3.0)
+    assert r.alnum_ratio == pytest.approx(6 / 8)
+    assert r.stopword_ratio == pytest.approx(0.5)
+    # score = min(2/100,1)*.25 + .75*.25 + .5*.25 + .25 (avg_tok in [3,10])
+    assert r.quality_score == pytest.approx(0.02 * 0.25 + 0.75 * 0.25 + 0.5 * 0.25 + 0.25)
+
+
+def test_token_counts_ws_vs_regex(spark):
+    from ethereum_export_pipeline_spark.operators.text import token_counts
+    df = docs(spark, [(1, "Hello,  world!  it's-me")])
+    [r] = token_counts(df).collect()
+    assert r.ws_tokens == 3          # Hello,  world!  it's-me
+    assert r.re_tokens == 5          # hello world it s me
+
+
+def test_fingerprint_matches_python_twin(spark):
+    from ethereum_export_pipeline_spark.operators.text import fingerprint
+    p = 2_147_483_647
+    toks = ["alpha", "beta", "gamma"]
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % p
+
+    expected = sum(((i + 1) * h32(t)) % p for i, t in enumerate(toks)) % p
+    df = docs(spark, [(1, "Alpha beta GAMMA")])
+    [r] = fingerprint(df).collect()
+    assert (r.fingerprint, r.re_tokens) == (expected, 3)
+
+
+# -------------------------------------------------------------- similarity
+
+def embs(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_ordering(spark):
+    from ethereum_export_pipeline_spark.operators.similarity import brute_force_topk
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.9, 0.1, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    df = embs(spark, [(0, base), (100, near), (200, far)])
+    got = [(r.neighbor_id, r.rank) for r in
+           brute_force_topk(df, k=2, query_pred="vec_id = 0").collect()]
+    assert got == [(100, 1), (200, 2)]
+
+
+def test_lsh_topk_dim_guard_filters_bad_rows(spark):
+    from ethereum_export_pipeline_spark.operators.similarity import lsh_topk
+    df = embs(spark, [(0, [1.0] * 8), (1, [1.0] * 8), (2, [1.0] * 3)])
+    out = lsh_topk(df, k=5, query_pred="vec_id = 0", dim=8, n_planes=4).collect()
+    ids = {r.neighbor_id for r in out}
+    assert 2 not in ids            # wrong width filtered, not bucket-0'd
+    assert ids == {1}
+    assert out[0].cosine == pytest.approx(1.0)
+
+
+def test_embedding_neardup_pairs_threshold(spark):
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs)
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.999, 0.01, 0.0, 0.0]
+    c = [-1.0, 0.0, 0.0, 0.0]
+    df = embs(spark, [(1, a), (2, b), (3, c)])
+    pairs = {(r.id_a, r.id_b) for r in
+             embedding_neardup_pairs(df, threshold=0.99, dim=4,
+                                     n_planes=4).collect()}
+    assert pairs == {(1, 2)}
+
+
+# -------------------------------------------------------------- multimodal
+
+def test_extract_features_null_payload_safe(spark):
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        extract_features)
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=b"abcd", meta=None),
+         Row(media_id=2, payload=None, meta=None)],
+        "media_id long, payload binary, meta struct<format:string>")
+    got = {r.media_id: (r.n_bytes, r.feature) for r in
+           extract_features(media).collect()}
+    assert got[1][0] == 4 and len(got[1][1]) == 8
+    assert got[2] == (0, None)     # null payload → null feature, no crash
+
+
+def test_binary_stats_accounting(spark):
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        binary_stats, documents_as_media)
+    df = docs(spark, [(1, "abc"), (2, "defghi")])
+    [r] = binary_stats(documents_as_media(df)).collect()
+    assert (r.format, r.n_items, r.total_bytes, r.max_bytes, r.min_bytes) == (
+        "text/plain", 2, 9, 6, 3)

@@ -1,0 +1,163 @@
+"""Tests for the round-2 reference-parity additions: S5 topic-filtered
+log decoding, S9 catalog registration, incremental bookmarks, and the
+streaming availableNow path."""
+
+from __future__ import annotations
+
+import decimal
+
+import pytest
+
+from pyspark.sql import Row
+
+from ethereum_export_pipeline_spark.operators.logs import (
+    TRANSFER_SIG, token_transfers_from_logs)
+
+
+def _topic_addr(addr_hex40: str) -> str:
+    return "0x" + "0" * 24 + addr_hex40
+
+
+def _data_uint(v: int) -> str:
+    return "0x" + format(v, "064x")
+
+
+def make_logs(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "transaction_hash string, log_index long, address string, "
+        "data string, topics string, block_number long")
+
+
+def test_token_transfers_from_logs_decodes_transfer(spark):
+    frm, to = "a" * 40, "b" * 40
+    rows = [
+        # a Transfer event
+        Row(transaction_hash="0xt1", log_index=0, address="0xtoken1",
+            data=_data_uint(123_456),
+            topics=",".join([TRANSFER_SIG, _topic_addr(frm), _topic_addr(to)]),
+            block_number=7),
+        # wrong topic0 → dropped
+        Row(transaction_hash="0xt2", log_index=1, address="0xtoken1",
+            data=_data_uint(1), topics=",".join(["0x" + "9" * 64,
+                                                 _topic_addr(frm),
+                                                 _topic_addr(to)]),
+            block_number=7),
+        # Transfer sig but only 1 topic (ERC-20 w/o indexed args) → dropped
+        Row(transaction_hash="0xt3", log_index=2, address="0xtoken1",
+            data=_data_uint(5), topics=TRANSFER_SIG, block_number=8),
+    ]
+    out = token_transfers_from_logs(make_logs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.token_address == "0xtoken1"
+    assert r.from_address == "0x" + frm
+    assert r.to_address == "0x" + to
+    assert r.value == decimal.Decimal(123_456)
+    assert (r.transaction_hash, r.log_index, r.block_number) == ("0xt1", 0, 7)
+
+
+def test_token_transfers_value_beyond_int64_exact(spark):
+    big = 2 ** 100 + 12345   # needs both 64-bit limbs
+    too_big = 2 ** 130       # above 2^128 → NULL, never wrapped
+    rows = [
+        Row(transaction_hash="0xa", log_index=0, address="0xtok",
+            data=_data_uint(big),
+            topics=",".join([TRANSFER_SIG, _topic_addr("1" * 40),
+                             _topic_addr("2" * 40)]), block_number=1),
+        Row(transaction_hash="0xb", log_index=1, address="0xtok",
+            data=_data_uint(too_big),
+            topics=",".join([TRANSFER_SIG, _topic_addr("1" * 40),
+                             _topic_addr("2" * 40)]), block_number=1),
+    ]
+    got = {r.transaction_hash: r.value
+           for r in token_transfers_from_logs(make_logs(spark, rows)).collect()}
+    assert got["0xa"] == decimal.Decimal(big)
+    assert got["0xb"] is None
+
+
+def test_catalog_registration_sql_surface(spark, eth_fixture_dir):
+    from ethereum_export_pipeline_spark.sources.catalog import (
+        drop_database, register_fixture_tables)
+    register_fixture_tables(spark, eth_fixture_dir, database="eth_test")
+    try:
+        n = spark.sql("""
+            SELECT count(*) AS n FROM eth_test.transactions t
+            JOIN eth_test.blocks b ON t.block_number = b.number
+        """).collect()[0].n
+        assert n == 200  # 40 blocks × 5 txs
+        # wei type survives catalog round trip
+        dt = dict(spark.table("eth_test.blocks").dtypes)["difficulty"]
+        assert dt == "decimal(38,0)"
+    finally:
+        drop_database(spark, "eth_test")
+
+
+def test_catalog_partitioned_tables_prune(spark, eth_fixture_dir, tmp_path):
+    from ethereum_export_pipeline_spark.operators.convert import convert_to_parquet
+    from ethereum_export_pipeline_spark.sources.catalog import (
+        drop_database, register_converted_tables)
+    from ethereum_export_pipeline_spark.sources.csv_source import write_partition_csv
+    from ethereum_export_pipeline_spark.sources.chain import FixtureChain
+
+    csv_root, pq_root = str(tmp_path / "csv"), str(tmp_path / "pq")
+    chain = FixtureChain(spark, eth_fixture_dir)
+    for s, e in [(0, 19), (20, 39)]:
+        blocks, _ = chain.export_blocks_and_transactions(s, e)
+        write_partition_csv(blocks, csv_root, "blocks", s, e)
+    convert_to_parquet(spark, csv_root, "blocks", pq_root)
+
+    register_converted_tables(spark, pq_root, database="eth_part",
+                              tables=("blocks",))
+    try:
+        q = spark.sql("SELECT count(*) AS n FROM eth_part.blocks "
+                      "WHERE start_block = '00000000'")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert q.collect()[0].n == 20
+        assert "start_block" in plan  # partition filter present
+    finally:
+        drop_database(spark, "eth_part")
+
+
+def test_incremental_bookmarks_skip_processed(spark, tmp_path):
+    from ethereum_export_pipeline_spark.incremental import run_incremental
+    manifest = str(tmp_path / "manifest")
+    plan = [(0, 9), (10, 19), (20, 29)]
+    seen: list[tuple[int, int]] = []
+
+    first = run_incremental(spark, manifest, "blocks", plan,
+                            lambda s, e: seen.append((s, e)))
+    assert first == plan and seen == plan
+
+    second = run_incremental(spark, manifest, "blocks", plan,
+                             lambda s, e: seen.append((s, e)))
+    assert second == [] and seen == plan  # bookmark: nothing reprocessed
+
+    # a new range → only it is processed
+    third = run_incremental(spark, manifest, "blocks", plan + [(30, 39)],
+                            lambda s, e: seen.append((s, e)))
+    assert third == [(30, 39)]
+    # another table is independent
+    other = run_incremental(spark, manifest, "transactions", plan[:1],
+                            lambda s, e: seen.append((s, e)))
+    assert other == [(0, 9)]
+
+
+def test_streaming_tumbling_equals_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from ethereum_export_pipeline_spark.streaming import (
+        WINDOW_US, stream_tumbling_counts)
+    path = str(tmp_path / "events")
+    n = 1000
+    (spark.range(n)
+          .select(F.col("id").alias("event_id"),
+                  (F.col("id") * 90_000_000_000).alias("ts"))  # 90 s apart, ns
+          .write.parquet(path))
+    got = {r.win: (r.n, r.first_event, r.last_event)
+           for r in stream_tumbling_counts(spark, path).collect()}
+    exp = {}
+    for i in range(n):
+        w = (i * 90_000_000_000 // 1000) // WINDOW_US
+        lo, hi, cnt = exp.get(w, (i, i, 0))
+        exp[w] = (min(lo, i), max(hi, i), cnt + 1)
+    assert got == {w: (c, lo, hi) for w, (lo, hi, c) in exp.items()}
