@@ -60,15 +60,20 @@ def main() -> int:
     # warm the JVM + file listing once, outside the timed region
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
+    def consume(df) -> None:
+        # noop sink: full execution of every column, zero driver
+        # transfer — measures the engine, not py4j serialization
+        df.write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         t0 = time.time()
-        n = len(qs[name](spark, sf_dir).collect())
+        consume(qs[name](spark, sf_dir))
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -80,38 +80,56 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def _sized_shingles(df: DataFrame, id_col: str, text_col: str, n: int,
+                    max_shingle_df: int | None) -> DataFrame:
+    """(id, shingle, sz) — the inverted index with the df-cut and the
+    per-doc size attached VIA WINDOWS over one lineage, instead of
+    separate aggregations joined back in. Two wins at scale:
+      * one computation of the explode+distinct subtree (a self-join of
+        this frame reuses the same shuffle — ReusedExchange — where
+        separate agg branches each recompute it);
+      * the df-cut window partitions by `shingle`, the same key the
+        candidate join shuffles on, so its exchange is on the hot path
+        anyway."""
+    from pyspark.sql import Window
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        w_sh = Window.partitionBy("shingle")
+        sh = (sh.withColumn("df", F.count(F.lit(1)).over(w_sh))
+                .where(F.col("df") <= max_shingle_df).drop("df"))
+    w_doc = Window.partitionBy(id_col)
+    return sh.withColumn("sz", F.count(F.lit(1)).over(w_doc))
+
+
+def _jaccard_from_pairs(inter: DataFrame, threshold: float) -> DataFrame:
+    return (
+        inter.withColumn("jaccard",
+                         (F.col("n_common")
+                          / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")))
+                         .cast("double"))
+             .where(F.col("jaccard") >= threshold)
+             .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", threshold: float = 0.5,
                         n: int = NGRAM_N,
                         max_shingle_df: int | None = DEFAULT_MAX_DF) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard via an inverted-index
     self-join. Output: (doc_a, doc_b, n_common, jaccard)."""
-    sh = shingles(df, id_col, text_col, n)
-    if max_shingle_df is not None:
-        hot = (sh.groupBy("shingle").count()
-                 .where(F.col("count") > max_shingle_df).select("shingle"))
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    sh = _sized_shingles(df, id_col, text_col, n, max_shingle_df)
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle",
+                  F.col("sz").alias("sz_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle",
+                  F.col("sz").alias("sz_b"))
     inter = (
         a.join(b, "shingle")
          .where(F.col("doc_a") < F.col("doc_b"))
-         .groupBy("doc_a", "doc_b")
+         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")  # sizes ride the group key
          .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    out = (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-             .withColumn("jaccard",
-                         (F.col("n_common")
-                          / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")))
-                         .cast("double"))
-             .where(F.col("jaccard") >= threshold)
-    )
-    return out.select("doc_a", "doc_b", "n_common", "jaccard")
+    return _jaccard_from_pairs(inter, threshold)
 
 
 # ----------------------------------------------------------- minhash
@@ -155,28 +173,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
     # verify candidates with exact Jaccard (inverted index restricted
     # to candidate docs — semi-join pushdown keeps this cheap)
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    sh = _sized_shingles(df, id_col, text_col, n, max_shingle_df=None)
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle",
+                  F.col("sz").alias("sz_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle",
+                  F.col("sz").alias("sz_b"))
     inter = (
         a.join(cand.select("doc_a").distinct(), "doc_a", "left_semi")
          .join(b.join(cand.select("doc_b").distinct(), "doc_b", "left_semi"),
                "shingle")
          .join(cand, ["doc_a", "doc_b"], "left_semi")
-         .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
+         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-             .withColumn("jaccard",
-                         (F.col("n_common")
-                          / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")))
-                         .cast("double"))
-             .where(F.col("jaccard") >= threshold)
-             .select("doc_a", "doc_b", "n_common", "jaccard")
-    )
+    return _jaccard_from_pairs(inter, threshold)
 
 
 # ----------------------------------------------------------- simhash
@@ -225,9 +235,13 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                           .bitwiseAND((1 << width) - 1)).cast("string"))
             for c in range(SIMHASH_BANDS)])).alias("bucket"))
     if max_bucket_df is not None:
-        hot = (melted.groupBy("bucket").count()
-                     .where(F.col("count") > max_bucket_df).select("bucket"))
-        melted = melted.join(F.broadcast(hot), "bucket", "left_anti")
+        # window df-cut: partitions by `bucket`, the join key below, so
+        # the exchange is shared with the candidate join (no separate
+        # count + anti-join branch recomputing the fingerprints)
+        from pyspark.sql import Window
+        melted = (melted.withColumn(
+                      "df", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
+                        .where(F.col("df") <= max_bucket_df).drop("df"))
     l = melted.select(F.col(id_col).alias("doc_a"),
                       F.col("fingerprint").alias("fp_a"), "bucket")
     r = melted.select(F.col(id_col).alias("doc_b"),

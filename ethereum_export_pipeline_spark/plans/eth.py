@@ -31,19 +31,29 @@ KEY_TIERS = [(65_536, 65_536), (2 ** 24, 4_096)]
 KEY_PLAN = volume_balanced_plan(2 ** 24 - 1, tiers=KEY_TIERS)
 
 
-def _bucket_sql(key: str, str_type: str) -> tuple[str, str]:
-    """(start_expr, end_expr) — the padded range-bucket expressions for
-    `KEY_TIERS`, as SQL text. `str_type` is STRING (Spark) or VARCHAR
-    (DuckDB); everything else parses identically in both engines.
-    Mirrors partitioning.range_cols' piecewise tier expression."""
-    arms_s, arms_e = [], []
+def _bucket_start_sql(key: str) -> str:
+    """Raw (unpadded) range-start expression for `KEY_TIERS` — parses
+    identically in Spark SQL and DuckDB. Mirrors
+    partitioning.range_cols' piecewise tier expression."""
+    arms = []
     lo = 0
     for bound, width in KEY_TIERS:
         start = f"(CAST(floor(({key} - {lo}) / {width}.0) AS BIGINT) * {width} + {lo})"
-        arms_s.append(f"WHEN {key} >= {lo} AND {key} < {bound} THEN {start}")
+        arms.append(f"WHEN {key} >= {lo} AND {key} < {bound} THEN {start}")
+        lo = bound
+    return "CASE " + " ".join(arms) + " END"
+
+
+def _bucket_sql(key: str, str_type: str) -> tuple[str, str]:
+    """(start_expr, end_expr) — the padded range-bucket expressions.
+    `str_type` is STRING (Spark) or VARCHAR (DuckDB)."""
+    arms_e = []
+    lo = 0
+    for bound, width in KEY_TIERS:
+        start = f"(CAST(floor(({key} - {lo}) / {width}.0) AS BIGINT) * {width} + {lo})"
         arms_e.append(f"WHEN {key} >= {lo} AND {key} < {bound} THEN {start} + {width - 1}")
         lo = bound
-    s = "CASE " + " ".join(arms_s) + " END"
+    s = _bucket_start_sql(key)
     e = "CASE " + " ".join(arms_e) + " END"
     pad = "lpad(CAST({x} AS %s), 8, '0')" % str_type
     return pad.format(x=s), pad.format(x=e)
@@ -242,7 +252,12 @@ def _parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     start, end = range_cols("l_orderkey", KEY_PLAN)
     out = tempfile.mkdtemp(prefix="spark_graft_pq_") + "/lineitem"
     (li.select("l_orderkey", "l_extendedprice", start, end)
+       # co-locate each Hive partition's rows before the write: without
+       # this every one of the N shuffle partitions opens a file in
+       # every Hive dir (N×P small files — the classic sink mistake)
+       .repartition("start_block", "end_block")
        .write.mode("overwrite")
+       .option("maxRecordsPerFile", 5_000_000)
        .partitionBy("start_block", "end_block").parquet(out))
     from ..sources.csv_source import read_table_parquet
     back = read_table_parquet(spark, out.rsplit("/", 1)[0], "lineitem")
@@ -292,17 +307,24 @@ RANGE_JOIN_N = 49  # 0..65535 plus 48 × 4096-wide ranges → covers sf0.1
 
 def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-aligned range join (J4,
-    templates/export_pipeline_template.py:147-153): join facts to the
-    range dimension on BETWEEN. The dim is tiny → broadcast
-    nested-loop; at 100 TB the same query prunes partitions instead."""
+    templates/export_pipeline_template.py:147-153). A naive BETWEEN
+    join is a nested loop (O(rows × ranges)); because the ranges ARE
+    the partition plan, we derive each row's range start with the
+    plan's floor arithmetic and equi-join on it — a broadcast hash
+    join with BETWEEN kept as a residual guard. This is the join shape
+    that survives 100 TB: the fact side never expands, the dim is
+    broadcast, and the key derivation is codegen'd."""
     o = load_table(spark, sf_dir, "orders")
     ranges = spark.createDataFrame(KEY_PLAN[:RANGE_JOIN_N], "lo long, hi long")
+    keyed = o.withColumn(
+        "lo", F.expr(_bucket_start_sql("o_orderkey")).cast("long"))
     return (
-        o.join(F.broadcast(ranges), o.o_orderkey.between(F.col("lo"), F.col("hi")))
-         .groupBy("lo", "hi")
-         .agg(F.count(F.lit(1)).alias("n_orders"),
-              F.expr(f"CAST(sum({cents('o_totalprice')}) AS BIGINT)")
-               .alias("total_cents"))
+        keyed.join(F.broadcast(ranges), "lo")
+             .where(F.col("o_orderkey").between(F.col("lo"), F.col("hi")))
+             .groupBy("lo", "hi")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.expr(f"CAST(sum({cents('o_totalprice')}) AS BIGINT)")
+                   .alias("total_cents"))
     )
 
 

@@ -1,0 +1,69 @@
+"""Physical-plan-shape assertions for the query catalog: the plans
+that make these queries survive a 100× scale-up are pinned here so a
+refactor can't silently regress them (filter pushdown, broadcast
+joins, exchange reuse, no nested-loop range joins)."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, execute: bool = False) -> str:
+    if execute:
+        df.collect()  # AQE: final plan (codegen, reuse) appears post-run
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from ethereum_export_pipeline_spark.plans import ALL_QUERIES
+    return ALL_QUERIES
+
+
+def test_q1_filter_pushed_to_scan(spark, catalog):
+    plan = plan_of(catalog["q1_pricing_summary"].fn(spark, SF_DIR), execute=True)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "*(" in plan  # whole-stage-codegen'd stages
+
+
+def test_q1_column_pruning(spark, catalog):
+    plan = plan_of(catalog["q1_pricing_summary"].fn(spark, SF_DIR))
+    # only the 7 referenced columns reach the scan, not all 11
+    readschema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in readschema and "l_partkey" not in readschema
+    assert "l_quantity" in readschema
+
+
+def test_semi_join_is_broadcast(spark, catalog):
+    plan = plan_of(catalog["eth_semi_join"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_star_join_broadcasts_dims(spark, catalog):
+    plan = plan_of(catalog["q5_region_revenue"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_hash_not_nested_loop(spark, catalog):
+    plan = plan_of(catalog["eth_range_join"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_reuses_shingle_exchange(spark, catalog):
+    # the inverted-index self-join must reuse one shingle subtree, not
+    # compute the explode+distinct once per branch
+    plan = plan_of(catalog["doc_ngram_pairs"].fn(spark, SF_DIR), execute=True)
+    assert "ReusedExchange" in plan
+
+
+def test_no_python_udfs_in_sql_queries(spark, catalog):
+    # everything except the declared mapInPandas path stays JVM-side
+    for name, q in catalog.items():
+        if q.sql is None or name.startswith("stream"):
+            continue
+        plan = plan_of(q.fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
