@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, register_views
 from .base import Query, cents, qty, revenue_e4
 
 CUTOFF = "1998-06-01"
@@ -317,6 +317,57 @@ FROM sess GROUP BY 1, 2
 """
 
 
+def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.joins.asof_join): every click event gets
+    the user's most recent prior signup event — the union + window-fill
+    composition; the oracle is DuckDB's NATIVE ASOF JOIN, so the
+    composition is verified against a first-class implementation."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000"))
+    clicks = (e.where(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts_us"))
+    signups = (e.where(F.col("event_type") == "signup")
+                 .groupBy("user_id", "ts_us")
+                 .agg(F.max("event_id").alias("signup_event")))
+    from ..operators.joins import asof_join
+    out = asof_join(clicks, signups, key="user_id", time="ts_us",
+                    payload=["signup_event"])
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.coalesce(F.col("signup_event_r"), F.lit(-1)).alias("signup_event"))
+
+
+_ASOF_JOIN_SQL = """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+            FROM events),
+clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+signups AS (SELECT user_id, ts_us, max(event_id) AS signup_event
+            FROM ev WHERE event_type = 'signup' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, c.ts_us,
+       coalesce(s.signup_event, -1) AS signup_event
+FROM clicks c
+ASOF LEFT JOIN signups s ON c.user_id = s.user_id AND c.ts_us >= s.ts_us
+"""
+
+
+# GROUPING SETS: the same text runs on both engines, so the Spark side
+# IS the oracle text executed via the SQL surface.
+_GROUPING_SETS_SQL = f"""
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(sum({cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority),
+                        (c_mktsegment, o_orderpriority))
+"""
+
+
+def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,4 +405,8 @@ QUERIES: dict[str, Query] = {
                                "gap sessionization"),
     "q_events_pivot": Query(_events_pivot, _EVENTS_PIVOT_SQL,
                             "pivot, declared domain"),
+    "q_asof_join": Query(_asof_join, _ASOF_JOIN_SQL,
+                         "as-of join vs native DuckDB ASOF"),
+    "q_grouping_sets": Query(_grouping_sets, _GROUPING_SETS_SQL,
+                             "grouping sets, shared SQL text"),
 }

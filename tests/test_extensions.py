@@ -183,3 +183,31 @@ def test_binary_stats_accounting(spark):
     [r] = binary_stats(documents_as_media(df)).collect()
     assert (r.format, r.n_items, r.total_bytes, r.max_bytes, r.min_bytes) == (
         "text/plain", 2, 9, 6, 3)
+
+
+# -------------------------------------------------------------- asof join
+
+def test_asof_join_backward_semantics(spark):
+    from ethereum_export_pipeline_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 250), (3, 20, 50), (4, 20, 300)],
+        "id long, k long, t long")
+    right = spark.createDataFrame(
+        [(10, 100, 7), (10, 200, 8), (20, 301, 9)],
+        "k long, t long, v long")
+    out = {r.id: r.v_r for r in
+           asof_join(left, right, key="k", time="t", payload=["v"]).collect()}
+    assert out[1] == 7      # equal time counts (<=)
+    assert out[2] == 8      # latest preceding, not first
+    assert out[3] is None   # nothing precedes
+    assert out[4] is None   # right row is later
+
+
+def test_asof_join_tiebreak_dedupes_right(spark):
+    from ethereum_export_pipeline_spark.operators.joins import asof_join
+    left = spark.createDataFrame([(1, 5, 100)], "id long, k long, t long")
+    right = spark.createDataFrame(
+        [(5, 100, 1, 70), (5, 100, 2, 80)], "k long, t long, seq long, v long")
+    [r] = asof_join(left, right, key="k", time="t", payload=["v"],
+                    tiebreak="seq").collect()
+    assert r.v_r == 80      # greatest tiebreak wins deterministically
