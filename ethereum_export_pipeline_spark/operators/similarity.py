@@ -71,18 +71,29 @@ def _cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
 
 def brute_force_topk(df: DataFrame, id_col: str = "vec_id",
                      emb_col: str = "embedding", k: int = 5,
-                     query_pred: str | None = None) -> DataFrame:
+                     query_pred: str | None = None,
+                     max_queries: int = 10_000) -> DataFrame:
     """Exact cosine top-k for the rows matching `query_pred` (default:
     ``{id_col} < 10``) against the whole table. Output: (query_id,
     neighbor_id, cosine, rank).
 
     This is the O(Q·N) exactness BASELINE — the broadcast side is the
-    query set, which must stay small; use `lsh_topk` as the scale path."""
+    query set, which MUST stay small. `max_queries` enforces that with
+    a cheap bounded count before the broadcast cross join is built
+    (a predicate that accidentally selects a million rows would
+    otherwise OOM the driver); use `lsh_topk` as the scale path."""
     query_pred = query_pred or f"{id_col} < 10"
     base = with_quantized(df, emb_col).select(id_col, "qvec", "n2")
     q = (base.where(query_pred)
              .select(F.col(id_col).alias("query_id"),
                      F.col("qvec").alias("qv"), F.col("n2").alias("qn2")))
+    if max_queries is not None:
+        n_q = q.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"brute_force_topk: query_pred selects > {max_queries} rows; "
+                f"this path broadcasts the query set — use lsh_topk instead "
+                f"or raise max_queries explicitly")
     c = (base.select(F.col(id_col).alias("neighbor_id"),
                      F.col("qvec").alias("cv"), F.col("n2").alias("cn2")))
     scored = (

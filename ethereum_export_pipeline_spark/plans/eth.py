@@ -281,6 +281,25 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------------------ P6
+
+def _drop_null_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DropNullFields parity (P6, convert_blocks_to_parquet.py:58):
+    columns that are entirely NULL are dropped after one aggregate
+    pass. The all-null column is synthesized (the corpus has none)."""
+    from ..operators.nulls import drop_null_fields
+    e = load_table(spark, sf_dir, "events")
+    with_dead = (e.select("event_id", "user_id", "event_type")
+                   .withColumn("dead_str", F.lit(None).cast("string"))
+                   .withColumn("dead_num", F.lit(None).cast("bigint")))
+    out = drop_null_fields(with_dead)
+    assert set(out.columns) == {"event_id", "user_id", "event_type"}
+    return out
+
+
+_DROP_NULL_FIELDS_SQL = "SELECT event_id, user_id, event_type FROM events"
+
+
 # ------------------------------------------------------------------ S9
 
 _SQL_SURFACE = """
@@ -356,7 +375,9 @@ QUERIES: dict[str, Query] = {
     "eth_keyed_fetch": Query(_keyed_fetch, _KEYED_FETCH_SQL,
                              "J3/S4 extract→distinct→fetch pipe"),
     "eth_null_filter": Query(_null_filter, _NULL_FILTER_SQL,
-                             "P6/P7 null-key gate"),
+                             "P7 null-key gate"),
+    "eth_drop_null_fields": Query(_drop_null_fields, _DROP_NULL_FIELDS_SQL,
+                                  "P6 DropNullFields"),
     "eth_csv_roundtrip": Query(_csv_roundtrip, _CSV_ROUNDTRIP_SQL,
                                "S6/S7 CSV sink+source, declared schema"),
     "eth_parquet_partitioned": Query(_parquet_partitioned,

@@ -45,12 +45,13 @@ def read_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(static.schema).parquet(path)
 
 
-def run_available_now(agg: DataFrame, name: str | None = None) -> DataFrame:
+def run_available_now(agg: DataFrame, name: str | None = None,
+                      output_mode: str = "complete") -> DataFrame:
     """Run a (possibly aggregating) streaming DataFrame to completion
-    with availableNow + complete-mode memory sink; return the result."""
+    with availableNow + memory sink; return the result."""
     name = name or f"stream_sink_{uuid.uuid4().hex[:8]}"
     q = (agg.writeStream.format("memory").queryName(name)
-            .outputMode("complete").trigger(availableNow=True).start())
+            .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return agg.sparkSession.table(name)
 

@@ -1,0 +1,80 @@
+"""Custom stateful streaming operator: per-user sessionization with
+`applyInPandasWithState` — the escape hatch for stream semantics the
+built-in windowed aggregations can't express (data-driven session
+boundaries carried across micro-batches).
+
+Per micro-batch and user, the handler merges the carried state (last
+event time + session counter of the open session) with the batch's
+events, emits every session seen so far this batch, and stores the
+open tail back into state. Arrow moves the batches; the per-key pandas
+work is O(events of that key in the batch).
+
+At scale the shuffle is on the session key (user), state lives in the
+state store (RocksDB in production), and skew = one hot user's events
+in one task — the same contract as any keyed stateful op.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (LongType, StructField, StructType)
+
+from . import read_stream, run_available_now
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_seq", LongType()),
+    StructField("n_events", LongType()),
+    StructField("start_us", LongType()),
+    StructField("dur_us", LongType()),
+])
+
+STATE_SCHEMA = StructType([
+    StructField("last_us", LongType()),
+    StructField("session_seq", LongType()),
+])
+
+
+def _sessionize_key(key, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    ts = pd.concat([pdf["ts_us"] for pdf in pdfs]).sort_values().to_numpy()
+    if len(ts) == 0:
+        return
+    last_us, seq = state.get if state.exists else (None, 0)
+
+    out: list[tuple[int, int, int, int, int]] = []
+    cur_start, cur_n = None, 0
+    for t in ts:
+        t = int(t)
+        if last_us is None or t - last_us > SESSION_GAP_US:
+            if cur_start is not None:
+                out.append((user_id, seq, cur_n, cur_start, last_us - cur_start))
+            seq += 1
+            cur_start, cur_n = t, 0
+        cur_n += 1
+        last_us = t
+    out.append((user_id, seq, cur_n, cur_start, last_us - cur_start))
+
+    state.update((last_us, seq))
+    yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+
+def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
+    """Stateful streaming sessionization over the events table; with a
+    single availableNow batch the result equals the batch sessionizer
+    (plans.analytics._events_sessions semantics)."""
+    sdf = read_stream(spark, events_path)
+    keyed = (sdf.selectExpr("user_id", "(ts div 1000) AS ts_us")
+                .groupBy("user_id"))
+    agg = keyed.applyInPandasWithState(
+        _sessionize_key, OUTPUT_SCHEMA, STATE_SCHEMA,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+    return run_available_now(agg, output_mode="update")
