@@ -57,7 +57,13 @@ def main() -> int:
     spark = get_spark("bench")
     qs = e.queries()
 
-    # warm the JVM + file listing once, outside the timed region
+    # warm the JVM, file listings and page cache once, outside the
+    # timed region — the bench measures query execution, not the OS
+    # cache state left by whatever ran before
+    from ethereum_export_pipeline_spark.sources.tables import (
+        TESTDATA_TABLES, load_table)
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).count()
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
     def consume(df) -> None:
