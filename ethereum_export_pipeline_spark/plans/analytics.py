@@ -368,6 +368,31 @@ def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_SQL)
 
 
+def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed value out of the JSON
+    `props` column (get_json_object stays in codegen — no UDF JSON
+    parsing) and aggregate on it."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+         .where(F.col("k").isNotNull())
+         .groupBy((F.col("k") - F.pmod(F.col("k"), F.lit(10))).alias("k_bucket"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.expr(f"CAST(sum({cents('value')}) AS BIGINT)").alias("value_cents"),
+              F.min("k").alias("k_min"), F.max("k").alias("k_max"))
+    )
+
+
+_EVENTS_JSON_SQL = f"""
+SELECT k - (k % 10) AS k_bucket, count(*) AS n,
+       CAST(sum({cents('value')}) AS BIGINT) AS value_cents,
+       min(k) AS k_min, max(k) AS k_max
+FROM (SELECT CAST(props->>'k' AS BIGINT) AS k, value FROM events)
+WHERE k IS NOT NULL
+GROUP BY 1
+"""
+
+
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,6 +432,8 @@ QUERIES: dict[str, Query] = {
                             "pivot, declared domain"),
     "q_asof_join": Query(_asof_join, _ASOF_JOIN_SQL,
                          "as-of join vs native DuckDB ASOF"),
+    "q_events_json": Query(_events_json, _EVENTS_JSON_SQL,
+                           "JSON prop extraction + agg"),
     "q_grouping_sets": Query(_grouping_sets, _GROUPING_SETS_SQL,
                              "grouping sets, shared SQL text"),
 }

@@ -38,6 +38,7 @@ def get_spark(app_name: str = "ethereum_export_pipeline_spark",
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    import tempfile
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -46,6 +47,9 @@ def get_spark(app_name: str = "ethereum_export_pipeline_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep managed tables (bucketed saveAsTable) out of the repo cwd
+        .config("spark.sql.warehouse.dir",
+                tempfile.mkdtemp(prefix="spark_graft_wh_"))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
