@@ -38,9 +38,13 @@ def py_h32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2_147_483_647
 
 
-def plane_signs(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[int]]:
-    """Deterministic ±1 hyperplanes: sign(p,d) from md5('plane:p:d')."""
-    return [[1 if py_h32(f"plane:{p}:{d}") % 2 == 0 else -1 for d in range(dim)]
+def plane_signs(n_planes: int = N_PLANES, dim: int = EMB_DIM,
+                offset: int = 0) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign(p,d) from md5('plane:p:d').
+    `offset` shifts the plane indices — band b of a multi-band scheme
+    uses planes [b·n, (b+1)·n), so bands are independent projections."""
+    return [[1 if py_h32(f"plane:{p + offset}:{d}") % 2 == 0 else -1
+             for d in range(dim)]
             for p in range(n_planes)]
 
 
@@ -126,36 +130,55 @@ def lsh_bucket_expr(qvec_col: str = "qvec",
     return " + ".join(terms)
 
 
+def banded_buckets(base: DataFrame, dim: int, n_planes: int,
+                   n_bands: int) -> DataFrame:
+    """Melt a quantized frame into one row per band with a string
+    bucket 'band:value' — OR-amplified LSH (candidates share ANY
+    band's bucket). `n_bands` is the recall knob (independent
+    projections), `n_planes` the per-band selectivity knob."""
+    buckets = [
+        F.concat_ws(":", F.lit(str(b)),
+                    F.expr(lsh_bucket_expr(
+                        planes=plane_signs(n_planes, dim, offset=b * n_planes)))
+                     .cast("string"))
+        for b in range(n_bands)
+    ]
+    return base.withColumn("bucket", F.explode(F.array(*buckets)))
+
+
 def lsh_topk(df: DataFrame, id_col: str = "vec_id",
              emb_col: str = "embedding", k: int = 5,
              query_pred: str | None = None, dim: int = EMB_DIM,
-             n_planes: int = N_PLANES) -> DataFrame:
-    """Approximate top-k: exact cosine, but only among candidates in the
-    query's LSH bucket. Output: (query_id, neighbor_id, cosine, rank).
+             n_planes: int = N_PLANES, n_bands: int = 1) -> DataFrame:
+    """Approximate top-k: exact cosine, but only among candidates that
+    share an LSH bucket in ≥1 band. Output: (query_id, neighbor_id,
+    cosine, rank).
 
     `dim` must match the embedding width: rows of any other size are
     filtered out up front (zip_with against the plane literals would
     NULL-pad and silently send every row to bucket 0 — a degenerate
     cross join — instead of erroring).
 
-    `n_planes` trades recall for bucket size: 2^n_planes buckets, so
-    pick it against the corpus size (~log2(N / desired bucket
-    population)); the default 16 suits 10^7+ rows."""
+    `n_planes` trades recall for bucket size per band: 2^n_planes
+    buckets (default 16 suits 10^7+ rows); `n_bands` multiplies recall
+    (and candidate count) by OR-ing independent projections."""
     query_pred = query_pred or f"{id_col} < 10"
-    planes = plane_signs(n_planes, dim)
-    base = (with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
-            .withColumn("bucket", F.expr(lsh_bucket_expr(planes=planes)))
-            .select(id_col, "qvec", "n2", "bucket"))
+    base = banded_buckets(
+        with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+        .select(id_col, "qvec", "n2"), dim, n_planes, n_bands)
     q = (base.where(query_pred)
              .select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qv"),
                      F.col("n2").alias("qn2"), "bucket"))
     c = (base.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"),
                      F.col("n2").alias("cn2"), "bucket"))
+    scored = q.join(c, "bucket").where(F.col("neighbor_id") != F.col("query_id"))
+    if n_bands > 1:
+        # a pair colliding in several bands must score once, not occupy
+        # several ranks (all duplicate rows are value-identical)
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     scored = (
-        q.join(c, "bucket")
-         .where(F.col("neighbor_id") != F.col("query_id"))
-         .withColumn("dot", F.expr(dot_expr("qv", "cv")))
-         .withColumn("cosine", _cosine(F.col("dot"), F.col("qn2"), F.col("cn2")))
+        scored.withColumn("dot", F.expr(dot_expr("qv", "cv")))
+              .withColumn("cosine", _cosine(F.col("dot"), F.col("qn2"), F.col("cn2")))
     )
     from pyspark.sql import Window
     w = (Window.partitionBy("query_id")
@@ -172,24 +195,26 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             emb_col: str = "embedding",
                             threshold: float = 0.9,
                             dim: int = EMB_DIM,
-                            n_planes: int = N_PLANES) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets: pairs in
-    the same bucket with cosine ≥ threshold (the scale path — exact
-    all-pairs would be O(N²)). Output: (id_a, id_b, cosine).
-    Same `dim` guard and `n_planes` trade-off as `lsh_topk`."""
-    planes = plane_signs(n_planes, dim)
-    base = (with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
-            .withColumn("bucket", F.expr(lsh_bucket_expr(planes=planes)))
-            .select(id_col, "qvec", "n2", "bucket"))
+                            n_planes: int = N_PLANES,
+                            n_bands: int = 1) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets: pairs
+    sharing a bucket in ≥1 band with cosine ≥ threshold (the scale
+    path — exact all-pairs would be O(N²)). Output: (id_a, id_b,
+    cosine). Same `dim` guard and `n_planes`/`n_bands` trade-offs as
+    `lsh_topk`."""
+    base = banded_buckets(
+        with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+        .select(id_col, "qvec", "n2"), dim, n_planes, n_bands)
     a = base.select(F.col(id_col).alias("id_a"), F.col("qvec").alias("va"),
                     F.col("n2").alias("na"), "bucket")
     b = base.select(F.col(id_col).alias("id_b"), F.col("qvec").alias("vb"),
                     F.col("n2").alias("nb"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    if n_bands > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return (
-        a.join(b, "bucket")
-         .where(F.col("id_a") < F.col("id_b"))
-         .withColumn("dot", F.expr(dot_expr("va", "vb")))
-         .withColumn("cosine", _cosine(F.col("dot"), F.col("na"), F.col("nb")))
-         .where(F.col("cosine") >= threshold)
-         .select("id_a", "id_b", "cosine")
+        pairs.withColumn("dot", F.expr(dot_expr("va", "vb")))
+             .withColumn("cosine", _cosine(F.col("dot"), F.col("na"), F.col("nb")))
+             .where(F.col("cosine") >= threshold)
+             .select("id_a", "id_b", "cosine")
     )

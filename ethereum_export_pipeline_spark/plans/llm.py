@@ -276,14 +276,22 @@ _DOT = "CAST(list_sum(list_transform(qv, (x, i) -> x * cv[i])) AS BIGINT)"
 _COS = "CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE))"
 
 
-def _bucket_sql_expr() -> str:
+def _bucket_sql_expr(offset: int = 0) -> str:
     """DuckDB twin of similarity.lsh_bucket_expr — same inlined planes."""
     terms = []
-    for p, signs in enumerate(similarity.plane_signs(LSH_PLANES)):
+    for p, signs in enumerate(similarity.plane_signs(LSH_PLANES, offset=offset)):
         lit = "[" + ", ".join(str(s) for s in signs) + "]"
         proj = f"list_sum(list_transform(list_zip(q, {lit}), s -> s[1] * s[2]))"
         terms.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(terms)
+
+
+def _banded_bucket_list_sql(n_bands: int) -> str:
+    """['0:<band0 bucket>', '1:<band1 bucket>', …] — twin of
+    similarity.banded_buckets."""
+    return "[" + ", ".join(
+        f"'{b}:' || CAST({_bucket_sql_expr(offset=b * LSH_PLANES)} AS VARCHAR)"
+        for b in range(n_bands)) + "]"
 
 
 def _topk_tail(k: int) -> str:
@@ -336,6 +344,34 @@ def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS,
         n_planes=LSH_PLANES)
+
+
+NEARDUP_BANDS = 2
+
+def _emb_neardup_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS,
+        n_planes=LSH_PLANES, n_bands=NEARDUP_BANDS)
+
+
+def _emb_neardup_multiband_sql() -> str:
+    return f"""
+WITH {_BASE_CTES},
+melted AS (SELECT vec_id, q, n2,
+           unnest({_banded_bucket_list_sql(NEARDUP_BANDS)}) AS bucket FROM wn),
+a AS (SELECT vec_id AS id_a, q AS qv, n2 AS qn2, bucket FROM melted),
+b AS (SELECT vec_id AS id_b, q AS cv, n2 AS cn2, bucket FROM melted),
+pairs AS (SELECT DISTINCT id_a, id_b FROM a JOIN b USING (bucket)
+          WHERE id_a < id_b),
+wnp AS (SELECT p.id_a, p.id_b, wa.q AS qv, wa.n2 AS qn2,
+               wb.q AS cv, wb.n2 AS cn2
+        FROM pairs p JOIN wn wa ON wa.vec_id = p.id_a
+                     JOIN wn wb ON wb.vec_id = p.id_b),
+scored AS (SELECT id_a, id_b, {_DOT} AS dot, qn2, cn2 FROM wnp)
+SELECT id_a, id_b, cosine FROM
+  (SELECT id_a, id_b, {_COS} AS cosine FROM scored)
+WHERE cosine >= {NEARDUP_COS}
+"""
 
 
 def _emb_neardup_sql() -> str:
@@ -412,6 +448,9 @@ QUERIES: dict[str, Query] = {
                           "hyperplane-LSH bucketed top-k"),
     "emb_neardup_pairs": Query(_emb_neardup, _emb_neardup_sql(),
                                "embedding-cosine near-dup pairs"),
+    "emb_neardup_multiband": Query(_emb_neardup_multiband,
+                                   _emb_neardup_multiband_sql(),
+                                   "OR-amplified 2-band LSH near-dup"),
     "mm_binary_stats": Query(_binary_stats, _BINARY_STATS_SQL,
                              "binary payload accounting"),
     "mm_extract_features": Query(_extract_features, None,

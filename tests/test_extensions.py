@@ -211,3 +211,19 @@ def test_asof_join_tiebreak_dedupes_right(spark):
     [r] = asof_join(left, right, key="k", time="t", payload=["v"],
                     tiebreak="seq").collect()
     assert r.v_r == 80      # greatest tiebreak wins deterministically
+
+
+def test_multiband_lsh_recall_dominates_single_band(spark):
+    """OR-amplification: every pair a single band finds, 2 bands find
+    too (band 0 is shared), and recall vs brute force only grows."""
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs)
+    df = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    one = {(r.id_a, r.id_b) for r in
+           embedding_neardup_pairs(df, threshold=0.2, n_planes=8,
+                                   n_bands=1).collect()}
+    two = {(r.id_a, r.id_b) for r in
+           embedding_neardup_pairs(df, threshold=0.2, n_planes=8,
+                                   n_bands=2).collect()}
+    assert one <= two
+    assert len(two) >= len(one)
