@@ -88,6 +88,77 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, target_w: int = 64,
+                 target_h: int = 64) -> DataFrame:
+    """Resize plumbing: binary in → binary out with updated metadata,
+    Arrow-batched. The pixel resample is STUBBED (no codec libs in this
+    environment): payload is deterministically resampled at the byte
+    level to the target 'pixel' count so batch shapes, output sizes and
+    metadata math are real. Swap the inner function for PIL in
+    production."""
+    n_out = target_w * target_h
+
+    def _resample(payload: bytes | None) -> bytes | None:
+        if payload is None:
+            return None
+        if len(payload) == 0:
+            return b"\x00" * n_out
+        step = max(len(payload) // n_out, 1)
+        return bytes(payload[min(i * step, len(payload) - 1)]
+                     for i in range(n_out))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["payload"].map(_resample)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": out,
+                "width": target_w, "height": target_h,
+                "n_bytes": out.map(lambda b: 0 if b is None else len(b))
+                              .astype("int64"),
+            })
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])
+    return media.mapInPandas(run, schema)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  frame_bytes: int = 256) -> DataFrame:
+    """Frame-sampling plumbing for video-shaped payloads: one output
+    row per sampled frame (media_id, frame_idx, frame payload) —
+    the 1→N row fan-out shape mapInPandas must produce for video.
+    Frame extraction is STUBBED as evenly-spaced byte windows; swap for
+    a real demuxer (decord/pyav) in production."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                stride = max(len(payload) // n_frames, 1)
+                for i in range(min(n_frames, len(payload))):
+                    off = i * stride
+                    ids.append(mid); idxs.append(i)
+                    frames.append(bytes(payload[off:off + frame_bytes]))
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int64"),
+                                "frame": frames if frames else
+                                         pd.Series([], dtype=object)})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+    return media.mapInPandas(run, schema)
+
+
 def binary_stats(media: DataFrame, format_col: str = "meta.format") -> DataFrame:
     """Oracle-checkable part of the multimodal surface: pure byte-level
     accounting over the binary column (no decode)."""

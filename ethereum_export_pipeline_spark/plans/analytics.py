@@ -393,6 +393,34 @@ GROUP BY 1
 """
 
 
+def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics + distinct counts per group. percentile_disc
+    picks an actual data value (engine-identical on exact ints, unlike
+    interpolating percentile_cont)."""
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT c_mktsegment AS segment,
+               count(DISTINCT c_nationkey) AS n_nations,
+               CAST(percentile_disc(0.5) WITHIN GROUP
+                    (ORDER BY {cents('c_acctbal')}) AS BIGINT) AS med_cents,
+               CAST(percentile_disc(0.9) WITHIN GROUP
+                    (ORDER BY {cents('c_acctbal')}) AS BIGINT) AS p90_cents,
+               min({cents('c_acctbal')}) AS min_cents,
+               max({cents('c_acctbal')}) AS max_cents
+        FROM customer GROUP BY 1""")
+
+
+_PERCENTILES_SQL = f"""
+SELECT c_mktsegment AS segment,
+       count(DISTINCT c_nationkey) AS n_nations,
+       CAST(quantile_disc({cents('c_acctbal')}, 0.5) AS BIGINT) AS med_cents,
+       CAST(quantile_disc({cents('c_acctbal')}, 0.9) AS BIGINT) AS p90_cents,
+       min({cents('c_acctbal')}) AS min_cents,
+       max({cents('c_acctbal')}) AS max_cents
+FROM customer GROUP BY 1
+"""
+
+
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,4 +464,6 @@ QUERIES: dict[str, Query] = {
                            "JSON prop extraction + agg"),
     "q_grouping_sets": Query(_grouping_sets, _GROUPING_SETS_SQL,
                              "grouping sets, shared SQL text"),
+    "q_percentiles": Query(_percentiles, _PERCENTILES_SQL,
+                           "order statistics + count distinct"),
 }

@@ -426,6 +426,40 @@ def _extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(_doc_media(spark, sf_dir))
 
 
+def _resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing via mapInPandas; the metadata math (target dims,
+    output byte count) is SQL-verifiable even though the resample stub
+    is Python — payload itself is excluded from the compare."""
+    out = multimodal.resize_media(_doc_media(spark, sf_dir), 64, 64)
+    return out.select("media_id", "width", "height", "n_bytes")
+
+
+_RESIZE_SQL = """
+SELECT doc_id AS media_id, CAST(64 AS INTEGER) AS width,
+       CAST(64 AS INTEGER) AS height, CAST(4096 AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1→N fan-out) via mapInPandas; frame offsets and
+    byte counts follow deterministically from the payload length, so
+    the fan-out shape is fully oracle-checked."""
+    out = multimodal.sample_frames(_doc_media(spark, sf_dir),
+                                   n_frames=4, frame_bytes=256)
+    return out.select("media_id", "frame_idx",
+                      F.octet_length("frame").cast("long").alias("frame_bytes"))
+
+
+_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id, i AS frame_idx,
+       least(256, octet_length(encode(text)) -
+                  i * (octet_length(encode(text)) // 4)) AS frame_bytes
+FROM documents, UNNEST(range(4)) u(i)
+WHERE text IS NOT NULL AND octet_length(encode(text)) >= 4
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
                              "exact dedup via md5 hash-agg"),
@@ -455,4 +489,8 @@ QUERIES: dict[str, Query] = {
                              "binary payload accounting"),
     "mm_extract_features": Query(_extract_features, None,
                                  "mapInPandas decode (stub) — rows-only"),
+    "mm_resize": Query(_resize, _RESIZE_SQL,
+                       "resize plumbing, metadata oracle"),
+    "mm_frame_sample": Query(_frame_sample, _FRAME_SAMPLE_SQL,
+                             "video frame-sample fan-out"),
 }

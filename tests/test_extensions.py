@@ -227,3 +227,23 @@ def test_multiband_lsh_recall_dominates_single_band(spark):
                                    n_bands=2).collect()}
     assert one <= two
     assert len(two) >= len(one)
+
+
+def test_resize_media_shapes(spark):
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        documents_as_media, resize_media)
+    df = docs(spark, [(1, "x" * 1000), (2, "y" * 10)])
+    got = {r.media_id: (r.width, r.height, r.n_bytes, len(r.payload))
+           for r in resize_media(documents_as_media(df), 8, 8).collect()}
+    assert got[1] == (8, 8, 64, 64)
+    assert got[2] == (8, 8, 64, 64)   # shorter payload still fills 64
+
+
+def test_sample_frames_fanout(spark):
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        documents_as_media, sample_frames)
+    df = docs(spark, [(1, "a" * 1024)])
+    rows = sorted((r.frame_idx, len(r.frame)) for r in
+                  sample_frames(documents_as_media(df),
+                                n_frames=4, frame_bytes=256).collect())
+    assert rows == [(0, 256), (1, 256), (2, 256), (3, 256)]
