@@ -24,8 +24,12 @@ HEADLINE = [
     "q_window_topn",
     "q_window_running",
     "q_rollup",
+    "q_grouping_sets",
+    "q_percentiles",
+    "q_asof_join",
     "q_events_tumbling",
     "q_events_sessions",
+    "q_events_json",
     "eth_typed_projection",
     "eth_partition_plan",
     "eth_semi_join",
