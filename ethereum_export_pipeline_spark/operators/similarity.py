@@ -218,3 +218,82 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
              .where(F.col("cosine") >= threshold)
              .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------------------------ IVF
+
+IVF_CELLS = 16
+IVF_KMEANS_ITERS = 8
+
+
+def train_ivf_centroids(vectors: "list[list[float]]",
+                        n_cells: int = IVF_CELLS,
+                        iters: int = IVF_KMEANS_ITERS) -> list[list[int]]:
+    """Plan-time k-means coarse quantizer (numpy, deterministic:
+    fixed seed-free init = first-k distinct points, fixed iteration
+    count). Returns QUANTIZED int centroids so cell assignment is
+    exact integer arithmetic on both engines.
+
+    At 100 TB this runs on a driver-side sample (IVF training is
+    always a sample); the centroids are inlined as plan literals
+    exactly like the LSH planes."""
+    import numpy as np
+    x = np.asarray(vectors, dtype=np.float64)
+    c = x[:n_cells].copy()                      # deterministic init
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_cells):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+    q = np.rint(c * QUANT_SCALE).astype(np.int64)
+    return [[int(v) for v in row] for row in q]
+
+
+def ivf_cell_expr(centroids: list[list[int]], qvec_col: str = "qvec") -> str:
+    """cell = 1-based argmin over centroids of exact int ||q - c||²
+    (ties → first minimum, identical in both engines)."""
+    dists = []
+    for c in centroids:
+        lit = "array(" + ", ".join(f"{v}L" for v in c) + ")"
+        dists.append(
+            f"aggregate(zip_with({qvec_col}, {lit}, (x, c) -> (x - c) * (x - c)), "
+            f"0L, (acc, v) -> acc + v)")
+    arr = "array(" + ", ".join(dists) + ")"
+    return f"array_position({arr}, array_min({arr}))"
+
+
+def ivf_topk(df: DataFrame, centroids: list[list[int]],
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             k: int = 5, query_pred: str | None = None,
+             dim: int = EMB_DIM) -> DataFrame:
+    """IVF(nprobe=1) top-k: exact cosine among candidates in the
+    query's coarse-quantizer cell. The data-adaptive sibling of
+    `lsh_topk`: cells follow the density of the corpus instead of
+    random hyperplanes, so candidate lists are balanced where the
+    data is. The cell join is an equi-shuffle on a small int key."""
+    query_pred = query_pred or f"{id_col} < 10"
+    base = (with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+            .withColumn("cell", F.expr(ivf_cell_expr(centroids)).cast("long"))
+            .select(id_col, "qvec", "n2", "cell"))
+    q = (base.where(query_pred)
+             .select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qv"),
+                     F.col("n2").alias("qn2"), "cell"))
+    c = (base.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv"),
+                     F.col("n2").alias("cn2"), "cell"))
+    scored = (
+        q.join(c, "cell")
+         .where(F.col("neighbor_id") != F.col("query_id"))
+         .withColumn("dot", F.expr(dot_expr("qv", "cv")))
+         .withColumn("cosine", _cosine(F.col("dot"), F.col("qn2"), F.col("cn2")))
+    )
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc()))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k)
+              .select("query_id", "neighbor_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+    )

@@ -388,6 +388,61 @@ WHERE cosine >= {NEARDUP_COS}
 """
 
 
+# ------------------------------------------------------------------- IVF
+
+def _ivf_centroids() -> list[list[int]]:
+    """Coarse-quantizer centroids, trained ONCE at import on the sf0.01
+    embeddings (IVF always trains on a sample) and inlined as literals
+    in both engines' plans — the data-adaptive sibling of the LSH
+    planes. Deterministic: sorted input, first-k init, fixed iters."""
+    try:
+        import pyarrow.parquet as pq
+        t = (pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+               .sort_by("vec_id").to_pydict())
+        vecs = [list(v) for v in t["embedding"]
+                if v is not None and len(v) == similarity.EMB_DIM]
+        return similarity.train_ivf_centroids(vecs)
+    except Exception:
+        # corpus unavailable (e.g. import outside the test env):
+        # deterministic pseudo-centroids from the shared hash family
+        return [[(similarity.py_h32(f"cell:{c}:{d}") % 2001) - 1000
+                 for d in range(similarity.EMB_DIM)]
+                for c in range(similarity.IVF_CELLS)]
+
+
+IVF_CENTROIDS = _ivf_centroids()
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"),
+                               IVF_CENTROIDS, k=TOPK_K)
+
+
+def _ivf_cell_sql() -> str:
+    dists = []
+    for c in IVF_CENTROIDS:
+        lit = "[" + ", ".join(str(v) for v in c) + "]"
+        dists.append("list_sum(list_transform(list_zip(q, " + lit + "), "
+                     "s -> (s[1] - s[2]) * (s[1] - s[2])))")
+    arr = "[" + ", ".join(dists) + "]"
+    return f"list_position({arr}, list_min({arr}))"
+
+
+def _ivf_topk_sql() -> str:
+    return f"""
+WITH {_BASE_CTES},
+cells AS (SELECT vec_id, q, n2, {_ivf_cell_sql()} AS cell FROM wn),
+qq AS (SELECT vec_id AS query_id, q AS qv, n2 AS qn2, cell FROM cells
+       WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, q AS cv, n2 AS cn2, cell FROM cells),
+scored AS (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2
+           FROM qq JOIN c USING (cell) WHERE neighbor_id <> query_id),
+cos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM scored)
+{_topk_tail(TOPK_K)}
+"""
+
+
 # --------------------------------------------------------------- multimodal
 
 def _doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,6 +535,8 @@ QUERIES: dict[str, Query] = {
                                  "exact cosine top-k baseline"),
     "emb_lsh_topk": Query(_lsh_topk, _lsh_topk_sql(),
                           "hyperplane-LSH bucketed top-k"),
+    "emb_ivf_topk": Query(_ivf_topk, _ivf_topk_sql(),
+                          "IVF coarse-quantizer top-k"),
     "emb_neardup_pairs": Query(_emb_neardup, _emb_neardup_sql(),
                                "embedding-cosine near-dup pairs"),
     "emb_neardup_multiband": Query(_emb_neardup_multiband,

@@ -247,3 +247,18 @@ def test_sample_frames_fanout(spark):
                   sample_frames(documents_as_media(df),
                                 n_frames=4, frame_bytes=256).collect())
     assert rows == [(0, 256), (1, 256), (2, 256), (3, 256)]
+
+
+def test_ivf_cells_cluster_similar_vectors(spark):
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        ivf_topk, train_ivf_centroids)
+    import random
+    rng = random.Random(7)
+    # two tight clusters around opposite corners
+    mk = lambda base: [base + rng.uniform(-0.01, 0.01) for _ in range(8)]
+    rows = [(i, mk(1.0)) for i in range(5)] + [(10 + i, mk(-1.0)) for i in range(5)]
+    df = embs(spark, rows)
+    cents = train_ivf_centroids([v for _, v in rows], n_cells=2)
+    out = ivf_topk(df, cents, k=3, query_pred="vec_id = 0", dim=8)
+    ids = {r.neighbor_id for r in out.collect()}
+    assert ids and ids <= {1, 2, 3, 4}   # only same-cluster candidates
