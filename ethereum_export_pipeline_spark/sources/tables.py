@@ -54,5 +54,14 @@ def load_tables(spark: SparkSession, sf_dir: str,
 
 def register_views(spark: SparkSession, sf_dir: str,
                    names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """Temp views over the corpus; idempotent per (session, sf_dir) —
+    repeated catalog queries skip the 10 parquet-footer reads."""
+    marker = "spark_graft.registered_dir"
+    try:
+        if spark.conf.get(marker, "") == sf_dir:
+            return
+    except Exception:
+        pass
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    spark.conf.set(marker, sf_dir)

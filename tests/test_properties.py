@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): Spark operators vs tiny pure-
+Python reference implementations on randomized inputs — the test
+strategy SURVEY §5 prescribes for semantics that have more edge cases
+than hand-picked fixtures cover (ragged plans, as-of tie handling,
+Jaccard arithmetic)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(max_examples=15, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(events=st.lists(
+    st.tuples(st.integers(0, 3),        # key
+              st.integers(0, 50),       # time
+              st.booleans()),           # right-side row?
+    min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_asof_join_matches_python_reference(spark, events):
+    from ethereum_export_pipeline_spark.operators.joins import asof_join
+    left = [(i, k, t) for i, (k, t, is_r) in enumerate(events) if not is_r]
+    right = {}
+    for i, (k, t, is_r) in enumerate(events):
+        if is_r:
+            right[(k, t)] = max(right.get((k, t), -1), i * 10)
+    if not left or not right:
+        return
+    ldf = spark.createDataFrame(left, "id long, k long, t long")
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in right.items()], "k long, t long, v long")
+    got = {r.id: r.v_r for r in
+           asof_join(ldf, rdf, key="k", time="t", payload=["v"]).collect()}
+
+    for lid, k, t in left:
+        cands = [(rt, v) for (rk, rt), v in right.items()
+                 if rk == k and rt <= t]
+        exp = max(cands)[1] if cands else None
+        assert got[lid] == exp, (lid, k, t, cands)
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=8))
+@settings(**SETTINGS)
+def test_ngram_jaccard_matches_python_reference(spark, texts):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        NGRAM_N, ngram_jaccard_pairs)
+
+    def pyshingles(s):
+        toks = [t for t in "".join(c if c in "ab" else " " for c in s).split()
+                if t]
+        return {" ".join(toks[i:i + NGRAM_N])
+                for i in range(len(toks) - NGRAM_N + 1)}
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+           for r in ngram_jaccard_pairs(df, threshold=0.0,
+                                        max_shingle_df=None).collect()}
+
+    exp = {}
+    for i, ti in docs:
+        for j, tj in docs:
+            if i >= j:
+                continue
+            a, b = pyshingles(ti), pyshingles(tj)
+            inter = len(a & b)
+            if inter:
+                exp[(i, j)] = (inter, inter / len(a | b))
+    assert set(got) == set(exp)
+    for p, (n, jac) in exp.items():
+        assert got[p][0] == n
+        assert abs(got[p][1] - jac) < 1e-12
+
+
+@given(start=st.integers(0, 1000), width=st.integers(1, 400),
+       n=st.integers(0, 2000))
+@settings(**SETTINGS)
+def test_range_cols_assigns_every_key_to_its_range(spark, start, width, n):
+    from pyspark.sql import functions as F
+    from ethereum_export_pipeline_spark.partitioning import (
+        range_cols, split_to_batches)
+    end = start + n
+    plan = list(split_to_batches(start, end, width))
+    df = spark.range(start, end + 1).select(F.col("id").alias("number"))
+    s, e = range_cols("number", plan)
+    rows = df.select("number", s, e).collect()
+    lookup = {num: (lo, hi) for lo, hi in plan for num in (lo, hi)}
+    for r in rows:
+        lo, hi = int(r.start_block), int(r.end_block)
+        assert lo <= r.number <= hi
+        assert (lo, hi) in plan
