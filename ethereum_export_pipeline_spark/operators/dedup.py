@@ -67,16 +67,22 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = NGRAM_N) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
-    Docs with fewer than n tokens contribute no shingles."""
+    Docs with fewer than n tokens contribute no shingles.
+
+    Dedup happens per-document with `array_distinct` BEFORE the
+    explode — map-side, inside codegen — instead of a `.distinct()`
+    over the exploded rows, which would shuffle the whole inverted
+    index once more (cross-document duplicates are fine: every
+    consumer groups by doc or joins by shingle)."""
     joined = ", ".join(f"element_at(t, i + {k + 1})" for k in range(n))
     expr = (
         f"CASE WHEN size(t) < {n} THEN array() "
-        f"ELSE transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {joined})) END"
+        f"ELSE array_distinct(transform(sequence(0, size(t) - {n}), "
+        f"i -> concat_ws(' ', {joined}))) END"
     )
     return (
         df.select(F.col(id_col), tokens(text_col).alias("t"))
           .select(id_col, F.explode(F.expr(expr)).alias("shingle"))
-          .distinct()
     )
 
 
@@ -196,9 +202,10 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
                          bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc simhash: bit b of the fingerprint is the sign of the
     vote Σ_tokens (±1 per token's hash bit b) over distinct tokens."""
+    # per-doc token dedup map-side (array_distinct) — no shuffle
     toks = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-          .distinct()
+        df.select(F.col(id_col),
+                  F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
           .select(id_col, h60(F.col("tok")).alias("h"))
     )
     votes = [
