@@ -421,6 +421,119 @@ FROM customer GROUP BY 1
 """
 
 
+def _order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS subquery: Catalyst
+    decorrelates it into a left-semi join (no per-row subquery
+    execution at any scale)."""
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY 1""")
+
+
+_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+"""
+
+
+def _shipmode_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional (CASE) aggregation: one pass, two
+    tallies, no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .groupBy("l_returnflag")
+          .agg(F.sum(urgent).cast("long").alias("high_line_count"),
+               F.sum(1 - urgent).cast("long").alias("low_line_count"))
+    )
+
+
+_SHIPMODE_CLASSES_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def _having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — HAVING over an aggregate (post-agg filter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+          .agg(F.expr(f"CAST(sum({qty('l_quantity')}) AS BIGINT)").alias("total_qty"),
+               F.count(F.lit(1)).alias("n_lines"))
+          .where(F.col("total_qty") > 1000)
+    )
+
+
+_HAVING_FILTER_SQL = f"""
+SELECT l_partkey, CAST(sum({qty('l_quantity')}) AS BIGINT) AS total_qty,
+       count(*) AS n_lines
+FROM lineitem GROUP BY 1 HAVING CAST(sum({qty('l_quantity')}) AS BIGINT) > 1000
+"""
+
+
+def _like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — LIKE predicate (pushed as string-contains to
+    the scan) driving a join + agg."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+          .groupBy("p_brand")
+          .agg(F.count(F.lit(1)).alias("n_lines"),
+               F.expr(f"CAST(sum({revenue_e4()}) AS BIGINT)").alias("revenue_e4"))
+    )
+
+
+_LIKE_FILTER_SQL = f"""
+SELECT p_brand, count(*) AS n_lines,
+       CAST(sum({revenue_e4()}) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1
+"""
+
+
+def _not_in_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — NOT EXISTS anti-subquery, decorrelated to a
+    left-anti join: parts never ordered at the maximum quantity."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_brand, count(*) AS n_parts
+        FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey AND l_quantity >= 50)
+        GROUP BY 1""")
+
+
+_NOT_IN_ANTI_SQL = """
+SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity >= 50)
+GROUP BY 1
+"""
+
+
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,4 +579,14 @@ QUERIES: dict[str, Query] = {
                              "grouping sets, shared SQL text"),
     "q_percentiles": Query(_percentiles, _PERCENTILES_SQL,
                            "order statistics + count distinct"),
+    "q4_order_priority": Query(_order_priority, _ORDER_PRIORITY_SQL,
+                               "correlated EXISTS, decorrelated"),
+    "q12_shipmode_classes": Query(_shipmode_classes, _SHIPMODE_CLASSES_SQL,
+                                  "conditional CASE aggregation"),
+    "q11_having": Query(_having_filter, _HAVING_FILTER_SQL,
+                        "HAVING post-aggregate filter"),
+    "q9_like_filter": Query(_like_filter, _LIKE_FILTER_SQL,
+                            "LIKE predicate + broadcast join"),
+    "q16_not_exists": Query(_not_in_anti, _NOT_IN_ANTI_SQL,
+                            "NOT EXISTS anti-subquery"),
 }
