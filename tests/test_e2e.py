@@ -66,7 +66,8 @@ def test_reference_lifecycle_end_to_end(spark, eth_fixture_dir, tmp_path):
         drop_database(spark, "eth_e2e")
 
 
-ORACLE_SMOKE = ["q1_pricing_summary", "eth_partition_plan", "doc_token_counts"]
+ORACLE_SMOKE = ["q1_pricing_summary", "eth_partition_plan",
+                "doc_token_counts", "doc_fingerprint"]  # md5 hash lockstep
 
 
 @pytest.mark.parametrize("name", ORACLE_SMOKE)
