@@ -70,3 +70,29 @@ def stream_tumbling_counts(spark: SparkSession, events_path: str,
                 F.max("event_id").alias("last_event"))
     )
     return run_available_now(agg)
+
+
+def incremental_convert(spark: SparkSession, src_dir: str, dest_dir: str,
+                        checkpoint_dir: str) -> int:
+    """Checkpointed incremental file conversion — the exactly-once
+    bookmark path (Glue `transformation_ctx`/`job.commit()` parity,
+    reference convert_blocks_to_parquet.py:21,67): each call processes
+    ONLY files the checkpoint has not seen, appends them to `dest_dir`,
+    and stops (availableNow). Returns the number of rows written this
+    run.
+
+    At scale this is the convert job run from cron: no manifest
+    bookkeeping in user code, the stream checkpoint IS the bookmark."""
+    sdf = read_stream(spark, src_dir)
+    n_before = 0
+    try:
+        n_before = spark.read.parquet(dest_dir).count()
+    except Exception:
+        pass
+    q = (sdf.writeStream.format("parquet")
+            .option("path", dest_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(dest_dir).count() - n_before

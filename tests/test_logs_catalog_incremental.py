@@ -215,3 +215,24 @@ def test_stateful_stream_sessionize_equals_batch(spark, tmp_path):
                    (F.max("ts_us") - F.min("ts_us")).alias("d")))
     exp = {(r.user_id, r.seq): (r.n, r.s, r.d) for r in batch.collect()}
     assert got == exp
+
+
+def test_incremental_convert_processes_only_new_files(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ethereum_export_pipeline_spark.streaming import incremental_convert
+    src = tmp_path / "src"; src.mkdir()
+    dest, ckpt = str(tmp_path / "dest"), str(tmp_path / "ckpt")
+
+    pq.write_table(pa.table({"id": list(range(100))}),
+                   src / "batch1.parquet")
+    assert incremental_convert(spark, str(src), dest, ckpt) == 100
+
+    # re-run with nothing new: checkpoint skips everything
+    assert incremental_convert(spark, str(src), dest, ckpt) == 0
+
+    # add a file: only it is processed
+    pq.write_table(pa.table({"id": list(range(100, 130))}),
+                   src / "batch2.parquet")
+    assert incremental_convert(spark, str(src), dest, ckpt) == 30
+    assert spark.read.parquet(dest).count() == 130

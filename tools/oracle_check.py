@@ -98,6 +98,11 @@ def main() -> int:
     qs, sqls = e.queries(), e.oracle_sql()
     con = duck_connect(sf_dir)
     failures = 0
+    if not only:
+        n = e.entry(spark).count()
+        ok = n > 0
+        failures += 0 if ok else 1
+        print(("✓" if ok else "✗"), "entry()", f"{n} rows")
     for name, fn in qs.items():
         if only and name not in only:
             continue
