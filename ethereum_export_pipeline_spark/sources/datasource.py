@@ -24,7 +24,8 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader, InputPartition)
 from pyspark.sql.types import StructType
 
 from ..partitioning import split_to_batches
@@ -97,6 +98,49 @@ class ChainDataSource(DataSource):
     def reader(self, schema: StructType) -> ChainReader:
         return ChainReader(schema, self.options)
 
+    def streamReader(self, schema: StructType) -> "ChainStreamReader":
+        return ChainStreamReader(schema, self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(ChainDataSource)
+
+
+# ------------------------------------------------------------ streaming
+
+
+class ChainStreamReader(DataSourceStreamReader):
+    """Chain-tailing stream: offsets are block numbers, each micro-batch
+    covers (last_committed, head] split into range partitions — the
+    streaming form of the reference's "rerun the pipeline for new block
+    ranges" (ondemand scheduling, SURVEY O6). Against a real node,
+    `latestOffset` polls the RPC head; here the head is an option so
+    tests are deterministic."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.start = int(options.get("start", 0))
+        self.head = int(options.get("head", 999))
+        self.batch_size = int(options.get("batch_size", 100))
+
+    def initialOffset(self) -> dict:
+        return {"block": self.start}
+
+    def latestOffset(self) -> dict:
+        return {"block": self.head + 1}  # exclusive upper bound
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["block"], end["block"] - 1
+        if lo > hi:
+            return []
+        return [ChainRange(s, e) for s, e in
+                split_to_batches(lo, hi, self.batch_size)]
+
+    def read(self, partition: ChainRange):
+        names = [f.name for f in self.schema_.fields]
+        for n in range(partition.start, partition.end + 1):
+            b = _fake_block(n)
+            yield tuple(b.get(c) for c in names)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint

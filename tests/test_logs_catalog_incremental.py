@@ -236,3 +236,25 @@ def test_incremental_convert_processes_only_new_files(spark, tmp_path):
                    src / "batch2.parquet")
     assert incremental_convert(spark, str(src), dest, ckpt) == 30
     assert spark.read.parquet(dest).count() == 130
+
+
+def test_python_datasource_chain_stream(spark):
+    import time
+    from ethereum_export_pipeline_spark.sources import datasource
+    datasource.register(spark)
+    sdf = (spark.readStream.format("ethereum_chain")
+                .option("start", 0).option("head", 249)
+                .option("batch_size", 100).load())
+    q = (sdf.writeStream.format("memory").queryName("chain_tail")
+             .outputMode("append").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("chain_tail").count() >= 250:
+                break
+            time.sleep(0.5)
+        got = spark.table("chain_tail")
+        assert got.count() == 250
+        assert got.selectExpr("max(number)").collect()[0][0] == 249
+    finally:
+        q.stop()

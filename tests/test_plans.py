@@ -67,3 +67,21 @@ def test_no_python_udfs_in_sql_queries(spark, catalog):
         plan = plan_of(q.fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_keyed_fetch_falls_back_to_shuffle_semi_join(spark, catalog):
+    # SCALE.md claim: when the key set can't broadcast, the semi join
+    # degrades to a shuffle join, not a failure or a nested loop
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from ethereum_export_pipeline_spark.sources.tables import load_table
+        import pyspark.sql.functions as F
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").select("o_orderkey").distinct()
+        j = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        plan = plan_of(j)
+        assert "LeftSemi" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
