@@ -48,6 +48,15 @@ class FixtureChain:
         return self._table("token_transfers").where(
             F.col("block_number").between(start, end))
 
+    # S5 proper — derive token transfers FROM RAW LOGS for a range:
+    # topic0 filter + address/value decode (reference config.py:51-53
+    # semantics; the table above is the already-materialized shortcut)
+    def export_token_transfers_from_logs(self, start: int, end: int) -> DataFrame:
+        from ..operators.logs import token_transfers_from_logs
+        logs = self._table("logs").where(
+            F.col("block_number").between(start, end))
+        return token_transfers_from_logs(logs)
+
     # S2 — keyed fetch: receipts+logs for a set of tx hashes
     def export_receipts_and_logs(self, tx_hashes: DataFrame
                                  ) -> tuple[DataFrame, DataFrame]:

@@ -90,13 +90,33 @@ def eth_fixture_dir(tmp_path_factory):
         "status": [rng.choice([0, 1, 1, 1]) for _ in range(n_tx)],
     }
 
+    # ~30% of logs are well-formed ERC-20 Transfer events (topic0 =
+    # the public Transfer signature, 2 indexed address topics, a
+    # uint256 value in data) so the S5 topic-filtered decode has real
+    # rows to find; the rest are arbitrary events.
+    from ethereum_export_pipeline_spark.operators.logs import TRANSFER_SIG
+
+    def _one_log(i: int) -> tuple[str, str]:
+        if rng.random() < 0.3:
+            topics = ",".join([
+                TRANSFER_SIG,
+                "0x" + "0" * 24 + _hex(rng, 40)[2:],
+                "0x" + "0" * 24 + _hex(rng, 40)[2:],
+            ])
+            data = "0x" + format(rng.randrange(10 ** 24), "064x")
+        else:
+            topics = ",".join(_hex(rng, 64)
+                              for _ in range(rng.randrange(1, 4)))
+            data = _hex(rng, 64)
+        return topics, data
+
+    log_td = [_one_log(i) for i in range(2 * n_tx)]
     logs = {
         "transaction_hash": [tx_hashes[i % n_tx] for i in range(2 * n_tx)],
         "log_index": [i % 4 for i in range(2 * n_tx)],
         "address": [_hex(rng, 40) for _ in range(2 * n_tx)],
-        "data": [_hex(rng, 64) for _ in range(2 * n_tx)],
-        "topics": [",".join(_hex(rng, 64) for _ in range(rng.randrange(1, 4)))
-                   for _ in range(2 * n_tx)],
+        "data": [d for _, d in log_td],
+        "topics": [t for t, _ in log_td],
         "block_number": [tx_block[i % n_tx] for i in range(2 * n_tx)],
     }
 

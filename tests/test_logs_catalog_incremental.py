@@ -258,3 +258,24 @@ def test_python_datasource_chain_stream(spark):
         assert got.selectExpr("max(number)").collect()[0][0] == 249
     finally:
         q.stop()
+
+
+def test_chain_export_token_transfers_from_logs(spark, eth_fixture_dir):
+    import decimal
+    import pyspark.sql.functions as F
+    from ethereum_export_pipeline_spark.operators.logs import TRANSFER_SIG
+    from ethereum_export_pipeline_spark.sources.chain import FixtureChain
+    chain = FixtureChain(spark, eth_fixture_dir)
+
+    decoded = chain.export_token_transfers_from_logs(0, 19)
+    raw = chain._table("logs").where(
+        (F.col("block_number").between(0, 19))
+        & F.col("topics").startswith(TRANSFER_SIG + ","))
+    assert decoded.count() == raw.count() > 0
+    r = decoded.orderBy("transaction_hash", "log_index").first()
+    assert r.from_address.startswith("0x") and len(r.from_address) == 42
+    assert isinstance(r.value, decimal.Decimal) and r.value >= 0
+    # decoded value round-trips the hex data of its source log
+    src = raw.where((F.col("transaction_hash") == r.transaction_hash)
+                    & (F.col("log_index") == r.log_index)).first()
+    assert int(src.data[2:], 16) == int(r.value)
