@@ -155,10 +155,11 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-UR
 
 def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complement of the keyed fetch (anti join) — customers with
-    no orders. The reference's pipe drops keys with no fetch result
-    implicitly; the anti join is the queryable form."""
+    no urgent order. The reference's pipe drops keys with no fetch
+    result implicitly; the anti join is the queryable form."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o.select("o_custkey").distinct(),
                c.c_custkey == F.col("o_custkey"), "left_anti")
@@ -169,7 +170,9 @@ def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name, c_mktsegment AS segment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """
 
 
