@@ -88,3 +88,44 @@ def run_export_dag(chain: FixtureChain, start: int, end: int,
         "logs": res.logs, "contracts": res.contracts, "tokens": res.tokens,
     }.items() if v is not None}
     return res
+
+
+def export_range_to_csv(chain: FixtureChain, csv_root: str,
+                        start: int, end: int, **flags) -> dict[str, str]:
+    """One reference 'activity' (O2): run the export DAG for a range
+    and land every produced table as a `%08d`-named partition CSV.
+    Returns table → written path."""
+    from ..sources.csv_source import write_partition_csv
+    res = run_export_dag(chain, start, end, **flags)
+    return {name: write_partition_csv(df, csv_root, name, start, end)
+            for name, df in res.tables.items()}
+
+
+def run_full_export(spark, chain_root: str, csv_root: str,
+                    plan: list[tuple[int, int]] | None = None,
+                    manifest_path: str | None = None,
+                    **flags) -> list[tuple[int, int]]:
+    """The reference's whole pipeline as one call (E1+E2): the
+    volume-balanced range plan (config.py:10-14 by default) drives one
+    export DAG per range; with `manifest_path` set, ranges already
+    committed are skipped (Data Pipeline ondemand-rerun / bookmark
+    parity). Returns the ranges processed THIS run.
+
+    On a cluster the per-range jobs parallelize exactly like the
+    reference's 131 activities: each range's lineage is independent,
+    so submit them from a thread pool or one-job-per-range scheduler;
+    the manifest keeps concurrent schedulers from double-processing."""
+    from ..incremental import run_incremental
+    from ..partitioning import default_export_plan
+    from ..sources.chain import FixtureChain
+    chain = FixtureChain(spark, chain_root)
+    plan = plan if plan is not None else default_export_plan()
+
+    def process(s: int, e: int) -> None:
+        export_range_to_csv(chain, csv_root, s, e, **flags)
+
+    if manifest_path is not None:
+        return run_incremental(spark, manifest_path, "export", plan, process)
+    for s, e in plan:
+        process(s, e)
+    return list(plan)

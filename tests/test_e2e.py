@@ -88,3 +88,27 @@ def test_oracle_smoke(spark, name):
     dk = con.execute(entrymod.oracle_sql()[name]).df()
     assert sorted(sp.columns) == sorted(dk.columns)
     assert canon(sp).equals(canon(dk))
+
+
+def test_run_full_export_with_bookmarks(spark, eth_fixture_dir, tmp_path):
+    import os
+    from ethereum_export_pipeline_spark.operators.pipeline import run_full_export
+    csv_root, manifest = str(tmp_path / "csv"), str(tmp_path / "manifest")
+    plan = [(0, 19), (20, 39)]
+
+    done = run_full_export(spark, eth_fixture_dir, csv_root, plan=plan,
+                           manifest_path=manifest,
+                           export_receipts_and_logs=False,
+                           export_contracts=False)
+    assert done == plan
+    # reference layout: {table}/start_block=%08d/end_block=%08d/
+    assert os.path.isdir(
+        f"{csv_root}/blocks/start_block=00000020/end_block=00000039")
+    assert os.path.isdir(
+        f"{csv_root}/tokens/start_block=00000000/end_block=00000019")
+
+    # rerun: bookmark skips everything
+    assert run_full_export(spark, eth_fixture_dir, csv_root, plan=plan,
+                           manifest_path=manifest,
+                           export_receipts_and_logs=False,
+                           export_contracts=False) == []
