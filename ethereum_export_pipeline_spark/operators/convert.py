@@ -23,10 +23,21 @@ from ..schemas import apply_mapping, mapping_for
 from .nulls import drop_null_fields
 
 
+#: block-cursor column per table: sorting row groups by it makes
+#: parquet min/max stats prune point/range predicates WITHIN a
+#: partition file, not just across partition dirs.
+SORT_COLUMN = {
+    "blocks": "number", "transactions": "block_number",
+    "token_transfers": "block_number", "receipts": "block_number",
+    "logs": "block_number", "contracts": "block_number",
+}
+
+
 def convert_to_parquet(spark: SparkSession, csv_root: str, table: str,
                        out_root: str,
                        drop_all_null_columns: bool = False,
-                       max_records_per_file: int = 5_000_000) -> str:
+                       max_records_per_file: int = 5_000_000,
+                       sort_within: bool = True) -> str:
     """Run the conversion for one table; returns the output path."""
     from ..sources.csv_source import read_table_csv
 
@@ -34,6 +45,10 @@ def convert_to_parquet(spark: SparkSession, csv_root: str, table: str,
     typed = typed_projection(raw, table)
     if drop_all_null_columns:
         typed = drop_null_fields(typed)
+    if sort_within and table in SORT_COLUMN:
+        # local sort only (no shuffle): row-group min/max stats become
+        # tight, so block_number predicates skip row groups at read
+        typed = typed.sortWithinPartitions(SORT_COLUMN[table])
     out = f"{out_root.rstrip('/')}/{table}"
     (typed.write.mode("overwrite")
           .option("maxRecordsPerFile", max_records_per_file)

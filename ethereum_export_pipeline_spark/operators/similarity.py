@@ -1,13 +1,14 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths, as a training-data pipeline needs them:
+Three paths, as a training-data pipeline needs them:
   * brute-force cosine top-k — the exactness baseline; O(Q·N) dot
-    products as a broadcast nested-loop join. Fine for Q·N up to ~1e8
-    per executor-core; beyond that use the LSH path.
-  * random-hyperplane LSH — the scale path: 16 signed projections →
-    16-bit bucket; candidates share the bucket, ranked by exact cosine
-    within. At 100 TB the bucket join is an equi-shuffle on a 16-bit
-    key (salt-able), never O(N²).
+    products as a broadcast nested-loop join, guarded by `max_queries`.
+  * random-hyperplane LSH — the hash scale path: n_planes signed
+    projections → bucket per band; `n_bands` OR-amplifies recall.
+    At 100 TB the bucket join is an equi-shuffle on a small key
+    (salt-able), never O(N²).
+  * IVF — the data-adaptive scale path: plan-time k-means on a sample,
+    candidates share the query's nearest-centroid cell.
 
 Cross-engine determinism: embeddings are float32; float sums are
 order-sensitive, so engines could disagree in the last bits and flip
