@@ -96,3 +96,52 @@ def incremental_convert(spark: SparkSession, src_dir: str, dest_dir: str,
             .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.read.parquet(dest_dir).count() - n_before
+
+
+def windowed_counts_with_watermark(sdf: DataFrame, window: str = "10 minutes",
+                                   watermark: str = "30 minutes") -> DataFrame:
+    """Append-mode tumbling window counts with a watermark: rows later
+    than `watermark` behind the max seen event time are dropped, and a
+    window only emits once the watermark passes its end — the bounded-
+    state recipe for infinite streams (complete mode would keep every
+    window forever). Expects an event-time `ts` TIMESTAMP column."""
+    return (sdf.withWatermark("ts", watermark)
+               .groupBy(F.window("ts", window).alias("win"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select(F.col("win.start").alias("win_start"), "n"))
+
+
+def stream_chain_export(spark: SparkSession, dest_dir: str,
+                        checkpoint_dir: str, head: int,
+                        plan: list[tuple[int, int]] | None = None,
+                        batch_size: int = 100) -> None:
+    """Streaming form of the whole export (S1-stream → A2 layout):
+    tail the chain source and land blocks into the reference's
+    Hive range layout with exactly-once checkpointing. Blocks keep
+    arriving → new partition dirs appear; a restart resumes from the
+    committed offset."""
+    from ..partitioning import default_export_plan, range_cols
+    from ..sources import datasource
+    datasource.register(spark)
+    sdf = (spark.readStream.format("ethereum_chain")
+                .option("start", 0).option("head", head)
+                .option("batch_size", batch_size).load())
+    start, end = range_cols("number", plan or default_export_plan())
+    q = (sdf.select("*", start, end)
+            .writeStream.format("parquet")
+            .option("path", dest_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .partitionBy("start_block", "end_block")
+            .outputMode("append").start())
+    # the synthetic head is finite: stop once everything committed
+    import time
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(dest_dir).count() >= head + 1:
+                break
+        except Exception:
+            pass
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()

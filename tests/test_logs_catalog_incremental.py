@@ -279,3 +279,47 @@ def test_chain_export_token_transfers_from_logs(spark, eth_fixture_dir):
     src = raw.where((F.col("transaction_hash") == r.transaction_hash)
                     & (F.col("log_index") == r.log_index)).first()
     assert int(src.data[2:], 16) == int(r.value)
+
+
+def test_watermarked_window_drops_late_rows(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ethereum_export_pipeline_spark.streaming import (
+        read_stream, run_available_now, windowed_counts_with_watermark)
+    import pyspark.sql.functions as F
+    src = tmp_path / "wm"; src.mkdir()
+    base = 1_700_000_000_000_000  # µs epoch
+
+    def write(name, rows):
+        pq.write_table(pa.table({"event_id": [r[0] for r in rows],
+                                 "ts_us": [base + r[1] for r in rows]}),
+                       src / name)
+
+    minute = 60_000_000
+    write("b1.parquet", [(1, 0), (2, 5 * minute),
+                         (3, 120 * minute)])  # advances watermark far ahead
+    sdf = (read_stream(spark, str(src))
+           .select(F.expr("timestamp_micros(ts_us)").alias("ts")))
+    agg = windowed_counts_with_watermark(sdf)
+    # append mode: only windows fully below the watermark emit
+    import calendar
+    out = run_available_now(agg, output_mode="append")
+    emitted = {calendar.timegm(r.win_start.timetuple()): r.n
+               for r in out.collect()}
+    first_win = (base // minute // 10) * 600   # epoch-aligned 10-min window
+    head_win = ((base + 120 * minute) // minute // 10) * 600
+    assert emitted.get(first_win) == 2  # the closed early window emitted
+    assert head_win not in emitted      # open head window withheld
+
+
+def test_stream_chain_export_reference_layout(spark, tmp_path):
+    import os
+    from ethereum_export_pipeline_spark.streaming import stream_chain_export
+    dest, ckpt = str(tmp_path / "chain_pq"), str(tmp_path / "chain_ckpt")
+    plan = [(0, 99), (100, 199), (200, 299)]
+    stream_chain_export(spark, dest, ckpt, head=249, plan=plan)
+    df = spark.read.parquet(dest)
+    assert df.count() == 250
+    assert os.path.isdir(f"{dest}/start_block=00000200/end_block=00000299")
+    # partition pruning works on the streamed layout
+    assert (df.where("start_block = '00000100'").count() == 100)
