@@ -40,13 +40,16 @@ def topic_address(topic: Column) -> Column:
 
 def hex_uint_expr(col: str) -> str:
     """SQL text: 0x-hex uint256 in `col` → decimal(38,0) wei, exact
-    below 2^128, NULL at/above it (and NULL on any 38-digit overflow,
-    via try_multiply/try_add)."""
+    below 2^128; NULL at/above 2^128, on any 38-digit overflow
+    (try_multiply/try_add), and for malformed data longer than 32
+    bytes (lpad does not truncate, so the limb offsets would silently
+    land on the wrong bytes — NULL beats a wrong number)."""
     h = f"lpad(regexp_replace({col}, '^0x', ''), 64, '0')"
     hi = f"CAST(conv(substring({h}, 33, 16), 16, 10) AS DECIMAL(38,0))"
     lo = f"CAST(conv(substring({h}, 49, 16), 16, 10) AS DECIMAL(38,0))"
     return (
-        f"CASE WHEN substring({h}, 1, 32) <> repeat('0', 32) THEN CAST(NULL AS DECIMAL(38,0)) "
+        f"CASE WHEN length({h}) <> 64 THEN CAST(NULL AS DECIMAL(38,0)) "
+        f"WHEN substring({h}, 1, 32) <> repeat('0', 32) THEN CAST(NULL AS DECIMAL(38,0)) "
         f"ELSE CAST(try_add(try_multiply({hi}, CAST({_2_64} AS DECIMAL(38,0))), {lo}) AS DECIMAL(38,0)) END"
     )
 

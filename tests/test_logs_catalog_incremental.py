@@ -323,3 +323,33 @@ def test_stream_chain_export_reference_layout(spark, tmp_path):
     assert os.path.isdir(f"{dest}/start_block=00000200/end_block=00000299")
     # partition pruning works on the streamed layout
     assert (df.where("start_block = '00000100'").count() == 100)
+
+
+def test_incremental_commit_each_survives_midplan_crash(spark, tmp_path):
+    from ethereum_export_pipeline_spark.incremental import run_incremental
+    manifest = str(tmp_path / "crash_manifest")
+    plan = [(0, 9), (10, 19), (20, 29)]
+    seen = []
+
+    def boom(s, e):
+        if s == 20:
+            raise RuntimeError("node died")
+        seen.append((s, e))
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        run_incremental(spark, manifest, "blocks", plan, boom)
+    # per-range commits survived: only the failed range re-runs
+    redo = run_incremental(spark, manifest, "blocks", plan,
+                           lambda s, e: seen.append((s, e)))
+    assert redo == [(20, 29)]
+    assert seen == [(0, 9), (10, 19), (20, 29)]
+
+
+def test_malformed_long_data_decodes_to_null(spark):
+    rows = [Row(transaction_hash="0xm", log_index=0, address="0xtok",
+                data="0x" + "f" * 128,  # 64 bytes: malformed for ERC-20
+                topics=",".join([TRANSFER_SIG, _topic_addr("1" * 40),
+                                 _topic_addr("2" * 40)]), block_number=1)]
+    [r] = token_transfers_from_logs(make_logs(spark, rows)).collect()
+    assert r.value is None  # NULL, never a silently wrong number
