@@ -534,6 +534,37 @@ GROUP BY 1
 """
 
 
+ROLLUP_GRANS_S = [600, 3600, 86400]  # 10 min / hour / day
+
+def _events_multirollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the SAME scan
+    aggregated at several time granularities in one pass — each row
+    fans out to one (granularity, bucket) pair via an inline explode,
+    then a single hash aggregate covers every tier. One shuffle total,
+    vs one scan+shuffle per tier if run naively."""
+    e = load_table(spark, sf_dir, "events")
+    tiers = F.array(*[
+        F.struct(F.lit(g).cast("long").alias("gran_s"),
+                 (F.expr(f"(ts_ns div 1000) div {g * 1_000_000}") * g)
+                  .cast("long").alias("win_start_s"))
+        for g in ROLLUP_GRANS_S])
+    return (
+        e.withColumn("tier", F.explode(tiers))
+         .groupBy(F.col("tier.gran_s").alias("gran_s"),
+                  F.col("tier.win_start_s").alias("win_start_s"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.expr(f"CAST(sum({cents('value')}) AS BIGINT)").alias("value_cents"))
+    )
+
+
+_EVENTS_MULTIROLLUP_SQL = "\nUNION ALL\n".join(f"""
+SELECT CAST({g} AS BIGINT) AS gran_s,
+       (epoch_us(ts) // {g * 1_000_000}) * {g} AS win_start_s,
+       count(*) AS n,
+       CAST(sum({cents('value')}) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2""" for g in ROLLUP_GRANS_S)
+
+
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,6 +606,8 @@ QUERIES: dict[str, Query] = {
                          "as-of join vs native DuckDB ASOF"),
     "q_events_json": Query(_events_json, _EVENTS_JSON_SQL,
                            "JSON prop extraction + agg"),
+    "q_events_multirollup": Query(_events_multirollup, _EVENTS_MULTIROLLUP_SQL,
+                                  "hypertable rollup, 3 tiers, one pass"),
     "q_grouping_sets": Query(_grouping_sets, _GROUPING_SETS_SQL,
                              "grouping sets, shared SQL text"),
     "q_percentiles": Query(_percentiles, _PERCENTILES_SQL,
