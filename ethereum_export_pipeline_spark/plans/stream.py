@@ -8,12 +8,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import WINDOW_US, stream_tumbling_counts
+from .analytics import _EVENTS_SESSIONS_SQL
 from .base import Query
 
 
 def _stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_tumbling_counts(spark,
                                   f"{sf_dir.rstrip('/')}/events.parquet")
+
+
+def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionization, verified against the SAME
+    SQL oracle as the batch window sessionizer — custom stateful
+    streaming with a full value-hash check."""
+    from ..streaming.sessions import stream_sessionize
+    return stream_sessionize(spark, f"{sf_dir.rstrip('/')}/events.parquet")
 
 
 _STREAM_TUMBLING_SQL = f"""
@@ -26,4 +35,6 @@ FROM events GROUP BY 1
 QUERIES: dict[str, Query] = {
     "stream_tumbling_counts": Query(_stream_tumbling, _STREAM_TUMBLING_SQL,
                                     "availableNow streaming window agg"),
+    "stream_sessions": Query(_stream_sessions, _EVENTS_SESSIONS_SQL,
+                             "stateful applyInPandasWithState sessions"),
 }
