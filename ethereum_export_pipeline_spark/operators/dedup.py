@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import MERSENNE31, h32, h60, hash_family, tokens
+from ..functions import affine_hash, h32, h60, hash_family, tokens
 
 NGRAM_N = 3          # words per shingle
 MINHASH_K = 16       # signature length
@@ -147,7 +147,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     sh = shingles(df, id_col, text_col, n)
     hashed = sh.select(id_col, h32(F.col("shingle")).alias("h"))
     aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % MERSENNE31).alias(f"m{k}")
+        F.min(affine_hash(F.col("h"), a, b)).alias(f"m{k}")
         for k, (a, b) in enumerate(MINHASH_FAMILY)
     ]
     return hashed.groupBy(id_col).agg(*aggs)

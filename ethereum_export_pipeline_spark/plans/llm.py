@@ -20,7 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions import MERSENNE31, h32_sql, h60_sql
+from ..functions import (MERSENNE31, affine_hash_sql, h32_sql,
+                          h60_sql, tokens_sql)
 from ..operators import dedup, multimodal, similarity, text
 from ..sources.tables import load_table
 from .base import Query, cents
@@ -29,7 +30,7 @@ P = MERSENNE31
 
 # ------------------------------------------------------ shared oracle CTEs
 
-TOKS_CTE = ("SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t "
+TOKS_CTE = (f"SELECT doc_id, {tokens_sql('text')} AS t "
             "FROM documents WHERE text IS NOT NULL")
 
 SHINGLES_CTE = (
@@ -97,7 +98,7 @@ def _minhash_pairs_sql() -> str:
     k, bands = dedup.MINHASH_K, dedup.MINHASH_BANDS
     rows = k // bands
     mins = ", ".join(
-        f"min((h * {a} + {b}) % {P}) AS m{i}"
+        f"min({affine_hash_sql('h', a, b)}) AS m{i}"
         for i, (a, b) in enumerate(dedup.MINHASH_FAMILY))
     band_cols = ", ".join(
         "md5(concat_ws(',', '%d', %s)) AS band%d"
