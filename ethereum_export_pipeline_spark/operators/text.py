@@ -139,3 +139,42 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
         F.expr(expr).cast("long").alias("fingerprint"),
         F.size(F.col(TOKENS_COL)).cast("long").alias("re_tokens"),
     )
+
+
+def top_terms(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", k: int = 3) -> DataFrame:
+    """Keyword extraction: the k most frequent tokens per document,
+    ties broken lexicographically (deterministic on both engines).
+    Output: (id, term, n, rank). Explode → per-(doc,term) count →
+    partitioned top-k window; the window shuffles on the doc key only."""
+    from pyspark.sql import Window
+    counts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (Window.partitionBy(id_col)
+               .orderBy(F.col("n").desc(), F.col("term").asc()))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= k))
+
+
+def corpus_stats(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """One-row corpus accounting: documents, token volume, vocabulary
+    size, exact-duplicate ratio — the first report a training-data
+    pipeline prints. Two scans (token stats + dup grouping), both
+    map-side-combining aggregates."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tok_stats = toks.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("term").alias("vocab_size"))
+    base = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_unique_texts"))
+    return (base.crossJoin(tok_stats)
+                .withColumn("avg_doc_tokens",
+                            F.col("total_tokens") / F.col("n_docs"))
+                .withColumn("dup_ratio",
+                            (F.col("n_docs") - F.col("n_unique_texts"))
+                            / F.col("n_docs")))

@@ -237,6 +237,46 @@ FROM documents
 """
 
 
+# -------------------------------------------------------------- top terms
+
+TOP_TERMS_K = 3
+
+def _top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.top_terms(load_table(spark, sf_dir, "documents"),
+                          k=TOP_TERMS_K)
+
+
+def _top_terms_sql() -> str:
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+counts AS (SELECT doc_id, term, count(*) AS n
+           FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2)
+SELECT doc_id, term, n, rk AS rank FROM (
+  SELECT doc_id, term, n,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY n DESC, term ASC) AS BIGINT) AS rk
+  FROM counts
+) WHERE rk <= {TOP_TERMS_K}
+"""
+
+
+def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+_CORPUS_STATS_SQL = """
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents WHERE text IS NOT NULL),
+t AS (SELECT count(*) AS total_tokens, count(DISTINCT term) AS vocab_size FROM toks),
+b AS (SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique_texts
+      FROM documents)
+SELECT n_docs, n_unique_texts, total_tokens, vocab_size,
+       total_tokens / n_docs AS avg_doc_tokens,
+       (n_docs - n_unique_texts) / n_docs AS dup_ratio
+FROM b, t
+"""
+
+
 # ------------------------------------------------------------- fingerprint
 
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,6 +572,10 @@ QUERIES: dict[str, Query] = {
                               "token/char accounting"),
     "doc_fingerprint": Query(_fingerprint, _fingerprint_sql(),
                              "positional polynomial fingerprint"),
+    "doc_top_terms": Query(_top_terms, _top_terms_sql(),
+                           "per-doc keyword extraction"),
+    "doc_corpus_stats": Query(_corpus_stats, _CORPUS_STATS_SQL,
+                              "corpus-level accounting"),
     "emb_bruteforce_topk": Query(_brute_topk, _brute_topk_sql(),
                                  "exact cosine top-k baseline"),
     "emb_lsh_topk": Query(_lsh_topk, _lsh_topk_sql(),

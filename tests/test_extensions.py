@@ -262,3 +262,18 @@ def test_ivf_cells_cluster_similar_vectors(spark):
     out = ivf_topk(df, cents, k=3, query_pred="vec_id = 0", dim=8)
     ids = {r.neighbor_id for r in out.collect()}
     assert ids and ids <= {1, 2, 3, 4}   # only same-cluster candidates
+
+
+def test_top_terms_and_corpus_stats(spark):
+    from ethereum_export_pipeline_spark.operators.text import (
+        corpus_stats, top_terms)
+    df = docs(spark, [(1, "b a a b b c"), (2, "x x"), (3, "x x")])
+    terms = {(r.doc_id, r.rank): (r.term, r.n)
+             for r in top_terms(df, k=2).collect()}
+    assert terms[(1, 1)] == ("b", 3)
+    assert terms[(1, 2)] == ("a", 2)   # ties broken lexicographically
+    assert terms[(2, 1)] == ("x", 2)
+
+    [s] = corpus_stats(df).collect()
+    assert (s.n_docs, s.n_unique_texts, s.total_tokens, s.vocab_size) == (3, 2, 10, 4)
+    assert s.dup_ratio == pytest.approx(1 / 3)
