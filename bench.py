@@ -27,6 +27,10 @@ HEADLINE = [
     "q_grouping_sets",
     "q_percentiles",
     "q_asof_join",
+    "q7_volume_shipping",
+    "q13_cust_order_dist",
+    "q17_small_qty",
+    "q18_large_orders",
     "q_events_tumbling",
     "q_events_sessions",
     "q_events_json",

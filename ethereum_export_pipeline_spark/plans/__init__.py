@@ -10,13 +10,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, eth, llm
+from . import analytics, eth, llm, tpch2
 from .base import Query
 from .stream import QUERIES as _STREAM_QUERIES
 
 ALL_QUERIES: dict[str, Query] = {}
-for _mod_queries in (eth.QUERIES, analytics.QUERIES, llm.QUERIES,
-                     _STREAM_QUERIES):
+for _mod_queries in (eth.QUERIES, analytics.QUERIES, tpch2.QUERIES,
+                     llm.QUERIES, _STREAM_QUERIES):
     for _name, _q in _mod_queries.items():
         if _name in ALL_QUERIES:
             raise ValueError(f"duplicate query name: {_name}")

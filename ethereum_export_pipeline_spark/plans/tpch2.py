@@ -1,0 +1,301 @@
+"""Second tranche of TPC-H-shaped SQL-feature queries: the decorrelation
+patterns (scalar-per-key and global-scalar subqueries), outer-join
+aggregation, conditional aggregation, IN-subquery-over-HAVING, and a
+5-way dimension join. Together with plans.analytics this covers the
+join/subquery surface a consumer of the exported tables actually uses.
+
+Every entry follows plans.base's cross-engine typing rules. The two
+"compare against an average" queries (q17/q22) avoid mid-plan doubles
+entirely by cross-multiplying the inequality into exact int64 terms:
+``qty < 0.2 * sum/cnt``  →  ``qty * 5 * cnt < sum``. That keeps the
+whole plan in codegen'd integer arithmetic and makes the oracle hash
+exact by construction.
+
+Scale notes: the per-key aggregate in q17 is a map-side-combined hash
+agg reused via a self-join on the (already shuffled) key; q22's global
+scalar is a 1-row broadcast cross join — no driver collect; q7/q13/q18
+broadcast every dimension side (nation/customer/orders-keys) and keep
+the fact-table scan single-pass with pushed filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .base import Query, cents, qty, revenue_e4
+
+
+# ----------------------------------------------------------------- Q13
+
+def _cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — LEFT OUTER join with an extra ON-clause filter
+    on the inner side, then a two-level aggregation (orders per
+    customer → customers per order-count). The filter lives in the
+    join so customers with only urgent orders still appear with 0.
+
+    Scale: orders is pre-filtered before the join (filter pushes to the
+    scan); both group-bys are hash aggs on already-shuffled keys."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_custkey", "o_orderkey"))
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                    .groupBy("c_custkey")
+                    .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+_CUST_ORDER_DIST_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# ----------------------------------------------------------------- Q14
+
+def _promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional aggregation: the share of one
+    month's revenue coming from PROMO parts. One broadcast join
+    (part is the dim), one hash agg, one final division.
+
+    The ratio is the only double: ``100.0 * promo_e4 / total_e4`` over
+    two exact int64 sums — one fixed expression tree, bit-identical in
+    both engines."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+                 & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    g = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .agg(
+               F.expr(f"CAST(sum(CASE WHEN p_type = 'PROMO' THEN {revenue_e4()} ELSE 0 END) AS BIGINT)").alias("promo_e4"),
+               F.expr(f"CAST(sum({revenue_e4()}) AS BIGINT)").alias("total_e4"),
+           ))
+    return g.select(
+        "promo_e4", "total_e4",
+        (F.lit(100.0) * F.col("promo_e4") / F.col("total_e4")).alias("promo_pct"),
+    )
+
+
+_PROMO_EFFECT_SQL = f"""
+SELECT promo_e4, total_e4, 100.0 * promo_e4 / total_e4 AS promo_pct
+FROM (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {revenue_e4()} ELSE 0 END) AS BIGINT) AS promo_e4,
+         CAST(sum({revenue_e4()}) AS BIGINT) AS total_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+)
+"""
+
+
+# ----------------------------------------------------------------- Q17
+
+def _small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (``l_quantity <
+    0.2 * avg(l_quantity) per part``) decorrelated into a per-key
+    aggregate + equi-join, the standard Catalyst rewrite done
+    explicitly. The inequality is cross-multiplied to exact integers:
+    ``qty < 0.2 * sum/cnt  ⇔  qty * 5 * cnt < sum``.
+
+    Scale: both sides shuffle once on l_partkey (the agg's shuffle is
+    reused by AQE for the join); the brand filter prunes the probe
+    side before the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_brand") == "Brand#23").select("p_partkey"))
+    per_part = (li.groupBy("l_partkey")
+                  .agg(F.count(F.lit(1)).alias("cnt"),
+                       F.expr(f"CAST(sum({qty('l_quantity')}) AS BIGINT)").alias("sum_qty"))
+                  .select(F.col("l_partkey").alias("pk"), "cnt", "sum_qty"))
+    probe = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+               .select("l_partkey", "l_quantity", "l_extendedprice"))
+    small = (probe.join(per_part, probe.l_partkey == per_part.pk)
+                  .where(F.expr(f"{qty('l_quantity')} * 5 * cnt < sum_qty")))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.expr(f"CAST(coalesce(sum({cents('l_extendedprice')}), 0) AS BIGINT)").alias("rev_cents"),
+    ).select("n_small", "rev_cents",
+             (F.col("rev_cents") / F.lit(700.0)).alias("avg_yearly"))
+
+
+_SMALL_QTY_REVENUE_SQL = f"""
+SELECT n_small, rev_cents, rev_cents / 700.0 AS avg_yearly
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_small,
+         CAST(coalesce(sum({cents('l_extendedprice')}), 0) AS BIGINT) AS rev_cents
+  FROM lineitem
+  JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23') p
+    ON l_partkey = p.p_partkey
+  JOIN (
+    SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum({qty('l_quantity')}) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY 1
+  ) ON l_partkey = pk
+  WHERE {qty('l_quantity')} * 5 * cnt < sum_qty
+)
+"""
+
+
+# ----------------------------------------------------------------- Q18
+
+def _large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — IN-subquery over a HAVING aggregate (orders
+    whose total quantity exceeds a threshold), then join back to
+    orders and customer for the report.
+
+    Scale: the HAVING agg shrinks lineitem to a small key set, which
+    then BROADCASTS into orders — the classic semi-join-by-aggregate;
+    customer is a broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.expr(f"CAST(sum({qty('l_quantity')}) AS BIGINT)").alias("total_qty"))
+             .where(F.col("total_qty") > 150))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+                  .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+                  .select(
+                      "c_name", "o_orderkey",
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                      F.expr(cents("o_totalprice")).alias("totalprice_cents"),
+                      "total_qty"))
+
+
+_LARGE_ORDERS_SQL = f"""
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       {cents('o_totalprice')} AS totalprice_cents, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, CAST(sum({qty('l_quantity')}) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > 150
+) ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ----------------------------------------------------------------- Q22
+
+def _idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — global scalar subquery (corpus-wide average
+    balance) + NOT EXISTS anti-join (no orders since 2000), grouped
+    per nation. The average comparison is cross-multiplied to exact
+    int64 (``bal > sum/cnt  ⇔  bal * cnt > sum``), and the 1-row
+    aggregate reaches every row via a broadcast cross join — no
+    collect.
+
+    Scale: anti-join side is just recent o_custkey (column-pruned,
+    filter-pushed scan); at 100 TB the distinct-key set broadcasts or
+    AQE falls back to a shuffled anti-join."""
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey",
+                    F.expr(cents("c_acctbal")).alias("bal_cents")))
+    avg1 = (cust.where(F.col("bal_cents") > 0)
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.expr("CAST(sum(bal_cents) AS BIGINT)").alias("sum_cents")))
+    orders = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+              .select("o_custkey"))
+    rich = (cust.crossJoin(F.broadcast(avg1))
+                .where(F.col("bal_cents") * F.col("cnt") > F.col("sum_cents"))
+                .join(orders, cust.c_custkey == orders.o_custkey, "left_anti"))
+    return (rich.groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+                .agg(F.count(F.lit(1)).alias("numcust"),
+                     F.expr("CAST(sum(bal_cents) AS BIGINT)").alias("total_cents")))
+
+
+_IDLE_BALANCES_SQL = f"""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) AS total_cents
+FROM (
+  SELECT c_custkey, c_nationkey, {cents('c_acctbal')} AS bal_cents
+  FROM customer
+) c
+CROSS JOIN (
+  SELECT CAST(count(*) AS BIGINT) AS cnt, CAST(sum({cents('c_acctbal')}) AS BIGINT) AS sum_cents
+  FROM customer WHERE {cents('c_acctbal')} > 0
+)
+WHERE bal_cents * cnt > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ Q7
+
+def _volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — 5-way join (lineitem → supplier → orders →
+    customer, nation twice) with a symmetric OR pair-filter and a
+    per-year rollup of revenue between two trading nations.
+
+    Scale: nation/supplier/customer are broadcast dims; the only
+    shuffle is lineitem↔orders on orderkey, then the 3-column hash
+    agg. The OR filter evaluates post-join on broadcast columns —
+    cheap, codegen'd."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")) | \
+           ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    j = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+           .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+           .where(pair))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("l_year"))
+             .agg(F.expr(f"CAST(sum({revenue_e4()}) AS BIGINT)").alias("revenue_e4")))
+
+
+_VOLUME_SHIPPING_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum({revenue_e4()}) AS BIGINT) AS revenue_e4
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+)
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q13_cust_order_dist": Query(_cust_order_dist, _CUST_ORDER_DIST_SQL,
+                                 "outer-join two-level count distribution"),
+    "q14_promo_effect": Query(_promo_effect, _PROMO_EFFECT_SQL,
+                              "conditional-aggregation revenue share"),
+    "q17_small_qty": Query(_small_qty_revenue, _SMALL_QTY_REVENUE_SQL,
+                           "decorrelated per-key scalar subquery"),
+    "q18_large_orders": Query(_large_orders, _LARGE_ORDERS_SQL,
+                              "IN-subquery over HAVING aggregate"),
+    "q22_idle_balances": Query(_idle_balances, _IDLE_BALANCES_SQL,
+                               "global scalar subquery + anti-join"),
+    "q7_volume_shipping": Query(_volume_shipping, _VOLUME_SHIPPING_SQL,
+                                "5-way join, symmetric OR pair filter"),
+}

@@ -85,3 +85,36 @@ def test_keyed_fetch_falls_back_to_shuffle_semi_join(spark, catalog):
         assert j.count() > 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_q7_broadcasts_all_dims(spark, catalog):
+    # 5-way join: supplier/customer/nation×2 broadcast; the only
+    # shuffle join permitted is lineitem↔orders on orderkey
+    plan = plan_of(catalog["q7_volume_shipping"].fn(spark, SF_DIR), execute=True)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_pushes_priority_filter(spark, catalog):
+    # the ON-clause filter on orders must reach the orders scan, and
+    # the join must stay LeftOuter (customers with zero orders survive)
+    plan = plan_of(catalog["q13_cust_order_dist"].fn(spark, SF_DIR))
+    assert "LeftOuter" in plan
+    assert any("PushedFilters" in l and "o_orderpriority" in l
+               for l in plan.splitlines())
+
+
+def test_q17_no_cartesian_and_single_small_result(spark, catalog):
+    plan = plan_of(catalog["q17_small_qty"].fn(spark, SF_DIR), execute=True)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_scalar_is_broadcast_not_collect(spark, catalog):
+    # the 1-row global aggregate reaches rows via BroadcastNestedLoopJoin
+    # (a 1-row cross join is the ONE place that's the right plan);
+    # the recent-orders anti join must be hash, and the o_orderdate
+    # filter must reach the orders scan
+    plan = plan_of(catalog["q22_idle_balances"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert any("PushedFilters" in l and "o_orderdate" in l
+               for l in plan.splitlines())
