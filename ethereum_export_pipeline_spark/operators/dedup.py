@@ -261,3 +261,57 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
          .where(F.col("hamming") <= max_hamming)
          .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ----------------------------------------------- duplicate clusters
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", id_out: str = "doc_id",
+                         max_iter: int = 20) -> DataFrame:
+    """Collapse near-dup PAIRS into duplicate CLUSTERS: connected
+    components of the undirected pair graph, labelled by the minimum
+    member id. Output: (id_out, cluster_id) for every node that
+    appears in a pair (singletons are trivially their own cluster and
+    are left out — the caller left-joins and coalesces if it wants
+    keep-one-per-cluster semantics).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbours' labels, so after k rounds
+    a node carries the min id within graph distance k — convergence in
+    diameter(G) rounds, detected by a changed-label count. Dup
+    clusters are short-diameter (near-cliques from LSH banding), so
+    this terminates in 2-4 rounds in practice; `max_iter` bounds
+    pathological chains. This is the simple half of the large-star /
+    small-star MapReduce CC algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14); at 100 TB swap the
+    per-round join for the star-contraction steps if diameters grow.
+
+    Scale notes: one shuffle per round (join on the node key, then a
+    min-agg on the same key — AQE reuses the exchange);
+    `localCheckpoint` truncates the growing lineage each round so the
+    plan stays O(1) deep (on a cluster, prefer reliable
+    `checkpoint()` to survive executor loss). The graph that reaches
+    this operator is already pair-pruned by LSH, orders of magnitude
+    smaller than the corpus."""
+    edges = (pairs.select(F.col(src).cast("long").alias("u"),
+                          F.col(dst).cast("long").alias("v"))
+                  .union(pairs.select(F.col(dst).cast("long").alias("u"),
+                                      F.col(src).cast("long").alias("v")))
+                  .distinct())
+    labels = (edges.select("u").distinct()
+                   .select(F.col("u").alias("node"), F.col("u").alias("lbl")))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges.v == labels.node)
+                    .select(F.col("u").alias("node"), "lbl"))
+        new = (labels.union(nbr)
+                     .groupBy("node").agg(F.min("lbl").alias("lbl"))
+                     .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                      .join(labels.alias("o"), "node")
+                      .where(F.col("n.lbl") != F.col("o.lbl"))
+                      .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_out),
+                         F.col("lbl").alias("cluster_id"))

@@ -556,6 +556,38 @@ WHERE text IS NOT NULL AND octet_length(encode(text)) >= 4
 """
 
 
+# ------------------------------------------------- duplicate clusters
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs collapsed into duplicate clusters via
+    iterative min-label connected components (the genuinely iterative
+    operator of the catalog — each round is a join + min-agg)."""
+    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
+                                    threshold=NGRAM_THRESHOLD)
+    return dedup.connected_components(pairs)
+
+
+def _dedup_clusters_sql() -> str:
+    # min-reachable-id per node as a recursive CTE: UNION (set
+    # semantics) makes the fixpoint finite; min(lbl) per node is the
+    # component representative — exactly the operator's fixpoint.
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_pairs_sql()}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
                              "exact dedup via md5 hash-agg"),
@@ -563,6 +595,9 @@ QUERIES: dict[str, Query] = {
                              "n-gram Jaccard inverted-index near-dup"),
     "doc_minhash_pairs": Query(_minhash_pairs, _minhash_pairs_sql(),
                                "MinHash+LSH banded near-dup"),
+    "doc_dedup_clusters": Query(_dedup_clusters, _dedup_clusters_sql(),
+                                "near-dup pairs → connected-component "
+                                "clusters (iterative label propagation)"),
     "doc_simhash_pairs": Query(_simhash_pairs, _simhash_pairs_sql(),
                                "SimHash banded near-dup"),
     "doc_language_id": Query(_language_id, _language_id_sql(),

@@ -277,3 +277,14 @@ def test_top_terms_and_corpus_stats(spark):
     [s] = corpus_stats(df).collect()
     assert (s.n_docs, s.n_unique_texts, s.total_tokens, s.vocab_size) == (3, 2, 10, 4)
     assert s.dup_ratio == pytest.approx(1 / 3)
+
+
+def test_connected_components_chain_and_island(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        connected_components)
+    # chain 1-2-3 (diameter 2: takes two propagation rounds) + island 8-9
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 8)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
