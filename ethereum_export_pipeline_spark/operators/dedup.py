@@ -315,3 +315,22 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             break
     return labels.select(F.col("node").alias(id_out),
                          F.col("lbl").alias("cluster_id"))
+
+
+def keep_canonical(df: DataFrame, clusters: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Materialize the deduped corpus: keep every document that is
+    either outside the pair graph (singleton) or the canonical
+    (minimum-id) member of its duplicate cluster. This is the step a
+    training-data pipeline actually ships — pairs → clusters →
+    one-survivor-per-cluster.
+
+    Scale notes: `clusters` is LSH-pruned (pair-graph nodes only), so
+    it broadcasts into the full corpus scan — one broadcast left join
+    + filter, no shuffle of the 100 TB side."""
+    c = clusters.select(F.col(id_col).alias("_cc_id"),
+                        F.col("cluster_id").alias("_cc_lbl"))
+    return (df.join(F.broadcast(c), df[id_col] == c._cc_id, "left")
+              .where(F.col("_cc_lbl").isNull()
+                     | (F.col("_cc_lbl") == df[id_col]))
+              .drop("_cc_id", "_cc_lbl"))

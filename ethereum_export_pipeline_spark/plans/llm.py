@@ -588,6 +588,37 @@ FROM reach GROUP BY 1
 """
 
 
+def _dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pairs → clusters → keep min-id survivor per cluster: the
+    deduped-corpus materialization, reported as kept doc_ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=NGRAM_THRESHOLD)
+    clusters = dedup.connected_components(pairs)
+    return (dedup.keep_canonical(docs, clusters)
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
+def _dedup_canonical_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_pairs_sql()}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+), clusters AS (
+  SELECT node, min(lbl) AS lbl FROM reach GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+WHERE c.lbl IS NULL OR c.lbl = d.doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
                              "exact dedup via md5 hash-agg"),
@@ -598,6 +629,9 @@ QUERIES: dict[str, Query] = {
     "doc_dedup_clusters": Query(_dedup_clusters, _dedup_clusters_sql(),
                                 "near-dup pairs → connected-component "
                                 "clusters (iterative label propagation)"),
+    "doc_dedup_canonical": Query(_dedup_canonical, _dedup_canonical_sql(),
+                                 "deduped corpus: one survivor per "
+                                 "cluster (broadcast left join)"),
     "doc_simhash_pairs": Query(_simhash_pairs, _simhash_pairs_sql(),
                                "SimHash banded near-dup"),
     "doc_language_id": Query(_language_id, _language_id_sql(),

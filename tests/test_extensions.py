@@ -288,3 +288,16 @@ def test_connected_components_chain_and_island(spark):
     got = {r.doc_id: r.cluster_id
            for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_keep_canonical_survivors(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        connected_components, keep_canonical)
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 8, 9, 42)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 8)], "doc_a long, doc_b long")
+    kept = keep_canonical(docs, connected_components(pairs))
+    # min of {1,2,3} and of {8,9} survive; 42 is a singleton
+    assert {r.doc_id for r in kept.collect()} == {1, 8, 42}
+    assert kept.columns == ["doc_id", "text"]
