@@ -46,6 +46,7 @@ HEADLINE = [
     "doc_language_id",
     "doc_quality",
     "doc_fingerprint",
+    "doc_filter_funnel",
     "emb_bruteforce_topk",
     "emb_lsh_topk",
     "emb_neardup_pairs",

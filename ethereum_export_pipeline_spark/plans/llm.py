@@ -619,6 +619,49 @@ WHERE c.lbl IS NULL OR c.lbl = d.doc_id
 """
 
 
+# ------------------------------------------------------- filter funnel
+
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MIN_QUALITY = 0.55
+
+
+def _filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data gate: per-document first-matching reject
+    reason (too_short → non_english → low_quality → kept), reduced to
+    a per-reason census. Composes quality_score and language_id;
+    the quality threshold compares doubles that are bit-identical
+    across engines (single fixed expression tree over exact ints).
+
+    Scale: both metric branches are narrow projections of the same
+    documents scan joined on doc_id; if the scan dominates, fuse them
+    into one select — the funnel itself is a 4-row hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    lang = text.language_id(docs).select("doc_id", "pred_lang")
+    reason = (F.when(F.col("n_tokens") < FUNNEL_MIN_TOKENS, "too_short")
+               .when(F.col("pred_lang") != "en", "non_english")
+               .when(F.col("quality_score") < FUNNEL_MIN_QUALITY, "low_quality")
+               .otherwise("kept"))
+    return (q.join(lang, "doc_id")
+             .select(reason.alias("reason"))
+             .groupBy("reason")
+             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def _filter_funnel_sql() -> str:
+    return f"""
+WITH q AS ({_quality_sql()}), l AS ({_language_id_sql()})
+SELECT reason, CAST(count(*) AS BIGINT) AS n_docs FROM (
+  SELECT CASE WHEN q.n_tokens < {FUNNEL_MIN_TOKENS} THEN 'too_short'
+              WHEN l.pred_lang <> 'en' THEN 'non_english'
+              WHEN q.quality_score < {FUNNEL_MIN_QUALITY} THEN 'low_quality'
+              ELSE 'kept' END AS reason
+  FROM q JOIN l USING (doc_id)
+)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
                              "exact dedup via md5 hash-agg"),
@@ -645,6 +688,8 @@ QUERIES: dict[str, Query] = {
                            "per-doc keyword extraction"),
     "doc_corpus_stats": Query(_corpus_stats, _CORPUS_STATS_SQL,
                               "corpus-level accounting"),
+    "doc_filter_funnel": Query(_filter_funnel, _filter_funnel_sql(),
+                               "per-reason training-data reject census"),
     "emb_bruteforce_topk": Query(_brute_topk, _brute_topk_sql(),
                                  "exact cosine top-k baseline"),
     "emb_lsh_topk": Query(_lsh_topk, _lsh_topk_sql(),
