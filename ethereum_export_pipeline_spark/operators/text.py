@@ -178,3 +178,21 @@ def corpus_stats(df: DataFrame, id_col: str = "doc_id",
                 .withColumn("dup_ratio",
                             (F.col("n_docs") - F.col("n_unique_texts"))
                             / F.col("n_docs")))
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               salt: str = "split-v1", train_pct: int = 90) -> DataFrame:
+    """Deterministic train/val holdout assignment: hash the document
+    id (salted, so re-splitting with a new salt is a one-line change)
+    and bucket by percentile. Reproducible across runs, machines, and
+    engines — the property a training pipeline needs so examples never
+    migrate between train and eval as the corpus grows.
+
+    Scale notes: pure projection (md5 + modulo, JVM codegen), no
+    shuffle, no state; composes with any upstream filter/dedup."""
+    from ..functions import h32
+    h = h32(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return df.select(
+        F.col(id_col),
+        F.when(h % 100 < train_pct, "train").otherwise("val").alias("split"),
+    )

@@ -619,6 +619,25 @@ WHERE c.lbl IS NULL OR c.lbl = d.doc_id
 """
 
 
+# ---------------------------------------------------------- hash split
+
+def _hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted train/val assignment per document —
+    reproducible across engines by construction (same md5 bucketing
+    both sides)."""
+    return text.hash_split(load_table(spark, sf_dir, "documents")) \
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "split")
+
+
+def _hash_split_sql() -> str:
+    h = h32_sql("'split-v1:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN {h} % 100 < 90 THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
 # ------------------------------------------------------- filter funnel
 
 FUNNEL_MIN_TOKENS = 20
@@ -690,6 +709,8 @@ QUERIES: dict[str, Query] = {
                               "corpus-level accounting"),
     "doc_filter_funnel": Query(_filter_funnel, _filter_funnel_sql(),
                                "per-reason training-data reject census"),
+    "doc_hash_split": Query(_hash_split, _hash_split_sql(),
+                            "deterministic salted train/val holdout"),
     "emb_bruteforce_topk": Query(_brute_topk, _brute_topk_sql(),
                                  "exact cosine top-k baseline"),
     "emb_lsh_topk": Query(_lsh_topk, _lsh_topk_sql(),

@@ -301,3 +301,18 @@ def test_keep_canonical_survivors(spark):
     # min of {1,2,3} and of {8,9} survive; 42 is a singleton
     assert {r.doc_id for r in kept.collect()} == {1, 8, 42}
     assert kept.columns == ["doc_id", "text"]
+
+
+def test_hash_split_deterministic_and_ratioed(spark):
+    from ethereum_export_pipeline_spark.operators.text import hash_split
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(500)], "doc_id long, text string")
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    assert a == b                                   # reproducible
+    frac = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.85 <= frac <= 0.95                     # ~90/10
+    # a different salt reshuffles the assignment
+    c = {r.doc_id: r.split
+         for r in hash_split(docs, salt="split-v2").collect()}
+    assert c != a
