@@ -285,6 +285,44 @@ GROUP BY 1, 2, 3
 """
 
 
+# ----------------------------------------------------------------- Q15
+
+def _top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — argmax over an aggregate (the reference view
+    + max(total_revenue) pattern): per-supplier revenue for a quarter,
+    then keep the supplier(s) equal to the global max. Ties are exact
+    (int64 revenue), so both engines keep the same row set.
+
+    Scale: one shuffle for the per-supplier agg; the global max is a
+    1-row broadcast cross join back onto the agg (exchange reused by
+    AQE), and supplier is a broadcast dim."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                 & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))))
+    rev = (li.groupBy("l_suppkey")
+             .agg(F.expr(f"CAST(sum({revenue_e4()}) AS BIGINT)").alias("total_rev_e4")))
+    mx = rev.agg(F.max("total_rev_e4").alias("max_rev_e4"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(mx))
+               .where(F.col("total_rev_e4") == F.col("max_rev_e4"))
+               .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+               .select("s_suppkey", "s_name", "total_rev_e4"))
+
+
+_TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum({revenue_e4()}) AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_rev_e4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q13_cust_order_dist": Query(_cust_order_dist, _CUST_ORDER_DIST_SQL,
                                  "outer-join two-level count distribution"),
@@ -298,4 +336,6 @@ QUERIES: dict[str, Query] = {
                                "global scalar subquery + anti-join"),
     "q7_volume_shipping": Query(_volume_shipping, _VOLUME_SHIPPING_SQL,
                                 "5-way join, symmetric OR pair filter"),
+    "q15_top_supplier": Query(_top_supplier, _TOP_SUPPLIER_SQL,
+                              "argmax over aggregate, exact-int ties"),
 }
