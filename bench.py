@@ -39,19 +39,28 @@ HEADLINE = [
     "eth_semi_join",
     "eth_parquet_partitioned",
     "eth_range_join",
+    "eth_token_transfers",
     "doc_dedup_exact",
     "doc_ngram_pairs",
     "doc_minhash_pairs",
     "doc_simhash_pairs",
+    "doc_dedup_clusters",
+    "doc_dedup_canonical",
     "doc_language_id",
     "doc_quality",
     "doc_fingerprint",
     "doc_filter_funnel",
     "emb_bruteforce_topk",
     "emb_lsh_topk",
+    "emb_ivf_topk",
     "emb_neardup_pairs",
+    "emb_neardup_multiband",
     "mm_binary_stats",
+    "mm_extract_features",
+    "mm_resize",
+    "mm_frame_sample",
     "stream_tumbling_counts",
+    "stream_sessions",
 ]
 
 

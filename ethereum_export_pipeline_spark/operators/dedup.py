@@ -267,7 +267,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b", id_out: str = "doc_id",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Collapse near-dup PAIRS into duplicate CLUSTERS: connected
     components of the undirected pair graph, labelled by the minimum
     member id. Output: (id_out, cluster_id) for every node that
@@ -286,33 +287,61 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     Components in MapReduce and Beyond", SoCC'14); at 100 TB swap the
     per-round join for the star-contraction steps if diameters grow.
 
-    Scale notes: one shuffle per round (join on the node key, then a
-    min-agg on the same key — AQE reuses the exchange);
-    `localCheckpoint` truncates the growing lineage each round so the
-    plan stays O(1) deep (on a cluster, prefer reliable
-    `checkpoint()` to survive executor loss). The graph that reaches
-    this operator is already pair-pruned by LSH, orders of magnitude
-    smaller than the corpus."""
-    edges = (pairs.select(F.col(src).cast("long").alias("u"),
-                          F.col(dst).cast("long").alias("v"))
-                  .union(pairs.select(F.col(dst).cast("long").alias("u"),
-                                      F.col(src).cast("long").alias("v")))
-                  .distinct())
+    Scale notes: one Spark job per round — the old label rides the
+    min-agg as a second aggregate (`min(lbl) FILTER is_old`), so the
+    same shuffle that updates the labels also materializes the
+    old-vs-new comparison; the convergence probe is then a scan-count
+    over the just-checkpointed partitions (no join, no shuffle, no
+    recompute). Checkpointing truncates the growing lineage each round
+    so the plan stays O(1) deep: `localCheckpoint` (executor-memory
+    pinned) by default, or reliable `checkpoint()` into
+    `checkpoint_dir` on a real cluster (survives executor loss). The
+    graph that reaches this operator is already pair-pruned by LSH,
+    orders of magnitude smaller than the corpus.
+
+    Raises RuntimeError if the propagation has not reached its fixpoint
+    after `max_iter` rounds — partial labels would silently disagree
+    with the exact-fixpoint oracle (and with themselves across runs)."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _persist(df: DataFrame) -> DataFrame:
+        return (df.checkpoint(eager=True) if checkpoint_dir is not None
+                else df.localCheckpoint(eager=True))
+
+    # materialize the edge list ONCE before iterating: the pair frame's
+    # lineage is the whole upstream candidate pipeline (LSH banding +
+    # verify), and it is referenced twice per round — without this the
+    # entire pair generation would re-execute every iteration
+    edges = _persist(
+        pairs.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+             .union(pairs.select(F.col(dst).cast("long").alias("u"),
+                                 F.col(src).cast("long").alias("v")))
+             .distinct())
     labels = (edges.select("u").distinct()
                    .select(F.col("u").alias("node"), F.col("u").alias("lbl")))
+    changed = None
     for _ in range(max_iter):
         nbr = (edges.join(labels, edges.v == labels.node)
-                    .select(F.col("u").alias("node"), "lbl"))
-        new = (labels.union(nbr)
-                     .groupBy("node").agg(F.min("lbl").alias("lbl"))
-                     .localCheckpoint(eager=True))
-        changed = (new.alias("n")
-                      .join(labels.alias("o"), "node")
-                      .where(F.col("n.lbl") != F.col("o.lbl"))
-                      .limit(1).count())
-        labels = new
+                    .select(F.col("u").alias("node"), "lbl",
+                            F.lit(False).alias("is_old")))
+        new = _persist(
+            labels.select("node", "lbl", F.lit(True).alias("is_old"))
+                  .union(nbr)
+                  .groupBy("node")
+                  .agg(F.min("lbl").alias("lbl"),
+                       F.min(F.when(F.col("is_old"), F.col("lbl")))
+                        .alias("old_lbl")))
+        changed = new.where(F.col("lbl") != F.col("old_lbl")).limit(1).count()
+        labels = new.select("node", "lbl")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not converge "
+            f"within max_iter={max_iter} rounds (graph diameter exceeds the "
+            f"bound); raise max_iter or switch to star-contraction")
     return labels.select(F.col("node").alias(id_out),
                          F.col("lbl").alias("cluster_id"))
 

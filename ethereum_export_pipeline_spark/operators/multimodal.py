@@ -98,14 +98,20 @@ def resize_media(media: DataFrame, target_w: int = 64,
     production."""
     n_out = target_w * target_h
 
+    import numpy as np
+    base_idx = np.arange(n_out)
+
     def _resample(payload: bytes | None) -> bytes | None:
         if payload is None:
             return None
         if len(payload) == 0:
             return b"\x00" * n_out
+        # vectorized byte gather (a Python per-byte loop here costs
+        # n_out iterations PER ROW — the classic Pandas-UDF hot-path
+        # mistake this module exists to avoid)
         step = max(len(payload) // n_out, 1)
-        return bytes(payload[min(i * step, len(payload) - 1)]
-                     for i in range(n_out))
+        idx = np.minimum(base_idx * step, len(payload) - 1)
+        return np.frombuffer(payload, dtype=np.uint8)[idx].tobytes()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

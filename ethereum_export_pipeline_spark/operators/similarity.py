@@ -252,31 +252,49 @@ def train_ivf_centroids(vectors: "list[list[float]]",
     return [[int(v) for v in row] for row in q]
 
 
-def ivf_cell_expr(centroids: list[list[int]], qvec_col: str = "qvec") -> str:
+def ivf_cell_col(centroids: list[list[int]],
+                 qvec_col: str = "qvec") -> Column:
     """cell = 1-based argmin over centroids of exact int ||q - c||²
-    (ties → first minimum, identical in both engines)."""
-    dists = []
-    for c in centroids:
-        lit = "array(" + ", ".join(f"{v}L" for v in c) + ")"
-        dists.append(
-            f"aggregate(zip_with({qvec_col}, {lit}, (x, c) -> (x - c) * (x - c)), "
-            f"0L, (acc, v) -> acc + v)")
-    arr = "array(" + ", ".join(dists) + ")"
-    return f"array_position({arr}, array_min({arr}))"
+    (ties → first minimum, identical in both engines).
+
+    The centroid matrix enters the plan as ONE nested-array Literal
+    (not a tree of per-centroid CreateArray nodes): with 16×64 values
+    the per-centroid-aggregate form costs ~1s of analysis/codegen per
+    invocation and re-allocates the literal arrays per row, while a
+    single Literal + `transform` is a constant."""
+    C = F.lit(centroids)
+    dists = F.transform(
+        C, lambda c: F.aggregate(
+            F.zip_with(F.col(qvec_col), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, v: acc + v))
+    return F.array_position(dists, F.array_min(dists))
 
 
 def ivf_topk(df: DataFrame, centroids: list[list[int]],
              id_col: str = "vec_id", emb_col: str = "embedding",
              k: int = 5, query_pred: str | None = None,
-             dim: int = EMB_DIM) -> DataFrame:
+             dim: int = EMB_DIM,
+             scan_parallelism: int | None = None) -> DataFrame:
     """IVF(nprobe=1) top-k: exact cosine among candidates in the
     query's coarse-quantizer cell. The data-adaptive sibling of
     `lsh_topk`: cells follow the density of the corpus instead of
     random hyperplanes, so candidate lists are balanced where the
-    data is. The cell join is an equi-shuffle on a small int key."""
+    data is. The cell join is an equi-shuffle on a small int key.
+
+    `scan_parallelism`: cell assignment (n_cells × dim lambda evals
+    per row; Catalyst higher-order functions run interpreted, not
+    codegen'd) is the compute-bound step and happens BEFORE any
+    shuffle, so it runs at the SCAN's parallelism. On a cluster the
+    file splits provide that; a single small local file yields one
+    partition, so pass the core count to spread the work. Leave None
+    where the input is already well-split — it inserts a full
+    round-robin shuffle of the table."""
     query_pred = query_pred or f"{id_col} < 10"
-    base = (with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
-            .withColumn("cell", F.expr(ivf_cell_expr(centroids)).cast("long"))
+    narrowed = df.where(F.size(F.col(emb_col)) == dim)
+    if scan_parallelism is not None:
+        narrowed = narrowed.repartition(scan_parallelism)
+    base = (with_quantized(narrowed, emb_col)
+            .withColumn("cell", ivf_cell_col(centroids).cast("long"))
             .select(id_col, "qvec", "n2", "cell"))
     q = (base.where(query_pred)
              .select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qv"),

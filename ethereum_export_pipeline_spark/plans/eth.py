@@ -15,13 +15,12 @@ Reference citations per query are in each docstring.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from ..partitioning import range_cols, volume_balanced_plan
 from ..sources.tables import load_table, register_views
+from ..util import scratch_dir
 from .base import Query, cents
 
 # Volume-balanced plan over the o_orderkey domain — same ragged-tier
@@ -230,7 +229,7 @@ def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write a table as headered CSV, read it back with an explicit
     StructType (never inferred — SURVEY §2.1), return the rows."""
     n = load_table(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    out = scratch_dir("spark_graft_csv_")
     n.write.mode("overwrite").option("header", True).csv(out)
     schema = T.StructType([
         T.StructField("n_nationkey", T.IntegerType()),
@@ -253,7 +252,7 @@ def _parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning), aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     start, end = range_cols("l_orderkey", KEY_PLAN)
-    out = tempfile.mkdtemp(prefix="spark_graft_pq_") + "/lineitem"
+    out = scratch_dir("spark_graft_pq_") + "/lineitem"
     (li.select("l_orderkey", "l_extendedprice", start, end)
        # co-locate each Hive partition's rows before the write: without
        # this every one of the N shuffle partitions opens a file in
@@ -362,6 +361,116 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------------------ S5
+
+def _hex64(expr: str) -> str:
+    """'0x' + 64-hex-char left-zero-padded encoding of a BIGINT —
+    identical text in Spark SQL and DuckDB (hex() is uppercase,
+    no leading zeros, in both)."""
+    return f"concat('0x', lpad(lower(hex({expr})), 64, '0'))"
+
+
+def _token_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — event-topic-filtered log scan + Transfer decode (reference
+    config.py:51-53), exercised end-to-end on a logs-shaped frame
+    synthesized IN the query from the driver corpus: 'click' events
+    become well-formed ERC-20 Transfer logs, 'error' events get a
+    non-Transfer topic0 (exercises the signature filter), everything
+    else gets a 1-topic log (exercises the 3-topic arity filter).
+    The oracle computes the expected output directly from `events`,
+    so the hash check proves decode ∘ encode = identity: topic
+    filtering, address extraction (last 20 bytes of a padded topic),
+    and the 2×64-bit-limb uint256 value decode."""
+    from ..operators.logs import TRANSFER_SIG, token_transfers_from_logs
+    not_transfer = TRANSFER_SIG[:-1] + ("0" if TRANSFER_SIG[-1] != "0" else "1")
+    e = load_table(spark, sf_dir, "events")
+    logs = e.select(
+        F.expr("concat('0x', lpad(lower(hex(user_id % 97)), 40, '0'))")
+         .alias("address"),
+        F.expr(f"""CASE
+            WHEN event_type = 'click' THEN array('{TRANSFER_SIG}',
+                 {_hex64('user_id')}, {_hex64('user_id * 7 + 3')})
+            WHEN event_type = 'error' THEN array('{not_transfer}',
+                 {_hex64('user_id')}, {_hex64('user_id * 7 + 3')})
+            ELSE array('{TRANSFER_SIG}') END""").alias("topics"),
+        F.expr(_hex64(cents("value"))).alias("data"),
+        F.expr(_hex64("event_id")).alias("transaction_hash"),
+        F.col("event_id").alias("log_index"),
+        F.expr("event_id div 100").alias("block_number"),
+    )
+    out = token_transfers_from_logs(logs)
+    # decimal(38,0) → BIGINT for the output contract (the corpus values
+    # are cents < 2^63; decimal outputs are banned cross-engine)
+    return out.select("token_address", "from_address", "to_address",
+                      F.col("value").cast("long").alias("value_wei"),
+                      "transaction_hash", "log_index", "block_number")
+
+
+_TOKEN_TRANSFERS_SQL = f"""
+SELECT concat('0x', lpad(lower(hex(user_id % 97)), 40, '0')) AS token_address,
+       concat('0x', lpad(lower(hex(user_id)), 40, '0')) AS from_address,
+       concat('0x', lpad(lower(hex(user_id * 7 + 3)), 40, '0')) AS to_address,
+       {cents('value')} AS value_wei,
+       {_hex64('event_id')} AS transaction_hash,
+       event_id AS log_index,
+       event_id // 100 AS block_number
+FROM events WHERE event_type = 'click'
+"""
+
+
+# ------------------------------------------------------------------ P5
+
+def _resolve_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — ResolveChoice parity (Glue's choice-type resolution,
+    reference convert_blocks_to_parquet.py:47-57 context): a headered
+    CSV round trip in which one column's values conflict with the
+    declared INT type for some rows. PERMISSIVE parse surfaces the
+    conflicting rows in `_corrupt_record` (the bad field parses NULL,
+    the clean fields survive) and the resolution projects a typed
+    column + an is_corrupt flag + a defaulted fallback — the
+    `cast`/`make_cols` choices of ResolveChoice as one plan."""
+    n = load_table(spark, sf_dir, "nation")
+    raw = n.select(
+        "n_nationkey", "n_name",
+        F.expr("CASE WHEN n_nationkey % 7 = 3 "
+               "THEN concat('r', CAST(n_regionkey AS STRING)) "
+               "ELSE CAST(n_regionkey AS STRING) END").alias("region_raw"))
+    out = scratch_dir("spark_graft_choice_")
+    raw.write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("region_raw", T.IntegerType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    back = (spark.read.option("header", True)
+                 .option("mode", "PERMISSIVE")
+                 .option("columnNameOfCorruptRecord", "_corrupt_record")
+                 .schema(schema).csv(out))
+    return back.select(
+        F.col("n_nationkey").cast("long").alias("nation_key"),
+        "n_name",
+        F.col("region_raw").cast("long").alias("region_key"),
+        F.col("_corrupt_record").isNotNull().cast("long").alias("is_corrupt"),
+        F.coalesce(F.col("region_raw").cast("long"), F.lit(-1))
+         .alias("region_resolved"),
+    )
+
+
+_RESOLVE_CHOICE_SQL = """
+SELECT CAST(n_nationkey AS BIGINT) AS nation_key, n_name,
+       TRY_CAST(region_raw AS BIGINT) AS region_key,
+       CAST(CASE WHEN TRY_CAST(region_raw AS BIGINT) IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_corrupt,
+       coalesce(TRY_CAST(region_raw AS BIGINT), -1) AS region_resolved
+FROM (SELECT n_nationkey, n_name,
+             CASE WHEN n_nationkey % 7 = 3
+                  THEN 'r' || CAST(n_regionkey AS VARCHAR)
+                  ELSE CAST(n_regionkey AS VARCHAR) END AS region_raw
+      FROM nation)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "eth_typed_projection": Query(_typed_projection, _TYPED_PROJECTION_SQL,
                                   "P1-P3 ApplyMapping typed projection"),
@@ -390,4 +499,10 @@ QUERIES: dict[str, Query] = {
                              "S9 catalog SQL surface"),
     "eth_range_join": Query(_range_join, _range_join_sql(),
                             "J4 partition-aligned range join"),
+    "eth_token_transfers": Query(_token_transfers, _TOKEN_TRANSFERS_SQL,
+                                 "S5 topic-filtered Transfer log decode "
+                                 "(encode→decode roundtrip vs direct oracle)"),
+    "eth_resolve_choice": Query(_resolve_choice, _RESOLVE_CHOICE_SQL,
+                                "P5 ResolveChoice: PERMISSIVE CSV parse + "
+                                "typed resolution of conflicting rows"),
 }

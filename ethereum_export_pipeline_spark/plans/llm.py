@@ -363,12 +363,42 @@ cos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM scored)
 """
 
 
+LSH_TOPK_BANDS = 2  # graded default: OR-amplified recall (≥2 bands)
+
+
 def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(load_table(spark, sf_dir, "embeddings"),
-                               k=TOPK_K, n_planes=LSH_PLANES)
+                               k=TOPK_K, n_planes=LSH_PLANES,
+                               n_bands=LSH_TOPK_BANDS)
 
 
 def _lsh_topk_sql() -> str:
+    return f"""
+WITH {_BASE_CTES},
+melted AS (SELECT vec_id, q, n2,
+           unnest({_banded_bucket_list_sql(LSH_TOPK_BANDS)}) AS bucket FROM wn),
+q AS (SELECT vec_id AS query_id, bucket FROM melted WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, bucket FROM melted),
+cand AS (SELECT DISTINCT query_id, neighbor_id FROM q JOIN c USING (bucket)
+         WHERE neighbor_id <> query_id),
+wnp AS (SELECT cand.query_id, cand.neighbor_id,
+               wq.q AS qv, wq.n2 AS qn2, wc.q AS cv, wc.n2 AS cn2
+        FROM cand JOIN wn wq ON wq.vec_id = cand.query_id
+                  JOIN wn wc ON wc.vec_id = cand.neighbor_id),
+scored AS (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2 FROM wnp),
+cos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM scored)
+{_topk_tail(TOPK_K)}
+"""
+
+
+def _lsh_topk_1band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-band labeled variant (the weakest-recall configuration,
+    kept for comparison against the ≥2-band graded default)."""
+    return similarity.lsh_topk(load_table(spark, sf_dir, "embeddings"),
+                               k=TOPK_K, n_planes=LSH_PLANES, n_bands=1)
+
+
+def _lsh_topk_1band_sql() -> str:
     return f"""
 WITH {_BASE_CTES},
 bkt AS (SELECT vec_id, q, n2, {_bucket_sql_expr()} AS bucket FROM wn),
@@ -381,27 +411,29 @@ cos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM scored)
 """
 
 
+NEARDUP_BANDS = 2    # graded default: ≥2 bands (OR-amplified recall)
+MULTIBAND_BANDS = 3  # the wider-recall labeled variant
+
+
 def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS,
-        n_planes=LSH_PLANES)
-
-
-NEARDUP_BANDS = 2
-
-def _emb_neardup_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS,
         n_planes=LSH_PLANES, n_bands=NEARDUP_BANDS)
 
 
-def _emb_neardup_multiband_sql() -> str:
+def _emb_neardup_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS,
+        n_planes=LSH_PLANES, n_bands=MULTIBAND_BANDS)
+
+
+def _emb_neardup_banded_sql(n_bands: int) -> str:
     return f"""
 WITH {_BASE_CTES},
 melted AS (SELECT vec_id, q, n2,
-           unnest({_banded_bucket_list_sql(NEARDUP_BANDS)}) AS bucket FROM wn),
-a AS (SELECT vec_id AS id_a, q AS qv, n2 AS qn2, bucket FROM melted),
-b AS (SELECT vec_id AS id_b, q AS cv, n2 AS cn2, bucket FROM melted),
+           unnest({_banded_bucket_list_sql(n_bands)}) AS bucket FROM wn),
+a AS (SELECT vec_id AS id_a, bucket FROM melted),
+b AS (SELECT vec_id AS id_b, bucket FROM melted),
 pairs AS (SELECT DISTINCT id_a, id_b FROM a JOIN b USING (bucket)
           WHERE id_a < id_b),
 wnp AS (SELECT p.id_a, p.id_b, wa.q AS qv, wa.n2 AS qn2,
@@ -409,20 +441,6 @@ wnp AS (SELECT p.id_a, p.id_b, wa.q AS qv, wa.n2 AS qn2,
         FROM pairs p JOIN wn wa ON wa.vec_id = p.id_a
                      JOIN wn wb ON wb.vec_id = p.id_b),
 scored AS (SELECT id_a, id_b, {_DOT} AS dot, qn2, cn2 FROM wnp)
-SELECT id_a, id_b, cosine FROM
-  (SELECT id_a, id_b, {_COS} AS cosine FROM scored)
-WHERE cosine >= {NEARDUP_COS}
-"""
-
-
-def _emb_neardup_sql() -> str:
-    return f"""
-WITH {_BASE_CTES},
-bkt AS (SELECT vec_id, q, n2, {_bucket_sql_expr()} AS bucket FROM wn),
-a AS (SELECT vec_id AS id_a, q AS qv, n2 AS qn2, bucket FROM bkt),
-b AS (SELECT vec_id AS id_b, q AS cv, n2 AS cn2, bucket FROM bkt),
-scored AS (SELECT id_a, id_b, {_DOT} AS dot, qn2, cn2
-           FROM a JOIN b USING (bucket) WHERE id_a < id_b)
 SELECT id_a, id_b, cosine FROM
   (SELECT id_a, id_b, {_COS} AS cosine FROM scored)
 WHERE cosine >= {NEARDUP_COS}
@@ -456,8 +474,11 @@ IVF_CENTROIDS = _ivf_centroids()
 
 
 def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"),
-                               IVF_CENTROIDS, k=TOPK_K)
+    # the fixture is one small parquet file (one split) — spread the
+    # compute-bound cell assignment across the cores
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), IVF_CENTROIDS, k=TOPK_K,
+        scan_parallelism=spark.sparkContext.defaultParallelism)
 
 
 def _ivf_cell_sql() -> str:
@@ -516,10 +537,40 @@ FROM documents GROUP BY 1
 
 
 def _extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas Arrow-batched feature extraction — the decode stub is
-    Python, so there is deliberately NO SQL oracle (driver records the
-    rows-only check)."""
-    return multimodal.extract_features(_doc_media(spark, sf_dir))
+    """mapInPandas Arrow-batched feature extraction, HASH-checked: the
+    deterministic byte-histogram stub emits count/total float ratios;
+    multiplying back by n_bytes and rounding recovers the exact integer
+    bucket counts (b ≤ n_bytes ≪ 2^52, so the float roundtrip is
+    exact), which the oracle recomputes from the blob's hex encoding —
+    the full Arrow mapInPandas path is inside the hash check."""
+    feats = multimodal.extract_features(_doc_media(spark, sf_dir))
+    hist = [
+        F.expr(f"CAST(round(element_at(feature, {b + 1}) * "
+               f"greatest(n_bytes, 1)) AS BIGINT)").alias(f"hist_{b}")
+        for b in range(8)
+    ]
+    return feats.select("media_id", "n_bytes", *hist)
+
+
+def _extract_features_sql() -> str:
+    # byte >> 5 == (value of the byte's FIRST hex digit) // 2; hex() of
+    # a blob is identical uppercase text in both engines
+    hists = ", ".join(
+        "CASE WHEN h IS NULL THEN NULL ELSE CAST(len(list_filter(range(nb), "
+        "i -> (strpos('0123456789ABCDEF', substring(h, CAST(2*i+1 AS INT), 1)) - 1) // 2 "
+        f"= {b})) AS BIGINT) END AS hist_{b}"
+        for b in range(8))
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE hex(encode(text)) END AS h,
+         CASE WHEN text IS NULL THEN 0
+              ELSE octet_length(encode(text)) END AS nb
+  FROM documents
+)
+SELECT doc_id AS media_id, CAST(nb AS BIGINT) AS n_bytes, {hists}
+FROM m
+"""
 
 
 def _resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,12 +598,17 @@ def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.octet_length("frame").cast("long").alias("frame_bytes"))
 
 
+# mirrors sample_frames exactly, including payloads SHORTER than
+# n_frames bytes: stride = max(len // 4, 1) and only min(4, len)
+# frames are emitted, so a 1-3-byte payload fans out to len frames
 _FRAME_SAMPLE_SQL = """
 SELECT doc_id AS media_id, i AS frame_idx,
-       least(256, octet_length(encode(text)) -
-                  i * (octet_length(encode(text)) // 4)) AS frame_bytes
+       CAST(least(256, octet_length(encode(text)) -
+                  i * greatest(octet_length(encode(text)) // 4, 1)) AS BIGINT)
+         AS frame_bytes
 FROM documents, UNNEST(range(4)) u(i)
-WHERE text IS NOT NULL AND octet_length(encode(text)) >= 4
+WHERE text IS NOT NULL AND octet_length(encode(text)) >= 1
+  AND i < least(4, octet_length(encode(text)))
 """
 
 
@@ -714,18 +770,26 @@ QUERIES: dict[str, Query] = {
     "emb_bruteforce_topk": Query(_brute_topk, _brute_topk_sql(),
                                  "exact cosine top-k baseline"),
     "emb_lsh_topk": Query(_lsh_topk, _lsh_topk_sql(),
-                          "hyperplane-LSH bucketed top-k"),
+                          "hyperplane-LSH bucketed top-k "
+                          f"({LSH_TOPK_BANDS}-band OR-amplified)"),
+    "emb_lsh_topk_1band": Query(_lsh_topk_1band, _lsh_topk_1band_sql(),
+                                "single-band LSH top-k (labeled "
+                                "weakest-recall variant)"),
     "emb_ivf_topk": Query(_ivf_topk, _ivf_topk_sql(),
                           "IVF coarse-quantizer top-k"),
-    "emb_neardup_pairs": Query(_emb_neardup, _emb_neardup_sql(),
-                               "embedding-cosine near-dup pairs"),
+    "emb_neardup_pairs": Query(_emb_neardup,
+                               _emb_neardup_banded_sql(NEARDUP_BANDS),
+                               f"embedding-cosine near-dup pairs "
+                               f"({NEARDUP_BANDS}-band)"),
     "emb_neardup_multiband": Query(_emb_neardup_multiband,
-                                   _emb_neardup_multiband_sql(),
-                                   "OR-amplified 2-band LSH near-dup"),
+                                   _emb_neardup_banded_sql(MULTIBAND_BANDS),
+                                   f"OR-amplified {MULTIBAND_BANDS}-band "
+                                   f"LSH near-dup"),
     "mm_binary_stats": Query(_binary_stats, _BINARY_STATS_SQL,
                              "binary payload accounting"),
-    "mm_extract_features": Query(_extract_features, None,
-                                 "mapInPandas decode (stub) — rows-only"),
+    "mm_extract_features": Query(_extract_features, _extract_features_sql(),
+                                 "mapInPandas decode (stub) — hash-checked "
+                                 "via exact integer byte-histogram"),
     "mm_resize": Query(_resize, _RESIZE_SQL,
                        "resize plumbing, metadata oracle"),
     "mm_frame_sample": Query(_frame_sample, _FRAME_SAMPLE_SQL,

@@ -17,7 +17,6 @@ DuckDB oracle checks.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -38,7 +37,8 @@ def read_stream(spark: SparkSession, path: str) -> DataFrame:
     ensure_conf(spark)
     static = spark.read.parquet(path)
     if path.rstrip("/").endswith(".parquet"):
-        staged = tempfile.mkdtemp(prefix="spark_graft_stream_")
+        from ..util import scratch_dir
+        staged = scratch_dir("spark_graft_stream_")
         os.symlink(os.path.abspath(path),
                    os.path.join(staged, os.path.basename(path)))
         path = staged
@@ -114,12 +114,18 @@ def windowed_counts_with_watermark(sdf: DataFrame, window: str = "10 minutes",
 def stream_chain_export(spark: SparkSession, dest_dir: str,
                         checkpoint_dir: str, head: int,
                         plan: list[tuple[int, int]] | None = None,
-                        batch_size: int = 100) -> None:
+                        batch_size: int = 100,
+                        timeout_s: float = 120.0) -> None:
     """Streaming form of the whole export (S1-stream → A2 layout):
     tail the chain source and land blocks into the reference's
     Hive range layout with exactly-once checkpointing. Blocks keep
     arriving → new partition dirs appear; a restart resumes from the
-    committed offset."""
+    committed offset.
+
+    Raises TimeoutError if the synthetic head has not fully landed
+    within `timeout_s` — a partial export must never return silently
+    (the checkpoint still holds the committed offset, so a retry with
+    a larger timeout resumes, not restarts)."""
     from ..partitioning import default_export_plan, range_cols
     from ..sources import datasource
     datasource.register(spark)
@@ -135,13 +141,20 @@ def stream_chain_export(spark: SparkSession, dest_dir: str,
             .outputMode("append").start())
     # the synthetic head is finite: stop once everything committed
     import time
-    deadline = time.time() + 120
+    deadline = time.time() + timeout_s
+    landed = 0
     while time.time() < deadline:
         try:
-            if spark.read.parquet(dest_dir).count() >= head + 1:
-                break
+            landed = spark.read.parquet(dest_dir).count()
         except Exception:
-            pass
+            landed = 0
+        if landed >= head + 1:
+            break
         time.sleep(0.5)
     q.stop()
     q.awaitTermination()
+    if landed < head + 1:
+        raise TimeoutError(
+            f"stream_chain_export: only {landed}/{head + 1} blocks landed "
+            f"within {timeout_s}s; the checkpoint holds the committed "
+            f"offset — rerun with a larger timeout_s to resume")

@@ -36,8 +36,14 @@ OUTPUT_SCHEMA = StructType([
     StructField("dur_us", LongType()),
 ])
 
+#: The full open-session tail lives in state — start, last event time,
+#: event count, and the session counter — so a session that continues
+#: across micro-batches resumes with the correct start/n_events instead
+#: of a None start (which would crash the final emit).
 STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
     StructField("last_us", LongType()),
+    StructField("n_events", LongType()),
     StructField("session_seq", LongType()),
 ])
 
@@ -48,22 +54,29 @@ def _sessionize_key(key, pdfs: Iterator[pd.DataFrame],
     ts = pd.concat([pdf["ts_us"] for pdf in pdfs]).sort_values().to_numpy()
     if len(ts) == 0:
         return
-    last_us, seq = state.get if state.exists else (None, 0)
+    if state.exists:
+        cur_start, last_us, cur_n, seq = state.get
+    else:
+        cur_start, last_us, cur_n, seq = None, None, 0, 0
+    # a carried-over open session was already emitted (with exactly
+    # these values) by the batch that created it — only re-emit it if
+    # this batch changes it
+    emitted_as_is = state.exists
 
     out: list[tuple[int, int, int, int, int]] = []
-    cur_start, cur_n = None, 0
     for t in ts:
         t = int(t)
         if last_us is None or t - last_us > SESSION_GAP_US:
-            if cur_start is not None:
+            if cur_start is not None and not emitted_as_is:
                 out.append((user_id, seq, cur_n, cur_start, last_us - cur_start))
             seq += 1
             cur_start, cur_n = t, 0
         cur_n += 1
         last_us = t
+        emitted_as_is = False
     out.append((user_id, seq, cur_n, cur_start, last_us - cur_start))
 
-    state.update((last_us, seq))
+    state.update((cur_start, last_us, cur_n, seq))
     yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
 

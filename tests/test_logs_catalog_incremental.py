@@ -217,6 +217,57 @@ def test_stateful_stream_sessionize_equals_batch(spark, tmp_path):
     assert got == exp
 
 
+def test_sessionize_key_carries_state_across_batches():
+    """A session continuing across micro-batches must resume with the
+    carried start/n_events (not crash on a None start), and a session
+    closed untouched must not be re-emitted."""
+    import pandas as pd
+    from ethereum_export_pipeline_spark.streaming.sessions import (
+        SESSION_GAP_US, _sessionize_key)
+
+    class FakeState:
+        def __init__(self, v=None):
+            self._v = v
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    def run(state, ts_list):
+        out = list(_sessionize_key(
+            (7,), iter([pd.DataFrame({"ts_us": ts_list})]), state))
+        return pd.concat(out).itertuples(index=False) if out else []
+
+    # batch 1: two events, one open session
+    st = FakeState()
+    rows = [tuple(r) for r in run(st, [0, 60_000_000])]
+    assert rows == [(7, 1, 2, 0, 60_000_000)]
+    assert st._v == (0, 60_000_000, 2, 1)
+
+    # batch 2a: event CONTINUES the open session (within the gap) —
+    # the pre-fix crash path; start/n_events must carry over
+    st2 = FakeState((0, 60_000_000, 2, 1))
+    rows = [tuple(r) for r in run(st2, [120_000_000])]
+    assert rows == [(7, 1, 3, 0, 120_000_000)]
+    assert st2._v == (0, 120_000_000, 3, 1)
+
+    # batch 2b: event OPENS a new session — the closed carried session
+    # was already emitted with identical values, so only the new one
+    # is emitted
+    st3 = FakeState((0, 60_000_000, 2, 1))
+    t = 60_000_000 + SESSION_GAP_US + 1
+    rows = [tuple(r) for r in run(st3, [t])]
+    assert rows == [(7, 2, 1, t, 0)]
+    assert st3._v == (t, t, 1, 2)
+
+
 def test_incremental_convert_processes_only_new_files(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq

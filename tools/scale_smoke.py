@@ -1,46 +1,83 @@
 """Scale smoke: amplify the sf0.1 corpus N× into /tmp (fresh ids, so
 dedup/join cardinalities grow honestly) and run the heaviest operators
 — the empirical check behind SCALE.md's extrapolations. Prints one
-JSON line with row counts and per-op seconds."""
+JSON line with row counts, per-op seconds, and per-op shuffle bytes
+(read from the Spark event log, attributed by job group).
+
+Usage: python tools/scale_smoke.py [amplify=10]
+"""
 
 from __future__ import annotations
 
+import glob
 import json
+import os
 import sys
+import tempfile
 import time
 
 AMPLIFY = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 SF_DIR = "/root/testdata/sf0.1"
 
 
-def main() -> int:
-    import tempfile
-
+def amplified_text_variants(amplify: int):
+    """One text variant per copy with pairwise-DISJOINT vocabulary:
+    within a 26-copy group, a Caesar shift of the letters; across
+    groups, a per-group token suffix (regexp appended to every token).
+    Copies therefore share no shingles with each other OR with other
+    groups, so document density (near-dup structure, shingle df
+    profile) matches the original corpus — the honest way to amplify
+    for dedup ops. (A naive suffix perturbation makes every copy a
+    near-dup of its original: candidate pairs grow N², which is
+    output, not overhead.)"""
     from pyspark.sql import functions as F
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    variants = []
+    for c in range(amplify):
+        shift, group = c % 26, c // 26
+        v = F.translate("text", alpha, alpha[shift:] + alpha[:shift])
+        if group > 0:
+            v = F.regexp_replace(v, "([a-z0-9]+)", f"$1zq{group}")
+        variants.append(v)
+    return F.array(*variants)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession, functions as F
 
     sys.path.insert(0, ".")
-    from ethereum_export_pipeline_spark.operators import dedup, similarity, text
-    from ethereum_export_pipeline_spark.session import get_spark
+    from ethereum_export_pipeline_spark.operators import dedup, text
+    from ethereum_export_pipeline_spark.session import RUNTIME_CONFS
 
-    spark = get_spark("scale_smoke")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    event_dir = tempfile.mkdtemp(prefix="spark_graft_evlog_")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale_smoke")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", event_dir)
+        .config("spark.sql.warehouse.dir",
+                tempfile.mkdtemp(prefix="spark_graft_wh_"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sc = spark.sparkContext
+
     out = tempfile.mkdtemp(prefix="spark_graft_scale_")
 
-    # documents ×N with distinct ids AND per-copy Caesar-shifted vocab:
-    # copies share no shingles with each other, so document density
-    # (near-dup structure, shingle document-frequency profile) matches
-    # the original corpus — the honest way to amplify for dedup ops
-    # (a naive suffix perturbation makes every copy a near-dup of its
-    # original: candidate pairs grow N², which is output, not overhead)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
     copies = spark.range(AMPLIFY).select(F.col("id").alias("copy"))
-    alpha = "abcdefghijklmnopqrstuvwxyz"
-    variants = F.array(*[
-        F.translate("text", alpha, alpha[c % 26:] + alpha[:c % 26])
-        for c in range(AMPLIFY)])
     big_docs = (docs.crossJoin(copies)
                     .select((F.col("doc_id") + F.col("copy") * n_docs).alias("doc_id"),
-                            F.element_at(variants,
+                            F.element_at(amplified_text_variants(AMPLIFY),
                                          F.col("copy").cast("int") + 1).alias("text")))
     big_docs.write.mode("overwrite").parquet(f"{out}/documents")
     big_docs = spark.read.parquet(f"{out}/documents")
@@ -54,24 +91,72 @@ def main() -> int:
     big_li.write.mode("overwrite").parquet(f"{out}/lineitem")
     big_li = spark.read.parquet(f"{out}/lineitem")
 
-    def bench(label, frame):
-        t0 = time.time()
-        frame.write.mode("overwrite").format("noop").save()
-        return label, round(time.time() - t0, 2)
+    timings: dict[str, float] = {}
 
-    results = dict([
-        bench("q1_agg_6m_rows", big_li.groupBy("l_returnflag", "l_linestatus")
-              .agg(F.count(F.lit(1)).alias("n"),
-                   F.expr("CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)")
-                    .alias("cents"))),
-        bench("dedup_exact_50k_docs", dedup.dedup_exact(big_docs)),
-        bench("ngram_pairs_50k_docs", dedup.ngram_jaccard_pairs(big_docs)),
-        bench("minhash_pairs_50k_docs", dedup.minhash_lsh_pairs(big_docs)),
-        bench("simhash_pairs_50k_docs", dedup.simhash_pairs(big_docs)),
-        bench("quality_50k_docs", text.quality_score(big_docs)),
-    ])
-    print(json.dumps({"amplify": AMPLIFY, "docs": n_docs * AMPLIFY,
-                      "lineitem": n_li * AMPLIFY, "secs": results}))
+    def bench(label, thunk):
+        sc.setJobGroup(label, label)
+        t0 = time.time()
+        thunk().write.mode("overwrite").format("noop").save()
+        timings[label] = round(time.time() - t0, 2)
+        sc.setJobGroup("other", "other")
+
+    def dedup_pipeline():
+        """pairs → clusters → canonical, end-to-end: the operator
+        family whose iterative behavior the smoke exists to measure."""
+        pairs = dedup.minhash_lsh_pairs(big_docs)
+        clusters = dedup.connected_components(pairs)
+        return dedup.keep_canonical(big_docs, clusters).select("doc_id")
+
+    bench("q1_agg", lambda: big_li.groupBy("l_returnflag", "l_linestatus")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.expr("CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)")
+                .alias("cents")))
+    bench("dedup_exact", lambda: dedup.dedup_exact(big_docs))
+    bench("ngram_pairs", lambda: dedup.ngram_jaccard_pairs(big_docs))
+    bench("minhash_pairs", lambda: dedup.minhash_lsh_pairs(big_docs))
+    bench("simhash_pairs", lambda: dedup.simhash_pairs(big_docs))
+    bench("dedup_pipeline_pairs_clusters_canonical", dedup_pipeline)
+    bench("quality", lambda: text.quality_score(big_docs))
+
+    spark.stop()  # flush + finalize the event log
+
+    # ---- attribute shuffle/input bytes per job group from the log
+    stage_group: dict[int, str] = {}
+    per_group: dict[str, dict[str, int]] = {}
+    for path in glob.glob(f"{event_dir}/*"):
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerJobStart":
+                    grp = (ev.get("Properties") or {}).get(
+                        "spark.jobGroup.id", "other")
+                    for sid in ev.get("Stage IDs", []):
+                        stage_group[sid] = grp
+                elif kind == "SparkListenerTaskEnd":
+                    grp = stage_group.get(ev.get("Stage ID"), "other")
+                    m = ev.get("Task Metrics") or {}
+                    g = per_group.setdefault(
+                        grp, {"shuffle_read": 0, "shuffle_write": 0,
+                              "input_read": 0})
+                    sr = m.get("Shuffle Read Metrics") or {}
+                    g["shuffle_read"] += (sr.get("Remote Bytes Read", 0)
+                                          + sr.get("Local Bytes Read", 0))
+                    sw = m.get("Shuffle Write Metrics") or {}
+                    g["shuffle_write"] += sw.get("Shuffle Bytes Written", 0)
+                    inp = m.get("Input Metrics") or {}
+                    g["input_read"] += inp.get("Bytes Read", 0)
+
+    print(json.dumps({
+        "amplify": AMPLIFY,
+        "docs": n_docs * AMPLIFY,
+        "lineitem": n_li * AMPLIFY,
+        "secs": timings,
+        "bytes": {k: per_group.get(k, {}) for k in timings},
+    }))
     return 0
 
 
