@@ -50,6 +50,8 @@ HEADLINE = [
     "doc_quality",
     "doc_fingerprint",
     "doc_filter_funnel",
+    "doc_pii_scrub",
+    "doc_repetition",
     "emb_bruteforce_topk",
     "emb_lsh_topk",
     "emb_ivf_topk",
@@ -61,6 +63,7 @@ HEADLINE = [
     "mm_frame_sample",
     "stream_tumbling_counts",
     "stream_sessions",
+    "stream_dedup",
 ]
 
 

@@ -180,6 +180,63 @@ def corpus_stats(df: DataFrame, id_col: str = "doc_id",
                             / F.col("n_docs")))
 
 
+#: (name, pattern, replacement) — conservative regex syntax that Java
+#: (Spark) and RE2 (DuckDB) interpret identically; applied in order,
+#: each over the previous replacement's output.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", r"\d{3}[-.]\d{3}[-.]\d{4}", "<PHONE>"),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII redaction — the compliance pass every training-data
+    pipeline runs before text ships: emails, phone numbers, and IPv4
+    addresses replaced with typed placeholder tokens, plus a per-kind
+    match count. Pure codegen projection (regexp_replace chains), no
+    shuffle, no UDF.
+
+    Counts are measured per pattern on the ORIGINAL text (overlapping
+    kinds would each count on pathological inputs); the scrub itself
+    is sequential, so an earlier replacement wins on overlap."""
+    cleaned = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.coalesce(F.size(F.regexp_extract_all(F.col(text_col),
+                                                   F.lit(pat), 0)),
+                       F.lit(0)).cast("long").alias(f"n_{name}"))
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    return df.select(F.col(id_col), *counts, cleaned.alias("clean_text"))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Repetition signals (the Gopher-style quality gates): duplicate-
+    token ratio and the hottest token's frequency share, per document
+    with at least one token. Explode → per-(doc,term) count → one
+    per-doc aggregate; both group-bys shuffle on the doc key, ratios
+    are single divisions over exact ints (engine-identical doubles)."""
+    counts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("n").cast("long").alias("top_n"))
+    total = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        id_col, "n_tokens", "n_distinct", "top_n",
+        ((F.col("n_tokens") - F.col("n_distinct")) / total)
+        .alias("dup_token_ratio"),
+        (F.col("top_n") / total).alias("top_token_share"),
+    )
+
+
 def hash_split(df: DataFrame, id_col: str = "doc_id",
                salt: str = "split-v1", train_pct: int = 90) -> DataFrame:
     """Deterministic train/val holdout assignment: hash the document

@@ -40,9 +40,6 @@ _WINDOW_REPRESENTATIVES = (
     "q_rollup",             # hierarchical ROLLUP
     "q_asof_join",          # as-of join (custom operator)
     "q_events_sessions",    # batch sessionization (gaps-and-islands)
-    "q_events_json",        # JSON extraction surface
-    "q_percentiles",        # exact percentile aggregates
-    "q_grouping_sets",      # GROUPING SETS
     "q7_volume_shipping",   # star join, all dims broadcast
     "q15_top_supplier",     # argmax-over-aggregate with exact ties
     "q22_idle_balances",    # decorrelated scalar subquery + anti join

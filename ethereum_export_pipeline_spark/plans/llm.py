@@ -694,6 +694,58 @@ FROM documents
 """
 
 
+# ----------------------------------------------------------- PII scrub
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction proven by construction: deterministic synthetic
+    PII (one email, one phone, one IPv4, derived from doc_id) is
+    appended to every document IN the query, then `text.pii_scrub`
+    must find and redact exactly those entities — the oracle computes
+    the expected redacted text and counts directly, so the hash check
+    proves scrub ∘ inject = the intended redaction (the corpus itself
+    contains no PII-shaped strings, which the same check also pins)."""
+    d = load_table(spark, sf_dir, "documents")
+    pii = d.select(
+        "doc_id",
+        F.expr("""concat(text, ' contact user', CAST(doc_id AS STRING),
+                  '@example.com or 555-867-',
+                  lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),
+                  ' from 10.', CAST(doc_id % 256 AS STRING), '.0.1')""")
+         .alias("text"))
+    return text.pii_scrub(pii)
+
+
+_PII_SCRUB_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_email,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_phone,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_ip,
+       text || ' contact <EMAIL> or <PHONE> from <IP>' AS clean_text
+FROM documents
+"""
+
+
+# ----------------------------------------------------------- repetition
+
+def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({tokens_sql('text')}) AS term
+              FROM documents WHERE text IS NOT NULL),
+c AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2),
+d AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(n) AS BIGINT) AS top_n
+      FROM c GROUP BY 1)
+SELECT doc_id, n_tokens, n_distinct, top_n,
+       (n_tokens - n_distinct) / CAST(n_tokens AS DOUBLE) AS dup_token_ratio,
+       top_n / CAST(n_tokens AS DOUBLE) AS top_token_share
+FROM d
+"""
+
+
 # ------------------------------------------------------- filter funnel
 
 FUNNEL_MIN_TOKENS = 20
@@ -767,6 +819,11 @@ QUERIES: dict[str, Query] = {
                                "per-reason training-data reject census"),
     "doc_hash_split": Query(_hash_split, _hash_split_sql(),
                             "deterministic salted train/val holdout"),
+    "doc_pii_scrub": Query(_pii_scrub, _PII_SCRUB_SQL,
+                           "PII redaction (inject→scrub roundtrip vs "
+                           "direct oracle)"),
+    "doc_repetition": Query(_repetition, _REPETITION_SQL,
+                            "Gopher-style repetition signals"),
     "emb_bruteforce_topk": Query(_brute_topk, _brute_topk_sql(),
                                  "exact cosine top-k baseline"),
     "emb_lsh_topk": Query(_lsh_topk, _lsh_topk_sql(),

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming import WINDOW_US, stream_tumbling_counts
+from ..streaming import WINDOW_US, stream_exact_dedup, stream_tumbling_counts
 from .analytics import _EVENTS_SESSIONS_SQL
 from .base import Query
 
@@ -15,6 +15,17 @@ from .base import Query
 def _stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_tumbling_counts(spark,
                                   f"{sf_dir.rstrip('/')}/events.parquet")
+
+
+def _stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_exact_dedup(spark,
+                              f"{sf_dir.rstrip('/')}/documents.parquet")
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT md5(text) AS content_key
+FROM documents WHERE text IS NOT NULL
+"""
 
 
 def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,4 +48,6 @@ QUERIES: dict[str, Query] = {
                                     "availableNow streaming window agg"),
     "stream_sessions": Query(_stream_sessions, _EVENTS_SESSIONS_SQL,
                              "stateful applyInPandasWithState sessions"),
+    "stream_dedup": Query(_stream_dedup, _STREAM_DEDUP_SQL,
+                          "streaming dropDuplicates exact dedup"),
 }

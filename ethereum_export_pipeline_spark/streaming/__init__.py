@@ -72,6 +72,20 @@ def stream_tumbling_counts(spark: SparkSession, events_path: str,
     return run_available_now(agg)
 
 
+def stream_exact_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Streaming exact deduplication: `dropDuplicates` on the content
+    hash INSIDE a streaming query — documents arriving in any batch
+    are emitted once per distinct content (state = one entry per key;
+    in production add a watermark via `dropDuplicatesWithinWatermark`
+    to bound state for unbounded streams). availableNow output equals
+    the batch distinct, which is what the oracle checks."""
+    sdf = read_stream(spark, docs_path)
+    keyed = (sdf.where("text IS NOT NULL")
+                .selectExpr("md5(text) AS content_key")
+                .dropDuplicates(["content_key"]))
+    return run_available_now(keyed, output_mode="append")
+
+
 def incremental_convert(spark: SparkSession, src_dir: str, dest_dir: str,
                         checkpoint_dir: str) -> int:
     """Checkpointed incremental file conversion — the exactly-once

@@ -316,3 +316,39 @@ def test_hash_split_deterministic_and_ratioed(spark):
     c = {r.doc_id: r.split
          for r in hash_split(docs, salt="split-v2").collect()}
     assert c != a
+
+
+def test_pii_scrub_known_answers(spark):
+    from ethereum_export_pipeline_spark.operators.text import pii_scrub
+    docs = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@sub.example.org today"),
+         (2, "call 555-123-4567 or 555.987.6543"),
+         (3, "server at 192.168.0.1 and 10.0.0.255"),
+         (4, "clean text with no pii at all"),
+         (5, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert got[1].clean_text == "mail me at <EMAIL> today"
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ip) == (1, 0, 0)
+    assert got[2].clean_text == "call <PHONE> or <PHONE>"
+    assert got[2].n_phone == 2
+    assert got[3].clean_text == "server at <IP> and <IP>"
+    assert got[3].n_ip == 2
+    assert got[4].clean_text == got[4].clean_text == "clean text with no pii at all"
+    assert got[5].clean_text is None
+    assert (got[5].n_email, got[5].n_phone, got[5].n_ip) == (0, 0, 0)
+
+
+def test_repetition_stats_known_answers(spark):
+    from ethereum_export_pipeline_spark.operators.text import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "a a a a"),                  # 4 tokens, 1 distinct
+         (2, "w x y z"),                  # all unique
+         (3, "a b a b a b")],             # 6 tokens, 2 distinct, top 3
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert (got[1].n_tokens, got[1].n_distinct, got[1].top_n) == (4, 1, 4)
+    assert got[1].dup_token_ratio == 0.75 and got[1].top_token_share == 1.0
+    assert got[2].dup_token_ratio == 0.0 and got[2].top_token_share == 0.25
+    assert (got[3].n_tokens, got[3].n_distinct, got[3].top_n) == (6, 2, 3)
+    assert got[3].top_token_share == 0.5

@@ -118,3 +118,18 @@ def test_q22_scalar_is_broadcast_not_collect(spark, catalog):
     assert "LeftAnti" in plan
     assert any("PushedFilters" in l and "o_orderdate" in l
                for l in plan.splitlines())
+
+
+def test_token_transfers_is_shuffle_free(spark, catalog):
+    # S5 decode is filter + projection over the scan: no exchange, no
+    # join — the shape that keeps a 100 TB log scan embarrassingly
+    # parallel
+    plan = plan_of(catalog["eth_token_transfers"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pii_scrub_is_shuffle_free(spark, catalog):
+    plan = plan_of(catalog["doc_pii_scrub"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -4,7 +4,9 @@ dedup/join cardinalities grow honestly) and run the heaviest operators
 JSON line with row counts, per-op seconds, and per-op shuffle bytes
 (read from the Spark event log, attributed by job group).
 
-Usage: python tools/scale_smoke.py [amplify=10]
+Usage: python tools/scale_smoke.py [amplify=10] [op,op,...]
+(second arg filters which ops run — e.g. at 100x run the dedup family
+alone so the heavy amplified-lineitem write is skipped)
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ import tempfile
 import time
 
 AMPLIFY = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 SF_DIR = "/root/testdata/sf0.1"
 
 
@@ -61,6 +64,7 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", event_dir)
+        .config("spark.eventLog.compress", "false")
         .config("spark.sql.warehouse.dir",
                 tempfile.mkdtemp(prefix="spark_graft_wh_"))
     )
@@ -82,18 +86,23 @@ def main() -> int:
     big_docs.write.mode("overwrite").parquet(f"{out}/documents")
     big_docs = spark.read.parquet(f"{out}/documents")
 
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    n_li = li.count()
-    big_li = (li.crossJoin(copies)
-                .withColumn("l_orderkey",
-                            F.col("l_orderkey") + F.col("copy") * 200_000)
-                .drop("copy"))
-    big_li.write.mode("overwrite").parquet(f"{out}/lineitem")
-    big_li = spark.read.parquet(f"{out}/lineitem")
+    n_li = 0
+    big_li = None
+    if ONLY is None or "q1_agg" in ONLY:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        n_li = li.count()
+        big_li = (li.crossJoin(copies)
+                    .withColumn("l_orderkey",
+                                F.col("l_orderkey") + F.col("copy") * 200_000)
+                    .drop("copy"))
+        big_li.write.mode("overwrite").parquet(f"{out}/lineitem")
+        big_li = spark.read.parquet(f"{out}/lineitem")
 
     timings: dict[str, float] = {}
 
     def bench(label, thunk):
+        if ONLY is not None and label not in ONLY:
+            return
         sc.setJobGroup(label, label)
         t0 = time.time()
         thunk().write.mode("overwrite").format("noop").save()
@@ -123,12 +132,17 @@ def main() -> int:
     # ---- attribute shuffle/input bytes per job group from the log
     stage_group: dict[int, str] = {}
     per_group: dict[str, dict[str, int]] = {}
-    for path in glob.glob(f"{event_dir}/*"):
-        with open(path) as fh:
+    # event log v2 is a DIRECTORY of rolling files; v1 a single file
+    paths = [p for p in glob.glob(f"{event_dir}/**", recursive=True)
+             if os.path.isfile(p)]
+    for path in paths:
+        with open(path, errors="replace") as fh:
             for line in fh:
                 try:
                     ev = json.loads(line)
                 except json.JSONDecodeError:
+                    continue
+                if not isinstance(ev, dict):
                     continue
                 kind = ev.get("Event")
                 if kind == "SparkListenerJobStart":
