@@ -52,9 +52,11 @@ HEADLINE = [
     "doc_filter_funnel",
     "doc_pii_scrub",
     "doc_repetition",
+    "doc_chunk",
     "emb_bruteforce_topk",
     "emb_lsh_topk",
     "emb_ivf_topk",
+    "emb_ivfpq_topk",
     "emb_neardup_pairs",
     "emb_neardup_multiband",
     "mm_binary_stats",
@@ -64,6 +66,7 @@ HEADLINE = [
     "stream_tumbling_counts",
     "stream_sessions",
     "stream_dedup",
+    "stream_hopping_counts",
 ]
 
 

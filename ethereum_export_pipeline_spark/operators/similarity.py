@@ -26,8 +26,30 @@ higher-order functions, fully codegen'd.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _freeze(x):
+    return tuple(_freeze(v) for v in x) if isinstance(x, (list, tuple)) else x
+
+
+def _thaw(x):
+    return [_thaw(v) for v in x] if isinstance(x, tuple) else x
+
+
+@lru_cache(maxsize=64)
+def _matrix_lit_cached(frozen) -> Column:
+    return F.lit(_thaw(frozen))
+
+
+def matrix_lit(m) -> Column:
+    """One nested-array Literal Column for a constant matrix, memoized:
+    `F.lit` recursively py4j-round-trips per element (a 16×64 matrix
+    costs ~1s of plan-build PER QUERY BUILD), while the cached Column
+    is free on re-use and stays valid for the JVM's lifetime."""
+    return _matrix_lit_cached(_freeze(m))
 
 QUANT_SCALE = 10_000
 N_PLANES = 16
@@ -226,6 +248,11 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
 IVF_CELLS = 16
 IVF_KMEANS_ITERS = 8
 
+# ------------------------------------------------------------------- PQ
+
+PQ_SUBSPACES = 8     # M: 64-dim vector → 8 subvectors of 8 dims
+PQ_CODEBOOK = 16     # K: centroids per subspace (4-bit codes)
+
 
 def train_ivf_centroids(vectors: "list[list[float]]",
                         n_cells: int = IVF_CELLS,
@@ -262,7 +289,7 @@ def ivf_cell_col(centroids: list[list[int]],
     the per-centroid-aggregate form costs ~1s of analysis/codegen per
     invocation and re-allocates the literal arrays per row, while a
     single Literal + `transform` is a constant."""
-    C = F.lit(centroids)
+    C = matrix_lit(centroids)
     dists = F.transform(
         C, lambda c: F.aggregate(
             F.zip_with(F.col(qvec_col), c, lambda x, y: (x - y) * (x - y)),
@@ -314,5 +341,112 @@ def ivf_topk(df: DataFrame, centroids: list[list[int]],
         scored.withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= k)
               .select("query_id", "neighbor_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def train_pq_codebooks(vectors: "list[list[float]]",
+                       m: int = PQ_SUBSPACES,
+                       k: int = PQ_CODEBOOK) -> list[list[list[int]]]:
+    """Plan-time product-quantization codebooks: the vector is split
+    into `m` subvectors and each subspace gets its own `k`-centroid
+    k-means (deterministic, same regime as `train_ivf_centroids`).
+    Returns QUANTIZED int centroids, shape m × k × (dim/m), inlined as
+    one literal in both engines' plans."""
+    dim = len(vectors[0])
+    sub = dim // m
+    return [
+        train_ivf_centroids([v[s * sub:(s + 1) * sub] for v in vectors],
+                            n_cells=k)
+        for s in range(m)
+    ]
+
+
+def pq_codes_col(codebooks: list[list[list[int]]],
+                 qvec_col: str = "qvec") -> Column:
+    """array<int> of 1-based per-subspace code assignments: code_s =
+    argmin_k ||subvec_s - codebook[s][k]||², exact int arithmetic with
+    first-minimum ties — identical on both engines. One nested Literal
+    + transforms, no per-centroid expression trees."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    CB = matrix_lit(codebooks)  # array<array<array<bigint>>>, one Literal
+    s_idx = F.sequence(F.lit(1), F.lit(m))
+
+    def code_for(s):  # s is a 1-based Column
+        subv = F.slice(F.col(qvec_col), (s - 1) * sub + 1, sub)
+        cb_s = F.element_at(CB, s)
+        dists = F.transform(
+            cb_s, lambda c: F.aggregate(
+                F.zip_with(subv, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"), lambda a, v: a + v))
+        return F.array_position(dists, F.array_min(dists))
+
+    return F.transform(s_idx, code_for)
+
+
+def pq_adc_col(codebooks: list[list[list[int]]],
+               qvec_col: str = "qv", codes_col: str = "codes") -> Column:
+    """Asymmetric distance: Σ_s ||query_subvec_s − codebook[s][code_s]||²
+    — the query side stays exact, the candidate side is represented by
+    its codes ONLY (the compression that lets 100 TB of vectors sit in
+    memory as m bytes each)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    CB = matrix_lit(codebooks)
+    s_idx = F.sequence(F.lit(1), F.lit(m))
+
+    def dist_for(s):
+        subv = F.slice(F.col(qvec_col), (s - 1) * sub + 1, sub)
+        # array_position yields BIGINT; element_at wants an INT index
+        cent = F.element_at(F.element_at(CB, s),
+                            F.element_at(F.col(codes_col), s).cast("int"))
+        return F.aggregate(
+            F.zip_with(subv, cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda a, v: a + v)
+
+    return F.aggregate(F.transform(s_idx, dist_for),
+                       F.lit(0).cast("long"), lambda a, v: a + v)
+
+
+def ivfpq_topk(df: DataFrame, centroids: list[list[int]],
+               codebooks: list[list[list[int]]],
+               id_col: str = "vec_id", emb_col: str = "embedding",
+               k: int = 5, query_pred: str | None = None,
+               dim: int = EMB_DIM,
+               scan_parallelism: int | None = None) -> DataFrame:
+    """IVF-PQ top-k — the memory-compressed scale path: candidates are
+    pruned to the query's IVF cell (equi-join on a small int key, as in
+    `ivf_topk`) and then RANKED BY ADC distance computed from the
+    candidates' PQ codes alone. The candidate side never ships its
+    vectors past the code assignment: at 100 TB the shuffled payload is
+    m small ints per row (~8 bytes at m=8/k=16) instead of dim floats
+    (256 bytes) — a 30× shuffle/state compression, which is the entire
+    point of PQ. Output: (query_id, neighbor_id, adc_dist, rank), rank
+    by ADC ascending then neighbor id (exact ints, engine-identical).
+    """
+    query_pred = query_pred or f"{id_col} < 10"
+    narrowed = df.where(F.size(F.col(emb_col)) == dim)
+    if scan_parallelism is not None:
+        narrowed = narrowed.repartition(scan_parallelism)
+    base = (with_quantized(narrowed, emb_col)
+            .withColumn("cell", ivf_cell_col(centroids).cast("long")))
+    q = (base.where(query_pred)
+             .select(F.col(id_col).alias("query_id"),
+                     F.col("qvec").alias("qv"), "cell"))
+    c = (base.withColumn("codes", pq_codes_col(codebooks))
+             .select(F.col(id_col).alias("neighbor_id"), "codes", "cell"))
+    scored = (
+        q.join(c, "cell")
+         .where(F.col("neighbor_id") != F.col("query_id"))
+         .withColumn("adc_dist", pq_adc_col(codebooks).cast("long"))
+    )
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc()))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k)
+              .select("query_id", "neighbor_id", "adc_dist",
                       F.col("rank").cast("long").alias("rank"))
     )

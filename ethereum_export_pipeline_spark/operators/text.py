@@ -237,6 +237,43 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def chunk_tokens(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", chunk: int = 64,
+                 stride: int = 48) -> DataFrame:
+    """Training-sample chunking: split each document's token sequence
+    into overlapping windows of `chunk` tokens every `stride` tokens
+    (the example-preparation step between cleaning and batching).
+    One row per chunk: (id, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_fp) where chunk_fp is the positional polynomial hash of the
+    chunk's tokens — so chunk CONTENT, not just counts, is verifiable.
+
+    All sequence arithmetic (`sequence`/`slice`/`transform`) is
+    map-side codegen'd projection; the explode fans out ~T/stride rows
+    per doc with no shuffle. Documents with zero tokens yield no
+    chunks."""
+    p = MERSENNE31
+    n_chunks = (f"CASE WHEN coalesce(size({TOKENS_COL}), 0) = 0 THEN array() "
+                f"ELSE sequence(0, CAST(floor((size({TOKENS_COL}) - 1) / {stride}.0) AS INT)) END")
+    fp = (f"aggregate(transform(chunk, (x, i) -> "
+          f"((CAST(i AS BIGINT) + 1) * "
+          f"(CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT) % {p})) % {p}"
+          f"), 0L, (a, b) -> a + b) % {p}")
+    return (
+        with_tokens(df, text_col)
+        .select(F.col(id_col), F.col(TOKENS_COL),
+                F.explode(F.expr(n_chunks)).alias("chunk_idx"))
+        .withColumn("chunk", F.expr(
+            f"slice({TOKENS_COL}, chunk_idx * {stride} + 1, {chunk})"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("long").alias("chunk_start"),
+            F.size("chunk").cast("long").alias("n_chunk_tokens"),
+            F.expr(fp).cast("long").alias("chunk_fp"),
+        )
+    )
+
+
 def hash_split(df: DataFrame, id_col: str = "doc_id",
                salt: str = "split-v1", train_pct: int = 90) -> DataFrame:
     """Deterministic train/val holdout assignment: hash the document

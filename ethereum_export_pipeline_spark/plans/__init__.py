@@ -36,10 +36,7 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #: already-covered shapes fill the tail).
 _WINDOW_REPRESENTATIVES = (
     "q1_pricing_summary",   # flagship scan→filter→hash agg (TPC-H Q1)
-    "q_window_topn",        # ranked window top-n
-    "q_rollup",             # hierarchical ROLLUP
     "q_asof_join",          # as-of join (custom operator)
-    "q_events_sessions",    # batch sessionization (gaps-and-islands)
     "q7_volume_shipping",   # star join, all dims broadcast
     "q15_top_supplier",     # argmax-over-aggregate with exact ties
     "q22_idle_balances",    # decorrelated scalar subquery + anti join

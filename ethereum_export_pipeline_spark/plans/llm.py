@@ -449,28 +449,53 @@ WHERE cosine >= {NEARDUP_COS}
 
 # ------------------------------------------------------------------- IVF
 
-def _ivf_centroids() -> list[list[int]]:
-    """Coarse-quantizer centroids, trained ONCE at import on the sf0.01
-    embeddings (IVF always trains on a sample) and inlined as literals
-    in both engines' plans — the data-adaptive sibling of the LSH
-    planes. Deterministic: sorted input, first-k init, fixed iters."""
+def _sample_vectors() -> list[list[float]] | None:
+    """The deterministic training sample for plan-time quantizers
+    (IVF/PQ always train on a sample): the sf0.01 embeddings, sorted.
+    None when the corpus is unavailable (import outside the test env).
+    """
     try:
         import pyarrow.parquet as pq
         t = (pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
                            columns=["vec_id", "embedding"])
                .sort_by("vec_id").to_pydict())
-        vecs = [list(v) for v in t["embedding"]
+        return [list(v) for v in t["embedding"]
                 if v is not None and len(v) == similarity.EMB_DIM]
-        return similarity.train_ivf_centroids(vecs)
     except Exception:
-        # corpus unavailable (e.g. import outside the test env):
-        # deterministic pseudo-centroids from the shared hash family
-        return [[(similarity.py_h32(f"cell:{c}:{d}") % 2001) - 1000
-                 for d in range(similarity.EMB_DIM)]
-                for c in range(similarity.IVF_CELLS)]
+        return None
+
+
+_SAMPLE_VECS = _sample_vectors()
+
+
+def _ivf_centroids() -> list[list[int]]:
+    """Coarse-quantizer centroids, trained ONCE at import and inlined
+    as literals in both engines' plans — the data-adaptive sibling of
+    the LSH planes. Deterministic: sorted input, first-k init, fixed
+    iters; md5-derived pseudo-centroids when the corpus is absent."""
+    if _SAMPLE_VECS is not None:
+        return similarity.train_ivf_centroids(_SAMPLE_VECS)
+    return [[(similarity.py_h32(f"cell:{c}:{d}") % 2001) - 1000
+             for d in range(similarity.EMB_DIM)]
+            for c in range(similarity.IVF_CELLS)]
 
 
 IVF_CENTROIDS = _ivf_centroids()
+
+
+def _pq_codebooks() -> list[list[list[int]]]:
+    """Product-quantization codebooks (m subspaces × k centroids),
+    trained at import on the same sample and inlined in both plans."""
+    if _SAMPLE_VECS is not None:
+        return similarity.train_pq_codebooks(_SAMPLE_VECS)
+    sub = similarity.EMB_DIM // similarity.PQ_SUBSPACES
+    return [[[(similarity.py_h32(f"pq:{s}:{c}:{d}") % 2001) - 1000
+              for d in range(sub)]
+             for c in range(similarity.PQ_CODEBOOK)]
+            for s in range(similarity.PQ_SUBSPACES)]
+
+
+PQ_CODEBOOKS = _pq_codebooks()
 
 
 def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,6 +527,56 @@ scored AS (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2
            FROM qq JOIN c USING (cell) WHERE neighbor_id <> query_id),
 cos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM scored)
 {_topk_tail(TOPK_K)}
+"""
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"), IVF_CENTROIDS,
+        PQ_CODEBOOKS, k=TOPK_K,
+        scan_parallelism=spark.sparkContext.defaultParallelism)
+
+
+def _pq_sql_parts() -> tuple[str, str]:
+    """(codes_expr over `q`, adc_expr over qv/codes) — DuckDB twins of
+    similarity.pq_codes_col / pq_adc_col with the SAME codebooks
+    inlined. DuckDB list slicing is 1-based inclusive; lambdas on
+    zipped pairs use 1-based struct indices."""
+    m = similarity.PQ_SUBSPACES
+    sub = len(PQ_CODEBOOKS[0][0])
+    cb = ("[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in cent) + "]"
+            for cent in book) + "]"
+        for book in PQ_CODEBOOKS) + "]")
+    dists = (f"list_transform({cb}[s], c -> list_sum(list_transform("
+             f"list_zip(q[(s-1)*{sub}+1 : s*{sub}], c), "
+             f"p -> (p[1]-p[2])*(p[1]-p[2]))))")
+    codes = (f"list_transform(range(1, {m + 1}), "
+             f"s -> list_position({dists}, list_min({dists})))")
+    adc = (f"list_sum(list_transform(range(1, {m + 1}), s -> "
+           f"list_sum(list_transform(list_zip(qv[(s-1)*{sub}+1 : s*{sub}], "
+           f"{cb}[s][codes[s]]), p -> (p[1]-p[2])*(p[1]-p[2])))))")
+    return codes, adc
+
+
+def _ivfpq_topk_sql() -> str:
+    codes, adc = _pq_sql_parts()
+    return f"""
+WITH {_BASE_CTES},
+cells AS (SELECT vec_id, q, {_ivf_cell_sql()} AS cell FROM wn),
+qq AS (SELECT vec_id AS query_id, q AS qv, cell FROM cells WHERE vec_id < 10),
+cc AS (SELECT vec_id AS neighbor_id, {codes} AS codes, cell FROM cells),
+scored AS (SELECT query_id, neighbor_id, CAST({adc} AS BIGINT) AS adc_dist
+           FROM qq JOIN cc USING (cell) WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, adc_dist, rk AS "rank" FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {TOPK_K}
 """
 
 
@@ -694,6 +769,40 @@ FROM documents
 """
 
 
+# -------------------------------------------------------- token chunks
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def _chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_tokens(load_table(spark, sf_dir, "documents"),
+                             chunk=CHUNK_TOKENS, stride=CHUNK_STRIDE)
+
+
+def _chunk_sql() -> str:
+    # chunk_fp mirrors text.chunk_tokens' positional polynomial hash;
+    # DuckDB lambda indices are 1-based where Spark's are 0-based, so
+    # DuckDB's i IS Spark's i+1. Slices clamp at the end on both
+    # engines.
+    fp = (f"list_sum(list_transform(c, (x, i) -> "
+          f"(i * {h32_sql('x')}) % {P})) % {P}")
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+fanned AS (
+  SELECT doc_id, i AS chunk_idx,
+         t[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}] AS c
+  FROM toks, UNNEST(range((len(t) - 1) // {CHUNK_STRIDE} + 1)) u(i)
+  WHERE len(t) >= 1
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+       CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+       CAST(coalesce({fp}, 0) AS BIGINT) AS chunk_fp
+FROM fanned
+"""
+
+
 # ----------------------------------------------------------- PII scrub
 
 def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,6 +928,9 @@ QUERIES: dict[str, Query] = {
                                "per-reason training-data reject census"),
     "doc_hash_split": Query(_hash_split, _hash_split_sql(),
                             "deterministic salted train/val holdout"),
+    "doc_chunk": Query(_chunk, _chunk_sql(),
+                       "overlapping token-window chunking with "
+                       "content fingerprints"),
     "doc_pii_scrub": Query(_pii_scrub, _PII_SCRUB_SQL,
                            "PII redaction (inject→scrub roundtrip vs "
                            "direct oracle)"),
@@ -834,6 +946,9 @@ QUERIES: dict[str, Query] = {
                                 "weakest-recall variant)"),
     "emb_ivf_topk": Query(_ivf_topk, _ivf_topk_sql(),
                           "IVF coarse-quantizer top-k"),
+    "emb_ivfpq_topk": Query(_ivfpq_topk, _ivfpq_topk_sql(),
+                            "IVF-PQ: cell-pruned candidates ranked by "
+                            "ADC over PQ codes (30x payload compression)"),
     "emb_neardup_pairs": Query(_emb_neardup,
                                _emb_neardup_banded_sql(NEARDUP_BANDS),
                                f"embedding-cosine near-dup pairs "

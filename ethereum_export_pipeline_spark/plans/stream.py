@@ -7,7 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming import WINDOW_US, stream_exact_dedup, stream_tumbling_counts
+from ..streaming import (WINDOW_US, stream_exact_dedup,
+                         stream_hopping_counts, stream_tumbling_counts)
 from .analytics import _EVENTS_SESSIONS_SQL
 from .base import Query
 
@@ -25,6 +26,25 @@ def _stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_DEDUP_SQL = """
 SELECT DISTINCT md5(text) AS content_key
 FROM documents WHERE text IS NOT NULL
+"""
+
+
+HOP_US = WINDOW_US // 2
+
+
+def _stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_hopping_counts(spark,
+                                 f"{sf_dir.rstrip('/')}/events.parquet")
+
+
+_STREAM_HOPPING_SQL = f"""
+SELECT win_start, count(*) AS n,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM (SELECT event_id,
+             (epoch_us(ts) // {HOP_US} - k) * {HOP_US} AS win_start
+      FROM events, UNNEST(range({WINDOW_US // HOP_US})) u(k))
+WHERE win_start >= 0
+GROUP BY 1
 """
 
 
@@ -50,4 +70,6 @@ QUERIES: dict[str, Query] = {
                              "stateful applyInPandasWithState sessions"),
     "stream_dedup": Query(_stream_dedup, _STREAM_DEDUP_SQL,
                           "streaming dropDuplicates exact dedup"),
+    "stream_hopping_counts": Query(_stream_hopping, _STREAM_HOPPING_SQL,
+                                   "overlapping hopping-window counts"),
 }

@@ -72,6 +72,30 @@ def stream_tumbling_counts(spark: SparkSession, events_path: str,
     return run_available_now(agg)
 
 
+def stream_hopping_counts(spark: SparkSession, events_path: str,
+                          window_us: int = WINDOW_US,
+                          hop_us: int = WINDOW_US // 2) -> DataFrame:
+    """Hopping (sliding) window counts by the streaming engine: each
+    event lands in window_us/hop_us overlapping windows, expressed as
+    an integer-arithmetic explode BEFORE the keyed aggregation (the
+    same fan-out `F.window(slideDuration=...)` performs internally,
+    kept in µs integers so the DuckDB oracle is exact)."""
+    n = window_us // hop_us
+    sdf = read_stream(spark, events_path)
+    fanned = sdf.select(
+        "event_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {n - 1}), "
+            f"k -> ((ts div 1000) div {hop_us} - k) * {hop_us})"))
+         .alias("win_start"),
+    ).where(F.col("win_start") >= 0)
+    agg = (fanned.groupBy("win_start")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.min("event_id").alias("first_event"),
+                      F.max("event_id").alias("last_event")))
+    return run_available_now(agg)
+
+
 def stream_exact_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
     """Streaming exact deduplication: `dropDuplicates` on the content
     hash INSIDE a streaming query — documents arriving in any batch

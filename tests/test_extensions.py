@@ -352,3 +352,46 @@ def test_repetition_stats_known_answers(spark):
     assert got[2].dup_token_ratio == 0.0 and got[2].top_token_share == 0.25
     assert (got[3].n_tokens, got[3].n_distinct, got[3].top_n) == (6, 2, 3)
     assert got[3].top_token_share == 0.5
+
+
+def test_chunk_tokens_known_answers(spark):
+    from ethereum_export_pipeline_spark.operators.text import chunk_tokens
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),  # 10 toks: chunks @0,4,8
+         (2, "a b"),                                  # 2 toks: one chunk
+         (3, ""),                                     # none
+         (4, None)],
+        "doc_id long, text string")
+    out = chunk_tokens(docs, chunk=5, stride=4).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_start, r.n_chunk_tokens)
+           for r in out}
+    assert got == {(1, 0): (0, 5), (1, 1): (4, 5), (1, 2): (8, 2),
+                   (2, 0): (0, 2)}
+    # identical token windows fingerprint identically, distinct differ
+    fps = {(r.doc_id, r.chunk_idx): r.chunk_fp for r in out}
+    assert len(set(fps.values())) == len(fps)  # all distinct here
+    again = {(r.doc_id, r.chunk_idx): r.chunk_fp
+             for r in chunk_tokens(docs, chunk=5, stride=4).collect()}
+    assert fps == again                        # deterministic
+
+
+def test_ivfpq_duplicate_is_nearest_by_adc(spark):
+    import numpy as np
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        ivfpq_topk, train_ivf_centroids, train_pq_codebooks)
+    rng = np.random.RandomState(7)
+    dim, m = 8, 8
+    # two well-separated clusters; vec 0 has an exact duplicate (id 5)
+    a = rng.uniform(0.8, 1.2, (5, dim))
+    b = rng.uniform(-1.2, -0.8, (5, dim))
+    vecs = np.vstack([a, b]).tolist()
+    vecs.append(list(vecs[0]))  # id 10 == id 0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_centroids(vecs, n_cells=2)
+    books = train_pq_codebooks(vecs, m=m, k=4)
+    out = ivfpq_topk(df, cents, books, k=1, query_pred="vec_id = 0", dim=dim)
+    top = out.collect()
+    assert len(top) == 1
+    # the exact duplicate shares every PQ code -> minimal ADC distance
+    assert top[0].neighbor_id == 10
