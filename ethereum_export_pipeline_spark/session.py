@@ -63,8 +63,14 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
 
     The correctness driver hands us its own SparkSession; these confs
     are all runtime-settable so queries behave identically there.
+    Shuffle width is sized to the machine (Spark's 200 default wastes
+    scheduling overhead on local corpora; AQE coalesces further) —
+    results are partitioning-independent by the exactness rules, so
+    this only affects speed.
     """
-    for k, v in RUNTIME_CONFS.items():
+    confs = dict(RUNTIME_CONFS)
+    confs["spark.sql.shuffle.partitions"] = str(max(os.cpu_count() or 4, 4))
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:

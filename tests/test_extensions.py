@@ -395,3 +395,20 @@ def test_ivfpq_duplicate_is_nearest_by_adc(spark):
     assert len(top) == 1
     # the exact duplicate shares every PQ code -> minimal ADC distance
     assert top[0].neighbor_id == 10
+
+
+def test_connected_components_raises_on_nonconvergence(spark, tmp_path):
+    import pytest as _pytest
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        connected_components)
+    # a 5-node path graph has diameter 4: max_iter=1 cannot reach the
+    # fixpoint and must raise rather than return partial labels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    # reliable-checkpoint path produces the same fixpoint
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(
+               chain, checkpoint_dir=str(tmp_path / "ckpt")).collect()}
+    assert got == {i: 0 for i in range(6)}
