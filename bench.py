@@ -53,12 +53,16 @@ HEADLINE = [
     "doc_pii_scrub",
     "doc_repetition",
     "doc_chunk",
+    "doc_tfidf",
+    "doc_pack",
+    "doc_mix_sample",
     "emb_bruteforce_topk",
     "emb_lsh_topk",
     "emb_ivf_topk",
     "emb_ivfpq_topk",
     "emb_neardup_pairs",
     "emb_neardup_multiband",
+    "emb_semantic_dedup",
     "mm_binary_stats",
     "mm_extract_features",
     "mm_resize",

@@ -274,6 +274,139 @@ def chunk_tokens(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5) -> DataFrame:
+    """Corpus-weighted keyword extraction: the k highest-TF-IDF terms
+    per document. Unlike `top_terms` (raw frequency), the score folds
+    in the corpus document frequency, so ubiquitous terms sink.
+
+    idf is the LINEAR inverse document frequency N/df, not log(N/df):
+    `ln` differs between engine libms in the last ulp (measured: ~3%
+    of inputs), which would flap the cross-engine value hash, while
+    tf·N/df is one exactly-rounded int64-ratio division — bit-identical
+    by IEEE 754. Ranking is unaffected for fixed tf (both idfs are
+    monotone decreasing in df).
+
+    Scale notes: ONE tokenize scan. tf aggregates on (doc, term) with
+    map-side combine; df then comes from a count window over the tf
+    frame partitioned by term — NOT a tf→groupBy(term)→join-back self
+    reference, which Spark plans as a second full scan+tokenize of the
+    corpus (AQE stage reuse cannot canonicalize a shared exchange
+    whose subtree carries partial count-aggregate buffers — measured
+    on 4.1: distinct/self-join subtrees reuse, count-agg subtrees
+    never do). The window shuffles tf by term once, exactly what the
+    join-back would have shuffled anyway, with no probe side. A
+    corpus-stopword term puts its whole df in one window partition —
+    at real scale cap it with an upstream df-cut or salt, same as the
+    dedup inverted index. n_docs is a 1-row broadcast cross join whose
+    scan prunes to the text column with no tokenize."""
+    from pyspark.sql import Window
+    tf = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = (df.where(F.col(text_col).isNotNull())
+                .agg(F.count(F.lit(1)).alias("n_docs")))
+    scored = (tf.withColumn("df",
+                            F.count(F.lit(1)).over(Window.partitionBy("term")))
+                .crossJoin(F.broadcast(n_docs))
+                .withColumn("tfidf",
+                            (F.col("tf") * F.col("n_docs")).cast("double")
+                            / F.col("df")))
+    w = (Window.partitionBy(id_col)
+               .orderBy(F.col("tfidf").desc(), F.col("term").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= k)
+                  .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                          F.col("df").cast("long").alias("df"),
+                          "tfidf", "rank"))
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", seq_len: int = 256,
+                   bucket: int = 1024) -> DataFrame:
+    """Sequence packing for training batches: lay every document's
+    tokens end-to-end in id order and cut the stream into fixed
+    `seq_len` bins — each doc learns its global token offset, its
+    first bin, its offset inside that bin, and how many bins it spans
+    (the example-packing bookkeeping an LLM pretraining pipeline
+    computes before writing shards).
+
+    The global prefix sum is computed DISTRIBUTED, not with a
+    single-partition global window: per-bucket (id div `bucket`)
+    running sums in parallel, a tiny per-bucket totals frame whose own
+    prefix sum is one small-task window, broadcast back. Choose
+    `bucket` so #buckets fits one task (or apply the same two-level
+    trick again); no stage ever sees a global sort.
+
+    Bucket totals are read OFF the per-bucket window output
+    (max(running_before + n) per bucket) rather than re-aggregated
+    from the corpus: both consumers then share the bucket exchange,
+    which AQE reuses (its subtree carries no aggregate buffers), so
+    the corpus is scanned and tokenized exactly once."""
+    from pyspark.sql import Window
+    n = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+         .select(F.col(id_col),
+                 F.size(F.col(TOKENS_COL)).cast("long").alias("n_tokens"),
+                 F.expr(f"CAST({id_col} AS BIGINT) div {bucket}")
+                 .alias("_bkt"))
+         # explicit, though implied by the join: with it BOTH consumers
+         # of the bucket exchange (per-bucket window, bucket totals)
+         # canonicalize identically, so AQE reuses one shuffle — without
+         # it the join branch alone gets an inferred isnotnull(_bkt)
+         # and the corpus is scanned+tokenized twice
+         .where(F.col("_bkt").isNotNull()))
+    w_local = (Window.partitionBy("_bkt").orderBy(id_col)
+                     .rowsBetween(Window.unboundedPreceding, -1))
+    local = n.withColumn(
+        "_local_before",
+        F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)).cast("long"))
+    totals = local.groupBy("_bkt").agg(
+        F.max(F.col("_local_before") + F.col("n_tokens")).alias("_bkt_total"))
+    w_bkt = (Window.orderBy("_bkt")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "_bkt_before",
+        F.coalesce(F.sum("_bkt_total").over(w_bkt), F.lit(0)).cast("long")) \
+        .select("_bkt", "_bkt_before")
+    packed = (local.join(F.broadcast(offsets), "_bkt")
+                   .withColumn("global_start",
+                               (F.col("_bkt_before") + F.col("_local_before"))
+                               .cast("long")))
+    return packed.select(
+        id_col, "n_tokens", "global_start",
+        F.expr(f"global_start div {seq_len}").cast("long").alias("bin_id"),
+        (F.col("global_start") % seq_len).cast("long").alias("bin_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+            F.expr(f"(global_start + n_tokens - 1) div {seq_len}"
+                   f" - global_start div {seq_len} + 1"))
+         .cast("long").alias("n_bins"))
+
+
+def mix_sample(df: DataFrame, id_col: str = "doc_id",
+               source_col: str = "source", salt: str = "mix-v1",
+               rate_salt: str = "rate-v1") -> DataFrame:
+    """Stratified deterministic sampling — the data-mixing step that
+    downweights or upweights sources when composing a training corpus.
+    Each stratum (source) gets a keep rate in [10, 99]% derived from a
+    salted hash of its name (stands in for a configured weights table
+    — swap `rate_pct` for a broadcast-joined dim to use real weights);
+    each document keeps or drops by its own salted hash against that
+    rate. Same salt → same sample, across runs, machines, and engines.
+
+    Scale notes: two codegen'd md5 projections and a filter — no
+    shuffle, no state, no sampling RNG (rand() would break retry
+    determinism); composes with any upstream dedup/quality gate."""
+    from ..functions import h32
+    rate = (h32(F.concat(F.lit(rate_salt + ":"), F.col(source_col))) % 90
+            + 10).cast("long")
+    keep = h32(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
+    return (df.select(F.col(id_col), F.col(source_col),
+                      rate.alias("rate_pct"), keep.alias("_keep"))
+              .where(F.col("_keep") < F.col("rate_pct"))
+              .drop("_keep"))
+
+
 def hash_split(df: DataFrame, id_col: str = "doc_id",
                salt: str = "split-v1", train_pct: int = 90) -> DataFrame:
     """Deterministic train/val holdout assignment: hash the document

@@ -243,6 +243,38 @@ def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CSV_ROUNDTRIP_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 
+def _jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + source with declared schema — the reference
+    family's other entity file format (ethereum-etl exports both
+    `--output-format csv` and `json`; the repo's S6/S7 covers CSV, this
+    covers newline-delimited JSON). Money is converted to exact cents
+    BEFORE the write so the roundtrip hash never depends on double
+    serialization; the read uses an explicit StructType, never
+    inference (SURVEY §2.1)."""
+    s = load_table(spark, sf_dir, "supplier")
+    out = scratch_dir("spark_graft_jsonl_")
+    (s.select("s_suppkey", "s_name", "s_nationkey",
+              F.expr("CAST(round(s_acctbal * 100) AS BIGINT)")
+               .alias("acctbal_cents"))
+      .write.mode("overwrite").json(out))
+    schema = T.StructType([
+        T.StructField("s_suppkey", T.IntegerType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("acctbal_cents", T.LongType()),
+    ])
+    return (spark.read.schema(schema).json(out)
+                 .select("s_suppkey", "s_name", "s_nationkey",
+                         "acctbal_cents"))
+
+
+_JSONL_ROUNDTRIP_SQL = """
+SELECT s_suppkey, s_name, s_nationkey,
+       CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM supplier
+"""
+
+
 # ------------------------------------------------------- S10 + S9 + A2
 
 def _parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,6 +524,9 @@ QUERIES: dict[str, Query] = {
                                   "P6 DropNullFields"),
     "eth_csv_roundtrip": Query(_csv_roundtrip, _CSV_ROUNDTRIP_SQL,
                                "S6/S7 CSV sink+source, declared schema"),
+    "eth_jsonl_roundtrip": Query(_jsonl_roundtrip, _JSONL_ROUNDTRIP_SQL,
+                                 "S6/S7 JSONL sink+source, declared "
+                                 "schema (ethereum-etl's json format)"),
     "eth_parquet_partitioned": Query(_parquet_partitioned,
                                      _parquet_partitioned_sql(),
                                      "S10 partitioned parquet sink + pruned read"),

@@ -898,6 +898,137 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------- TF-IDF
+
+TFIDF_K = 5
+
+
+def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"),
+                                k=TFIDF_K)
+
+
+def _tfidf_sql() -> str:
+    # linear idf (tf·N/df via one exactly-rounded division) — ln()
+    # differs between the engines' libms in the last ulp (see
+    # text.tfidf_top_terms docstring)
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+scored AS (SELECT doc_id, term, tf, df,
+           CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+           FROM tf JOIN dfq USING (term), nd)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_K}
+"""
+
+
+# -------------------------------------------------- sequence packing
+
+PACK_SEQ_LEN = 256
+
+
+def _pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pack_sequences(load_table(spark, sf_dir, "documents"),
+                               seq_len=PACK_SEQ_LEN)
+
+
+def _pack_sql() -> str:
+    # the oracle computes the SAME global prefix sum with a single
+    # window — small-scale ground truth for the distributed two-level
+    # prefix sum the Spark operator runs
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+c AS (SELECT doc_id, n_tokens,
+      CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        AS global_start FROM n)
+SELECT doc_id, n_tokens, global_start,
+       CAST(global_start // {PACK_SEQ_LEN} AS BIGINT) AS bin_id,
+       CAST(global_start % {PACK_SEQ_LEN} AS BIGINT) AS bin_offset,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (global_start + n_tokens - 1) // {PACK_SEQ_LEN}
+                 - global_start // {PACK_SEQ_LEN} + 1 END AS BIGINT) AS n_bins
+FROM c
+"""
+
+
+# ------------------------------------------------------- mix sampling
+
+def _mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.mix_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _mix_sample_sql() -> str:
+    rate_h = h32_sql("'rate-v1:' || source")
+    keep_h = h32_sql("'mix-v1:' || CAST(doc_id AS VARCHAR)")
+    rate = f"({rate_h} % 90 + 10)"
+    keep = f"({keep_h} % 100)"
+    return f"""
+SELECT doc_id, source, CAST({rate} AS BIGINT) AS rate_pct
+FROM documents WHERE {keep} < {rate}
+"""
+
+
+# --------------------------------------------------- semantic dedup
+
+def _emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SEMANTIC dedup over the embedding space: cosine
+    near-dup pairs (banded hyperplane LSH) → connected components →
+    full cluster assignment with a kept/dropped verdict per vector —
+    the embedding-side twin of doc_dedup_canonical. The cluster frame
+    is LSH-pruned (pair-graph nodes only) so it broadcasts into the
+    full vector scan; the 100 TB side never shuffles."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_neardup_pairs(
+        vecs, threshold=NEARDUP_COS, n_planes=LSH_PLANES,
+        n_bands=NEARDUP_BANDS)
+    clusters = dedup.connected_components(
+        pairs, src="id_a", dst="id_b", id_out="vec_id")
+    c = clusters.select(F.col("vec_id").alias("_cc_id"),
+                        F.col("cluster_id").alias("_cc_lbl"))
+    lbl = F.coalesce(F.col("_cc_lbl"), F.col("vec_id"))
+    return (vecs.select(F.col("vec_id").cast("long").alias("vec_id"))
+                .join(F.broadcast(c), F.col("vec_id") == F.col("_cc_id"),
+                      "left")
+                .select("vec_id",
+                        lbl.cast("long").alias("cluster_id"),
+                        F.when(lbl == F.col("vec_id"), 1).otherwise(0)
+                         .cast("long").alias("is_kept")))
+
+
+def _emb_semantic_dedup_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_emb_neardup_banded_sql(NEARDUP_BANDS)}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+), clusters AS (
+  SELECT node, min(lbl) AS lbl FROM reach GROUP BY 1
+)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(coalesce(c.lbl, e.vec_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN coalesce(c.lbl, e.vec_id) = e.vec_id
+            THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.node
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
                              "exact dedup via md5 hash-agg"),
@@ -936,6 +1067,14 @@ QUERIES: dict[str, Query] = {
                            "direct oracle)"),
     "doc_repetition": Query(_repetition, _REPETITION_SQL,
                             "Gopher-style repetition signals"),
+    "doc_tfidf": Query(_tfidf, _tfidf_sql(),
+                       "corpus-weighted TF-IDF top terms per doc"),
+    "doc_pack": Query(_pack, _pack_sql(),
+                      "sequence packing via distributed two-level "
+                      "prefix sum"),
+    "doc_mix_sample": Query(_mix_sample, _mix_sample_sql(),
+                            "stratified deterministic data-mixing "
+                            "sample"),
     "emb_bruteforce_topk": Query(_brute_topk, _brute_topk_sql(),
                                  "exact cosine top-k baseline"),
     "emb_lsh_topk": Query(_lsh_topk, _lsh_topk_sql(),
@@ -957,6 +1096,10 @@ QUERIES: dict[str, Query] = {
                                    _emb_neardup_banded_sql(MULTIBAND_BANDS),
                                    f"OR-amplified {MULTIBAND_BANDS}-band "
                                    f"LSH near-dup"),
+    "emb_semantic_dedup": Query(_emb_semantic_dedup,
+                                _emb_semantic_dedup_sql(),
+                                "semantic dedup: LSH pairs → connected "
+                                "components → kept/dropped per vector"),
     "mm_binary_stats": Query(_binary_stats, _BINARY_STATS_SQL,
                              "binary payload accounting"),
     "mm_extract_features": Query(_extract_features, _extract_features_sql(),

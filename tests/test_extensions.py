@@ -412,3 +412,74 @@ def test_connected_components_raises_on_nonconvergence(spark, tmp_path):
            for r in connected_components(
                chain, checkpoint_dir=str(tmp_path / "ckpt")).collect()}
     assert got == {i: 0 for i in range(6)}
+
+
+# --------------------------------------------------- tfidf / pack / mix
+
+def test_tfidf_ubiquitous_term_sinks(spark):
+    from ethereum_export_pipeline_spark.operators.text import tfidf_top_terms
+    # "filler" appears once in every doc (df=3); "rare" once in doc 1
+    # only (df=1). Same tf → rare must outrank filler for doc 1.
+    df = docs(spark, [(1, "rare filler pad1"), (2, "filler pad2"),
+                      (3, "filler pad3")])
+    out = {(r.term): r.rank for r in
+           tfidf_top_terms(df, k=10).where("doc_id = 1").collect()}
+    assert out["rare"] < out["filler"]
+    row = {r.term: r for r in
+           tfidf_top_terms(df, k=10).where("doc_id = 1").collect()}
+    assert row["rare"].tf == 1 and row["rare"].df == 1
+    assert row["filler"].df == 3
+    # linear idf: tfidf = tf * n_docs / df
+    assert row["rare"].tfidf == 3.0 and row["filler"].tfidf == 1.0
+
+
+def test_pack_sequences_contiguous_and_multi_bucket(spark):
+    from ethereum_export_pipeline_spark.operators.text import pack_sequences
+    rows = [(i, " ".join(["tok"] * (3 * i + 1))) for i in range(10)]
+    df = docs(spark, rows)
+    # bucket=3 forces the distributed two-level prefix-sum path
+    out = sorted(pack_sequences(df, seq_len=7, bucket=3).collect(),
+                 key=lambda r: r.doc_id)
+    # the packed stream is contiguous: each doc starts where the
+    # previous one ended, starting at 0
+    expect_start = 0
+    for r in out:
+        assert r.global_start == expect_start
+        assert r.bin_id == r.global_start // 7
+        assert r.bin_offset == r.global_start % 7
+        assert r.n_bins == (r.global_start + r.n_tokens - 1) // 7 - r.bin_id + 1
+        expect_start += r.n_tokens
+    # single-bucket path agrees with the multi-bucket path
+    one = sorted(pack_sequences(df, seq_len=7, bucket=1000).collect(),
+                 key=lambda r: r.doc_id)
+    assert [tuple(r) for r in one] == [tuple(r) for r in out]
+
+
+def test_mix_sample_deterministic_stratified(spark):
+    from ethereum_export_pipeline_spark.operators.text import mix_sample
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=f"src{i % 3}") for i in range(300)],
+        "doc_id long, source string")
+    a = sorted(r.doc_id for r in mix_sample(df).collect())
+    b = sorted(r.doc_id for r in mix_sample(df).collect())
+    assert a == b and 0 < len(a) < 300  # deterministic, non-trivial
+    rates = {r.source: r.rate_pct for r in mix_sample(df).collect()}
+    assert all(10 <= p < 100 for p in rates.values())
+    # per-stratum keep fraction tracks the stratum's rate (±15 pts)
+    from collections import Counter
+    kept = Counter(r.source for r in mix_sample(df).collect())
+    for src, rate in rates.items():
+        assert abs(kept[src] - rate) <= 15
+
+
+def test_semantic_dedup_one_kept_per_cluster(spark):
+    from ethereum_export_pipeline_spark.plans.llm import _emb_semantic_dedup
+    out = _emb_semantic_dedup(spark, "/root/testdata/sf0.001").collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        keeps = [m for m in members if m.is_kept == 1]
+        assert len(keeps) == 1 and keeps[0].vec_id == cid == min(
+            m.vec_id for m in members)

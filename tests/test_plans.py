@@ -133,3 +133,22 @@ def test_pii_scrub_is_shuffle_free(spark, catalog):
     plan = plan_of(catalog["doc_pii_scrub"].fn(spark, SF_DIR))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_reuses_bucket_exchange_single_scan(spark, catalog):
+    # the two-level prefix sum must read the corpus ONCE: bucket totals
+    # ride the same bucket exchange as the per-bucket window
+    plan = plan_of(catalog["doc_pack"].fn(spark, SF_DIR), execute=True)
+    final = plan.split("Initial Plan")[0]
+    assert "ReusedExchange" in final or "ShuffleQueryStage" in final
+    assert final.count("FileScan parquet") == 1
+
+
+def test_tfidf_single_tokenize_scan(spark, catalog):
+    # df comes from a window over the tf frame, not a join-back that
+    # would re-scan and re-tokenize the corpus; the only other scan is
+    # the 1-row n_docs count, pruned to the text column
+    plan = plan_of(catalog["doc_tfidf"].fn(spark, SF_DIR), execute=True)
+    final = plan.split("Initial Plan")[0]
+    assert final.count("regexp_extract_all") <= 1
+    assert final.count("FileScan parquet") == 2
