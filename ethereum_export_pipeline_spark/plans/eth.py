@@ -275,6 +275,25 @@ FROM supplier
 """
 
 
+def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source with declared schema — the Hive-ecosystem
+    columnar format, completing the format matrix (CSV/JSONL/Parquet/
+    ORC) a warehouse-facing export pipeline is asked for. Same
+    discipline as the other roundtrips: exact-cents money, explicit
+    StructType on read."""
+    r = load_table(spark, sf_dir, "region")
+    out = scratch_dir("spark_graft_orc_")
+    r.select("r_regionkey", "r_name").write.mode("overwrite").orc(out)
+    schema = T.StructType([
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ])
+    return spark.read.schema(schema).orc(out).select("r_regionkey", "r_name")
+
+
+_ORC_ROUNDTRIP_SQL = "SELECT r_regionkey, r_name FROM region"
+
+
 # ------------------------------------------------------- S10 + S9 + A2
 
 def _parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,6 +546,8 @@ QUERIES: dict[str, Query] = {
     "eth_jsonl_roundtrip": Query(_jsonl_roundtrip, _JSONL_ROUNDTRIP_SQL,
                                  "S6/S7 JSONL sink+source, declared "
                                  "schema (ethereum-etl's json format)"),
+    "eth_orc_roundtrip": Query(_orc_roundtrip, _ORC_ROUNDTRIP_SQL,
+                               "ORC sink+source, declared schema"),
     "eth_parquet_partitioned": Query(_parquet_partitioned,
                                      _parquet_partitioned_sql(),
                                      "S10 partitioned parquet sink + pruned read"),

@@ -8,7 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import (WINDOW_US, stream_exact_dedup,
-                         stream_hopping_counts, stream_tumbling_counts)
+                         stream_hopping_counts, stream_tumbling_counts,
+                         stream_watermark_counts)
 from .analytics import _EVENTS_SESSIONS_SQL
 from .base import Query
 
@@ -63,6 +64,29 @@ FROM events GROUP BY 1
 """
 
 
+WM_DELAY_S = 1800
+
+
+def _stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_watermark_counts(spark,
+                                   f"{sf_dir.rstrip('/')}/events.parquet",
+                                   delay_s=WM_DELAY_S)
+
+
+#: append-mode semantics: only windows closed by the final watermark
+#: (max event time, ms-truncated as Spark tracks it, minus the delay)
+#: are emitted — the oracle applies the same cutoff
+_STREAM_WATERMARK_SQL = f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+m AS (SELECT max(us) AS max_us FROM e)
+SELECT (us // {WINDOW_US}) * {WINDOW_US} AS win_start, count(*) AS n,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM e GROUP BY 1
+HAVING win_start + {WINDOW_US} <=
+       (SELECT (max_us // 1000 - {WM_DELAY_S * 1000}) * 1000 FROM m)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stream_tumbling_counts": Query(_stream_tumbling, _STREAM_TUMBLING_SQL,
                                     "availableNow streaming window agg"),
@@ -72,4 +96,8 @@ QUERIES: dict[str, Query] = {
                           "streaming dropDuplicates exact dedup"),
     "stream_hopping_counts": Query(_stream_hopping, _STREAM_HOPPING_SQL,
                                    "overlapping hopping-window counts"),
+    "stream_watermark_counts": Query(_stream_watermark,
+                                     _STREAM_WATERMARK_SQL,
+                                     "append-mode watermarked windows "
+                                     "(late-data cutoff semantics)"),
 }

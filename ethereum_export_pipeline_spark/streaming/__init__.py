@@ -96,6 +96,34 @@ def stream_hopping_counts(spark: SparkSession, events_path: str,
     return run_available_now(agg)
 
 
+def stream_watermark_counts(spark: SparkSession, events_path: str,
+                            window_us: int = WINDOW_US,
+                            delay_s: int = 1800) -> DataFrame:
+    """APPEND-mode tumbling counts behind a watermark — the
+    bounded-state recipe for infinite streams (complete mode keeps
+    every window forever). A window only emits once the watermark
+    (max seen event time − `delay_s`) passes its end; rows later than
+    the watermark would be dropped. With availableNow the engine runs
+    a final no-data micro-batch that advances the watermark and
+    flushes every closed window, so the output is deterministic:
+    exactly the windows whose end ≤ max_event_time − delay — the
+    still-open tail windows are withheld (measured on 4.1; the DuckDB
+    oracle encodes the same cutoff, ms-truncated the way Spark tracks
+    event time)."""
+    sdf = read_stream(spark, events_path)
+    evt = sdf.select(F.expr("timestamp_micros(ts div 1000)").alias("evt_ts"),
+                     "event_id")
+    agg = (evt.withWatermark("evt_ts", f"{delay_s} seconds")
+              .groupBy(F.window("evt_ts", f"{window_us // 1_000_000} seconds")
+                        .alias("w"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.min("event_id").alias("first_event"),
+                   F.max("event_id").alias("last_event"))
+              .select(F.unix_micros("w.start").alias("win_start"),
+                      "n", "first_event", "last_event"))
+    return run_available_now(agg, output_mode="append")
+
+
 def stream_exact_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
     """Streaming exact deduplication: `dropDuplicates` on the content
     hash INSIDE a streaming query — documents arriving in any batch

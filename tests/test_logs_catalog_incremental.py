@@ -404,3 +404,31 @@ def test_malformed_long_data_decodes_to_null(spark):
                                  _topic_addr("2" * 40)]), block_number=1)]
     [r] = token_transfers_from_logs(make_logs(spark, rows)).collect()
     assert r.value is None  # NULL, never a silently wrong number
+
+
+def test_streaming_watermark_withholds_open_windows(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from ethereum_export_pipeline_spark.streaming import (
+        WINDOW_US, stream_watermark_counts)
+    path = str(tmp_path / "wm_events")
+    n = 100
+    (spark.range(n)
+          .select(F.col("id").alias("event_id"),
+                  (F.col("id") * 90_000_000_000).alias("ts"))  # 90 s apart, ns
+          .write.parquet(path))
+    delay_s = 1800
+    got = {r.win_start: r.n
+           for r in stream_watermark_counts(spark, path,
+                                            delay_s=delay_s).collect()}
+    # append mode: only windows closed by the final watermark emit
+    max_us = (n - 1) * 90_000_000
+    cutoff = (max_us // 1000 - delay_s * 1000) * 1000
+    exp = {}
+    for i in range(n):
+        w = (i * 90_000_000 // WINDOW_US) * WINDOW_US
+        exp[w] = exp.get(w, 0) + 1
+    exp = {w: c for w, c in exp.items() if w + WINDOW_US <= cutoff}
+    assert got == exp
+    assert exp  # emits something...
+    # ...and genuinely withholds the open tail windows
+    assert len(exp) < len({(i * 90_000_000 // WINDOW_US) for i in range(n)})
