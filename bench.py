@@ -56,6 +56,7 @@ HEADLINE = [
     "doc_tfidf",
     "doc_pack",
     "doc_mix_sample",
+    "doc_training_manifest",
     "emb_bruteforce_topk",
     "emb_lsh_topk",
     "emb_ivf_topk",

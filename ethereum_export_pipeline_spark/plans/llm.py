@@ -898,6 +898,95 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------- end-to-end training manifest
+
+def _training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE pipeline, end-to-end: the manifest a training run consumes.
+    A document ships iff it (1) passes the quality/language gates
+    (filter-funnel thresholds), (2) is its exact-dup group's
+    representative, (3) is its near-dup cluster's canonical survivor,
+    and (4) is kept by the stratified mix sample; each surviving doc
+    carries its split assignment and chunk count. One catalog entry
+    proving the operators COMPOSE — gates, both dedup tiers, sampling,
+    splitting, and chunk accounting agree with a single DuckDB oracle.
+
+    Scale: the gates and manifest columns are projections of one
+    corpus scan; dedup survivors arrive as two semi joins (the exact
+    tier broadcast-able per content group, the near-dup tier LSH-
+    pruned); nothing collects, nothing is O(N²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(docs).select("doc_id", "n_tokens",
+                                        "quality_score")
+    lang = text.language_id(docs).select("doc_id", "pred_lang")
+    gated = (q.join(lang, "doc_id")
+              .where((F.col("n_tokens") >= FUNNEL_MIN_TOKENS)
+                     & (F.col("pred_lang") == "en")
+                     & (F.col("quality_score") >= FUNNEL_MIN_QUALITY))
+              .select("doc_id", "n_tokens"))
+    keep_exact = (dedup.dedup_exact(docs)
+                  .select(F.col("keep_doc_id").alias("doc_id")))
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=NGRAM_THRESHOLD)
+    canon = dedup.keep_canonical(docs.select("doc_id"),
+                                 dedup.connected_components(pairs))
+    sampled = text.mix_sample(docs)
+    split = text.hash_split(docs)
+    n_chunks = F.expr(
+        f"CASE WHEN n_tokens = 0 THEN 0 "
+        f"ELSE (n_tokens - 1) div {CHUNK_STRIDE} + 1 END").cast("long")
+    return (gated.join(keep_exact, "doc_id", "left_semi")
+                 .join(canon, "doc_id", "left_semi")
+                 .join(sampled, "doc_id")
+                 .join(split, "doc_id")
+                 .select(F.col("doc_id").cast("long").alias("doc_id"),
+                         "source", "split", "rate_pct", "n_tokens",
+                         n_chunks.alias("n_chunks")))
+
+
+def _training_manifest_sql() -> str:
+    rate_h = h32_sql("'rate-v1:' || source")
+    keep_h = h32_sql("'mix-v1:' || CAST(doc_id AS VARCHAR)")
+    split_h = h32_sql("'split-v1:' || CAST(g.doc_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE q AS ({_quality_sql()}), l AS ({_language_id_sql()}),
+gated AS (
+  SELECT q.doc_id, q.n_tokens FROM q JOIN l USING (doc_id)
+  WHERE q.n_tokens >= {FUNNEL_MIN_TOKENS} AND l.pred_lang = 'en'
+    AND q.quality_score >= {FUNNEL_MIN_QUALITY}
+), ex AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  WHERE text IS NOT NULL GROUP BY md5(text)
+), pairs AS (
+  {_minhash_pairs_sql()}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+), clusters AS (
+  SELECT node, min(lbl) AS lbl FROM reach GROUP BY 1
+), canon AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+  WHERE c.lbl IS NULL OR c.lbl = d.doc_id
+), mix AS (
+  SELECT doc_id, source, CAST({rate_h} % 90 + 10 AS BIGINT) AS rate_pct
+  FROM documents WHERE {keep_h} % 100 < ({rate_h} % 90 + 10)
+)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id, m.source,
+       CASE WHEN {split_h} % 100 < 90 THEN 'train' ELSE 'val' END AS split,
+       m.rate_pct, g.n_tokens,
+       CAST(CASE WHEN g.n_tokens = 0 THEN 0
+            ELSE (g.n_tokens - 1) // {CHUNK_STRIDE} + 1 END AS BIGINT)
+         AS n_chunks
+FROM gated g
+JOIN mix m ON m.doc_id = g.doc_id
+WHERE g.doc_id IN (SELECT doc_id FROM ex)
+  AND g.doc_id IN (SELECT doc_id FROM canon)
+"""
+
+
 # ---------------------------------------------------------- TF-IDF
 
 TFIDF_K = 5
@@ -1075,6 +1164,10 @@ QUERIES: dict[str, Query] = {
     "doc_mix_sample": Query(_mix_sample, _mix_sample_sql(),
                             "stratified deterministic data-mixing "
                             "sample"),
+    "doc_training_manifest": Query(_training_manifest,
+                                   _training_manifest_sql(),
+                                   "end-to-end pipeline: gates + both "
+                                   "dedup tiers + mix + split + chunks"),
     "emb_bruteforce_topk": Query(_brute_topk, _brute_topk_sql(),
                                  "exact cosine top-k baseline"),
     "emb_lsh_topk": Query(_lsh_topk, _lsh_topk_sql(),

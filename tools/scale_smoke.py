@@ -126,6 +126,36 @@ def main() -> int:
     bench("simhash_pairs", lambda: dedup.simhash_pairs(big_docs))
     bench("dedup_pipeline_pairs_clusters_canonical", dedup_pipeline)
     bench("quality", lambda: text.quality_score(big_docs))
+    bench("tfidf", lambda: text.tfidf_top_terms(big_docs))
+    bench("pack", lambda: text.pack_sequences(big_docs))
+
+    def semantic_dedup():
+        """Amplified embeddings: per-copy dimension ROTATION — norms
+        (and so self-similarity structure) are preserved while
+        cross-copy cosines decorrelate, keeping near-dup density
+        comparable to the original corpus at any amplification."""
+        from ethereum_export_pipeline_spark.operators import (dedup as dd,
+                                                              similarity)
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        n_emb = emb.count()
+        dim = similarity.EMB_DIM
+        rot = F.expr(
+            f"concat(slice(embedding, (copy % {dim}) + 1, "
+            f"{dim} - (copy % {dim})), "
+            f"slice(embedding, 1, copy % {dim}))")
+        big = (emb.crossJoin(copies)
+                  .select((F.col("vec_id") + F.col("copy") * n_emb)
+                          .alias("vec_id"),
+                          rot.cast("array<float>").alias("embedding")))
+        big.write.mode("overwrite").parquet(f"{out}/embeddings")
+        big = spark.read.parquet(f"{out}/embeddings")
+        pairs = similarity.embedding_neardup_pairs(big, n_bands=2)
+        clusters = dd.connected_components(pairs, src="id_a", dst="id_b",
+                                           id_out="vec_id")
+        return dd.keep_canonical(big.select("vec_id"), clusters,
+                                 id_col="vec_id")
+
+    bench("semantic_dedup", semantic_dedup)
 
     spark.stop()  # flush + finalize the event log
 
