@@ -41,14 +41,16 @@ _WINDOW_REPRESENTATIVES = (
 #: Entries deliberately demoted to the tail: labeled variants or
 #: close siblings of configurations already graded in the window —
 #: emb_neardup_multiband covers neardup at 3 bands so the 2-band
-#: config rides the tail; the ORC roundtrip is the fourth entry of an
-#: already-graded format matrix (CSV/JSONL/parquet in-window); the
+#: config rides the tail; the JSONL and ORC roundtrips are the
+#: third/fourth entries of an already-graded format matrix (CSV and
+#: partitioned parquet in-window); the
 #: watermark windows share the tumbling entry's aggregation with an
 #: emission cutoff. The analytics/tpch2 shapes beyond q1 were
 #: driver-graded green in CORRECTNESS_r02. Everything here stays
 #: verified by tools/oracle_check.py, which runs ALL entries.
 _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
-                  "eth_orc_roundtrip", "stream_watermark_counts")
+                  "eth_jsonl_roundtrip", "eth_orc_roundtrip",
+                  "stream_watermark_counts")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)
@@ -68,6 +70,8 @@ assert all(n in _window for n in _MERGED
            and n not in _TAIL_VARIANTS), "extension query outside window"
 assert all(n in _window for n in eth.QUERIES
            if n not in _TAIL_VARIANTS), "eth query outside window"
+assert all(n in _window for n in _WINDOW_REPRESENTATIVES), \
+    "window representative outside window"
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

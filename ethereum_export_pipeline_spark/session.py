@@ -5,10 +5,11 @@ shuffle partitions ~ cores (not 200), AQE on (runtime coalesce + skew
 join), Arrow on for the Pandas-UDF slow path, UTC session timezone so
 results compare cleanly against a DuckDB oracle (naive-UTC timestamps).
 
-``spark.sql.legacy.parquet.nanosAsLong=true`` is required because the
-test corpus's ``events.parquet`` carries TIMESTAMP(NANOS), which the
-vanilla Spark 4 Parquet reader rejects; with the flag the column reads
-as a nanosecond-epoch BIGINT and `sources.tables` converts it.
+``spark.sql.legacy.parquet.nanosAsLong=true`` is kept for corpus
+generations whose ``events.parquet`` carries TIMESTAMP(NANOS) (the
+vanilla Spark 4 Parquet reader rejects those); with the flag that
+column reads as a nanosecond-epoch BIGINT. Either way
+`sources.tables.with_event_time` normalizes to `ts` + `ts_ns`.
 """
 
 from __future__ import annotations

@@ -3,14 +3,16 @@
 Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet each under /root/testdata/sf*/.
 
-`events.parquet` stores its `ts` column as Parquet TIMESTAMP(NANOS),
-which Spark 4's reader rejects unless
-``spark.sql.legacy.parquet.nanosAsLong=true`` (then it surfaces as a
-nanosecond-epoch BIGINT). We normalize it to both forms:
+`events.parquet` has stored its `ts` column as Parquet
+TIMESTAMP(NANOS) in some corpus generations (readable only with
+``spark.sql.legacy.parquet.nanosAsLong=true``, surfacing as a
+nanosecond-epoch BIGINT) and as TIMESTAMP(MICROS) in others
+(surfacing as TIMESTAMP_NTZ). `with_event_time` normalizes either
+form to the same two columns every query codes against:
 
   * ``ts``       — TIMESTAMP_NTZ at microsecond precision (what DuckDB
                    sees natively, so oracle comparison is exact), and
-  * ``ts_ns``    — the raw nanosecond BIGINT (kept: cheap integer
+  * ``ts_ns``    — the nanosecond-epoch BIGINT (kept: cheap integer
                    window arithmetic at scale beats timestamp math).
 
 At 100 TB these reads are partitioned parquet scans; filters/projections
@@ -33,17 +35,38 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    ensure_conf(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+def with_event_time(df: DataFrame) -> DataFrame:
+    """Normalize an events frame to carry BOTH `ts` (TIMESTAMP_NTZ, µs)
+    and `ts_ns` (nanosecond-epoch BIGINT), whatever form the parquet
+    stored. Works on batch and streaming frames (pure projections)."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
         df = (
             df.withColumnRenamed("ts", "ts_ns")
               .withColumn(
                   "ts",
                   F.expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)"))
-              .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
         )
+    elif ts_type in ("timestamp", "timestamp_ntz"):
+        # µs-precision timestamp; session tz is UTC so the cast is exact
+        df = df.withColumn(
+            "ts_ns", F.expr("unix_micros(cast(ts as timestamp)) * 1000"))
+        if ts_type == "timestamp":
+            df = df.withColumn("ts", F.expr("cast(ts as timestamp_ntz)"))
+    else:  # pragma: no cover - corpus contract violated
+        raise TypeError(f"events.ts has unsupported type {ts_type!r}")
+    order = ["event_id", "ts", "ts_ns", "user_id", "event_type",
+             "value", "props"]
+    cols = [c for c in order if c in df.columns]
+    cols += [c for c in df.columns if c not in cols]
+    return df.select(*cols)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_conf(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events":
+        df = with_event_time(df)
     return df
 
 

@@ -59,12 +59,13 @@ def run_available_now(agg: DataFrame, name: str | None = None,
 def stream_tumbling_counts(spark: SparkSession, events_path: str,
                            window_us: int = WINDOW_US) -> DataFrame:
     """Tumbling-window event counts computed BY THE STREAMING ENGINE —
-    integer microsecond arithmetic on the raw ts (nanosAsLong BIGINT
-    div 1000), grouped per window. Complete-mode output equals the
-    batch answer."""
-    sdf = read_stream(spark, events_path)
+    integer microsecond arithmetic on the normalized `ts_ns` (see
+    `sources.tables.with_event_time`), grouped per window.
+    Complete-mode output equals the batch answer."""
+    from ..sources.tables import with_event_time
+    sdf = with_event_time(read_stream(spark, events_path))
     agg = (
-        sdf.groupBy(F.expr(f"(ts div 1000) div {window_us}").alias("win"))
+        sdf.groupBy(F.expr(f"(ts_ns div 1000) div {window_us}").alias("win"))
            .agg(F.count(F.lit(1)).alias("n"),
                 F.min("event_id").alias("first_event"),
                 F.max("event_id").alias("last_event"))
@@ -81,12 +82,13 @@ def stream_hopping_counts(spark: SparkSession, events_path: str,
     same fan-out `F.window(slideDuration=...)` performs internally,
     kept in µs integers so the DuckDB oracle is exact)."""
     n = window_us // hop_us
-    sdf = read_stream(spark, events_path)
+    from ..sources.tables import with_event_time
+    sdf = with_event_time(read_stream(spark, events_path))
     fanned = sdf.select(
         "event_id",
         F.explode(F.expr(
             f"transform(sequence(0, {n - 1}), "
-            f"k -> ((ts div 1000) div {hop_us} - k) * {hop_us})"))
+            f"k -> ((ts_ns div 1000) div {hop_us} - k) * {hop_us})"))
          .alias("win_start"),
     ).where(F.col("win_start") >= 0)
     agg = (fanned.groupBy("win_start")
@@ -110,8 +112,9 @@ def stream_watermark_counts(spark: SparkSession, events_path: str,
     still-open tail windows are withheld (measured on 4.1; the DuckDB
     oracle encodes the same cutoff, ms-truncated the way Spark tracks
     event time)."""
-    sdf = read_stream(spark, events_path)
-    evt = sdf.select(F.expr("timestamp_micros(ts div 1000)").alias("evt_ts"),
+    from ..sources.tables import with_event_time
+    sdf = with_event_time(read_stream(spark, events_path))
+    evt = sdf.select(F.expr("timestamp_micros(ts_ns div 1000)").alias("evt_ts"),
                      "event_id")
     agg = (evt.withWatermark("evt_ts", f"{delay_s} seconds")
               .groupBy(F.window("evt_ts", f"{window_us // 1_000_000} seconds")

@@ -84,8 +84,9 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
     """Stateful streaming sessionization over the events table; with a
     single availableNow batch the result equals the batch sessionizer
     (plans.analytics._events_sessions semantics)."""
-    sdf = read_stream(spark, events_path)
-    keyed = (sdf.selectExpr("user_id", "(ts div 1000) AS ts_us")
+    from ..sources.tables import with_event_time
+    sdf = with_event_time(read_stream(spark, events_path))
+    keyed = (sdf.selectExpr("user_id", "(ts_ns div 1000) AS ts_us")
                 .groupBy("user_id"))
     agg = keyed.applyInPandasWithState(
         _sessionize_key, OUTPUT_SCHEMA, STATE_SCHEMA,
