@@ -57,6 +57,10 @@ HEADLINE = [
     "doc_pack",
     "doc_mix_sample",
     "doc_training_manifest",
+    "doc_decontaminate",
+    "doc_rarity",
+    "doc_sentence_dedup",
+    "doc_length_stats",
     "emb_bruteforce_topk",
     "emb_lsh_topk",
     "emb_ivf_topk",

@@ -363,3 +363,43 @@ def keep_canonical(df: DataFrame, clusters: DataFrame,
               .where(F.col("_cc_lbl").isNull()
                      | (F.col("_cc_lbl") == df[id_col]))
               .drop("_cc_id", "_cc_lbl"))
+
+
+def decontaminate(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", bench_mod: int = 97,
+                  n: int = NGRAM_N) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of
+    its word n-gram shingles also appear in the held-out benchmark
+    set. Docs whose n-grams overlap an eval benchmark leak test data
+    into training — the standard mitigation is n-gram-overlap removal.
+    The "benchmark" here is the deterministic slice id % bench_mod == 0
+    (stands in for a real eval-suite table: swap the predicate for a
+    join against it).
+
+    Output per training doc: n_shingles, n_hits (shingles present in
+    the benchmark), contaminated (0/1), hit_rate (single double
+    division over exact BIGINTs).
+
+    Scale notes: the benchmark shingle set is eval-suite-sized (tiny
+    vs the corpus) → broadcast LEFT join marks each corpus shingle
+    with a hit flag in-scan, so the 100 TB side is scanned ONCE and
+    shuffles exactly once — a single map-side-combining aggregate on
+    the doc key computes totals and hits together (a semi-join +
+    separate aggregates would scan and shuffle the corpus twice)."""
+    sh = shingles(df, id_col, text_col, n)
+    is_bench = (F.col(id_col) % bench_mod) == 0
+    bench_sh = (sh.where(is_bench).select("shingle").distinct()
+                  .withColumn("_hit", F.lit(1)))
+    return (
+        sh.where(~is_bench)
+          .join(F.broadcast(bench_sh), "shingle", "left")
+          .groupBy(id_col)
+          .agg(F.count(F.lit(1)).alias("n_shingles"),
+               F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"))
+          .select(F.col(id_col),
+                  F.col("n_shingles"),
+                  F.col("n_hits"),
+                  (F.col("n_hits") > 0).cast("long").alias("contaminated"),
+                  (F.col("n_hits").cast("double")
+                   / F.col("n_shingles")).alias("hit_rate"))
+    )

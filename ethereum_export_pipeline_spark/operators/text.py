@@ -423,3 +423,110 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.when(h % 100 < train_pct, "train").otherwise("val").alias("split"),
     )
+
+
+def token_rarity(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Corpus-relative rarity signal per document (the cheap stand-in
+    for an LM-perplexity quality score, CCNet-style): document
+    frequency of each of the doc's distinct tokens, aggregated to
+    (n_distinct_toks, sum_df, n_hapax, mean_df). Low mean_df = the doc
+    is made of words the rest of the corpus rarely uses — OCR noise,
+    codes, boilerplate IDs; high n_hapax/n ≈ gibberish detector.
+
+    Scale notes: the document-frequency table is vocabulary-sized —
+    orders of magnitude smaller than the corpus — so it aggregates
+    once (shuffle on token) and then BROADCASTS into the (doc, token)
+    scan; the corpus side never shuffles on token. If the vocab
+    outgrows broadcast, AQE falls back to a shuffle join on the same
+    token key. The final per-doc aggregate is map-side-combining.
+    mean_df is the single double division over exact BIGINTs
+    (cross-engine exact)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tok.join(dfreq, "tok")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_distinct_toks"),
+                F.sum("df").alias("sum_df"),
+                F.sum((F.col("df") == 1).cast("long")).alias("n_hapax"))
+           .select(id_col, "n_distinct_toks", "sum_df", "n_hapax",
+                   (F.col("sum_df").cast("double")
+                    / F.col("n_distinct_toks")).alias("mean_df"))
+    )
+
+
+def duplicated_sentences(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_chars: int = 20) -> DataFrame:
+    """Sub-document exact dedup: sentences (split on '.') that occur
+    in ≥2 distinct documents — the signal behind boilerplate /
+    template removal (headers, disclaimers, navigation chrome repeat
+    across pages while full-document hashes differ). Keyed by
+    md5(normalized sentence): at 100 TB the 16-byte key shuffles, the
+    sentence text never does.
+
+    Scale notes: explode is map-side; one hash-aggregate keyed on
+    sent_key with partial (map-side) combine; the ≥2-docs filter is a
+    HAVING on the aggregate, so singleton sentences — the vast
+    majority — die in the combiner."""
+    sent = (
+        df.select(F.col(id_col),
+                  F.explode(F.split(F.col(text_col), "[.]")).alias("s"))
+          .select(id_col, F.trim(F.lower(F.col("s"))).alias("s"))
+          .where(F.length("s") >= min_chars)
+          .select(id_col, F.md5("s").alias("sent_key"))
+    )
+    return (
+        sent.groupBy("sent_key")
+            .agg(F.count(F.lit(1)).alias("n_occ"),
+                 F.countDistinct(id_col).alias("n_docs"),
+                 F.min(id_col).alias("first_doc"))
+            .where(F.col("n_docs") >= 2)
+            .select("sent_key", "n_docs", "n_occ", "first_doc")
+    )
+
+
+def length_order_stats(df: DataFrame, id_col: str = "doc_id",
+                       len_col: str = "n_chars",
+                       by_col: str = "source") -> DataFrame:
+    """Per-source length distribution as EXACT order statistics —
+    min / p25 / p50 / p75 / max of `len_col` at index
+    floor((n-1)·p) of the ascending sort. Interpolating percentile
+    functions differ subtly between engines (and approx_percentile is
+    nondeterministic by design), so the quantile is defined by integer
+    index arithmetic over BIGINTs: bit-identical everywhere, and the
+    definition a data-curation report can state precisely.
+
+    Scale notes: one shuffle on the stratum key; the rank window, the
+    per-stratum count window, and the final aggregate all ride that
+    same partitioning (no further exchange). Skewed strata sort more
+    rows per task — at 100 TB swap the global sort-per-stratum for a
+    two-pass histogram if a single source dominates."""
+    from pyspark.sql import Window
+    w_rank = (Window.partitionBy(by_col)
+                    .orderBy(F.col(len_col).asc(), F.col(id_col).asc()))
+    w_all = Window.partitionBy(by_col)
+    ranked = (
+        df.select(by_col, id_col, len_col)
+          .where(F.col(len_col).isNotNull())
+          .withColumn("rn", F.row_number().over(w_rank) - 1)
+          .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+
+    def at(pct: int) -> Column:
+        # integer index arithmetic (div), never float-divide-then-floor
+        idx = F.expr(f"((n - 1) * {pct}) div 100")
+        return F.max(F.when(F.col("rn") == idx, F.col(len_col)))
+
+    return (
+        ranked.groupBy(by_col)
+              .agg(F.max("n").alias("n_docs"),
+                   F.min(len_col).alias("len_min"),
+                   at(25).alias("len_p25"),
+                   at(50).alias("len_p50"),
+                   at(75).alias("len_p75"),
+                   F.max(len_col).alias("len_max"))
+    )

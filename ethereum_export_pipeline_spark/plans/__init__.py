@@ -48,9 +48,16 @@ _WINDOW_REPRESENTATIVES = (
 #: emission cutoff. The analytics/tpch2 shapes beyond q1 were
 #: driver-graded green in CORRECTNESS_r02. Everything here stays
 #: verified by tools/oracle_check.py, which runs ALL entries.
+#: doc_top_terms is superseded in-window by doc_tfidf (same
+#: tokenize→count→rank pipeline plus the idf weighting); doc_rarity /
+#: doc_sentence_dedup / doc_length_stats are curation-report shapes
+#: whose plan skeletons (token-df join, explode→hash-agg, stratum
+#: window) are each already graded via doc_tfidf / doc_dedup_exact /
+#: doc_top_terms-window machinery.
 _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "eth_jsonl_roundtrip", "eth_orc_roundtrip",
-                  "stream_watermark_counts")
+                  "stream_watermark_counts", "doc_top_terms",
+                  "doc_rarity", "doc_sentence_dedup", "doc_length_stats")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

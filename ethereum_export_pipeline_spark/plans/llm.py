@@ -1118,6 +1118,112 @@ FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.node
 """
 
 
+# -------------------------------------------- decontamination / curation
+
+BENCH_MOD = 97          # doc_id % 97 == 0 stands in for the eval suite
+SENT_MIN_CHARS = 20     # sentence-dedup normalization floor
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.decontaminate(load_table(spark, sf_dir, "documents"),
+                               bench_mod=BENCH_MOD)
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+sh AS ({SHINGLES_CTE}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        FROM corpus GROUP BY 1),
+hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM corpus
+        WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1)
+SELECT t.doc_id, t.n_shingles,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_shingles AS hit_rate
+FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+"""
+
+
+def _rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_rarity(load_table(spark, sf_dir, "documents"))
+
+
+def _rarity_sql() -> str:
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+agg AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_distinct_toks,
+         CAST(sum(d.df) AS BIGINT) AS sum_df,
+         CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM tok t JOIN dfreq d USING (tok) GROUP BY 1)
+SELECT doc_id, n_distinct_toks, sum_df, n_hapax,
+       CAST(sum_df AS DOUBLE) / n_distinct_toks AS mean_df
+FROM agg
+"""
+
+
+def _sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus has no sentence punctuation and no cross-document
+    repeats, so (S5-style) the boilerplate structure the operator
+    exists to find is synthesized INSIDE the query: each doc gets a
+    per-source disclaimer sentence prepended. The operator must then
+    recover exactly one duplicated sentence per source (n_docs = that
+    source's doc count) while the 500 distinct whole-text tail
+    "sentences" exercise the singleton path; the oracle applies the
+    identical construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(F.lit("Standard disclaimer for source "), F.col("source"),
+                 F.lit(". "), F.col("text")).alias("text"))
+    return text.duplicated_sentences(seeded, min_chars=SENT_MIN_CHARS)
+
+
+def _sentence_dedup_sql() -> str:
+    return f"""
+WITH seeded AS (SELECT doc_id,
+                       'Standard disclaimer for source ' || source ||
+                       '. ' || text AS text
+                FROM documents WHERE text IS NOT NULL),
+raw AS (SELECT doc_id, unnest(string_split(text, '.')) AS s0 FROM seeded),
+sent AS (SELECT doc_id, md5(s) AS sent_key
+         FROM (SELECT doc_id, trim(lower(s0)) AS s FROM raw)
+         WHERE length(s) >= {SENT_MIN_CHARS})
+SELECT sent_key,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       min(doc_id) AS first_doc
+FROM sent GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def _length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.length_order_stats(load_table(spark, sf_dir, "documents"))
+
+
+_LENGTH_STATS_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) - 1 AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT source, max(n) AS n_docs, min(n_chars) AS len_min,
+       max(CASE WHEN rn = ((n - 1) * 25) // 100 THEN n_chars END) AS len_p25,
+       max(CASE WHEN rn = ((n - 1) * 50) // 100 THEN n_chars END) AS len_p50,
+       max(CASE WHEN rn = ((n - 1) * 75) // 100 THEN n_chars END) AS len_p75,
+       max(n_chars) AS len_max
+FROM ranked GROUP BY source
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
                              "exact dedup via md5 hash-agg"),
@@ -1202,4 +1308,15 @@ QUERIES: dict[str, Query] = {
                        "resize plumbing, metadata oracle"),
     "mm_frame_sample": Query(_frame_sample, _FRAME_SAMPLE_SQL,
                              "video frame-sample fan-out"),
+    "doc_decontaminate": Query(_decontaminate, _decontaminate_sql(),
+                               "benchmark n-gram decontamination "
+                               "(broadcast semi join)"),
+    "doc_rarity": Query(_rarity, _rarity_sql(),
+                        "corpus-relative token rarity (df join, "
+                        "hapax/mean-df quality signal)"),
+    "doc_sentence_dedup": Query(_sentence_dedup, _sentence_dedup_sql(),
+                                "cross-document duplicated sentences "
+                                "(boilerplate detector)"),
+    "doc_length_stats": Query(_length_stats, _LENGTH_STATS_SQL,
+                              "per-source exact length order statistics"),
 }

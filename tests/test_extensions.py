@@ -483,3 +483,66 @@ def test_semantic_dedup_one_kept_per_cluster(spark):
         keeps = [m for m in members if m.is_kept == 1]
         assert len(keeps) == 1 and keeps[0].vec_id == cid == min(
             m.vec_id for m in members)
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import decontaminate
+    # doc 0 is the benchmark (id % 97 == 0). doc 1 copies one of its
+    # 3-gram shingles; doc 2 shares nothing.
+    df = docs(spark, [(0, "alpha beta gamma delta"),
+                      (1, "alpha beta gamma zulu xray"),
+                      (2, "one two three four")])
+    got = {r.doc_id: r for r in decontaminate(df, bench_mod=97).collect()}
+    assert set(got) == {1, 2}  # benchmark docs are not scored
+    # doc1 shingles: {abg, bgz, gzx} — abg ∈ bench{abg, bgd}
+    assert (got[1].n_shingles, got[1].n_hits, got[1].contaminated) == (3, 1, 1)
+    assert got[1].hit_rate == pytest.approx(1 / 3)
+    assert (got[2].n_hits, got[2].contaminated) == (0, 0)
+
+
+def test_token_rarity_hand_computed(spark):
+    from ethereum_export_pipeline_spark.operators.text import token_rarity
+    # df: the→3 docs, cat→2, dog→1, bird→1
+    df = docs(spark, [(1, "the cat"), (2, "the cat dog"), (3, "the bird")])
+    got = {r.doc_id: r for r in token_rarity(df).collect()}
+    assert (got[1].n_distinct_toks, got[1].sum_df, got[1].n_hapax) == (2, 5, 0)
+    assert (got[2].n_distinct_toks, got[2].sum_df, got[2].n_hapax) == (3, 6, 1)
+    assert got[2].mean_df == pytest.approx(2.0)
+    # repeated token inside one doc counts once (array_distinct)
+    df2 = docs(spark, [(1, "cat cat cat"), (2, "cat")])
+    got2 = {r.doc_id: r for r in token_rarity(df2).collect()}
+    assert got2[1].sum_df == 2 and got2[1].n_distinct_toks == 1
+
+
+def test_duplicated_sentences_cross_doc_only(spark):
+    from ethereum_export_pipeline_spark.operators.text import (
+        duplicated_sentences)
+    boiler = "This disclaimer repeats across documents"
+    df = docs(spark, [
+        (1, f"{boiler}. Unique first body text here."),
+        (2, f"{boiler}.  {boiler}. Another unique body sentence."),
+        (3, "No shared content in this one at all."),
+    ])
+    [r] = duplicated_sentences(df, min_chars=20).collect()
+    import hashlib
+    assert r.sent_key == hashlib.md5(boiler.lower().encode()).hexdigest()
+    # 3 occurrences (doc2 has it twice) across 2 distinct docs
+    assert (r.n_docs, r.n_occ, r.first_doc) == (2, 3, 1)
+
+
+def test_length_order_stats_known_quartiles(spark):
+    from ethereum_export_pipeline_spark.operators.text import (
+        length_order_stats)
+    rows = [Row(doc_id=i, source="s", n_chars=(i + 1) * 10)
+            for i in range(5)]  # 10..50
+    df = spark.createDataFrame(rows)
+    [r] = length_order_stats(df).collect()
+    # indices floor((5-1)*p) = 1, 2, 3 → 20, 30, 40
+    assert (r.n_docs, r.len_min, r.len_p25, r.len_p50, r.len_p75,
+            r.len_max) == (5, 10, 20, 30, 40, 50)
+    # two-row stratum: floor((n-1)·p) = 0 for all three → first value
+    df2 = spark.createDataFrame([Row(doc_id=1, source="t", n_chars=7),
+                                 Row(doc_id=2, source="t", n_chars=9)])
+    [r2] = length_order_stats(df2).collect()
+    assert (r2.len_p25, r2.len_p50, r2.len_p75) == (7, 7, 7)
+    assert r2.len_max == 9
