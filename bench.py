@@ -76,6 +76,7 @@ HEADLINE = [
     "stream_sessions",
     "stream_dedup",
     "stream_hopping_counts",
+    "stream_interval_join",
 ]
 
 

@@ -7,8 +7,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming import (WINDOW_US, stream_exact_dedup,
-                         stream_hopping_counts, stream_tumbling_counts,
+from ..streaming import (WINDOW_US, stream_dedup_within_watermark,
+                         stream_exact_dedup, stream_hopping_counts,
+                         stream_interval_join, stream_tumbling_counts,
                          stream_watermark_counts)
 from .analytics import _EVENTS_SESSIONS_SQL
 from .base import Query
@@ -87,6 +88,36 @@ HAVING win_start + {WINDOW_US} <=
 """
 
 
+IJ_GAP_S = 3600
+
+
+def _stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_interval_join(spark,
+                                f"{sf_dir.rstrip('/')}/events.parquet",
+                                gap_s=IJ_GAP_S)
+
+
+_STREAM_INTERVAL_JOIN_SQL = f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events)
+SELECT a.event_id AS click_id, b.event_id AS buy_id,
+       a.user_id AS user_id, b.us - a.us AS delta_us
+FROM e a JOIN e b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.us >= a.us AND b.us <= a.us + {IJ_GAP_S * 1_000_000}
+"""
+
+
+def _stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_dedup_within_watermark(
+        spark, f"{sf_dir.rstrip('/')}/events.parquet")
+
+
+_STREAM_DEDUP_WM_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stream_tumbling_counts": Query(_stream_tumbling, _STREAM_TUMBLING_SQL,
                                     "availableNow streaming window agg"),
@@ -100,4 +131,12 @@ QUERIES: dict[str, Query] = {
                                      _STREAM_WATERMARK_SQL,
                                      "append-mode watermarked windows "
                                      "(late-data cutoff semantics)"),
+    "stream_interval_join": Query(_stream_interval_join,
+                                  _STREAM_INTERVAL_JOIN_SQL,
+                                  "stream-stream interval join "
+                                  "(watermarked attribution join)"),
+    "stream_dedup_watermarked": Query(_stream_dedup_wm,
+                                      _STREAM_DEDUP_WM_SQL,
+                                      "bounded-state dedup "
+                                      "(dropDuplicatesWithinWatermark)"),
 }

@@ -227,3 +227,71 @@ def stream_chain_export(spark: SparkSession, dest_dir: str,
             f"stream_chain_export: only {landed}/{head + 1} blocks landed "
             f"within {timeout_s}s; the checkpoint holds the committed "
             f"offset — rerun with a larger timeout_s to resume")
+
+
+def stream_interval_join(spark: SparkSession, events_path: str,
+                         gap_s: int = 3600,
+                         delay_s: int = 7200) -> DataFrame:
+    """STREAM-STREAM inner join with watermarks and a time-interval
+    condition: click events joined to the same user's purchase events
+    landing within `gap_s` after the click — the attribution join, run
+    by the streaming engine. Both sides carry watermarks and the join
+    condition bounds event time in both directions, so state for rows
+    older than the watermark is evicted — the recipe that keeps a
+    stream-stream join's state finite on infinite streams.
+
+    Inner-join matches emit as they are found (no output delay);
+    with availableNow over a bounded input the result equals the batch
+    interval self-join, which is what the oracle checks.
+
+    Scale notes: the join shuffles both sides on user_id; the interval
+    residual evaluates post-match. Skewed hot users concentrate state
+    the same way any keyed stateful op does."""
+    from ..sources.tables import with_event_time
+    sdf = with_event_time(read_stream(spark, events_path))
+    base = sdf.select("event_id", "user_id", "event_type",
+                      F.expr("timestamp_micros(ts_ns div 1000)")
+                       .alias("evt_ts"))
+    clicks = (base.where("event_type = 'click'")
+                  .select(F.col("event_id").alias("click_id"),
+                          F.col("user_id").alias("click_user"),
+                          F.col("evt_ts").alias("click_ts"))
+                  .withWatermark("click_ts", f"{delay_s} seconds"))
+    buys = (base.where("event_type = 'purchase'")
+                .select(F.col("event_id").alias("buy_id"),
+                        F.col("user_id").alias("buy_user"),
+                        F.col("evt_ts").alias("buy_ts"))
+                .withWatermark("buy_ts", f"{delay_s} seconds"))
+    j = clicks.join(
+        buys,
+        F.expr(f"click_user = buy_user AND buy_ts >= click_ts AND "
+               f"buy_ts <= click_ts + INTERVAL {gap_s} SECONDS"),
+        "inner")
+    out = j.select("click_id", "buy_id",
+                   F.col("click_user").alias("user_id"),
+                   (F.unix_micros("buy_ts") - F.unix_micros("click_ts"))
+                   .alias("delta_us"))
+    return run_available_now(out, output_mode="append")
+
+
+def stream_dedup_within_watermark(spark: SparkSession, events_path: str,
+                                  delay_s: int = 3600) -> DataFrame:
+    """Bounded-state streaming dedup via `dropDuplicatesWithinWatermark`
+    — the production form of `stream_exact_dedup`: state for a key is
+    DROPPED once the watermark passes its event time + delay, so an
+    infinite stream holds finite dedup state (a key recurring after
+    expiry re-emits — the deliberate trade for boundedness). Keyed on
+    (user_id, event_type); only the key columns are emitted because
+    WHICH physical row survives per key is an engine choice.
+
+    With a single availableNow batch nothing expires mid-run, so the
+    output equals DISTINCT (user_id, event_type) — the oracle."""
+    from ..sources.tables import with_event_time
+    sdf = with_event_time(read_stream(spark, events_path))
+    keyed = (sdf.select("user_id", "event_type",
+                        F.expr("timestamp_micros(ts_ns div 1000)")
+                         .alias("evt_ts"))
+                .withWatermark("evt_ts", f"{delay_s} seconds")
+                .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+                .select("user_id", "event_type"))
+    return run_available_now(keyed, output_mode="append")

@@ -432,3 +432,46 @@ def test_streaming_watermark_withholds_open_windows(spark, tmp_path):
     assert exp  # emits something...
     # ...and genuinely withholds the open tail windows
     assert len(exp) < len({(i * 90_000_000 // WINDOW_US) for i in range(n)})
+
+
+def test_stream_interval_join_boundaries(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+    from ethereum_export_pipeline_spark.streaming import stream_interval_join
+    path = str(tmp_path / "ij_events")
+    m = 60_000_000_000  # 1 min in ns
+    # base > 0: a watermarked join drops rows at event time <= the
+    # INITIAL watermark (epoch 0), so ts=0 fixtures silently vanish
+    b = 86_400 * 1_000_000_000
+    rows = [
+        Row(event_id=1, user_id=1, event_type="click",    ts=b + 0 * m),
+        Row(event_id=2, user_id=1, event_type="purchase", ts=b + 10 * m),
+        Row(event_id=3, user_id=1, event_type="purchase", ts=b + 60 * m),  # == gap
+        Row(event_id=4, user_id=1, event_type="purchase", ts=b + 61 * m),  # > gap
+        Row(event_id=5, user_id=2, event_type="purchase", ts=b + 5 * m),   # other user
+        Row(event_id=6, user_id=3, event_type="click",    ts=b + 100 * m),  # no buy
+    ]
+    spark.createDataFrame(rows).write.parquet(path)
+    got = sorted((r.click_id, r.buy_id, r.delta_us)
+                 for r in stream_interval_join(spark, path,
+                                               gap_s=3600).collect())
+    # inclusive upper bound (<= click_ts + gap); cross-user never joins
+    assert got == [(1, 2, 600_000_000), (1, 3, 3_600_000_000)]
+
+
+def test_stream_dedup_within_watermark_one_row_per_key(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from ethereum_export_pipeline_spark.streaming import (
+        stream_dedup_within_watermark)
+    path = str(tmp_path / "ddw_events")
+    n = 300
+    (spark.range(n)
+          .select(F.col("id").alias("event_id"),
+                  (F.col("id") % 7).alias("user_id"),
+                  F.concat(F.lit("t"), (F.col("id") % 3).cast("string"))
+                   .alias("event_type"),
+                  (F.col("id") * 1_000_000_000).alias("ts"))
+          .write.parquet(path))
+    out = stream_dedup_within_watermark(spark, path).collect()
+    keys = {(r.user_id, r.event_type) for r in out}
+    assert len(out) == len(keys) == 21  # 7 users × 3 types, no dup rows
