@@ -31,6 +31,8 @@ HEADLINE = [
     "q13_cust_order_dist",
     "q17_small_qty",
     "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q21_sole_supplier",
     "q_events_tumbling",
     "q_events_sessions",
     "q_events_json",

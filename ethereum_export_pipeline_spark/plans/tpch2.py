@@ -323,6 +323,137 @@ WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
 """
 
 
+# ------------------------------------------------------------------ Q2
+
+def _min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — argmin-per-group correlated subquery kept as a
+    set (ALL tied minimum rows survive, exact-integer ties), then a
+    multi-dimension lookup join. The corpus has no partsupp table, so
+    lineitem plays the part↔supplier cost relation (min extended price
+    per part), which makes the argmin side the 100 TB fact table —
+    the harder version of the shape.
+
+    Scale: one shuffle of the fact on l_partkey feeds BOTH the min
+    aggregate and the self-join back (same key → the exchange is
+    reused); every dimension (part/supplier/nation) broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.expr(cents("l_extendedprice")).alias("cost_cents"))
+    mins = li.groupBy("l_partkey").agg(F.min("cost_cents").alias("min_cost"))
+    best = (li.join(mins, "l_partkey")
+              .where(F.col("cost_cents") == F.col("min_cost"))
+              .select("l_partkey", "l_suppkey", "min_cost").distinct())
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_size") <= 10).select("p_partkey", "p_name"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    return (best.join(F.broadcast(part),
+                      best.l_partkey == part.p_partkey)
+                .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+                .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+                .select("p_name", "s_name",
+                        F.col("n_name").alias("nation"),
+                        F.col("min_cost").alias("cost_cents")))
+
+
+_MIN_COST_SUPPLIER_SQL = f"""
+WITH li AS (SELECT l_partkey, l_suppkey,
+                   {cents('l_extendedprice')} AS cost_cents FROM lineitem),
+mins AS (SELECT l_partkey, min(cost_cents) AS min_cost FROM li GROUP BY 1),
+best AS (SELECT DISTINCT li.l_partkey, li.l_suppkey, min_cost
+         FROM li JOIN mins USING (l_partkey) WHERE cost_cents = min_cost)
+SELECT p_name, s_name, n_name AS nation, min_cost AS cost_cents
+FROM best
+JOIN part ON l_partkey = p_partkey AND p_size <= 10
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+# ----------------------------------------------------------------- Q20
+
+def _dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — a nested aggregate threshold (supplier ships
+    more than a fifth of a part's total volume — the corpus spreads
+    parts evenly across suppliers, so 1/5 is the discriminating
+    threshold where TPC-H's 1/2 selects nothing) driving a supplier
+    filter. The fraction is cross-multiplied into exact integers
+    (5·sp_qty > tot_qty) so the whole plan stays in int64 codegen.
+
+    Scale: both aggregates scan lineitem once each on different keys;
+    the (part, supplier) aggregate joins the per-part total on
+    l_partkey — the finer aggregate is already partitioned by a
+    superset key, so only the coarser side reshuffles. The supplier
+    dimension broadcasts into the final count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.expr(qty("l_quantity")).alias("q"))
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("q").alias("sp_qty"))
+    tot = li.groupBy("l_partkey").agg(F.sum("q").alias("tot_qty"))
+    dom = (sp.join(tot, "l_partkey")
+             .where(F.col("sp_qty") * 5 > F.col("tot_qty")))
+    counts = dom.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_parts_dominated"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (counts.join(F.broadcast(supp),
+                        counts.l_suppkey == supp.s_suppkey)
+                  .select("s_suppkey", "s_name", "n_parts_dominated"))
+
+
+_DOMINANT_SUPPLIERS_SQL = f"""
+WITH li AS (SELECT l_partkey, l_suppkey, {qty('l_quantity')} AS q
+            FROM lineitem),
+sp AS (SELECT l_partkey, l_suppkey, CAST(sum(q) AS BIGINT) AS sp_qty
+       FROM li GROUP BY 1, 2),
+tot AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tot_qty
+        FROM li GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_parts_dominated
+FROM sp JOIN tot USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE sp_qty * 5 > tot_qty
+GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------------------- Q21
+
+def _sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the correlated NOT EXISTS over the same fact
+    with an inequality residual: orders where a supplier is the ONLY
+    supplier, expressed as a LEFT ANTI self-join on the order key with
+    `a.supp <> b.supp` as the residual (never a nested loop: the anti
+    join shuffles both sides on l_orderkey).
+
+    Scale: the distinct (order, supplier) projection collapses the
+    fact first (map-side combine), the anti self-join reuses one
+    exchange per side on the same key, and the supplier dimension
+    broadcasts into the final per-supplier count."""
+    os_pairs = (load_table(spark, sf_dir, "lineitem")
+                .select("l_orderkey", "l_suppkey").distinct())
+    a, b = os_pairs.alias("a"), os_pairs.alias("b")
+    sole = a.join(
+        b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+           & (F.col("a.l_suppkey") != F.col("b.l_suppkey")), "left_anti")
+    counts = sole.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_sole_orders"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (counts.join(F.broadcast(supp),
+                        counts.l_suppkey == supp.s_suppkey)
+                  .select("s_suppkey", "s_name", "n_sole_orders"))
+
+
+_SOLE_SUPPLIER_ORDERS_SQL = """
+WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_sole_orders
+FROM os a JOIN supplier ON a.l_suppkey = s_suppkey
+WHERE NOT EXISTS (SELECT 1 FROM os b
+                  WHERE b.l_orderkey = a.l_orderkey
+                    AND b.l_suppkey <> a.l_suppkey)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q13_cust_order_dist": Query(_cust_order_dist, _CUST_ORDER_DIST_SQL,
                                  "outer-join two-level count distribution"),
@@ -338,4 +469,16 @@ QUERIES: dict[str, Query] = {
                                 "5-way join, symmetric OR pair filter"),
     "q15_top_supplier": Query(_top_supplier, _TOP_SUPPLIER_SQL,
                               "argmax over aggregate, exact-int ties"),
+    "q2_min_cost_supplier": Query(_min_cost_supplier,
+                                  _MIN_COST_SUPPLIER_SQL,
+                                  "argmin-per-group set w/ ties, "
+                                  "multi-dim broadcast lookup"),
+    "q20_dominant_suppliers": Query(_dominant_suppliers,
+                                    _DOMINANT_SUPPLIERS_SQL,
+                                    "nested aggregate threshold, "
+                                    "cross-multiplied exact ints"),
+    "q21_sole_supplier": Query(_sole_supplier_orders,
+                               _SOLE_SUPPLIER_ORDERS_SQL,
+                               "correlated NOT EXISTS as anti "
+                               "self-join w/ inequality residual"),
 }

@@ -152,3 +152,24 @@ def test_tfidf_single_tokenize_scan(spark, catalog):
     final = plan.split("Initial Plan")[0]
     assert final.count("regexp_extract_all") <= 1
     assert final.count("FileScan parquet") == 2
+
+
+def test_q21_anti_self_join_is_hash_not_nested_loop(spark, catalog):
+    # inequality residual rides a HASH anti join keyed on l_orderkey —
+    # a pure-inequality condition would degrade to BroadcastNestedLoop
+    plan = plan_of(catalog["q21_sole_supplier"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_q2_argmin_join_no_nested_loop(spark, catalog):
+    plan = plan_of(catalog["q2_min_cost_supplier"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_single_corpus_aggregate(spark, catalog):
+    # one broadcast join (bench shingles) + one per-doc aggregate —
+    # the corpus side must NOT be scanned/aggregated twice
+    plan = plan_of(catalog["doc_decontaminate"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -128,6 +128,8 @@ def main() -> int:
     bench("quality", lambda: text.quality_score(big_docs))
     bench("tfidf", lambda: text.tfidf_top_terms(big_docs))
     bench("pack", lambda: text.pack_sequences(big_docs))
+    bench("decontaminate", lambda: dedup.decontaminate(big_docs))
+    bench("token_rarity", lambda: text.token_rarity(big_docs))
 
     def semantic_dedup():
         """Amplified embeddings: per-copy dimension ROTATION — norms
