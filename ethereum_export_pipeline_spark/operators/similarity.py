@@ -450,3 +450,36 @@ def ivfpq_topk(df: DataFrame, centroids: list[list[int]],
               .select("query_id", "neighbor_id", "adc_dist",
                       F.col("rank").cast("long").alias("rank"))
     )
+
+
+def crossmodal_agreement(pairs: DataFrame, emb: DataFrame,
+                         cos_threshold: float,
+                         id_a: str = "doc_a", id_b: str = "doc_b",
+                         emb_id: str = "vec_id") -> DataFrame:
+    """Cross-modal dedup diagnostic: for every TEXT near-dup candidate
+    pair, the EMBEDDING cosine of the same items and whether the two
+    signals agree — the report a curation pipeline uses to calibrate
+    thresholds before trusting one tier to prune for the other.
+
+    Scale notes: the pair list is LSH-pruned (orders of magnitude
+    smaller than the corpus), so it BROADCASTS into two hash joins
+    against the embedding table keyed on id — the 100 TB embedding
+    side never shuffles and is scanned once per side. Cosine is the
+    exact-integer quantized form (`with_quantized`), bit-identical
+    across engines."""
+    base = with_quantized(emb).select(F.col(emb_id).alias("_id"),
+                                      "qvec", "n2")
+    a = base.select(F.col("_id").alias("_ida"),
+                    F.col("qvec").alias("qa"), F.col("n2").alias("n2a"))
+    b = base.select(F.col("_id").alias("_idb"),
+                    F.col("qvec").alias("qb"), F.col("n2").alias("n2b"))
+    return (
+        pairs.join(a, F.col(id_a) == F.col("_ida"))
+             .join(b, F.col(id_b) == F.col("_idb"))
+             .withColumn("dot", F.expr(dot_expr("qa", "qb")))
+             .withColumn("cosine",
+                         _cosine(F.col("dot"), F.col("n2a"), F.col("n2b")))
+             .select(id_a, id_b, "jaccard", "cosine",
+                     (F.col("cosine") >= cos_threshold).cast("long")
+                     .alias("emb_agrees"))
+    )

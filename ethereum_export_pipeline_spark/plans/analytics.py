@@ -584,6 +584,70 @@ _EVENTS_PIVOT_SQL = "SELECT user_id, " + ", ".join(
 ) + " FROM events GROUP BY 1"
 
 
+# ------------------------------------------------- ntile / range frames
+
+def _ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile assignment then per-bucket aggregate — the
+    distribution-report shape (balance deciles per market segment).
+    NTILE is deterministic only under a TOTAL order, so the window
+    orders by (acctbal, custkey); both engines implement the standard
+    floor-based bucket fill, verified by the value hash."""
+    c = load_table(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+               .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc()))
+    return (c.select("c_mktsegment",
+                     F.ntile(10).over(w).cast("long").alias("decile"),
+                     F.expr(cents("c_acctbal")).alias("bal_cents"))
+             .groupBy("c_mktsegment", "decile")
+             .agg(F.count(F.lit(1)).alias("n_cust"),
+                  F.sum("bal_cents").alias("sum_bal_cents")))
+
+
+_NTILE_DECILES_SQL = f"""
+SELECT c_mktsegment, decile,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+FROM (SELECT c_mktsegment,
+             CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS decile,
+             {cents('c_acctbal')} AS bal_cents
+      FROM customer)
+GROUP BY 1, 2
+"""
+
+
+def _window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windowed aggregate — trailing-30-day order volume
+    per customer. The frame bound is VALUE-based (integer day offsets,
+    not row counts), so same-day peers aggregate identically whatever
+    their physical order — deterministic without a total order, unlike
+    ROWS frames. Day numbers are exact ints (epoch-day arithmetic)."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.expr("datediff(cast(o_orderdate as date), DATE'1992-01-01')")
+    w = (Window.partitionBy("o_custkey").orderBy(F.col("day").asc())
+               .rangeBetween(-30, 0))
+    return (o.select("o_custkey", "o_orderkey",
+                     day.cast("long").alias("day"),
+                     F.expr(cents("o_totalprice")).alias("total_cents"))
+             .select("o_custkey", "o_orderkey", "day",
+                     F.sum("total_cents").over(w).cast("long")
+                      .alias("trail30_cents")))
+
+
+_WINDOW_RANGE_FRAME_SQL = f"""
+SELECT o_custkey, o_orderkey, day,
+       CAST(sum(total_cents) OVER (
+            PARTITION BY o_custkey ORDER BY day ASC
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS trail30_cents
+FROM (SELECT o_custkey, o_orderkey,
+             CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             {cents('o_totalprice')} AS total_cents
+      FROM orders)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": Query(_pricing_summary, _PRICING_SUMMARY_SQL,
                                 "flagship scan→filter→agg"),
@@ -592,6 +656,12 @@ QUERIES: dict[str, Query] = {
     "q5_region_revenue": Query(_region_revenue, _REGION_REVENUE_SQL,
                                "star join through broadcast dims"),
     "q_window_topn": Query(_window_topn, _WINDOW_TOPN_SQL, "per-group top-N"),
+    "q_ntile_deciles": Query(_ntile_deciles, _NTILE_DECILES_SQL,
+                             "NTILE deciles + per-bucket aggregate"),
+    "q_window_range_frame": Query(_window_range_frame,
+                                  _WINDOW_RANGE_FRAME_SQL,
+                                  "value-based RANGE frame "
+                                  "(trailing 30-day volume)"),
     "q_window_running": Query(_window_running, _WINDOW_RUNNING_SQL,
                               "running sum, explicit ROWS frame"),
     "q_rollup": Query(_rollup, _ROLLUP_SQL, "rollup subtotals"),

@@ -1224,6 +1224,37 @@ FROM ranked GROUP BY source
 """
 
 
+def _crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text MinHash pairs scored with the SAME items' embedding cosine
+    (documents and embeddings are row-aligned: doc_id == vec_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=NGRAM_THRESHOLD)
+    return similarity.crossmodal_agreement(pairs, emb, NEARDUP_COS)
+
+
+def _crossmodal_sql() -> str:
+    return f"""
+WITH mh AS ({_minhash_pairs_sql()}),
+qq AS (SELECT vec_id, {_QUANT} AS qv,
+              CAST(list_sum(list_transform({_QUANT}, x -> x * x)) AS BIGINT)
+              AS n2
+       FROM embeddings),
+scored AS (
+  SELECT mh.doc_a, mh.doc_b, mh.jaccard,
+         CAST(CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                           s -> s[1] * s[2])) AS BIGINT)
+              AS DOUBLE)
+         / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cosine
+  FROM mh JOIN qq a ON a.vec_id = mh.doc_a
+          JOIN qq b ON b.vec_id = mh.doc_b)
+SELECT doc_a, doc_b, jaccard, cosine,
+       CAST(CASE WHEN cosine >= {NEARDUP_COS} THEN 1 ELSE 0 END AS BIGINT)
+       AS emb_agrees
+FROM scored
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
                              "exact dedup via md5 hash-agg"),
@@ -1319,4 +1350,8 @@ QUERIES: dict[str, Query] = {
                                 "(boilerplate detector)"),
     "doc_length_stats": Query(_length_stats, _LENGTH_STATS_SQL,
                               "per-source exact length order statistics"),
+    "doc_crossmodal_agreement": Query(_crossmodal, _crossmodal_sql(),
+                                      "text near-dup pairs scored with "
+                                      "embedding cosine (threshold "
+                                      "calibration report)"),
 }

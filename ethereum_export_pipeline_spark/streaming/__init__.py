@@ -12,6 +12,15 @@ For the batch-bounded verification path (no checkpoint, memory sink)
 directory as a real streaming query and returns the result table —
 semantically identical to the batch aggregate, which is what the
 DuckDB oracle checks.
+
+Custom stateful operators use `applyInPandasWithState`
+(streaming/sessions.py). Spark 4's newer `transformWithStateInPandas`
+API is NOT used: its Python driver worker needs google.protobuf,
+which this environment does not ship (verified: the runner crashes
+with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE on import). The
+sessionizer's logic is API-agnostic and ports to a StatefulProcessor
+(ValueState holding the same 4-field open-session tuple) when
+protobuf is available.
 """
 
 from __future__ import annotations

@@ -546,3 +546,24 @@ def test_length_order_stats_known_quartiles(spark):
     [r2] = length_order_stats(df2).collect()
     assert (r2.len_p25, r2.len_p50, r2.len_p75) == (7, 7, 7)
     assert r2.len_max == 9
+
+
+def test_crossmodal_agreement_identical_and_orthogonal(spark):
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        crossmodal_agreement)
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    d = docs(spark, [(0, text), (1, text), (2, text)])
+    from ethereum_export_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(d, threshold=0.9)  # (0,1),(0,2),(1,2)
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    emb = spark.createDataFrame(
+        [(0, e1), (1, e1), (2, e2)], "vec_id long, embedding array<float>")
+    got = {(r.doc_a, r.doc_b): r for r in
+           crossmodal_agreement(pairs, emb, cos_threshold=0.3).collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert got[(0, 1)].cosine == pytest.approx(1.0)  # same vector
+    assert got[(0, 1)].emb_agrees == 1
+    assert got[(0, 2)].cosine == pytest.approx(0.0)  # orthogonal
+    assert got[(0, 2)].emb_agrees == 0

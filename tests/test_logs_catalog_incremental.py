@@ -475,3 +475,38 @@ def test_stream_dedup_within_watermark_one_row_per_key(spark, tmp_path):
     out = stream_dedup_within_watermark(spark, path).collect()
     keys = {(r.user_id, r.event_type) for r in out}
     assert len(out) == len(keys) == 21  # 7 users × 3 types, no dup rows
+
+
+def test_staged_csv_writer_two_phase_commit(spark, tmp_path):
+    import json, os
+    from ethereum_export_pipeline_spark.sources import staged_sink
+    staged_sink.register(spark)
+    dest = str(tmp_path / "staged_out")
+    df = (spark.range(100)
+               .selectExpr("id AS number", "concat('0x', id) AS hash",
+                           "CASE WHEN id = 7 THEN 'a,\"b\"' END AS memo")
+               .repartition(4))
+    # the Python DataSource writer protocol supports append/overwrite
+    df.write.format("ethereum_staged_csv").mode("append").save(dest)
+    man = staged_sink.read_manifest(dest)
+    # manifest totals match, staging is gone, files exist as listed
+    assert man["total_rows"] == 100
+    assert man["columns"] == ["number", "hash", "memo"]
+    assert sum(f["rows"] for f in man["files"]) == 100
+    assert not os.path.isdir(os.path.join(dest, "_staging"))
+    for f in man["files"]:
+        assert os.path.isfile(os.path.join(dest, f["file"]))
+    # the CSV round-trips through Spark's reader (RFC-4180 doubled
+    # quotes → escape='"'; Spark's default escape is backslash)
+    back = (spark.read.option("header", "true")
+                 .option("escape", '"').csv(dest))
+    assert back.count() == 100
+    assert back.where("number = 7").collect()[0].memo == 'a,"b"'
+    # overwrite mode replaces the previous export atomically
+    (spark.range(10).selectExpr("id AS number", "'h' AS hash",
+                                "'m' AS memo")
+          .repartition(2).write.format("ethereum_staged_csv")
+          .mode("overwrite").save(dest))
+    man2 = staged_sink.read_manifest(dest)
+    assert man2["total_rows"] == 10
+    assert spark.read.option("header", "true").csv(dest).count() == 10
