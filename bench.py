@@ -36,6 +36,7 @@ HEADLINE = [
     "q_events_tumbling",
     "q_events_sessions",
     "q_events_json",
+    "q_events_funnel",
     "eth_typed_projection",
     "eth_partition_plan",
     "eth_semi_join",

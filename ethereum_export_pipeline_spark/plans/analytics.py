@@ -648,6 +648,51 @@ FROM (SELECT o_custkey, o_orderkey,
 """
 
 
+# ----------------------------------------------------------- funnel
+
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase) per user: the
+    first view, the first click AFTER that view, the first purchase
+    AFTER that click — the sequence-dependent min chain every product
+    analytics stack runs. Steps are correlated (step N's filter uses
+    step N-1's time), decorrelated here into three per-user min
+    aggregates, each joined back on user_id.
+
+    Scale: every aggregate and join keys on user_id — one logical
+    partitioning serves the whole chain (exchanges reused / broadcast
+    at dim size); event-time comparisons are exact µs BIGINTs."""
+    e = (load_table(spark, sf_dir, "events")
+         .select("user_id", "event_type",
+                 F.expr("ts_ns div 1000").alias("us")))
+    v = (e.where("event_type = 'view'")
+          .groupBy("user_id").agg(F.min("us").alias("view_us")))
+    c = (e.join(v, "user_id")
+          .where("event_type = 'click' AND us > view_us")
+          .groupBy("user_id", "view_us").agg(F.min("us").alias("click_us")))
+    p = (e.join(c, "user_id")
+          .where("event_type = 'purchase' AND us > click_us")
+          .groupBy("user_id", "view_us", "click_us")
+          .agg(F.min("us").alias("purchase_us")))
+    return (v.join(c.select("user_id", "click_us"), "user_id", "left")
+             .join(p.select("user_id", "purchase_us"), "user_id", "left")
+             .select("user_id", "view_us", "click_us", "purchase_us"))
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, min(us) AS view_us FROM e
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, v.view_us, min(us) AS click_us
+      FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND us > view_us GROUP BY 1, 2),
+p AS (SELECT e.user_id, c.view_us, c.click_us, min(us) AS purchase_us
+      FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND us > click_us GROUP BY 1, 2, 3)
+SELECT v.user_id, v.view_us, c.click_us, p.purchase_us
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": Query(_pricing_summary, _PRICING_SUMMARY_SQL,
                                 "flagship scan→filter→agg"),
@@ -656,6 +701,9 @@ QUERIES: dict[str, Query] = {
     "q5_region_revenue": Query(_region_revenue, _REGION_REVENUE_SQL,
                                "star join through broadcast dims"),
     "q_window_topn": Query(_window_topn, _WINDOW_TOPN_SQL, "per-group top-N"),
+    "q_events_funnel": Query(_events_funnel, _EVENTS_FUNNEL_SQL,
+                             "ordered 3-step funnel (correlated min "
+                             "chain, one key partitioning)"),
     "q_ntile_deciles": Query(_ntile_deciles, _NTILE_DECILES_SQL,
                              "NTILE deciles + per-bucket aggregate"),
     "q_window_range_frame": Query(_window_range_frame,

@@ -304,3 +304,51 @@ def stream_dedup_within_watermark(spark: SparkSession, events_path: str,
                 .dropDuplicatesWithinWatermark(["user_id", "event_type"])
                 .select("user_id", "event_type"))
     return run_available_now(keyed, output_mode="append")
+
+
+def incremental_rollup(spark: SparkSession, src_dir: str, dest_dir: str,
+                       checkpoint_dir: str,
+                       window_us: int = WINDOW_US) -> None:
+    """Incrementally-maintained rollup table (materialized-view
+    maintenance without a table format): a streaming tumbling-count in
+    UPDATE mode emits, per micro-batch, the windows whose totals
+    changed — with their FULL cumulative values, because the agg state
+    (restored from the checkpoint across runs) carries prior batches —
+    and `foreachBatch` upserts exactly those keys into a parquet
+    rollup (anti-join out stale rows ∪ new rows, write to a temp dir,
+    atomic directory swap).
+
+    Each availableNow run therefore reads ONLY files the checkpoint
+    has not seen and rewrites ONLY touched windows' rows: the
+    incremental convert job's discipline applied to an AGGREGATE.
+    On an object store the directory swap becomes a manifest pointer
+    flip (see sources/staged_sink.py for that two-phase pattern);
+    with a table format (Delta/Iceberg) it is MERGE INTO.
+    """
+    import shutil
+    from ..sources.tables import with_event_time
+    sdf = with_event_time(read_stream(spark, src_dir))
+    agg = (sdf.groupBy(F.expr(f"(ts_ns div 1000) div {window_us}")
+                        .alias("win"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        new = batch_df.select("win", "n")
+        if os.path.isdir(dest_dir):
+            cur = sess.read.parquet(dest_dir)
+            out = (cur.join(new.select("win"), "win", "left_anti")
+                      .unionByName(new))
+        else:
+            out = new
+        tmp = dest_dir.rstrip("/") + "._tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(dest_dir):
+            shutil.rmtree(dest_dir)
+        os.replace(tmp, dest_dir)
+
+    q = (agg.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+    q.awaitTermination()

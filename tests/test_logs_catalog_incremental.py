@@ -510,3 +510,44 @@ def test_staged_csv_writer_two_phase_commit(spark, tmp_path):
     man2 = staged_sink.read_manifest(dest)
     assert man2["total_rows"] == 10
     assert spark.read.option("header", "true").csv(dest).count() == 10
+
+
+def test_incremental_rollup_upserts_only_touched_windows(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from ethereum_export_pipeline_spark.streaming import (
+        WINDOW_US, incremental_rollup)
+    src = tmp_path / "roll_src"; src.mkdir()
+    dest, ckpt = str(tmp_path / "roll_out"), str(tmp_path / "roll_ckpt")
+
+    def write_file(name, start, n):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        ids = list(range(start, start + n))
+        pq.write_table(
+            pa.table({"event_id": ids,
+                      "ts": [i * 90_000_000_000 for i in ids]}),
+            src / name)
+
+    def expected(upto):
+        exp = {}
+        for i in range(upto):
+            w = i * 90_000_000 // WINDOW_US
+            exp[w] = exp.get(w, 0) + 1
+        return exp
+
+    write_file("f1", 0, 500)
+    incremental_rollup(spark, str(src), dest, ckpt)
+    got1 = {r.win: r.n for r in spark.read.parquet(dest).collect()}
+    assert got1 == expected(500)
+
+    # second run, no new data: rollup unchanged (checkpoint = bookmark)
+    incremental_rollup(spark, str(src), dest, ckpt)
+    assert {r.win: r.n
+            for r in spark.read.parquet(dest).collect()} == expected(500)
+
+    # new file overlaps the tail window AND adds new ones: cumulative
+    # counts survive because the agg state rides the checkpoint
+    write_file("f2", 500, 300)
+    incremental_rollup(spark, str(src), dest, ckpt)
+    got2 = {r.win: r.n for r in spark.read.parquet(dest).collect()}
+    assert got2 == expected(800)
