@@ -37,6 +37,8 @@ HEADLINE = [
     "q_events_sessions",
     "q_events_json",
     "q_events_funnel",
+    "q_events_retention",
+    "emb_label_centroids",
     "eth_typed_projection",
     "eth_partition_plan",
     "eth_semi_join",

@@ -319,24 +319,40 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
              .union(pairs.select(F.col(dst).cast("long").alias("u"),
                                  F.col(src).cast("long").alias("v")))
              .distinct())
-    labels = (edges.select("u").distinct()
-                   .select(F.col("u").alias("node"), F.col("u").alias("lbl")))
-    changed = None
-    for _ in range(max_iter):
-        nbr = (edges.join(labels, edges.v == labels.node)
-                    .select(F.col("u").alias("node"), "lbl",
-                            F.lit(False).alias("is_old")))
-        new = _persist(
-            labels.select("node", "lbl", F.lit(True).alias("is_old"))
-                  .union(nbr)
-                  .groupBy("node")
-                  .agg(F.min("lbl").alias("lbl"),
-                       F.min(F.when(F.col("is_old"), F.col("lbl")))
-                        .alias("old_lbl")))
-        changed = new.where(F.col("lbl") != F.col("old_lbl")).limit(1).count()
-        labels = new.select("node", "lbl")
-        if changed == 0:
-            break
+    # size the ITERATION's shuffle width to the pruned graph, not the
+    # corpus: on an LSH-pruned edge list of a few thousand rows, a
+    # 32-wide shuffle per round is pure scheduling overhead (the loop
+    # runs several stages per round). Large graphs keep the session
+    # width. The count is cheap — edges was just materialized.
+    sess = pairs.sparkSession
+    n_edges = edges.count()
+    old_width = sess.conf.get("spark.sql.shuffle.partitions")
+    if n_edges < 1_000_000:
+        sess.conf.set("spark.sql.shuffle.partitions",
+                      str(min(4, int(old_width))))
+    try:
+        labels = (edges.select("u").distinct()
+                       .select(F.col("u").alias("node"),
+                               F.col("u").alias("lbl")))
+        changed = None
+        for _ in range(max_iter):
+            nbr = (edges.join(labels, edges.v == labels.node)
+                        .select(F.col("u").alias("node"), "lbl",
+                                F.lit(False).alias("is_old")))
+            new = _persist(
+                labels.select("node", "lbl", F.lit(True).alias("is_old"))
+                      .union(nbr)
+                      .groupBy("node")
+                      .agg(F.min("lbl").alias("lbl"),
+                           F.min(F.when(F.col("is_old"), F.col("lbl")))
+                            .alias("old_lbl")))
+            changed = (new.where(F.col("lbl") != F.col("old_lbl"))
+                          .limit(1).count())
+            labels = new.select("node", "lbl")
+            if changed == 0:
+                break
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_width)
     if changed != 0:
         raise RuntimeError(
             f"connected_components: min-label propagation did not converge "

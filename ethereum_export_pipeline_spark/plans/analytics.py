@@ -693,6 +693,40 @@ FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 """
 
 
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (cohort), counted per subsequent active week — the curation twin
+    is "docs per source per crawl week". Exact integer week
+    arithmetic; one distinct projection, two same-key aggregates.
+
+    Scale: (user, week) distinct collapses the fact map-side; the
+    cohort min-aggregate and the final count both key on user_id /
+    (cohort, week) — two small shuffles, no window over the fact."""
+    e = (load_table(spark, sf_dir, "events")
+         .select("user_id",
+                 F.expr(f"(ts_ns div 1000) div {WEEK_US}").alias("week"))
+         .distinct())
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (e.join(cohort, "user_id")
+             .groupBy("cohort_week",
+                      (F.col("week") - F.col("cohort_week")).alias("week_n"))
+             .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+_EVENTS_RETENTION_SQL = f"""
+WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week
+           FROM events),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+SELECT cohort_week, week - cohort_week AS week_n,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": Query(_pricing_summary, _PRICING_SUMMARY_SQL,
                                 "flagship scan→filter→agg"),
@@ -701,6 +735,10 @@ QUERIES: dict[str, Query] = {
     "q5_region_revenue": Query(_region_revenue, _REGION_REVENUE_SQL,
                                "star join through broadcast dims"),
     "q_window_topn": Query(_window_topn, _WINDOW_TOPN_SQL, "per-group top-N"),
+    "q_events_retention": Query(_events_retention,
+                                _EVENTS_RETENTION_SQL,
+                                "cohort retention matrix (exact week "
+                                "arithmetic)"),
     "q_events_funnel": Query(_events_funnel, _EVENTS_FUNNEL_SQL,
                              "ordered 3-step funnel (correlated min "
                              "chain, one key partitioning)"),

@@ -1255,6 +1255,39 @@ FROM scored
 """
 
 
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in LONG format — (label, dim,
+    sum_q, n_vecs): the exact-integer sufficient statistic for
+    per-class centroids (classifier init, outlier screens, IVF
+    seeding). Long format keeps both engines in plain
+    explode→group-by integer arithmetic; the consumer divides sum_q/n
+    once for the centroid coordinate.
+
+    Scale: posexplode is map-side (rows × dim), the single hash
+    aggregate on (label, dim) is map-side-combining, output is
+    labels × dim rows — tiny. No doubles anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.with_quantized(emb)
+    return (q.select("label", F.posexplode("qvec").alias("dim", "qv"))
+             .groupBy("label", "dim")
+             .agg(F.sum("qv").alias("sum_q"),
+                  F.count(F.lit(1)).alias("n_vecs"))
+             .select(F.col("label").cast("long").alias("label"),
+                     F.col("dim").cast("long").alias("dim"),
+                     "sum_q", "n_vecs"))
+
+
+_LABEL_CENTROIDS_SQL = f"""
+WITH q AS (SELECT label, {_QUANT} AS qv FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(i AS BIGINT) AS dim,
+       CAST(sum(qv[i + 1]) AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM q, UNNEST(range(len(qv))) u(i)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
                              "exact dedup via md5 hash-agg"),
@@ -1350,6 +1383,9 @@ QUERIES: dict[str, Query] = {
                                 "(boilerplate detector)"),
     "doc_length_stats": Query(_length_stats, _LENGTH_STATS_SQL,
                               "per-source exact length order statistics"),
+    "emb_label_centroids": Query(_label_centroids, _LABEL_CENTROIDS_SQL,
+                                 "per-label exact centroid statistics "
+                                 "(long-format posexplode agg)"),
     "doc_crossmodal_agreement": Query(_crossmodal, _crossmodal_sql(),
                                       "text near-dup pairs scored with "
                                       "embedding cosine (threshold "
