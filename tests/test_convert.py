@@ -81,3 +81,29 @@ def test_range_cols_with_convert(spark, eth_fixture_dir, tmp_path):
     df.select("number", s, e).write.partitionBy("start_block", "end_block").parquet(out)
     names = sorted(d for d in os.listdir(out) if d.startswith("start_block"))
     assert names == ["start_block=00000000", "start_block=00000020"]
+
+
+def test_schema_evolution_merge_across_ranges(spark, tmp_path):
+    """Chain exports evolve (new fields appear at a fork height); the
+    converted table must read ranges written under BOTH schemas:
+    mergeSchema unifies, old ranges surface NULL for new fields, and
+    filters still push down on the shared columns."""
+    import pyspark.sql.functions as F
+    root = str(tmp_path / "evolving")
+    (spark.range(0, 100)
+          .select(F.col("id").alias("number"),
+                  F.concat(F.lit("0x"), F.col("id")).alias("hash"))
+          .write.parquet(f"{root}/range=0"))
+    (spark.range(100, 200)
+          .select(F.col("id").alias("number"),
+                  F.concat(F.lit("0x"), F.col("id")).alias("hash"),
+                  (F.col("id") * 21_000).alias("gas_used"))  # new field
+          .write.parquet(f"{root}/range=1"))
+    df = spark.read.option("mergeSchema", "true").parquet(root)
+    assert set(df.columns) == {"number", "hash", "gas_used", "range"}
+    assert df.count() == 200
+    # old ranges: NULL for the new field; new ranges: real values
+    assert df.where("number < 100 AND gas_used IS NULL").count() == 100
+    assert df.where("number >= 100 AND gas_used = number * 21000").count() == 100
+    # shared-column filters still prune partitions
+    assert df.where("range = 0").count() == 100

@@ -92,3 +92,71 @@ def test_range_cols_assigns_every_key_to_its_range(spark, start, width, n):
         lo, hi = int(r.start_block), int(r.end_block)
         assert lo <= r.number <= hi
         assert (lo, hi) in plan
+
+
+@given(texts=st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=40), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_token_rarity_matches_python_reference(spark, texts):
+    from collections import Counter
+    from ethereum_export_pipeline_spark.operators.text import token_rarity
+
+    def pytoks(s):
+        return {t for t in "".join(c if c in "abc" else " " for c in s).split()}
+
+    per_doc = {i: pytoks(t) for i, t in enumerate(texts)}
+    df_count = Counter(tok for toks in per_doc.values() for tok in toks)
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_distinct_toks, r.sum_df, r.n_hapax)
+           for r in token_rarity(df).collect()}
+    for i, toks in per_doc.items():
+        if not toks:
+            assert i not in got
+            continue
+        exp = (len(toks), sum(df_count[t] for t in toks),
+               sum(1 for t in toks if df_count[t] == 1))
+        assert got[i] == exp, (i, toks)
+
+
+@given(lengths=st.lists(st.integers(0, 500), min_size=1, max_size=30),
+       pcts=st.just((25, 50, 75)))
+@settings(**SETTINGS)
+def test_length_order_stats_matches_python_reference(spark, lengths, pcts):
+    from ethereum_export_pipeline_spark.operators.text import (
+        length_order_stats)
+    from pyspark.sql import Row
+    rows = [Row(doc_id=i, source="s", n_chars=n)
+            for i, n in enumerate(lengths)]
+    [r] = length_order_stats(spark.createDataFrame(rows)).collect()
+    srt, n = sorted(lengths), len(lengths)
+    exp = {p: srt[((n - 1) * p) // 100] for p in pcts}
+    assert (r.len_min, r.len_max, r.n_docs) == (srt[0], srt[-1], n)
+    assert (r.len_p25, r.len_p50, r.len_p75) == (exp[25], exp[50], exp[75])
+
+
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
+                    unique=True),
+       bench_mod=st.sampled_from([2, 3, 7]))
+@settings(**SETTINGS)
+def test_decontaminate_partition_invariants(spark, ids, bench_mod):
+    # every doc is 'x y z' + its own unique token: bench docs and
+    # corpus docs share the 1 shingle ('x y z') iff they have >=1
+    # bench counterpart; totals are per-doc exact
+    from ethereum_export_pipeline_spark.operators.dedup import decontaminate
+    docs = [(i, f"x y z w{i}") for i in ids]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           decontaminate(df, bench_mod=bench_mod).collect()}
+    bench_exists = any(i % bench_mod == 0 for i in ids)
+    for i in ids:
+        if i % bench_mod == 0:
+            assert i not in got          # benchmark docs are not scored
+            continue
+        r = got[i]
+        # shingles of 'x y z w{i}': 'x y z', 'y z w{i}' → 2 total,
+        # only 'x y z' can hit (w{i} unique per doc)
+        assert r.n_shingles == 2
+        assert r.n_hits == (1 if bench_exists else 0)
+        assert r.contaminated == (1 if bench_exists else 0)
