@@ -727,6 +727,67 @@ GROUP BY 1, 2
 """
 
 
+def _lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per
+    customer, the 2 largest orders. The optimizer decorrelates the
+    lateral into a ranked window under the hood; the entry pins that
+    the LATERAL SQL surface itself works (not just the window
+    rewrite), with exact-cents ordering so ranks are engine-stable."""
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT c_custkey, o_orderkey, rnk,
+               {cents('o_totalprice')} AS total_cents
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice,
+                        row_number() OVER (ORDER BY o_totalprice DESC,
+                                           o_orderkey ASC) AS rnk
+                 FROM orders WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2)
+    """)
+
+
+_LATERAL_TOPK_SQL = f"""
+SELECT c_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk,
+       {cents('o_totalprice')} AS total_cents
+FROM customer,
+LATERAL (SELECT o_orderkey, o_totalprice,
+                row_number() OVER (ORDER BY o_totalprice DESC,
+                                   o_orderkey ASC) AS rnk
+         FROM orders WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2)
+"""
+
+
+def _unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide measures → long (measure, value) rows) — the
+    melt step feeding generic per-measure aggregations; four exact
+    cents measures per lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr(cents("l_quantity")).alias("qty_c"),
+        F.expr(cents("l_extendedprice")).alias("price_c"),
+        F.expr(cents("l_discount")).alias("disc_c"),
+        F.expr(cents("l_tax")).alias("tax_c"))
+    return wide.selectExpr(
+        "l_orderkey", "l_linenumber",
+        "stack(4, 'qty', qty_c, 'price', price_c, "
+        "'disc', disc_c, 'tax', tax_c) AS (measure, value_cents)")
+
+
+_UNPIVOT_SQL = f"""
+UNPIVOT (SELECT l_orderkey, l_linenumber,
+                {cents('l_quantity')} AS qty,
+                {cents('l_extendedprice')} AS price,
+                {cents('l_discount')} AS disc,
+                {cents('l_tax')} AS tax
+         FROM lineitem)
+ON qty, price, disc, tax
+INTO NAME measure VALUE value_cents
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": Query(_pricing_summary, _PRICING_SUMMARY_SQL,
                                 "flagship scan→filter→agg"),
@@ -735,6 +796,10 @@ QUERIES: dict[str, Query] = {
     "q5_region_revenue": Query(_region_revenue, _REGION_REVENUE_SQL,
                                "star join through broadcast dims"),
     "q_window_topn": Query(_window_topn, _WINDOW_TOPN_SQL, "per-group top-N"),
+    "q_lateral_topk": Query(_lateral_topk, _LATERAL_TOPK_SQL,
+                            "correlated LATERAL subquery w/ LIMIT"),
+    "q_unpivot": Query(_unpivot, _UNPIVOT_SQL,
+                       "UNPIVOT melt to (measure, value) rows"),
     "q_events_retention": Query(_events_retention,
                                 _EVENTS_RETENTION_SQL,
                                 "cohort retention matrix (exact week "
