@@ -107,3 +107,38 @@ def test_schema_evolution_merge_across_ranges(spark, tmp_path):
     assert df.where("number >= 100 AND gas_used = number * 21000").count() == 100
     # shared-column filters still prune partitions
     assert df.where("range = 0").count() == 100
+
+
+def test_delete_ids_rewrites_only_affected_partitions(spark, tmp_path):
+    import os, glob
+    import pyspark.sql.functions as F
+    from ethereum_export_pipeline_spark.operators.retention import delete_ids
+    corpus = str(tmp_path / "corpus")
+    (spark.range(300)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))
+                   .alias("source"),
+                  F.concat(F.lit("text-"), F.col("id")).alias("text"))
+          .write.partitionBy("source").parquet(corpus))
+
+    untouched = sorted(glob.glob(f"{corpus}/source=s2/*.parquet"))
+    mtimes_before = {f: os.path.getmtime(f) for f in untouched}
+
+    # victims live only in s0 (ids ≡ 0 mod 3) — s1/s2 must not rewrite
+    ids = spark.createDataFrame([(0,), (3,), (99,)], "doc_id long")
+    res = delete_ids(spark, corpus, ids)
+    assert res == {"partitions_rewritten": ["s0"], "rows_deleted": 3}
+
+    back = spark.read.parquet(corpus)
+    assert back.count() == 297
+    assert back.where("doc_id IN (0, 3, 99)").count() == 0
+    assert back.where("source = 's1'").count() == 100  # intact
+    # byte-identical untouched partitions: same files, same mtimes
+    assert {f: os.path.getmtime(f)
+            for f in sorted(glob.glob(f"{corpus}/source=s2/*.parquet"))} \
+        == mtimes_before
+
+    # no victims anywhere → no rewrite at all
+    res2 = delete_ids(spark, corpus,
+                      spark.createDataFrame([(10_000,)], "doc_id long"))
+    assert res2 == {"partitions_rewritten": [], "rows_deleted": 0}
