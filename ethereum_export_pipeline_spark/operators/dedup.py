@@ -302,8 +302,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     Raises RuntimeError if the propagation has not reached its fixpoint
     after `max_iter` rounds — partial labels would silently disagree
     with the exact-fixpoint oracle (and with themselves across runs)."""
+    _prev_ckpt_dir = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = pairs.sparkSession.sparkContext
+        prev = sc._jsc.sc().getCheckpointDir()
+        _prev_ckpt_dir = prev.get() if prev.isDefined() else None
+        sc.setCheckpointDir(checkpoint_dir)
 
     def _persist(df: DataFrame) -> DataFrame:
         return (df.checkpoint(eager=True) if checkpoint_dir is not None
@@ -353,6 +357,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                 break
     finally:
         sess.conf.set("spark.sql.shuffle.partitions", old_width)
+        if _prev_ckpt_dir is not None:
+            # restore the session's checkpoint dir — it is global
+            # state another operator may rely on
+            sess.sparkContext.setCheckpointDir(_prev_ckpt_dir)
     if changed != 0:
         raise RuntimeError(
             f"connected_components: min-label propagation did not converge "

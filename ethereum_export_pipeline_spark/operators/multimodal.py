@@ -37,7 +37,12 @@ MEDIA_SCHEMA = T.StructType([
 FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("n_bytes", T.LongType()),
-    T.StructField("feature", T.ArrayType(T.FloatType())),
+    # DOUBLE, deliberately: the hash check reconstructs exact integer
+    # bucket counts as round(feature[b] * n_bytes), which is lossless
+    # for b < 2^51 under float64 but breaks at b ≥ ~2^23 under float32
+    # (24-bit mantissa) — i.e. any ~8 MiB payload concentrated in one
+    # bucket would silently flap the cross-engine hash
+    T.StructField("feature", T.ArrayType(T.DoubleType())),
 ])
 
 

@@ -31,6 +31,7 @@ def delete_ids(spark: SparkSession, corpus_dir: str, ids: DataFrame,
     required because Spark refuses to overwrite a path it is reading);
     untouched partitions are never opened. Dynamic partition
     overwrite swaps each rewritten directory atomically."""
+    import shutil
     corpus = spark.read.parquet(corpus_dir)
     affected = [r[0] for r in
                 (corpus.join(F.broadcast(ids), id_col, "left_semi")
@@ -44,13 +45,24 @@ def delete_ids(spark: SparkSession, corpus_dir: str, ids: DataFrame,
                     .localCheckpoint(eager=True))  # break source lineage
     n_after = remaining.count()
 
+    # dynamic overwrite replaces only partitions PRESENT in the output:
+    # a partition whose every row is a victim contributes no rows, so
+    # its directory must be removed explicitly or the victims survive
+    survivors = {r[0] for r in
+                 remaining.select(partition_col).distinct().collect()}
+    emptied = [p for p in affected if p not in survivors]
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                               "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        (remaining.write.mode("overwrite")
-                  .partitionBy(partition_col).parquet(corpus_dir))
+        if n_after > 0:
+            (remaining.write.mode("overwrite")
+                      .partitionBy(partition_col).parquet(corpus_dir))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    import os
+    for p in emptied:
+        shutil.rmtree(os.path.join(corpus_dir, f"{partition_col}={p}"),
+                      ignore_errors=True)
     return {"partitions_rewritten": sorted(affected),
             "rows_deleted": n_before - n_after}

@@ -613,11 +613,12 @@ FROM documents GROUP BY 1
 
 def _extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas Arrow-batched feature extraction, HASH-checked: the
-    deterministic byte-histogram stub emits count/total float ratios;
-    multiplying back by n_bytes and rounding recovers the exact integer
-    bucket counts (b ≤ n_bytes ≪ 2^52, so the float roundtrip is
-    exact), which the oracle recomputes from the blob's hex encoding —
-    the full Arrow mapInPandas path is inside the hash check."""
+    deterministic byte-histogram stub emits count/total FLOAT64 ratios
+    (FEATURE_SCHEMA pins DoubleType — float32 would cap the lossless
+    roundtrip at b < ~2^23); multiplying back by n_bytes and rounding
+    recovers the exact integer bucket counts (b ≤ n_bytes ≪ 2^51),
+    which the oracle recomputes from the blob's hex encoding — the
+    full Arrow mapInPandas path is inside the hash check."""
     feats = multimodal.extract_features(_doc_media(spark, sf_dir))
     hist = [
         F.expr(f"CAST(round(element_at(feature, {b + 1}) * "

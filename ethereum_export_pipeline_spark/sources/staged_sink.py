@@ -53,20 +53,30 @@ class _PartFile(WriterCommitMessage):
 
 class StagedCsvWriter(DataSourceWriter):
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        import uuid
         self.path = options.get("path")
         if not self.path:
             raise ValueError(f"{FORMAT_NAME}: .save(path) is required")
         self.columns = schema.fieldNames()
         self.overwrite = overwrite
+        # run-unique token baked into every final file name: appended
+        # runs never collide with a prior run's parts, so append
+        # accumulates instead of silently clobbering
+        self.run_id = uuid.uuid4().hex[:8]
 
     # -------------------------------------------------- executor side
     def write(self, iterator) -> _PartFile:
         from pyspark import TaskContext
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         staging = os.path.join(self.path, "_staging")
         os.makedirs(staging, exist_ok=True)
-        name = f"part-{pid:08d}.csv"
-        staged = os.path.join(staging, name)
+        name = f"part-{self.run_id}-{pid:08d}.csv"
+        # staged name is ATTEMPT-unique: a speculative/retried attempt
+        # writes its own file; only the committed attempt's message is
+        # renamed into place, the loser's file dies with _staging
+        staged = os.path.join(staging,
+                              f"{name}.attempt-{ctx.taskAttemptId()}")
         n = 0
         with open(staged, "w") as f:
             f.write(",".join(self.columns) + "\n")
@@ -77,11 +87,17 @@ class StagedCsvWriter(DataSourceWriter):
 
     # ---------------------------------------------------- driver side
     def commit(self, messages) -> None:
+        prior: list[dict] = []
         if self.overwrite:
             for old in os.listdir(self.path):
                 if old.endswith(".csv") or old == MANIFEST:
                     os.remove(os.path.join(self.path, old))
-        files = []
+        else:
+            try:
+                prior = read_manifest(self.path)["files"]
+            except FileNotFoundError:
+                prior = []
+        files = list(prior)
         for m in messages:
             os.replace(m.staged, os.path.join(self.path, m.final_name))
             files.append({"file": m.final_name, "rows": m.rows})

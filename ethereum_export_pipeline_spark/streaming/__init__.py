@@ -316,7 +316,11 @@ def incremental_rollup(spark: SparkSession, src_dir: str, dest_dir: str,
     (restored from the checkpoint across runs) carries prior batches —
     and `foreachBatch` upserts exactly those keys into a parquet
     rollup (anti-join out stale rows ∪ new rows, write to a temp dir,
-    atomic directory swap).
+    then a two-rename swap: the old rollup is PARKED in ._bak until
+    the new one is in place, and a startup recovery path restores a
+    parked rollup if a previous run died between the renames — the
+    checkpoint has already committed those batches, so the data exists
+    nowhere else).
 
     Each availableNow run therefore reads ONLY files the checkpoint
     has not seen and rewrites ONLY touched windows' rows: the
@@ -332,6 +336,15 @@ def incremental_rollup(spark: SparkSession, src_dir: str, dest_dir: str,
                         .alias("win"))
               .agg(F.count(F.lit(1)).alias("n")))
 
+    bak = dest_dir.rstrip("/") + "._bak"
+    # crash recovery: a previous run that died mid-swap left the
+    # rollup parked in ._bak (dest missing) — restore it BEFORE the
+    # stream starts, because the checkpoint already committed the
+    # batches that produced it
+    if os.path.isdir(bak) and not os.path.isdir(dest_dir):
+        os.replace(bak, dest_dir)
+    shutil.rmtree(bak, ignore_errors=True)
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         new = batch_df.select("win", "n")
@@ -343,9 +356,12 @@ def incremental_rollup(spark: SparkSession, src_dir: str, dest_dir: str,
             out = new
         tmp = dest_dir.rstrip("/") + "._tmp"
         out.write.mode("overwrite").parquet(tmp)
+        # two renames, never a destructive window: the old rollup is
+        # parked (not deleted) until the new one is in place
         if os.path.isdir(dest_dir):
-            shutil.rmtree(dest_dir)
+            os.replace(dest_dir, bak)
         os.replace(tmp, dest_dir)
+        shutil.rmtree(bak, ignore_errors=True)
 
     q = (agg.writeStream.foreachBatch(upsert)
             .outputMode("update")

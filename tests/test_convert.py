@@ -142,3 +142,25 @@ def test_delete_ids_rewrites_only_affected_partitions(spark, tmp_path):
     res2 = delete_ids(spark, corpus,
                       spark.createDataFrame([(10_000,)], "doc_id long"))
     assert res2 == {"partitions_rewritten": [], "rows_deleted": 0}
+
+
+def test_delete_ids_removes_fully_victimized_partition(spark, tmp_path):
+    import os
+    import pyspark.sql.functions as F
+    from ethereum_export_pipeline_spark.operators.retention import delete_ids
+    corpus = str(tmp_path / "corpus_full")
+    (spark.range(30)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))
+                   .alias("source"))
+          .write.partitionBy("source").parquet(corpus))
+    # every doc in s0 (ids ≡ 0 mod 3) is a victim → the whole
+    # partition directory must disappear, not survive untouched
+    ids = spark.createDataFrame([(i,) for i in range(0, 30, 3)],
+                                "doc_id long")
+    res = delete_ids(spark, corpus, ids)
+    assert res == {"partitions_rewritten": ["s0"], "rows_deleted": 10}
+    assert not os.path.isdir(f"{corpus}/source=s0")
+    back = spark.read.parquet(corpus)
+    assert back.count() == 20
+    assert back.where("doc_id % 3 = 0").count() == 0

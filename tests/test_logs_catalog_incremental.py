@@ -510,6 +510,16 @@ def test_staged_csv_writer_two_phase_commit(spark, tmp_path):
     man2 = staged_sink.read_manifest(dest)
     assert man2["total_rows"] == 10
     assert spark.read.option("header", "true").csv(dest).count() == 10
+    # append ACCUMULATES: run-unique part names never collide with a
+    # prior run's files, and the manifest merges both runs
+    (spark.range(5).selectExpr("id AS number", "'h2' AS hash",
+                               "'m2' AS memo")
+          .repartition(1).write.format("ethereum_staged_csv")
+          .mode("append").save(dest))
+    man3 = staged_sink.read_manifest(dest)
+    assert man3["total_rows"] == 15
+    assert len(man3["files"]) == 3  # 2 from overwrite run + 1 appended
+    assert spark.read.option("header", "true").csv(dest).count() == 15
 
 
 def test_incremental_rollup_upserts_only_touched_windows(spark, tmp_path):
