@@ -35,9 +35,13 @@ from ..session import ensure_conf
 WINDOW_US = 600_000_000  # 10-minute tumbling windows, µs
 
 
-def read_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_stream(spark: SparkSession, path: str,
+                max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over parquet, schema pinned from a static
     read (streaming sources must never infer per-batch).
+    ``max_files_per_trigger`` bounds each micro-batch's file intake —
+    production backpressure, and the lever tests use to force
+    MULTI-batch runs that exercise cross-batch state.
 
     Spark's FileStreamSource forces ``basePath`` to the given path, so
     a single .parquet FILE cannot be streamed directly; we stage a
@@ -51,7 +55,10 @@ def read_stream(spark: SparkSession, path: str) -> DataFrame:
         os.symlink(os.path.abspath(path),
                    os.path.join(staged, os.path.basename(path)))
         path = staged
-    return spark.readStream.schema(static.schema).parquet(path)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def run_available_now(agg: DataFrame, name: str | None = None,
@@ -240,7 +247,9 @@ def stream_chain_export(spark: SparkSession, dest_dir: str,
 
 def stream_interval_join(spark: SparkSession, events_path: str,
                          gap_s: int = 3600,
-                         delay_s: int = 7200) -> DataFrame:
+                         delay_s: int = 7200,
+                         max_files_per_trigger: int | None = None
+                         ) -> DataFrame:
     """STREAM-STREAM inner join with watermarks and a time-interval
     condition: click events joined to the same user's purchase events
     landing within `gap_s` after the click — the attribution join, run
@@ -257,7 +266,8 @@ def stream_interval_join(spark: SparkSession, events_path: str,
     residual evaluates post-match. Skewed hot users concentrate state
     the same way any keyed stateful op does."""
     from ..sources.tables import with_event_time
-    sdf = with_event_time(read_stream(spark, events_path))
+    sdf = with_event_time(read_stream(spark, events_path,
+                                      max_files_per_trigger))
     base = sdf.select("event_id", "user_id", "event_type",
                       F.expr("timestamp_micros(ts_ns div 1000)")
                        .alias("evt_ts"))

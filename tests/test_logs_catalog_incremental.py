@@ -561,3 +561,42 @@ def test_incremental_rollup_upserts_only_touched_windows(spark, tmp_path):
     incremental_rollup(spark, str(src), dest, ckpt)
     got2 = {r.win: r.n for r in spark.read.parquet(dest).collect()}
     assert got2 == expected(800)
+
+
+def test_stream_interval_join_cross_batch_state(spark, tmp_path):
+    """maxFilesPerTrigger=1 forces clicks (batch 1) and purchases
+    (batch 2) into separate micro-batches: every match below requires
+    the join to CARRY click state across the batch boundary — a
+    stateless per-batch join would emit nothing. (WHEN evicted state
+    stops matching is engine-internal timing — cleanup runs after a
+    batch — so only retention, the guaranteed property, is pinned.)"""
+    import time
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ethereum_export_pipeline_spark.streaming import stream_interval_join
+    src = tmp_path / "ij_batches"; src.mkdir()
+    s = 1_000_000_000  # 1 s in ns
+    day = 86_400 * s
+
+    def write(name, rows):  # rows: (event_id, user_id, type, ts_ns)
+        pq.write_table(pa.table({
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "ts": [r[3] for r in rows]}), src / name)
+
+    write("f1.parquet", [
+        (1, 1, "click", day + 0 * s),
+        (2, 2, "click", day + 10_000 * s),
+    ])
+    time.sleep(1.1)  # distinct mtime → deterministic batch order
+    write("f2.parquet", [
+        (3, 1, "purchase", day + 300 * s),     # in click 1's gap
+        (4, 2, "purchase", day + 10_100 * s),  # in click 2's gap
+        (5, 2, "purchase", day + 20_000 * s),  # beyond any gap
+    ])
+    got = sorted((r.click_id, r.buy_id, r.delta_us) for r in
+                 stream_interval_join(spark, str(src), gap_s=600,
+                                      delay_s=7200,
+                                      max_files_per_trigger=1).collect())
+    assert got == [(1, 3, 300_000_000), (2, 4, 100_000_000)]
