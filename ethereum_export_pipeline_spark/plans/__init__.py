@@ -59,6 +59,7 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "stream_watermark_counts", "doc_top_terms",
                   "doc_rarity", "doc_sentence_dedup", "doc_length_stats",
                   "doc_crossmodal_agreement", "emb_label_centroids",
+                  "doc_lang_confusion",
                   "stream_interval_join", "stream_dedup_watermarked")
 
 _head = [n for n in _MERGED

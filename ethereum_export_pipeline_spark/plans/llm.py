@@ -1289,6 +1289,30 @@ GROUP BY 1, 2
 """
 
 
+def _lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the corpus's ground-truth
+    `lang` label — the classifier-evaluation query every heuristic
+    gate needs before it prunes a corpus (which true languages leak
+    into which predictions, and how much 'und' each produces).
+
+    Scale: the langid scorer is a codegen projection; one small hash
+    aggregate on (lang, pred_lang) — a languages² output."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.language_id(docs).select("doc_id", "pred_lang")
+    return (docs.select("doc_id", "lang").join(pred, "doc_id")
+                .groupBy("lang", "pred_lang")
+                .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({_language_id_sql()})
+SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
                              "exact dedup via md5 hash-agg"),
@@ -1387,6 +1411,9 @@ QUERIES: dict[str, Query] = {
     "emb_label_centroids": Query(_label_centroids, _LABEL_CENTROIDS_SQL,
                                  "per-label exact centroid statistics "
                                  "(long-format posexplode agg)"),
+    "doc_lang_confusion": Query(_lang_confusion, _lang_confusion_sql(),
+                                "language-ID confusion matrix vs "
+                                "ground-truth labels"),
     "doc_crossmodal_agreement": Query(_crossmodal, _crossmodal_sql(),
                                       "text near-dup pairs scored with "
                                       "embedding cosine (threshold "
