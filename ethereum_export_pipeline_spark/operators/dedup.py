@@ -331,7 +331,9 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     sess = pairs.sparkSession
     n_edges = edges.count()
     old_width = sess.conf.get("spark.sql.shuffle.partitions")
-    if n_edges < 1_000_000:
+    # the conf can be non-numeric (e.g. "auto" under some AQE setups) —
+    # then skip the clamp rather than die before the loop runs
+    if n_edges < 1_000_000 and str(old_width).isdigit():
         sess.conf.set("spark.sql.shuffle.partitions",
                       str(min(4, int(old_width))))
     try:

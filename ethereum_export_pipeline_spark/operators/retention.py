@@ -13,7 +13,29 @@ plumbing here is the same decision structure on plain parquet.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: Spark/Hive's directory name for a NULL partition value.
+HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_partition(name: str):
+    """Invert Spark's Hive partition-path escaping for the VALUE part
+    of a `col=value` directory name: ``__HIVE_DEFAULT_PARTITION__`` is
+    NULL, ``%XX`` is a percent-encoded byte (Spark escapes ``/ : = %``
+    etc. this way when writing partition dirs)."""
+    if name == HIVE_NULL_PART:
+        return None
+    return re.sub("%([0-9A-Fa-f]{2})",
+                  lambda m: chr(int(m.group(1), 16)), name)
+
+
+def _null_last(values):
+    """Deterministic partition-value ordering that tolerates NULL
+    (sorted() on mixed None/str raises TypeError)."""
+    return sorted(values, key=lambda p: (p is None, "" if p is None else str(p)))
 
 
 def delete_ids(spark: SparkSession, corpus_dir: str, ids: DataFrame,
@@ -30,7 +52,15 @@ def delete_ids(spark: SparkSession, corpus_dir: str, ids: DataFrame,
     partition directories (plus their lineage-breaking checkpoint —
     required because Spark refuses to overwrite a path it is reading);
     untouched partitions are never opened. Dynamic partition
-    overwrite swaps each rewritten directory atomically."""
+    overwrite swaps each rewritten directory atomically.
+
+    NULL partition values are supported: membership uses a null-safe
+    branch (`isin` never matches NULL — victims in the NULL partition
+    would otherwise be reported deleted while surviving on disk), and
+    emptied-directory cleanup resolves directory names from the actual
+    filesystem listing via Spark's own partition-path escaping
+    (`__HIVE_DEFAULT_PARTITION__`, percent-encoded specials) instead of
+    naive f-string formatting."""
     import shutil
     corpus = spark.read.parquet(corpus_dir)
     affected = [r[0] for r in
@@ -39,7 +69,12 @@ def delete_ids(spark: SparkSession, corpus_dir: str, ids: DataFrame,
     if not affected:
         return {"partitions_rewritten": [], "rows_deleted": 0}
 
-    hit = corpus.where(F.col(partition_col).isin(affected))
+    non_null = [p for p in affected if p is not None]
+    cond = (F.col(partition_col).isin(non_null) if non_null
+            else F.lit(False))
+    if any(p is None for p in affected):
+        cond = cond | F.col(partition_col).isNull()
+    hit = corpus.where(cond)
     n_before = hit.count()
     remaining = (hit.join(F.broadcast(ids), id_col, "left_anti")
                     .localCheckpoint(eager=True))  # break source lineage
@@ -50,7 +85,7 @@ def delete_ids(spark: SparkSession, corpus_dir: str, ids: DataFrame,
     # its directory must be removed explicitly or the victims survive
     survivors = {r[0] for r in
                  remaining.select(partition_col).distinct().collect()}
-    emptied = [p for p in affected if p not in survivors]
+    emptied = {p for p in affected if p not in survivors}
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                               "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -60,9 +95,19 @@ def delete_ids(spark: SparkSession, corpus_dir: str, ids: DataFrame,
                       .partitionBy(partition_col).parquet(corpus_dir))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    # emptied partitions contribute no rows to the dynamic overwrite,
+    # so their directories must go explicitly — resolved from the real
+    # listing (NULL and escaped values don't round-trip through
+    # f"{col}={value}")
     import os
-    for p in emptied:
-        shutil.rmtree(os.path.join(corpus_dir, f"{partition_col}={p}"),
-                      ignore_errors=True)
-    return {"partitions_rewritten": sorted(affected),
+    prefix = f"{partition_col}="
+    # compare as strings: Spark may have inferred a non-string type for
+    # the partition column, while directory names are always text
+    emptied_str = {None if p is None else str(p) for p in emptied}
+    for d in os.listdir(corpus_dir):
+        full = os.path.join(corpus_dir, d)
+        if (d.startswith(prefix) and os.path.isdir(full)
+                and _unescape_partition(d[len(prefix):]) in emptied_str):
+            shutil.rmtree(full, ignore_errors=True)
+    return {"partitions_rewritten": _null_last(affected),
             "rows_deleted": n_before - n_after}

@@ -248,6 +248,19 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
 IVF_CELLS = 16
 IVF_KMEANS_ITERS = 8
 
+
+def _ensure_scan_width(df: DataFrame, target: int | None) -> DataFrame:
+    """Spread a compute-bound pre-shuffle projection across `target`
+    partitions ONLY when the scan is narrower than that: a single small
+    local file yields one partition (all 32 cores idle behind one
+    task), while an already-well-split input — the 100 TB case, where
+    file splits provide the parallelism — keeps its splits and skips
+    what would be a wasted full round-robin shuffle of the table. The
+    partition count is inspected once at plan-build time."""
+    if target is None or df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
 # ------------------------------------------------------------------- PQ
 
 PQ_SUBSPACES = 8     # M: 64-dim vector → 8 subvectors of 8 dims
@@ -311,15 +324,13 @@ def ivf_topk(df: DataFrame, centroids: list[list[int]],
     `scan_parallelism`: cell assignment (n_cells × dim lambda evals
     per row; Catalyst higher-order functions run interpreted, not
     codegen'd) is the compute-bound step and happens BEFORE any
-    shuffle, so it runs at the SCAN's parallelism. On a cluster the
-    file splits provide that; a single small local file yields one
-    partition, so pass the core count to spread the work. Leave None
-    where the input is already well-split — it inserts a full
-    round-robin shuffle of the table."""
+    shuffle, so it runs at the SCAN's parallelism. Pass the core count
+    and `_ensure_scan_width` decides: it repartitions only when the
+    scan is narrower (the one-small-file fixture case) and leaves an
+    already-well-split input untouched — no shuffle at 100 TB."""
     query_pred = query_pred or f"{id_col} < 10"
-    narrowed = df.where(F.size(F.col(emb_col)) == dim)
-    if scan_parallelism is not None:
-        narrowed = narrowed.repartition(scan_parallelism)
+    narrowed = _ensure_scan_width(df.where(F.size(F.col(emb_col)) == dim),
+                                  scan_parallelism)
     base = (with_quantized(narrowed, emb_col)
             .withColumn("cell", ivf_cell_col(centroids).cast("long"))
             .select(id_col, "qvec", "n2", "cell"))
@@ -426,9 +437,8 @@ def ivfpq_topk(df: DataFrame, centroids: list[list[int]],
     by ADC ascending then neighbor id (exact ints, engine-identical).
     """
     query_pred = query_pred or f"{id_col} < 10"
-    narrowed = df.where(F.size(F.col(emb_col)) == dim)
-    if scan_parallelism is not None:
-        narrowed = narrowed.repartition(scan_parallelism)
+    narrowed = _ensure_scan_width(df.where(F.size(F.col(emb_col)) == dim),
+                                  scan_parallelism)
     base = (with_quantized(narrowed, emb_col)
             .withColumn("cell", ivf_cell_col(centroids).cast("long")))
     q = (base.where(query_pred)
@@ -463,10 +473,13 @@ def crossmodal_agreement(pairs: DataFrame, emb: DataFrame,
 
     Scale notes: the pair list is LSH-pruned (orders of magnitude
     smaller than the corpus), so it BROADCASTS into two hash joins
-    against the embedding table keyed on id — the 100 TB embedding
+    against the embedding table keyed on id — the hint below PINS that
+    plan (without it the planner may estimate the pair side large and
+    shuffle the 100 TB embedding table on both sides). The embedding
     side never shuffles and is scanned once per side. Cosine is the
     exact-integer quantized form (`with_quantized`), bit-identical
     across engines."""
+    pairs = F.broadcast(pairs)
     base = with_quantized(emb).select(F.col(emb_id).alias("_id"),
                                       "qvec", "n2")
     a = base.select(F.col("_id").alias("_ida"),

@@ -102,6 +102,17 @@ class StagedCsvWriter(DataSourceWriter):
             os.replace(m.staged, os.path.join(self.path, m.final_name))
             files.append({"file": m.final_name, "rows": m.rows})
         files.sort(key=lambda d: d["file"])
+        # reconcile the directory against the manifest: a run that
+        # crashed BETWEEN renaming parts in and writing the manifest
+        # leaves orphan CSVs no manifest lists — a plain directory read
+        # (spark.read.csv(dest)) would double-count them forever. The
+        # committed state is exactly the manifest's file list, so
+        # anything else goes; after this, directory reads and
+        # manifest-keyed reads agree.
+        listed = {d["file"] for d in files}
+        for name in os.listdir(self.path):
+            if name.endswith(".csv") and name not in listed:
+                os.remove(os.path.join(self.path, name))
         manifest = {"files": files,
                     "total_rows": sum(d["rows"] for d in files),
                     "columns": self.columns}

@@ -164,3 +164,37 @@ def test_delete_ids_removes_fully_victimized_partition(spark, tmp_path):
     back = spark.read.parquet(corpus)
     assert back.count() == 20
     assert back.where("doc_id % 3 = 0").count() == 0
+
+
+def test_delete_ids_null_and_escaped_partition_values(spark, tmp_path):
+    """Victims in a NULL partition (isin never matches NULL) and in a
+    partition whose value Spark percent-escapes on disk (`a:b` →
+    `a%3Ab`) must really be deleted, and their directories removed when
+    emptied — the compliance operator must not claim success on rows
+    that survive."""
+    import os
+    import pyspark.sql.functions as F
+    from ethereum_export_pipeline_spark.operators.retention import delete_ids
+    corpus = str(tmp_path / "corpus_null")
+    (spark.range(30)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") % 3 == 0, F.lit(None))
+                   .when(F.col("id") % 3 == 1, F.lit("a:b"))
+                   .otherwise(F.lit("plain")).alias("source"))
+          .write.partitionBy("source").parquet(corpus))
+    assert os.path.isdir(f"{corpus}/source=__HIVE_DEFAULT_PARTITION__")
+    assert os.path.isdir(f"{corpus}/source=a%3Ab")
+
+    # every NULL-partition doc and every a:b doc is a victim; 'plain'
+    # is untouched
+    victims = [i for i in range(30) if i % 3 != 2]
+    ids = spark.createDataFrame([(i,) for i in victims], "doc_id long")
+    res = delete_ids(spark, corpus, ids)
+    assert res["rows_deleted"] == 20
+    assert res["partitions_rewritten"] == ["a:b", None]  # NULL sorts last
+    # both emptied directories are gone — resolved via real escaping
+    assert not os.path.isdir(f"{corpus}/source=__HIVE_DEFAULT_PARTITION__")
+    assert not os.path.isdir(f"{corpus}/source=a%3Ab")
+    back = spark.read.parquet(corpus)
+    assert back.count() == 10
+    assert back.where("source IS NULL OR source = 'a:b'").count() == 0

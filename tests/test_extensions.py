@@ -567,3 +567,16 @@ def test_crossmodal_agreement_identical_and_orthogonal(spark):
     assert got[(0, 1)].emb_agrees == 1
     assert got[(0, 2)].cosine == pytest.approx(0.0)  # orthogonal
     assert got[(0, 2)].emb_agrees == 0
+
+
+def test_ensure_scan_width_skips_already_split_input(spark):
+    """The IVF scan-parallelism knob must only repartition a NARROW
+    scan: an input already split at least as wide keeps its partitions
+    (no round-robin shuffle of the 100 TB table)."""
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        _ensure_scan_width)
+    narrow = spark.range(100).coalesce(1)
+    assert _ensure_scan_width(narrow, 8).rdd.getNumPartitions() == 8
+    wide = spark.range(100).repartition(16)
+    assert _ensure_scan_width(wide, 8) is wide        # untouched plan
+    assert _ensure_scan_width(wide, None) is wide

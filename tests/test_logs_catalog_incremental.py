@@ -521,6 +521,22 @@ def test_staged_csv_writer_two_phase_commit(spark, tmp_path):
     assert len(man3["files"]) == 3  # 2 from overwrite run + 1 appended
     assert spark.read.option("header", "true").csv(dest).count() == 15
 
+    # crash-orphan reconciliation: a run that died between renaming a
+    # part in and writing the manifest leaves an unlisted CSV — the
+    # next commit must remove it so plain directory reads agree with
+    # the manifest instead of double-counting forever
+    orphan = os.path.join(dest, "part-deadbeef-00000000.csv")
+    with open(orphan, "w") as f:
+        f.write("number,hash,memo\n1,0xdead,zombie\n")
+    (spark.range(2).selectExpr("id AS number", "'h3' AS hash",
+                               "'m3' AS memo")
+          .repartition(1).write.format("ethereum_staged_csv")
+          .mode("append").save(dest))
+    man4 = staged_sink.read_manifest(dest)
+    assert man4["total_rows"] == 17
+    assert not os.path.exists(orphan)
+    assert spark.read.option("header", "true").csv(dest).count() == 17
+
 
 def test_incremental_rollup_upserts_only_touched_windows(spark, tmp_path):
     import pyspark.sql.functions as F
