@@ -34,6 +34,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted only for
-    the mapInPandas decode path, which is not SQL-expressible)."""
-    return {name: q.sql for name, q in plans.ALL_QUERIES.items()
+    the mapInPandas decode path, which is not SQL-expressible).
+    ``sql_text()`` resolves the lazily-built oracles (IVF/PQ literals
+    train on first access, not at import)."""
+    return {name: q.sql_text() for name, q in plans.ALL_QUERIES.items()
             if q.sql is not None}

@@ -33,10 +33,16 @@ class Query:
     """One catalog entry: a Spark plan builder + its DuckDB oracle.
 
     ``sql`` is None for genuinely non-SQL-expressible ops (the driver
-    then records a weaker rows-only check)."""
+    then records a weaker rows-only check). It may also be a ZERO-ARG
+    CALLABLE returning the SQL text — for oracles whose literals come
+    from a lazily-trained plan artifact (the IVF/PQ quantizers), so
+    importing the catalog never does I/O; resolve via ``sql_text()``."""
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None
+    sql: str | None | Callable[[], str]
     doc: str = ""
+
+    def sql_text(self) -> str | None:
+        return self.sql() if callable(self.sql) else self.sql
 
 
 # ---------------------------------------------------- shared fragments

@@ -449,66 +449,85 @@ WHERE cosine >= {NEARDUP_COS}
 
 # ------------------------------------------------------------------- IVF
 
+def _training_sample_path() -> str:
+    """Where the quantizer-training sample lives, by convention: the
+    sf0.01 embeddings under the corpus root (the smallest graded
+    corpus — IVF/PQ training is always a sample). The root derives
+    from $SPARK_GRAFT_SF_DIR's parent when set; the whole path can be
+    overridden with $SPARK_GRAFT_IVF_SAMPLE."""
+    import os
+    override = os.environ.get("SPARK_GRAFT_IVF_SAMPLE")
+    if override:
+        return override
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    root = (os.path.dirname(sf_dir.rstrip("/")) if sf_dir
+            else "/root/testdata")
+    return os.path.join(root, "sf0.01", "embeddings.parquet")
+
+
 def _sample_vectors() -> list[list[float]] | None:
-    """The deterministic training sample for plan-time quantizers
-    (IVF/PQ always train on a sample): the sf0.01 embeddings, sorted.
-    None when the corpus is unavailable (import outside the test env).
-    """
+    """The deterministic training sample for plan-time quantizers:
+    the conventioned embeddings table, sorted. None when the corpus is
+    unavailable (running outside the test env)."""
     try:
         import pyarrow.parquet as pq
-        t = (pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+        t = (pq.read_table(_training_sample_path(),
                            columns=["vec_id", "embedding"])
                .sort_by("vec_id").to_pydict())
-        return [list(v) for v in t["embedding"]
+        vecs = [list(v) for v in t["embedding"]
                 if v is not None and len(v) == similarity.EMB_DIM]
+        return vecs or None
     except Exception:
         return None
 
 
-_SAMPLE_VECS = _sample_vectors()
+_QUANTIZERS: tuple[list, list] | None = None
 
 
-def _ivf_centroids() -> list[list[int]]:
-    """Coarse-quantizer centroids, trained ONCE at import and inlined
-    as literals in both engines' plans — the data-adaptive sibling of
-    the LSH planes. Deterministic: sorted input, first-k init, fixed
-    iters; md5-derived pseudo-centroids when the corpus is absent."""
-    if _SAMPLE_VECS is not None:
-        return similarity.train_ivf_centroids(_SAMPLE_VECS)
-    return [[(similarity.py_h32(f"cell:{c}:{d}") % 2001) - 1000
-             for d in range(similarity.EMB_DIM)]
-            for c in range(similarity.IVF_CELLS)]
-
-
-IVF_CENTROIDS = _ivf_centroids()
-
-
-def _pq_codebooks() -> list[list[list[int]]]:
-    """Product-quantization codebooks (m subspaces × k centroids),
-    trained at import on the same sample and inlined in both plans."""
-    if _SAMPLE_VECS is not None:
-        return similarity.train_pq_codebooks(_SAMPLE_VECS)
-    sub = similarity.EMB_DIM // similarity.PQ_SUBSPACES
-    return [[[(similarity.py_h32(f"pq:{s}:{c}:{d}") % 2001) - 1000
-              for d in range(sub)]
-             for c in range(similarity.PQ_CODEBOOK)]
-            for s in range(similarity.PQ_SUBSPACES)]
-
-
-PQ_CODEBOOKS = _pq_codebooks()
+def get_quantizers() -> tuple[list[list[int]], list[list[list[int]]]]:
+    """(IVF centroids, PQ codebooks), trained LAZILY on first use —
+    importing the catalog does no I/O — and memoized for the process
+    lifetime, so Spark plans and DuckDB oracles are guaranteed to
+    inline the SAME literals. Deterministic: sorted input, first-k
+    init, fixed iters. When the sample is absent, falls back to
+    md5-derived pseudo-centroids (still engine-identical); the chosen
+    regime is logged once so a silent fallback is visible."""
+    global _QUANTIZERS
+    if _QUANTIZERS is None:
+        import sys
+        vecs = _sample_vectors()
+        if vecs is not None:
+            print(f"# quantizers: k-means on {len(vecs)} sample vectors "
+                  f"from {_training_sample_path()}", file=sys.stderr)
+            _QUANTIZERS = (similarity.train_ivf_centroids(vecs),
+                           similarity.train_pq_codebooks(vecs))
+        else:
+            print(f"# quantizers: sample {_training_sample_path()} "
+                  f"unavailable — md5 pseudo-centroids", file=sys.stderr)
+            sub = similarity.EMB_DIM // similarity.PQ_SUBSPACES
+            cents = [[(similarity.py_h32(f"cell:{c}:{d}") % 2001) - 1000
+                      for d in range(similarity.EMB_DIM)]
+                     for c in range(similarity.IVF_CELLS)]
+            books = [[[(similarity.py_h32(f"pq:{s}:{c}:{d}") % 2001) - 1000
+                       for d in range(sub)]
+                      for c in range(similarity.PQ_CODEBOOK)]
+                     for s in range(similarity.PQ_SUBSPACES)]
+            _QUANTIZERS = (cents, books)
+    return _QUANTIZERS
 
 
 def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the fixture is one small parquet file (one split) — spread the
-    # compute-bound cell assignment across the cores
+    # scan_parallelism self-decides: the one-file fixture spreads the
+    # compute-bound cell assignment, an already-split table is left be
     return similarity.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), IVF_CENTROIDS, k=TOPK_K,
+        load_table(spark, sf_dir, "embeddings"), get_quantizers()[0],
+        k=TOPK_K,
         scan_parallelism=spark.sparkContext.defaultParallelism)
 
 
 def _ivf_cell_sql() -> str:
     dists = []
-    for c in IVF_CENTROIDS:
+    for c in get_quantizers()[0]:
         lit = "[" + ", ".join(str(v) for v in c) + "]"
         dists.append("list_sum(list_transform(list_zip(q, " + lit + "), "
                      "s -> (s[1] - s[2]) * (s[1] - s[2])))")
@@ -533,9 +552,9 @@ cos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM scored)
 # ---------------------------------------------------------------- IVF-PQ
 
 def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents, books = get_quantizers()
     return similarity.ivfpq_topk(
-        load_table(spark, sf_dir, "embeddings"), IVF_CENTROIDS,
-        PQ_CODEBOOKS, k=TOPK_K,
+        load_table(spark, sf_dir, "embeddings"), cents, books, k=TOPK_K,
         scan_parallelism=spark.sparkContext.defaultParallelism)
 
 
@@ -544,13 +563,14 @@ def _pq_sql_parts() -> tuple[str, str]:
     similarity.pq_codes_col / pq_adc_col with the SAME codebooks
     inlined. DuckDB list slicing is 1-based inclusive; lambdas on
     zipped pairs use 1-based struct indices."""
+    codebooks = get_quantizers()[1]
     m = similarity.PQ_SUBSPACES
-    sub = len(PQ_CODEBOOKS[0][0])
+    sub = len(codebooks[0][0])
     cb = ("[" + ", ".join(
         "[" + ", ".join(
             "[" + ", ".join(str(v) for v in cent) + "]"
             for cent in book) + "]"
-        for book in PQ_CODEBOOKS) + "]")
+        for book in codebooks) + "]")
     dists = (f"list_transform({cb}[s], c -> list_sum(list_transform("
              f"list_zip(q[(s-1)*{sub}+1 : s*{sub}], c), "
              f"p -> (p[1]-p[2])*(p[1]-p[2]))))")
@@ -1371,9 +1391,11 @@ QUERIES: dict[str, Query] = {
     "emb_lsh_topk_1band": Query(_lsh_topk_1band, _lsh_topk_1band_sql(),
                                 "single-band LSH top-k (labeled "
                                 "weakest-recall variant)"),
-    "emb_ivf_topk": Query(_ivf_topk, _ivf_topk_sql(),
+    # lazy SQL thunks: the oracle literals come from the lazily-trained
+    # quantizers, so the text is built on first sql_text() access
+    "emb_ivf_topk": Query(_ivf_topk, _ivf_topk_sql,
                           "IVF coarse-quantizer top-k"),
-    "emb_ivfpq_topk": Query(_ivfpq_topk, _ivfpq_topk_sql(),
+    "emb_ivfpq_topk": Query(_ivfpq_topk, _ivfpq_topk_sql,
                             "IVF-PQ: cell-pruned candidates ranked by "
                             "ADC over PQ codes (30x payload compression)"),
     "emb_neardup_pairs": Query(_emb_neardup,
