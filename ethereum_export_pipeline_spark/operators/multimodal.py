@@ -1,12 +1,15 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Images/audio/video travel as `binary` columns with a struct of typed
-metadata next to them. The Spark-side plumbing — schema, batch shape,
-`mapInPandas` signatures, partition sizing — is real and tested; the
-actual media decode is STUBBED (`_decode_image_stub`) because codec
-libraries are not in this environment: it derives deterministic fake
-"pixels"/features from the bytes so the pipeline shape is exercised
-end-to-end. Swap the stub for PIL/torchaudio/decord in production.
+metadata next to them. The image path is REAL end-to-end: payloads are
+uncompressed netpbm images (P6 RGB / P5 grayscale — a public
+fixed-layout format decodable with numpy alone, no codec libs), and
+`decode_image` actually parses the header (whitespace-separated
+tokens, `#` comments, per the netpbm spec) and reshapes the raw
+sample plane into an h×w×c pixel array; features come from DECODED
+PIXELS. Compressed formats (JPEG/PNG/MP4) would slot into the same
+`mapInPandas` with PIL/decord in production; video frame EXTRACTION
+(`sample_frames`) remains a byte-window stub for that reason.
 
 Scale notes: binary payloads dominate row size, so feature extraction
 uses `mapInPandas` (Arrow batches, zero row-at-a-time serde) and
@@ -34,15 +37,17 @@ MEDIA_SCHEMA = T.StructType([
     ])),
 ])
 
+# decoded-image features: everything exact integers (BIGINT sums over
+# uint8 pixels cannot overflow below ~2^55 pixels) so the cross-engine
+# hash never sees float representation drift
 FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("n_bytes", T.LongType()),
-    # DOUBLE, deliberately: the hash check reconstructs exact integer
-    # bucket counts as round(feature[b] * n_bytes), which is lossless
-    # for b < 2^51 under float64 but breaks at b ≥ ~2^23 under float32
-    # (24-bit mantissa) — i.e. any ~8 MiB payload concentrated in one
-    # bucket would silently flap the cross-engine hash
-    T.StructField("feature", T.ArrayType(T.DoubleType())),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("ch_sum", T.ArrayType(T.LongType())),
+    T.StructField("px_hist", T.ArrayType(T.LongType())),
 ])
 
 
@@ -64,69 +69,204 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _decode_image_stub(payload: bytes | None) -> list[float] | None:
-    """Deterministic fake 'decode': 8 byte-histogram features.
-    Production would decode real pixels here (PIL/torchaudio/decord —
-    not in this environment, so this stub keeps the pipeline shape
-    real). NULL payload → NULL feature, never an exception: one bad
+def documents_as_ppm_media(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           format_col: str | None = None) -> DataFrame:
+    """The IMAGE media fixture: one real P6 PPM per document, pixel
+    plane tiled deterministically from the utf-8 text bytes (byte j of
+    the plane = text byte j mod len; all-zero when the text is empty),
+    dimensions varying per id (w = 8 + id % 9, h = 8 + id % 7) so the
+    decoder's header parsing is exercised across shapes. NULL text →
+    NULL payload. Deterministic by construction, so an oracle can
+    recompute every decoded-pixel statistic from the text alone."""
+    import numpy as np
+
+    id_out, txt, fmt = "media_id", "__txt", "__fmt"
+    src = df.select(F.col(id_col).alias(id_out),
+                    F.col(text_col).alias(txt),
+                    (F.col(format_col) if format_col
+                     else F.lit("image/x-portable-pixmap")).alias(fmt))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, formats = [], [], []
+            for mid, text, f in zip(pdf[id_out], pdf[txt], pdf[fmt]):
+                ids.append(mid)
+                formats.append(f)
+                if text is None:
+                    payloads.append(None)
+                    continue
+                w, h = 8 + int(mid) % 9, 8 + int(mid) % 7
+                raw = np.frombuffer(text.encode("utf-8"), np.uint8)
+                plane = (np.resize(raw, w * h * 3) if raw.size
+                         else np.zeros(w * h * 3, np.uint8))
+                payloads.append(encode_netpbm(plane.reshape(h, w, 3)))
+            yield pd.DataFrame({id_out: pd.Series(ids, dtype="int64"),
+                                "payload": payloads,
+                                fmt: formats})
+
+    made = src.mapInPandas(run, T.StructType([
+        T.StructField(id_out, T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(fmt, T.StringType()),
+    ]))
+    return made.select(
+        id_out, "payload",
+        F.struct(
+            F.col(fmt).alias("format"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"))
+
+
+# ------------------------------------------------------- netpbm codec
+
+_WS = b" \t\r\n\x0b\x0c"
+
+
+def encode_netpbm(pixels) -> bytes:
+    """uint8 pixel array → binary netpbm bytes: h×w×3 → P6 (RGB),
+    h×w or h×w×1 → P5 (grayscale)."""
+    import numpy as np
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in (1, 3):
+        raise ValueError(f"encode_netpbm: {c} channels (want 1 or 3)")
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + b"\n" + f"{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_image(payload: bytes | None):
+    """REAL image decode (pure numpy, no codec libs): parse a binary
+    netpbm payload — P6 RGB or P5 grayscale, 8-bit — and return
+    (width, height, channels, pixels) with pixels an h×w×c uint8
+    array. Header parsing follows the spec: magic, width, height,
+    maxval as whitespace-separated tokens, `#`-to-newline comments
+    allowed between them, exactly one whitespace byte after maxval,
+    then the raw sample plane.
+
+    Returns None (never raises) for NULL/garbage/truncated payloads or
+    unsupported variants (maxval > 255 needs 16-bit planes) — one bad
     row must not fail a 100 TB job."""
-    if payload is None:
+    import numpy as np
+    if payload is None or payload[:2] not in (b"P6", b"P5"):
         return None
-    buckets = [0] * 8
-    for byte in payload:
-        buckets[byte >> 5] += 1
-    total = max(len(payload), 1)
-    return [b / total for b in buckets]
+    buf = bytes(payload)
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4 and i < len(buf):
+        c = buf[i:i + 1]
+        if c in _WS:
+            i += 1
+        elif c == b"#":
+            j = buf.find(b"\n", i)
+            if j < 0:
+                return None
+            i = j + 1
+        else:
+            j = i
+            while j < len(buf) and buf[j:j + 1] not in _WS and buf[j:j + 1] != b"#":
+                j += 1
+            tokens.append(buf[i:j])
+            i = j
+    if len(tokens) < 4 or i >= len(buf) or buf[i:i + 1] not in _WS:
+        return None
+    i += 1  # the single post-maxval whitespace byte
+    try:
+        w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    channels = 3 if tokens[0] == b"P6" else 1
+    need = w * h * channels
+    if len(buf) - i < need:
+        return None
+    pixels = (np.frombuffer(buf, np.uint8, count=need, offset=i)
+                .reshape(h, w, channels))
+    return w, h, channels, pixels
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column via
-    mapInPandas — the real multimodal hot path shape."""
+    """Arrow-batched image feature extraction over the binary column
+    via mapInPandas — decode REAL pixels (`decode_image`), then exact
+    integer statistics over the decoded array: per-channel sums and an
+    8-bucket intensity histogram (bucket = pixel >> 5). Exact ints
+    keep the features engine-checkable; a production embedding model
+    slots in at the `dec` site with the same batch shape.
+
+    Undecodable payloads yield a row with NULL image fields (never an
+    exception), so corrupt media is countable downstream."""
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "n_bytes": pdf["payload"].map(
-                    lambda b: 0 if b is None else len(b)).astype("int64"),
-                "feature": pdf["payload"].map(_decode_image_stub),
-            })
+            cols: dict[str, list] = {k: [] for k in (
+                "media_id", "n_bytes", "width", "height", "channels",
+                "ch_sum", "px_hist")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                cols["media_id"].append(mid)
+                cols["n_bytes"].append(0 if payload is None else len(payload))
+                dec = decode_image(payload)
+                if dec is None:
+                    for k in ("width", "height", "channels", "ch_sum",
+                              "px_hist"):
+                        cols[k].append(None)
+                    continue
+                w, h, c, px = dec
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["channels"].append(c)
+                cols["ch_sum"].append(
+                    [int(v) for v in px.sum(axis=(0, 1), dtype=np.int64)])
+                cols["px_hist"].append(
+                    [int(v) for v in np.bincount((px >> 5).ravel(),
+                                                 minlength=8)])
+            yield pd.DataFrame(cols)
+
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
 def resize_media(media: DataFrame, target_w: int = 64,
                  target_h: int = 64) -> DataFrame:
-    """Resize plumbing: binary in → binary out with updated metadata,
-    Arrow-batched. The pixel resample is STUBBED (no codec libs in this
-    environment): payload is deterministically resampled at the byte
-    level to the target 'pixel' count so batch shapes, output sizes and
-    metadata math are real. Swap the inner function for PIL in
-    production."""
-    n_out = target_w * target_h
-
+    """REAL nearest-neighbor image resize, Arrow-batched: decode the
+    netpbm payload, gather source pixels with a vectorized numpy index
+    (out[y, x] = src[y·h // H, x·w // W] — no per-pixel Python loop),
+    re-encode as netpbm. Binary in → binary out with updated metadata;
+    NULL/undecodable payloads yield a NULL payload row rather than an
+    exception. A production pipeline swaps the gather for PIL's
+    filtered resample; everything else is identical."""
     import numpy as np
-    base_idx = np.arange(n_out)
-
-    def _resample(payload: bytes | None) -> bytes | None:
-        if payload is None:
-            return None
-        if len(payload) == 0:
-            return b"\x00" * n_out
-        # vectorized byte gather (a Python per-byte loop here costs
-        # n_out iterations PER ROW — the classic Pandas-UDF hot-path
-        # mistake this module exists to avoid)
-        step = max(len(payload) // n_out, 1)
-        idx = np.minimum(base_idx * step, len(payload) - 1)
-        return np.frombuffer(payload, dtype=np.uint8)[idx].tobytes()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pdf["payload"].map(_resample)
+            ids, outs, ws, hs, nbs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                dec = decode_image(payload)
+                if dec is None:
+                    outs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    nbs.append(0)
+                    continue
+                w, h, _, px = dec
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                enc = encode_netpbm(px[ys[:, None], xs[None, :], :])
+                outs.append(enc)
+                ws.append(target_w)
+                hs.append(target_h)
+                nbs.append(len(enc))
             yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "payload": out,
-                "width": target_w, "height": target_h,
-                "n_bytes": out.map(lambda b: 0 if b is None else len(b))
-                              .astype("int64"),
+                "media_id": pd.Series(ids, dtype="int64"),
+                "payload": outs,
+                "width": pd.Series(ws, dtype="object"),
+                "height": pd.Series(hs, dtype="object"),
+                "n_bytes": pd.Series(nbs, dtype="int64"),
             })
 
     schema = T.StructType([

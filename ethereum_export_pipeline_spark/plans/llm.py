@@ -632,55 +632,136 @@ FROM documents GROUP BY 1
 
 
 def _extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas Arrow-batched feature extraction, HASH-checked: the
-    deterministic byte-histogram stub emits count/total FLOAT64 ratios
-    (FEATURE_SCHEMA pins DoubleType — float32 would cap the lossless
-    roundtrip at b < ~2^23); multiplying back by n_bytes and rounding
-    recovers the exact integer bucket counts (b ≤ n_bytes ≪ 2^51),
-    which the oracle recomputes from the blob's hex encoding — the
-    full Arrow mapInPandas path is inside the hash check."""
-    feats = multimodal.extract_features(_doc_media(spark, sf_dir))
-    hist = [
-        F.expr(f"CAST(round(element_at(feature, {b + 1}) * "
-               f"greatest(n_bytes, 1)) AS BIGINT)").alias(f"hist_{b}")
-        for b in range(8)
-    ]
-    return feats.select("media_id", "n_bytes", *hist)
+    """REAL image decode, hash-checked end-to-end: the fixture builds
+    one uncompressed P6 PPM per document (pixel plane tiled from the
+    text bytes — deterministic, so SQL can recompute it), and
+    `multimodal.extract_features` PARSES the netpbm header and
+    reshapes the raw plane with numpy inside Arrow mapInPandas. The
+    graded row exposes parsed dimensions, exact per-channel pixel
+    sums, and an 8-bucket intensity histogram — every value a function
+    of DECODED PIXELS, recomputed independently by the DuckDB twin
+    from the text bytes."""
+    media = multimodal.documents_as_ppm_media(
+        load_table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "n_bytes", "width", "height", "channels",
+        *[F.element_at("ch_sum", c + 1).alias(f"ch_sum_{c}")
+          for c in range(3)],
+        *[F.element_at("px_hist", b + 1).alias(f"hist_{b}")
+          for b in range(8)])
 
 
 def _extract_features_sql() -> str:
-    # byte >> 5 == (value of the byte's FIRST hex digit) // 2; hex() of
-    # a blob is identical uppercase text in both engines
+    """DuckDB twin of decode(encode_ppm(tile(text)))): rebuilds the
+    pixel plane from the text's hex dump (byte j = text byte j mod nb,
+    zeros when empty) and aggregates the same exact-integer stats the
+    Spark side computes from the DECODED array. Dims mirror the
+    fixture: w = 8 + id % 9, h = 8 + id % 7; payload n_bytes = header
+    ("P6\\n{w} {h}\\n255\\n" = 9 + digits(w) + digits(h)) + w*h*3."""
+    digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
+    byte_at = (f"16 * ({digit.format(i='2*p+1')}) + ({digit.format(i='2*p+2')})")
+    ch_sums = ", ".join(
+        "CASE WHEN pix IS NULL THEN NULL ELSE CAST(list_sum("
+        f"list_transform(range(w*h), k -> pix[3*k + {c} + 1])) AS BIGINT) "
+        f"END AS ch_sum_{c}"
+        for c in range(3))
     hists = ", ".join(
-        "CASE WHEN h IS NULL THEN NULL ELSE CAST(len(list_filter(range(nb), "
-        "i -> (strpos('0123456789ABCDEF', substring(h, CAST(2*i+1 AS INT), 1)) - 1) // 2 "
-        f"= {b})) AS BIGINT) END AS hist_{b}"
+        "CASE WHEN pix IS NULL THEN NULL ELSE CAST(len(list_filter(pix, "
+        f"x -> x // 32 = {b})) AS BIGINT) END AS hist_{b}"
         for b in range(8))
     return f"""
 WITH m AS (
   SELECT doc_id,
-         CASE WHEN text IS NULL THEN NULL ELSE hex(encode(text)) END AS h,
-         CASE WHEN text IS NULL THEN 0
-              ELSE octet_length(encode(text)) END AS nb
+         CASE WHEN text IS NULL THEN NULL ELSE hex(encode(text)) END AS hx,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE octet_length(encode(text)) END AS nb,
+         CAST(8 + doc_id % 9 AS INTEGER) AS w,
+         CAST(8 + doc_id % 7 AS INTEGER) AS h
   FROM documents
+), v AS (
+  SELECT doc_id, w, h, nb,
+         CASE WHEN hx IS NULL THEN NULL
+              WHEN nb = 0 THEN []
+              ELSE list_transform(range(nb), p -> {byte_at}) END AS vals
+  FROM m
+), px AS (
+  SELECT doc_id, w, h, nb,
+         CASE WHEN nb IS NULL THEN NULL
+              WHEN nb = 0 THEN list_transform(range(w*h*3), j -> 0)
+              ELSE list_transform(range(w*h*3), j -> vals[(j % nb) + 1])
+         END AS pix
+  FROM v
 )
-SELECT doc_id AS media_id, CAST(nb AS BIGINT) AS n_bytes, {hists}
-FROM m
+SELECT doc_id AS media_id,
+       CASE WHEN pix IS NULL THEN CAST(0 AS BIGINT)
+            ELSE CAST(9 + length(CAST(w AS VARCHAR))
+                        + length(CAST(h AS VARCHAR)) + w*h*3 AS BIGINT)
+       END AS n_bytes,
+       CASE WHEN pix IS NULL THEN NULL ELSE w END AS width,
+       CASE WHEN pix IS NULL THEN NULL ELSE h END AS height,
+       CASE WHEN pix IS NULL THEN NULL
+            ELSE CAST(3 AS INTEGER) END AS channels,
+       {ch_sums},
+       {hists}
+FROM px
 """
 
 
 def _resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing via mapInPandas; the metadata math (target dims,
-    output byte count) is SQL-verifiable even though the resample stub
-    is Python — payload itself is excluded from the compare."""
-    out = multimodal.resize_media(_doc_media(spark, sf_dir), 64, 64)
-    return out.select("media_id", "width", "height", "n_bytes")
+    """REAL resize pipeline, pixel-verified: PPM fixture → decode →
+    nearest-neighbor resample → re-ENCODE → re-DECODE → exact channel
+    sums of the RESIZED image. The oracle recomputes the same gather
+    (out[y,x] = src[y·h//64, x·w//64]) from the text-tiled plane, so a
+    wrong index map, a corrupted re-encode, or a header bug all flip
+    the hash."""
+    media = multimodal.documents_as_ppm_media(
+        load_table(spark, sf_dir, "documents"))
+    resized = multimodal.resize_media(media, 64, 64)
+    feats = multimodal.extract_features(
+        resized.select("media_id", "payload"))
+    return feats.select(
+        "media_id", "n_bytes", "width", "height",
+        *[F.element_at("ch_sum", c + 1).alias(f"ch_sum_{c}")
+          for c in range(3)])
 
 
-_RESIZE_SQL = """
-SELECT doc_id AS media_id, CAST(64 AS INTEGER) AS width,
-       CAST(64 AS INTEGER) AS height, CAST(4096 AS BIGINT) AS n_bytes
-FROM documents
+def _resize_sql() -> str:
+    """DuckDB twin of decode(resize(decode(ppm)))): same source-pixel
+    gather over the tiled plane. Output n_bytes is the re-encoded
+    payload: 'P6\\n64 64\\n255\\n' (13) + 64·64·3 = 12301."""
+    digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
+    byte_at = (f"16 * ({digit.format(i='2*p+1')}) + ({digit.format(i='2*p+2')})")
+    idx = ("((((k // 64) * h // 64) * w + ((k % 64) * w // 64)) * 3 "
+           "+ {c}) % nb + 1")
+    ch_sums = ", ".join(
+        "CASE WHEN nb IS NULL THEN NULL WHEN nb = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(list_sum(list_transform(range(4096), "
+        f"k -> vals[{idx.format(c=c)}])) AS BIGINT) END AS ch_sum_{c}"
+        for c in range(3))
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE hex(encode(text)) END AS hx,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE octet_length(encode(text)) END AS nb,
+         CAST(8 + doc_id % 9 AS INTEGER) AS w,
+         CAST(8 + doc_id % 7 AS INTEGER) AS h
+  FROM documents
+), v AS (
+  SELECT doc_id, w, h, nb,
+         CASE WHEN hx IS NULL THEN NULL
+              WHEN nb = 0 THEN []
+              ELSE list_transform(range(nb), p -> {byte_at}) END AS vals
+  FROM m
+)
+SELECT doc_id AS media_id,
+       CASE WHEN nb IS NULL THEN CAST(0 AS BIGINT)
+            ELSE CAST(12301 AS BIGINT) END AS n_bytes,
+       CASE WHEN nb IS NULL THEN NULL ELSE CAST(64 AS INTEGER) END AS width,
+       CASE WHEN nb IS NULL THEN NULL ELSE CAST(64 AS INTEGER) END AS height,
+       {ch_sums}
+FROM v
 """
 
 
@@ -1413,10 +1494,13 @@ QUERIES: dict[str, Query] = {
     "mm_binary_stats": Query(_binary_stats, _BINARY_STATS_SQL,
                              "binary payload accounting"),
     "mm_extract_features": Query(_extract_features, _extract_features_sql(),
-                                 "mapInPandas decode (stub) — hash-checked "
-                                 "via exact integer byte-histogram"),
-    "mm_resize": Query(_resize, _RESIZE_SQL,
-                       "resize plumbing, metadata oracle"),
+                                 "REAL netpbm image decode (pure-numpy "
+                                 "header parse + pixel reshape) — exact "
+                                 "decoded-pixel stats, hash-checked"),
+    "mm_resize": Query(_resize, _resize_sql(),
+                       "REAL nearest-neighbor image resize "
+                       "(decode→gather→re-encode→re-decode), "
+                       "pixel-sum verified"),
     "mm_frame_sample": Query(_frame_sample, _FRAME_SAMPLE_SQL,
                              "video frame-sample fan-out"),
     "doc_decontaminate": Query(_decontaminate, _decontaminate_sql(),

@@ -163,17 +163,48 @@ def test_embedding_neardup_pairs_threshold(spark):
 
 # -------------------------------------------------------------- multimodal
 
-def test_extract_features_null_payload_safe(spark):
+def test_netpbm_roundtrip_and_header_parsing():
+    import numpy as np
     from ethereum_export_pipeline_spark.operators.multimodal import (
-        extract_features)
+        decode_image, encode_netpbm)
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    w, h, c, back = decode_image(encode_netpbm(px))
+    assert (w, h, c) == (3, 2, 3) and (back == px).all()
+    # grayscale P5
+    g = np.array([[0, 255], [7, 32]], dtype=np.uint8)
+    w, h, c, back = decode_image(encode_netpbm(g))
+    assert (w, h, c) == (2, 2, 1) and (back[:, :, 0] == g).all()
+    # spec corners: comments between header tokens parse; garbage,
+    # truncated planes and 16-bit maxval are rejected as None
+    assert decode_image(b"P6 # rgb\n# comment\n2 1\n# again\n255\n"
+                        b"\x01\x02\x03\x04\x05\x06")[0:3] == (2, 1, 3)
+    assert decode_image(None) is None
+    assert decode_image(b"JFIF....") is None
+    assert decode_image(b"P6\n2 2\n255\n\x00\x01") is None   # truncated
+    assert decode_image(b"P6\n2 1\n65535\n" + b"\x00" * 12) is None
+
+
+def test_extract_features_decodes_real_pixels(spark):
+    import numpy as np
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        encode_netpbm, extract_features)
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, 0] = (10, 20, 30)
+    px[1, 1] = (200, 0, 100)
     media = spark.createDataFrame(
-        [Row(media_id=1, payload=b"abcd", meta=None),
-         Row(media_id=2, payload=None, meta=None)],
+        [Row(media_id=1, payload=bytes(encode_netpbm(px)), meta=None),
+         Row(media_id=2, payload=None, meta=None),
+         Row(media_id=3, payload=b"not an image", meta=None)],
         "media_id long, payload binary, meta struct<format:string>")
-    got = {r.media_id: (r.n_bytes, r.feature) for r in
-           extract_features(media).collect()}
-    assert got[1][0] == 4 and len(got[1][1]) == 8
-    assert got[2] == (0, None)     # null payload → null feature, no crash
+    got = {r.media_id: r for r in extract_features(media).collect()}
+    r1 = got[1]
+    assert (r1.width, r1.height, r1.channels) == (2, 2, 3)
+    assert r1.ch_sum == [210, 20, 130]          # exact per-channel sums
+    # buckets: 10,20,30,0*6 → <32 ⇒ bucket0 ×9; 200 ⇒ b6; 100 ⇒ b3
+    assert r1.px_hist == [10, 0, 0, 1, 0, 0, 1, 0]
+    assert sum(r1.px_hist) == 12
+    assert got[2].n_bytes == 0 and got[2].ch_sum is None   # null payload
+    assert got[3].n_bytes == 12 and got[3].width is None   # undecodable
 
 
 def test_binary_stats_accounting(spark):
@@ -229,14 +260,27 @@ def test_multiband_lsh_recall_dominates_single_band(spark):
     assert len(two) >= len(one)
 
 
-def test_resize_media_shapes(spark):
+def test_resize_media_real_pixels(spark):
+    import numpy as np
     from ethereum_export_pipeline_spark.operators.multimodal import (
-        documents_as_media, resize_media)
-    df = docs(spark, [(1, "x" * 1000), (2, "y" * 10)])
-    got = {r.media_id: (r.width, r.height, r.n_bytes, len(r.payload))
-           for r in resize_media(documents_as_media(df), 8, 8).collect()}
-    assert got[1] == (8, 8, 64, 64)
-    assert got[2] == (8, 8, 64, 64)   # shorter payload still fills 64
+        decode_image, encode_netpbm, resize_media)
+    # 2×2 RGB quadrants → upscale 4×4: nearest-neighbor must tile each
+    # source pixel into a 2×2 block
+    px = np.array([[[255, 0, 0], [0, 255, 0]],
+                   [[0, 0, 255], [9, 9, 9]]], dtype=np.uint8)
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=bytes(encode_netpbm(px))),
+         Row(media_id=2, payload=None)],
+        "media_id long, payload binary")
+    got = {r.media_id: r for r in resize_media(media, 4, 4).collect()}
+    r1 = got[1]
+    assert (r1.width, r1.height) == (4, 4)
+    w, h, c, out = decode_image(bytes(r1.payload))
+    assert (w, h, c) == (4, 4, 3)
+    assert (out[0, 0] == [255, 0, 0]).all() and (out[1, 1] == [255, 0, 0]).all()
+    assert (out[0, 3] == [0, 255, 0]).all() and (out[3, 0] == [0, 0, 255]).all()
+    assert (out[3, 3] == [9, 9, 9]).all()
+    assert got[2].payload is None and got[2].n_bytes == 0
 
 
 def test_sample_frames_fanout(spark):
