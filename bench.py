@@ -63,6 +63,7 @@ HEADLINE = [
     "doc_mix_sample",
     "doc_training_manifest",
     "doc_decontaminate",
+    "doc_delete_ids",
     "doc_rarity",
     "doc_sentence_dedup",
     "doc_length_stats",
@@ -82,6 +83,7 @@ HEADLINE = [
     "stream_dedup",
     "stream_hopping_counts",
     "stream_interval_join",
+    "stream_chain_scan",
 ]
 
 

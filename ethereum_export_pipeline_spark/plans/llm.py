@@ -1414,6 +1414,53 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------- targeted deletion
+
+def _delete_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted deletion (takedown / right-to-be-forgotten) graded
+    END-TO-END: materialize the documents corpus as a source-partitioned
+    parquet scratch copy, run `operators.retention.delete_ids` on a
+    deterministic victim set (doc_id % 13 = 3), then READ THE REWRITTEN
+    CORPUS BACK and report per-partition before/after/deleted counts —
+    the oracle recomputes the same arithmetic directly, so a victim
+    surviving on disk (or a non-victim lost) flips the hash.
+
+    Scale shape under test: broadcast semi/anti joins + dynamic
+    partition overwrite of only the affected directories."""
+    import os
+    from ..operators.retention import delete_ids
+    from ..util import scratch_dir
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = os.path.join(scratch_dir("spark_graft_rtbf_"), "corpus")
+    docs.write.partitionBy("source").parquet(corpus)
+    victims = docs.where("doc_id % 13 = 3").select("doc_id")
+    delete_ids(spark, corpus, victims)
+    after = (spark.read.parquet(corpus).groupBy("source")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_after")))
+    before = (docs.groupBy("source")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_before")))
+    # left join: a fully-victimized partition disappears from disk but
+    # must still report (n_after = 0)
+    return (before.join(after, "source", "left")
+                  .select("source", "n_before",
+                          F.coalesce("n_after", F.lit(0)).cast("long")
+                           .alias("n_after"),
+                          (F.col("n_before")
+                           - F.coalesce("n_after", F.lit(0))).cast("long")
+                           .alias("n_deleted")))
+
+
+_DELETE_IDS_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_before,
+       CAST(sum(CASE WHEN doc_id % 13 = 3 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_after,
+       CAST(sum(CASE WHEN doc_id % 13 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deleted
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
                              "exact dedup via md5 hash-agg"),
@@ -1506,6 +1553,10 @@ QUERIES: dict[str, Query] = {
     "doc_decontaminate": Query(_decontaminate, _decontaminate_sql(),
                                "benchmark n-gram decontamination "
                                "(broadcast semi join)"),
+    "doc_delete_ids": Query(_delete_ids, _DELETE_IDS_SQL,
+                            "targeted deletion (RTBF): partition-pruned "
+                            "rewrite graded by reading the rewritten "
+                            "corpus back"),
     "doc_rarity": Query(_rarity, _rarity_sql(),
                         "corpus-relative token rarity (df join, "
                         "hapax/mean-df quality signal)"),

@@ -7,7 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming import (WINDOW_US, stream_dedup_within_watermark,
+from ..streaming import (WINDOW_US, stream_chain_counts,
+                         stream_dedup_within_watermark,
                          stream_exact_dedup, stream_hopping_counts,
                          stream_interval_join, stream_tumbling_counts,
                          stream_watermark_counts)
@@ -108,6 +109,31 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+CHAIN_HEAD = 999  # blocks 0..999 in the synthetic chain stream
+
+
+def _stream_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-file streaming source: the `ethereum_chain` Python
+    DataSourceStreamReader aggregated by the streaming engine;
+    `sf_dir` is unused — the chain IS the source."""
+    return stream_chain_counts(spark, head=CHAIN_HEAD)
+
+
+#: batch twin of the chain-source aggregate: the synthetic block at
+#: height n has gas_used = n % 8_000_000, transaction_count = n % 200,
+#: size = 500 + n % 1000 (sources/datasource.py _fake_block) — pure
+#: integer functions DuckDB recomputes from range()
+_STREAM_CHAIN_SQL = f"""
+SELECT n // 100 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(n % 8000000) AS BIGINT) AS gas_used,
+       CAST(sum(n % 200) AS BIGINT) AS tx_count,
+       CAST(max(500 + n % 1000) AS BIGINT) AS max_size
+FROM (SELECT unnest(range({CHAIN_HEAD + 1})) AS n)
+GROUP BY 1
+"""
+
+
 def _stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_within_watermark(
         spark, f"{sf_dir.rstrip('/')}/events.parquet")
@@ -125,6 +151,9 @@ QUERIES: dict[str, Query] = {
                              "stateful applyInPandasWithState sessions"),
     "stream_dedup": Query(_stream_dedup, _STREAM_DEDUP_SQL,
                           "streaming dropDuplicates exact dedup"),
+    "stream_chain_scan": Query(_stream_chain, _STREAM_CHAIN_SQL,
+                               "streaming agg over the NON-FILE chain "
+                               "data source (custom stream reader)"),
     "stream_hopping_counts": Query(_stream_hopping, _STREAM_HOPPING_SQL,
                                    "overlapping hopping-window counts"),
     "stream_watermark_counts": Query(_stream_watermark,

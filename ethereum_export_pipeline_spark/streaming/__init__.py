@@ -245,6 +245,34 @@ def stream_chain_export(spark: SparkSession, dest_dir: str,
             f"offset — rerun with a larger timeout_s to resume")
 
 
+def stream_chain_counts(spark: SparkSession, head: int = 999,
+                        batch_size: int = 100,
+                        bucket: int = 100) -> DataFrame:
+    """Streaming aggregation whose source is NOT a file directory: the
+    registered `ethereum_chain` Python DataSourceStreamReader
+    (sources/datasource.py) tails the chain — offsets are block
+    numbers, each micro-batch covers (committed, head] split into
+    range partitions — and the streaming engine aggregates per
+    block-range bucket. Proves the stateful operators compose with a
+    custom streaming source, not just the parquet file source.
+
+    The synthetic blocks are deterministic integer functions of the
+    block number, so the batch-equivalent oracle recomputes the exact
+    aggregate from `range(head+1)` — a full value-hash check with no
+    files involved on either side."""
+    from ..sources import datasource
+    datasource.register(spark)
+    sdf = (spark.readStream.format("ethereum_chain")
+                .option("start", 0).option("head", head)
+                .option("batch_size", batch_size).load())
+    agg = (sdf.groupBy(F.expr(f"number div {bucket}").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n_blocks"),
+                   F.sum("gas_used").cast("long").alias("gas_used"),
+                   F.sum("transaction_count").cast("long").alias("tx_count"),
+                   F.max("size").cast("long").alias("max_size")))
+    return run_available_now(agg)
+
+
 def stream_interval_join(spark: SparkSession, events_path: str,
                          gap_s: int = 3600,
                          delay_s: int = 7200,
