@@ -346,60 +346,69 @@ def stream_dedup_within_watermark(spark: SparkSession, events_path: str,
 
 def incremental_rollup(spark: SparkSession, src_dir: str, dest_dir: str,
                        checkpoint_dir: str,
-                       window_us: int = WINDOW_US) -> None:
+                       window_us: int = WINDOW_US,
+                       range_width: int = 1000) -> None:
     """Incrementally-maintained rollup table (materialized-view
     maintenance without a table format): a streaming tumbling-count in
     UPDATE mode emits, per micro-batch, the windows whose totals
     changed — with their FULL cumulative values, because the agg state
     (restored from the checkpoint across runs) carries prior batches —
     and `foreachBatch` upserts exactly those keys into a parquet
-    rollup (anti-join out stale rows ∪ new rows, write to a temp dir,
-    then a two-rename swap: the old rollup is PARKED in ._bak until
-    the new one is in place, and a startup recovery path restores a
-    parked rollup if a previous run died between the renames — the
-    checkpoint has already committed those batches, so the data exists
-    nowhere else).
+    rollup PARTITIONED BY `win_range` (`win div range_width`).
 
-    Each availableNow run therefore reads ONLY files the checkpoint
-    has not seen and rewrites ONLY touched windows' rows: the
-    incremental convert job's discipline applied to an AGGREGATE.
-    On an object store the directory swap becomes a manifest pointer
-    flip (see sources/staged_sink.py for that two-phase pattern);
-    with a table format (Delta/Iceberg) it is MERGE INTO.
-    """
-    import shutil
+    The upsert physically rewrites ONLY the partition directories
+    containing a touched window: read back just those partitions
+    (partition-pruned scan), anti-join out the stale rows, union the
+    new ones, dynamic-partition-overwrite — untouched directories are
+    never opened, never rewritten, so the write cost scales with the
+    batch's window spread, not the rollup's total history. Crash
+    safety is replay idempotency: the micro-batch only commits to the
+    checkpoint AFTER upsert returns, so a crash mid-write replays the
+    same deterministic batch and the per-partition overwrite
+    converges. With a table format (Delta/Iceberg) this is MERGE INTO;
+    on an object store the directory commit becomes a manifest flip
+    (see sources/staged_sink.py for that two-phase pattern).
+
+    Each availableNow run reads ONLY files the checkpoint has not
+    seen: the incremental convert job's discipline applied to an
+    AGGREGATE."""
     from ..sources.tables import with_event_time
     sdf = with_event_time(read_stream(spark, src_dir))
     agg = (sdf.groupBy(F.expr(f"(ts_ns div 1000) div {window_us}")
                         .alias("win"))
               .agg(F.count(F.lit(1)).alias("n")))
 
-    bak = dest_dir.rstrip("/") + "._bak"
-    # crash recovery: a previous run that died mid-swap left the
-    # rollup parked in ._bak (dest missing) — restore it BEFORE the
-    # stream starts, because the checkpoint already committed the
-    # batches that produced it
-    if os.path.isdir(bak) and not os.path.isdir(dest_dir):
-        os.replace(bak, dest_dir)
-    shutil.rmtree(bak, ignore_errors=True)
-
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        new = batch_df.select("win", "n")
+        new = (batch_df.select("win", "n")
+                       .withColumn("win_range",
+                                   F.expr(f"win div {range_width}")))
         if os.path.isdir(dest_dir):
-            cur = sess.read.parquet(dest_dir)
+            ranges = [r[0] for r in
+                      new.select("win_range").distinct().collect()]
+            if not ranges:
+                return
+            cur = (sess.read.parquet(dest_dir)
+                       .where(F.col("win_range").isin(ranges)))
+            # localCheckpoint breaks lineage back to dest_dir — Spark
+            # refuses to overwrite a path a plan is reading from
             out = (cur.join(new.select("win"), "win", "left_anti")
-                      .unionByName(new))
+                      .unionByName(new)
+                      .localCheckpoint(eager=True))
         else:
+            if new.isEmpty():
+                return
             out = new
-        tmp = dest_dir.rstrip("/") + "._tmp"
-        out.write.mode("overwrite").parquet(tmp)
-        # two renames, never a destructive window: the old rollup is
-        # parked (not deleted) until the new one is in place
-        if os.path.isdir(dest_dir):
-            os.replace(dest_dir, bak)
-        os.replace(tmp, dest_dir)
-        shutil.rmtree(bak, ignore_errors=True)
+        old_mode = sess.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode",
+                      "dynamic")
+        try:
+            (out.write.mode("overwrite").partitionBy("win_range")
+                .parquet(dest_dir))
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode",
+                          old_mode)
 
     q = (agg.writeStream.foreachBatch(upsert)
             .outputMode("update")

@@ -561,22 +561,42 @@ def test_incremental_rollup_upserts_only_touched_windows(spark, tmp_path):
             exp[w] = exp.get(w, 0) + 1
         return exp
 
+    import glob, os
+
+    def mtimes(pattern):
+        return {f: os.path.getmtime(f)
+                for f in sorted(glob.glob(f"{dest}/{pattern}/*.parquet"))}
+
+    # range_width=25 → events 0..499 (windows 0..74) fill partitions
+    # win_range=0,1,2; the f2 tail (windows 75..119) lands in 3,4
     write_file("f1", 0, 500)
-    incremental_rollup(spark, str(src), dest, ckpt)
+    incremental_rollup(spark, str(src), dest, ckpt, range_width=25)
     got1 = {r.win: r.n for r in spark.read.parquet(dest).collect()}
     assert got1 == expected(500)
+    assert {os.path.basename(d) for d in glob.glob(f"{dest}/win_range=*")} \
+        == {"win_range=0", "win_range=1", "win_range=2"}
+    untouched_before = mtimes("win_range=*")
 
     # second run, no new data: rollup unchanged (checkpoint = bookmark)
-    incremental_rollup(spark, str(src), dest, ckpt)
+    incremental_rollup(spark, str(src), dest, ckpt, range_width=25)
     assert {r.win: r.n
             for r in spark.read.parquet(dest).collect()} == expected(500)
+    assert mtimes("win_range=*") == untouched_before  # zero rewrites
 
-    # new file overlaps the tail window AND adds new ones: cumulative
-    # counts survive because the agg state rides the checkpoint
+    # new file appends windows in NEW ranges only: cumulative counts
+    # survive (agg state rides the checkpoint) and the untouched
+    # partition directories stay byte-identical — the physical rewrite
+    # now matches the 'only touched windows' claim
     write_file("f2", 500, 300)
-    incremental_rollup(spark, str(src), dest, ckpt)
+    incremental_rollup(spark, str(src), dest, ckpt, range_width=25)
     got2 = {r.win: r.n for r in spark.read.parquet(dest).collect()}
     assert got2 == expected(800)
+    for rng in (0, 1, 2):
+        assert mtimes(f"win_range={rng}") == {
+            f: t for f, t in untouched_before.items()
+            if f"win_range={rng}/" in f}
+    assert glob.glob(f"{dest}/win_range=3/*.parquet")
+    assert glob.glob(f"{dest}/win_range=4/*.parquet")
 
 
 def test_stream_interval_join_cross_batch_state(spark, tmp_path):
