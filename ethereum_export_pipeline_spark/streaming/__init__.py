@@ -61,15 +61,51 @@ def read_stream(spark: SparkSession, path: str,
     return reader.parquet(path)
 
 
+def bounded_stream_width(spark: SparkSession, path: str,
+                         bytes_per_partition: int = 4 << 20) -> int | None:
+    """State-partition width for a BOUNDED streaming run, sized to the
+    input: every stateful operator commits one state store PER SHUFFLE
+    PARTITION per micro-batch, so running a 2 MB fixture at the
+    session's 32-wide default pays 32 store commits × operators for a
+    handful of keys — measured 7.4 s → 2.0 s on the sf0.1 interval
+    join. Large inputs keep the session width (returns None). On a
+    production stream the checkpoint pins the width at first start and
+    the operator sizes it to expected key cardinality explicitly; this
+    heuristic only shapes fresh checkpointless runs."""
+    import os
+    try:
+        if os.path.isdir(path):
+            size = sum(os.path.getsize(os.path.join(r, f))
+                       for r, _, fs in os.walk(path) for f in fs)
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return None
+    sess_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(4, size // bytes_per_partition)
+    return int(width) if width < sess_width else None
+
+
 def run_available_now(agg: DataFrame, name: str | None = None,
-                      output_mode: str = "complete") -> DataFrame:
+                      output_mode: str = "complete",
+                      width: int | None = None) -> DataFrame:
     """Run a (possibly aggregating) streaming DataFrame to completion
-    with availableNow + memory sink; return the result."""
+    with availableNow + memory sink; return the result. ``width``
+    overrides the state-partition count for this query (read from
+    spark.sql.shuffle.partitions at query START; restored after)."""
+    spark = agg.sparkSession
     name = name or f"stream_sink_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.format("memory").queryName(name)
-            .outputMode(output_mode).trigger(availableNow=True).start())
-    q.awaitTermination()
-    return agg.sparkSession.table(name)
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    if width is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        q = (agg.writeStream.format("memory").queryName(name)
+                .outputMode(output_mode).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if width is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_width)
+    return spark.table(name)
 
 
 def stream_tumbling_counts(spark: SparkSession, events_path: str,
@@ -86,7 +122,8 @@ def stream_tumbling_counts(spark: SparkSession, events_path: str,
                 F.min("event_id").alias("first_event"),
                 F.max("event_id").alias("last_event"))
     )
-    return run_available_now(agg)
+    return run_available_now(agg,
+                             width=bounded_stream_width(spark, events_path))
 
 
 def stream_hopping_counts(spark: SparkSession, events_path: str,
@@ -111,7 +148,8 @@ def stream_hopping_counts(spark: SparkSession, events_path: str,
                  .agg(F.count(F.lit(1)).alias("n"),
                       F.min("event_id").alias("first_event"),
                       F.max("event_id").alias("last_event")))
-    return run_available_now(agg)
+    return run_available_now(agg,
+                             width=bounded_stream_width(spark, events_path))
 
 
 def stream_watermark_counts(spark: SparkSession, events_path: str,
@@ -140,7 +178,8 @@ def stream_watermark_counts(spark: SparkSession, events_path: str,
                    F.max("event_id").alias("last_event"))
               .select(F.unix_micros("w.start").alias("win_start"),
                       "n", "first_event", "last_event"))
-    return run_available_now(agg, output_mode="append")
+    return run_available_now(agg, output_mode="append",
+                             width=bounded_stream_width(spark, events_path))
 
 
 def stream_exact_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
@@ -154,7 +193,8 @@ def stream_exact_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
     keyed = (sdf.where("text IS NOT NULL")
                 .selectExpr("md5(text) AS content_key")
                 .dropDuplicates(["content_key"]))
-    return run_available_now(keyed, output_mode="append")
+    return run_available_now(keyed, output_mode="append",
+                             width=bounded_stream_width(spark, docs_path))
 
 
 def incremental_convert(spark: SparkSession, src_dir: str, dest_dir: str,
@@ -270,7 +310,10 @@ def stream_chain_counts(spark: SparkSession, head: int = 999,
                    F.sum("gas_used").cast("long").alias("gas_used"),
                    F.sum("transaction_count").cast("long").alias("tx_count"),
                    F.max("size").cast("long").alias("max_size")))
-    return run_available_now(agg)
+    # bounded synthetic head: size the state width to the row count
+    sess_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(4, (head + 1) // 100_000)
+    return run_available_now(agg, width=width if width < sess_w else None)
 
 
 def stream_interval_join(spark: SparkSession, events_path: str,
@@ -318,7 +361,8 @@ def stream_interval_join(spark: SparkSession, events_path: str,
                    F.col("click_user").alias("user_id"),
                    (F.unix_micros("buy_ts") - F.unix_micros("click_ts"))
                    .alias("delta_us"))
-    return run_available_now(out, output_mode="append")
+    return run_available_now(out, output_mode="append",
+                             width=bounded_stream_width(spark, events_path))
 
 
 def stream_dedup_within_watermark(spark: SparkSession, events_path: str,
@@ -341,7 +385,8 @@ def stream_dedup_within_watermark(spark: SparkSession, events_path: str,
                 .withWatermark("evt_ts", f"{delay_s} seconds")
                 .dropDuplicatesWithinWatermark(["user_id", "event_type"])
                 .select("user_id", "event_type"))
-    return run_available_now(keyed, output_mode="append")
+    return run_available_now(keyed, output_mode="append",
+                             width=bounded_stream_width(spark, events_path))
 
 
 def incremental_rollup(spark: SparkSession, src_dir: str, dest_dir: str,

@@ -91,4 +91,6 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
     agg = keyed.applyInPandasWithState(
         _sessionize_key, OUTPUT_SCHEMA, STATE_SCHEMA,
         outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
-    return run_available_now(agg, output_mode="update")
+    from . import bounded_stream_width
+    return run_available_now(agg, output_mode="update",
+                             width=bounded_stream_width(spark, events_path))
