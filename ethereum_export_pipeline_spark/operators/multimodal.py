@@ -148,11 +148,19 @@ def decode_image(payload: bytes | None):
     allowed between them, exactly one whitespace byte after maxval,
     then the raw sample plane.
 
+    Dispatches on the magic bytes: netpbm here, 'BM' → `decode_bmp`
+    (uncompressed 24-bit Windows bitmaps) — one decode entry point for
+    every uncompressed format the engine understands.
+
     Returns None (never raises) for NULL/garbage/truncated payloads or
     unsupported variants (maxval > 255 needs 16-bit planes) — one bad
     row must not fail a 100 TB job."""
     import numpy as np
-    if payload is None or payload[:2] not in (b"P6", b"P5"):
+    if payload is None:
+        return None
+    if bytes(payload[:2]) == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] not in (b"P6", b"P5"):
         return None
     buf = bytes(payload)
     tokens: list[bytes] = []
@@ -188,6 +196,58 @@ def decode_image(payload: bytes | None):
     pixels = (np.frombuffer(buf, np.uint8, count=need, offset=i)
                 .reshape(h, w, channels))
     return w, h, channels, pixels
+
+
+def decode_bmp(payload: bytes | None):
+    """REAL BMP decode (pure numpy): uncompressed 24-bit BI_RGB
+    Windows bitmaps — 'BM' magic, BITMAPINFOHEADER, bottom-up rows
+    padded to 4-byte boundaries, BGR samples. Returns (width, height,
+    3, pixels) with pixels h×w×3 uint8 in RGB row-major (top-down) —
+    the same contract as `decode_image` — or None for anything else
+    (compressed/paletted/other depths), never an exception."""
+    import struct
+
+    import numpy as np
+    if payload is None or payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    buf = bytes(payload)
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size = struct.unpack_from("<I", buf, 14)[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. unsupported
+        return None
+    w, h = struct.unpack_from("<ii", buf, 18)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(buf) - data_off < stride * h:
+        return None
+    rows = (np.frombuffer(buf, np.uint8, count=stride * h, offset=data_off)
+              .reshape(h, stride)[:, :w * 3].reshape(h, w, 3))
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, 3, rows[:, :, ::-1]  # BGR → RGB
+
+
+def encode_bmp(pixels) -> bytes:
+    """uint8 h×w×3 RGB array → uncompressed 24-bit bottom-up BMP."""
+    import struct
+
+    import numpy as np
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("encode_bmp wants h×w×3 RGB")
+    stride = (w * 3 + 3) & ~3
+    padded = np.zeros((h, stride), np.uint8)
+    padded[:, :w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # flip+BGR
+    data = padded.tobytes()
+    return (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(data), 2835, 2835, 0, 0) + data)
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -277,6 +337,146 @@ def resize_media(media: DataFrame, target_w: int = 64,
         T.StructField("n_bytes", T.LongType()),
     ])
     return media.mapInPandas(run, schema)
+
+
+# ------------------------------------------------------ wav/pcm codec
+
+def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
+    """uint8 (8-bit unsigned) or int16 PCM sample array → canonical
+    RIFF/WAVE bytes (mono, 44-byte header + data chunk)."""
+    import struct
+
+    import numpy as np
+    a = np.asarray(samples)
+    if a.dtype == np.uint8:
+        bits = 8
+    elif a.dtype == np.int16:
+        bits = 16
+    else:
+        raise ValueError("encode_wav wants uint8 or int16 PCM")
+    data = a.tobytes()
+    block = bits // 8
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    sample_rate * block, block, bits)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes | None):
+    """REAL audio decode (pure numpy): walk the RIFF chunk list (the
+    spec's layout — 'fmt ' is not guaranteed to sit at offset 12, and
+    extra chunks like LIST/fact are legal before 'data'), accept
+    uncompressed mono/stereo PCM at 8 or 16 bits, and return
+    (sample_rate, channels, bits, samples) with samples an
+    (n, channels) numpy array (uint8 for 8-bit, int16 LE for 16-bit).
+    None for anything else — never an exception."""
+    import struct
+
+    import numpy as np
+    if payload is None or len(payload) < 44:
+        return None
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    fmt = None
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            if fmt is None or len(body) < size:
+                return None
+            audio_fmt, channels, rate, _, _, bits = fmt
+            if audio_fmt != 1 or channels not in (1, 2) or \
+                    bits not in (8, 16):
+                return None
+            dt = np.uint8 if bits == 8 else np.dtype("<i2")
+            n = size // (channels * (bits // 8))
+            samples = (np.frombuffer(body, dt, count=n * channels)
+                         .reshape(n, channels))
+            return rate, channels, bits, samples
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    return None
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("amp_sum", T.LongType()),
+    T.StructField("crossings", T.LongType()),
+])
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction: decode PCM
+    (`decode_wav`), then exact integer statistics over the DECODED
+    samples — amplitude sum and midline crossings (the integer core of
+    RMS/zero-crossing-rate analysis; 8-bit PCM's midline is 128).
+    Undecodable payloads yield NULL audio fields."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "media_id", "n_bytes", "sample_rate", "n_samples",
+                "amp_sum", "crossings")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                cols["media_id"].append(mid)
+                cols["n_bytes"].append(0 if payload is None else len(payload))
+                dec = decode_wav(payload)
+                if dec is None:
+                    for k in ("sample_rate", "n_samples", "amp_sum",
+                              "crossings"):
+                        cols[k].append(None)
+                    continue
+                rate, channels, bits, samples = dec
+                mono = samples[:, 0].astype(np.int64)
+                mid_line = 128 if bits == 8 else 0
+                above = mono >= mid_line
+                cols["sample_rate"].append(rate)
+                cols["n_samples"].append(int(samples.shape[0]))
+                cols["amp_sum"].append(int(mono.sum()))
+                cols["crossings"].append(
+                    int((above[1:] != above[:-1]).sum()))
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def documents_as_wav_media(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           sample_rate: int = 16_000) -> DataFrame:
+    """The AUDIO media fixture: one real 8-bit mono PCM WAV per
+    document whose sample data IS the utf-8 text bytes — deterministic,
+    so the oracle recomputes every decoded-sample statistic from the
+    text. NULL text → NULL payload; empty text → a data-less WAV."""
+    id_out, txt = "media_id", "__txt"
+    src = df.select(F.col(id_col).alias(id_out),
+                    F.col(text_col).alias(txt))
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_out], pdf[txt]):
+                ids.append(mid)
+                payloads.append(
+                    None if text is None else
+                    encode_wav(np.frombuffer(text.encode("utf-8"),
+                                             np.uint8), sample_rate))
+            yield pd.DataFrame({id_out: pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
+
+    return src.mapInPandas(run, T.StructType([
+        T.StructField(id_out, T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]))
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4,

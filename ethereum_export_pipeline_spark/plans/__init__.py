@@ -83,7 +83,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "doc_token_counts", "doc_fingerprint",
                   "doc_corpus_stats", "doc_hash_split",
                   "doc_repetition", "doc_chunk",
-                  "stream_hopping_counts", "emb_bruteforce_topk")
+                  "stream_hopping_counts", "emb_bruteforce_topk",
+                  # second decoded modality: same Arrow decode path as
+                  # the in-window mm_extract_features, audio codec
+                  "mm_audio_features")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -1414,6 +1414,53 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------------- audio
+
+def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, hash-checked: the fixture wraps each
+    document's utf-8 bytes as genuine 8-bit mono PCM RIFF/WAVE payloads
+    and `extract_audio_features` walks the RIFF chunk list, decodes the
+    sample plane with numpy, and emits exact integer statistics
+    (amplitude sum, midline crossings) of the DECODED samples."""
+    media = multimodal.documents_as_wav_media(
+        load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_audio_features(media)
+
+
+def _audio_features_sql() -> str:
+    digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
+    byte_at = (f"16 * ({digit.format(i='2*p+1')}) + ({digit.format(i='2*p+2')})")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE hex(encode(text)) END AS hx,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE octet_length(encode(text)) END AS nb
+  FROM documents
+), v AS (
+  SELECT doc_id, nb,
+         CASE WHEN hx IS NULL THEN NULL
+              WHEN nb = 0 THEN []
+              ELSE list_transform(range(nb), p -> {byte_at}) END AS vals
+  FROM m
+)
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN nb IS NULL THEN 0 ELSE 44 + nb END AS BIGINT)
+         AS n_bytes,
+       CASE WHEN nb IS NULL THEN NULL
+            ELSE CAST(16000 AS INTEGER) END AS sample_rate,
+       CASE WHEN nb IS NULL THEN NULL ELSE CAST(nb AS BIGINT) END
+         AS n_samples,
+       CASE WHEN nb IS NULL THEN NULL WHEN nb = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(list_sum(vals) AS BIGINT) END AS amp_sum,
+       CASE WHEN nb IS NULL THEN NULL WHEN nb <= 1 THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(list_filter(range(nb - 1),
+                 p -> (vals[p + 1] >= 128) != (vals[p + 2] >= 128)))
+                 AS BIGINT) END AS crossings
+FROM v
+"""
+
+
 # --------------------------------------------------- targeted deletion
 
 def _delete_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1550,6 +1597,9 @@ QUERIES: dict[str, Query] = {
                        "pixel-sum verified"),
     "mm_frame_sample": Query(_frame_sample, _FRAME_SAMPLE_SQL,
                              "video frame-sample fan-out"),
+    "mm_audio_features": Query(_audio_features, _audio_features_sql(),
+                               "REAL RIFF/WAVE PCM decode (chunk-list "
+                               "walk) — exact decoded-sample stats"),
     "doc_decontaminate": Query(_decontaminate, _decontaminate_sql(),
                                "benchmark n-gram decontamination "
                                "(broadcast semi join)"),

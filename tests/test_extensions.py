@@ -624,3 +624,64 @@ def test_ensure_scan_width_skips_already_split_input(spark):
     wide = spark.range(100).repartition(16)
     assert _ensure_scan_width(wide, 8) is wide        # untouched plan
     assert _ensure_scan_width(wide, None) is wide
+
+
+def test_bmp_roundtrip_and_dispatch():
+    import numpy as np
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        decode_bmp, decode_image, encode_bmp)
+    # width 3 → stride padding (3*3=9 → 12); asymmetric pattern catches
+    # a missed bottom-up flip or BGR swap
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = encode_bmp(px)
+    w, h, c, back = decode_bmp(blob)
+    assert (w, h, c) == (3, 2, 3) and (back == px).all()
+    # decode_image dispatches on the 'BM' magic
+    assert (decode_image(blob)[3] == px).all()
+    assert decode_bmp(b"BM short") is None
+    assert decode_bmp(None) is None
+    # 8-bit / compressed variants rejected: flip bpp field to 8
+    bad = bytearray(blob); bad[28] = 8
+    assert decode_bmp(bytes(bad)) is None
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+    import numpy as np
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        decode_wav, encode_wav)
+    s8 = np.array([0, 128, 255, 1], dtype=np.uint8)
+    rate, ch, bits, back = decode_wav(encode_wav(s8, 8000))
+    assert (rate, ch, bits) == (8000, 1, 8) and (back[:, 0] == s8).all()
+    s16 = np.array([-32768, 0, 32767], dtype=np.int16)
+    rate, ch, bits, back = decode_wav(encode_wav(s16))
+    assert (rate, bits) == (16000, 16) and (back[:, 0] == s16).all()
+    # an extra chunk BEFORE data must be skipped (RIFF chunk walk, not
+    # fixed offsets); odd-sized chunks are word-aligned
+    blob = bytearray(encode_wav(s8, 8000))
+    extra = b"LIST" + struct.pack("<I", 5) + b"notes" + b"\x00"
+    blob2 = bytes(blob[:36]) + extra + bytes(blob[36:])
+    blob2 = blob2[:4] + struct.pack("<I", len(blob2) - 8) + blob2[8:]
+    rate, ch, bits, back = decode_wav(blob2)
+    assert rate == 8000 and (back[:, 0] == s8).all()
+    assert decode_wav(b"RIFFxxxxNOPE") is None
+    assert decode_wav(None) is None
+
+
+def test_extract_audio_features_known_answers(spark):
+    import numpy as np
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        encode_wav, extract_audio_features)
+    s = np.array([100, 200, 50, 130], dtype=np.uint8)  # crossings: 3
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=bytes(encode_wav(s))),
+         Row(media_id=2, payload=None),
+         Row(media_id=3, payload=b"not audio")],
+        "media_id long, payload binary")
+    got = {r.media_id: r for r in extract_audio_features(media).collect()}
+    r1 = got[1]
+    assert (r1.sample_rate, r1.n_samples) == (16000, 4)
+    assert r1.amp_sum == 480
+    assert r1.crossings == 3   # 100→200, 200→50, 50→130 all cross 128
+    assert got[2].n_bytes == 0 and got[2].amp_sum is None
+    assert got[3].amp_sum is None

@@ -131,13 +131,16 @@ def main() -> int:
     bench("decontaminate", lambda: dedup.decontaminate(big_docs))
     bench("token_rarity", lambda: text.token_rarity(big_docs))
 
-    def semantic_dedup():
-        """Amplified embeddings: per-copy dimension ROTATION — norms
-        (and so self-similarity structure) are preserved while
-        cross-copy cosines decorrelate, keeping near-dup density
-        comparable to the original corpus at any amplification."""
-        from ethereum_export_pipeline_spark.operators import (dedup as dd,
-                                                              similarity)
+    # ---- ANN / embedding tier over amplified embeddings: per-copy
+    # dimension ROTATION — norms (and so self-similarity structure) are
+    # preserved while cross-copy cosines decorrelate, keeping near-dup
+    # density comparable to the original corpus at any amplification.
+    from ethereum_export_pipeline_spark.operators import similarity
+
+    EMB_OPS = {"semantic_dedup", "lsh_topk", "ivf_topk", "ivfpq_topk",
+               "neardup_multiband"}
+    big_emb = None
+    if ONLY is None or (ONLY & EMB_OPS):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         n_emb = emb.count()
         dim = similarity.EMB_DIM
@@ -145,19 +148,72 @@ def main() -> int:
             f"concat(slice(embedding, (copy % {dim}) + 1, "
             f"{dim} - (copy % {dim})), "
             f"slice(embedding, 1, copy % {dim}))")
-        big = (emb.crossJoin(copies)
-                  .select((F.col("vec_id") + F.col("copy") * n_emb)
-                          .alias("vec_id"),
-                          rot.cast("array<float>").alias("embedding")))
-        big.write.mode("overwrite").parquet(f"{out}/embeddings")
-        big = spark.read.parquet(f"{out}/embeddings")
-        pairs = similarity.embedding_neardup_pairs(big, n_bands=2)
+        # write WELL-SPLIT (the 100 TB layout): otherwise the 1-file
+        # crossJoin lineage yields a 1-partition scan and the ANN ops'
+        # scan-width spreading repartition would pollute the shuffle
+        # measurement with a fixture artifact
+        (emb.crossJoin(copies)
+            .select((F.col("vec_id") + F.col("copy") * n_emb)
+                    .alias("vec_id"),
+                    rot.cast("array<float>").alias("embedding"))
+            .repartition(cpus)
+            .write.mode("overwrite").parquet(f"{out}/embeddings"))
+        big_emb = spark.read.parquet(f"{out}/embeddings")
+
+    def semantic_dedup():
+        from ethereum_export_pipeline_spark.operators import dedup as dd
+        pairs = similarity.embedding_neardup_pairs(big_emb, n_bands=2)
         clusters = dd.connected_components(pairs, src="id_a", dst="id_b",
                                            id_out="vec_id")
-        return dd.keep_canonical(big.select("vec_id"), clusters,
+        return dd.keep_canonical(big_emb.select("vec_id"), clusters,
                                  id_col="vec_id")
 
     bench("semantic_dedup", semantic_dedup)
+
+    # the four graded ANN paths at the graded configs (plans/llm.py):
+    # 2-band LSH top-k, IVF(nprobe=1), IVF-PQ (ADC over m=8 codes),
+    # 3-band OR-amplified near-dup. ivf vs ivfpq shuffle_write is the
+    # direct measurement of the PQ payload-compression claim (the
+    # candidate side ships ~8B codes instead of 256B quantized vectors)
+    from ethereum_export_pipeline_spark.plans.llm import get_quantizers
+    bench("lsh_topk",
+          lambda: similarity.lsh_topk(big_emb, n_bands=2))
+    bench("ivf_topk",
+          lambda: similarity.ivf_topk(big_emb, get_quantizers()[0],
+                                      scan_parallelism=cpus))
+    bench("ivfpq_topk",
+          lambda: similarity.ivfpq_topk(big_emb, *get_quantizers(),
+                                        scan_parallelism=cpus))
+    bench("neardup_multiband",
+          lambda: similarity.embedding_neardup_pairs(big_emb, n_bands=3))
+
+    # the PQ payload-compression claim, measured directly: with a
+    # BULK query set and broadcast disabled, the cell join exchanges
+    # both sides — the candidate side ships 64 × 8 B quantized vectors
+    # under IVF but only m=8 small-int codes under IVF-PQ. The
+    # ivf_bulk − ivfpq_bulk shuffle_write delta is that compression
+    # (the equal-in-both window shuffle of scored pairs rides on top).
+    def bench_no_broadcast(label, thunk):
+        if ONLY is not None and label not in ONLY:
+            return
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bench(label, thunk)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    BULK_PRED = "vec_id < 200"
+    bench_no_broadcast(
+        "ivf_topk_bulk",
+        lambda: similarity.ivf_topk(big_emb, get_quantizers()[0],
+                                    query_pred=BULK_PRED,
+                                    scan_parallelism=cpus))
+    bench_no_broadcast(
+        "ivfpq_topk_bulk",
+        lambda: similarity.ivfpq_topk(big_emb, *get_quantizers(),
+                                      query_pred=BULK_PRED,
+                                      scan_parallelism=cpus))
 
     spark.stop()  # flush + finalize the event log
 
