@@ -160,3 +160,54 @@ def test_decontaminate_partition_invariants(spark, ids, bench_mod):
         assert r.n_shingles == 2
         assert r.n_hits == (1 if bench_exists else 0)
         assert r.contaminated == (1 if bench_exists else 0)
+
+
+# ------------------------------------------------------------- codecs
+# Pure-Python roundtrips (no Spark): every random pixel/sample array
+# must survive encode→decode bit-for-bit — stride padding, bottom-up
+# flips, channel swaps and header formatting all live in this property.
+
+@given(h=st.integers(1, 9), w=st.integers(1, 9),
+       data=st.data(), gray=st.booleans())
+@settings(**SETTINGS)
+def test_netpbm_roundtrip_property(h, w, data, gray):
+    import numpy as np
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        decode_image, encode_netpbm)
+    c = 1 if gray else 3
+    flat = data.draw(st.lists(st.integers(0, 255), min_size=h * w * c,
+                              max_size=h * w * c))
+    px = np.array(flat, dtype=np.uint8).reshape(h, w, c)
+    rw, rh, rc, back = decode_image(encode_netpbm(px))
+    assert (rw, rh, rc) == (w, h, c)
+    assert (back == px).all()
+
+
+@given(h=st.integers(1, 7), w=st.integers(1, 7), data=st.data())
+@settings(**SETTINGS)
+def test_bmp_roundtrip_property(h, w, data):
+    import numpy as np
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        decode_bmp, encode_bmp)
+    flat = data.draw(st.lists(st.integers(0, 255), min_size=h * w * 3,
+                              max_size=h * w * 3))
+    px = np.array(flat, dtype=np.uint8).reshape(h, w, 3)
+    rw, rh, rc, back = decode_bmp(encode_bmp(px))
+    assert (rw, rh, rc) == (w, h, 3)
+    assert (back == px).all()
+
+
+@given(samples=st.lists(st.integers(0, 255), min_size=1, max_size=64),
+       sixteen=st.booleans(), rate=st.sampled_from([8000, 16000, 44100]))
+@settings(**SETTINGS)
+def test_wav_roundtrip_property(samples, sixteen, rate):
+    import numpy as np
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        decode_wav, encode_wav)
+    if sixteen:
+        arr = np.array([s * 257 - 32768 for s in samples], dtype=np.int16)
+    else:
+        arr = np.array(samples, dtype=np.uint8)
+    rrate, ch, bits, back = decode_wav(encode_wav(arr, rate))
+    assert (rrate, ch, bits) == (rate, 1, 16 if sixteen else 8)
+    assert (back[:, 0] == arr).all()
