@@ -33,6 +33,10 @@ HEADLINE = [
     "q18_large_orders",
     "q2_min_cost_supplier",
     "q21_sole_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q19_bracket_revenue",
     "q_events_tumbling",
     "q_events_sessions",
     "q_events_json",

@@ -454,6 +454,217 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------------------ Q6
+
+def _forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure scan-filter-aggregate: a one-year
+    shipdate slice, a discount band, a quantity cap, one global sum.
+    No joins; the whole query is pushed filters + a codegen'd partial
+    agg. The discount band compares EXACT CENTS (round(disc·100)
+    BETWEEN 5 AND 7) so both engines bucket the same float rows.
+
+    Scale: this is the pattern the columnar format exists for — at
+    100 TB it reads three columns of the pruned date partitions and
+    nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.expr(f"{cents('l_discount')} BETWEEN 5 AND 7")
+        & (F.col("l_quantity") < 24))
+    g = f.agg(
+        F.expr(f"CAST(sum({cents('l_extendedprice')} * {cents('l_discount')}) "
+               f"AS BIGINT)").alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_rows"))
+    return g.select("revenue_e4", "n_rows",
+                    (F.col("revenue_e4") / F.lit(10_000.0)).alias("revenue"))
+
+
+_FORECAST_REVENUE_SQL = f"""
+SELECT revenue_e4, n_rows, revenue_e4 / 10000.0 AS revenue
+FROM (
+  SELECT CAST(sum({cents('l_extendedprice')} * {cents('l_discount')})
+              AS BIGINT) AS revenue_e4,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+    AND {cents('l_discount')} BETWEEN 5 AND 7
+    AND l_quantity < 24
+)
+"""
+
+
+# ------------------------------------------------------------------ Q8
+
+def _market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: of the revenue ASIA
+    customers generated per order-year, the fraction supplied by
+    NATION_3. Two independent nation lookups (customer side restricted
+    to the region, supplier side tagging the target nation) hang off
+    one fact scan.
+
+    Scale: all four dimension sides broadcast; lineitem shuffles once
+    to join orders on orderkey; numerator/denominator are one
+    conditional hash agg — share is the single terminal double."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = (load_table(spark, sf_dir, "region")
+              .where(F.col("r_name") == "ASIA"))
+    cust_nat = (nation.join(F.broadcast(region),
+                            nation.n_regionkey == region.r_regionkey)
+                      .select(F.col("n_nationkey").alias("cn_key")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(cust_nat),
+                  F.col("c_nationkey") == F.col("cn_key"))
+            .select("c_custkey"))
+    supp_nat = nation.select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(supp_nat),
+                  F.col("s_nationkey") == F.col("sn_key"))
+            .select("s_suppkey", "supp_nation"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey",
+                      F.year("o_orderdate").alias("o_year")))
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")))
+    g = (j.groupBy("o_year")
+          .agg(F.expr(f"CAST(sum(CASE WHEN supp_nation = 'NATION_3' "
+                      f"THEN {revenue_e4()} ELSE 0 END) AS BIGINT)")
+                .alias("nation_e4"),
+               F.expr(f"CAST(sum({revenue_e4()}) AS BIGINT)")
+                .alias("total_e4")))
+    return g.select(F.col("o_year").cast("int").alias("o_year"),
+                    "nation_e4", "total_e4",
+                    (F.col("nation_e4") / F.col("total_e4"))
+                    .alias("mkt_share"))
+
+
+_MARKET_SHARE_SQL = f"""
+SELECT CAST(o_year AS INTEGER) AS o_year, nation_e4, total_e4,
+       nation_e4 / total_e4 AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN {revenue_e4()} ELSE 0 END) AS BIGINT)
+           AS nation_e4,
+         CAST(sum({revenue_e4()}) AS BIGINT) AS total_e4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  GROUP BY 1
+)
+"""
+
+
+# ----------------------------------------------------------------- Q10
+
+def _returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue ranking: customers whose
+    lineitems were RETURNED ('R') in a quarter's orders, ranked by lost
+    revenue, top 20 (ties broken by custkey so the LIMIT is
+    deterministic in both engines).
+
+    Scale: orders pre-filtered to the quarter before joining the fact;
+    customer/nation broadcast; one hash agg on custkey; the global
+    top-20 is a TakeOrdered, not a full sort."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate")
+                      >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                     & (F.col("o_orderdate")
+                        < F.lit("1996-04-01").cast("timestamp_ntz")))
+              .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R"))
+    cust = load_table(spark, sf_dir, "customer")
+    nation = (load_table(spark, sf_dir, "nation")
+              .select("n_nationkey", "n_name"))
+    g = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .groupBy("o_custkey")
+           .agg(F.expr(f"CAST(sum({revenue_e4()}) AS BIGINT)")
+                 .alias("revenue_e4")))
+    j = (g.join(F.broadcast(cust),
+                g.o_custkey == cust.c_custkey)
+          .join(F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey")))
+    return (j.select("c_custkey", "c_name", "n_name",
+                     F.expr(f"{cents('c_acctbal')}").alias("acctbal_cents"),
+                     "revenue_e4",
+                     (F.col("revenue_e4") / F.lit(10_000.0))
+                     .alias("revenue"))
+             .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc())
+             .limit(20))
+
+
+_RETURNED_ITEMS_SQL = f"""
+SELECT c_custkey, c_name, n_name, {cents('c_acctbal')} AS acctbal_cents,
+       revenue_e4, revenue_e4 / 10000.0 AS revenue
+FROM (
+  SELECT o_custkey, CAST(sum({revenue_e4()}) AS BIGINT) AS revenue_e4
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey
+)
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue_e4 DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ----------------------------------------------------------------- Q19
+
+def _bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunctive bracket predicates: three
+    brand/quantity/size brackets OR-ed together across the fact-dim
+    join. The per-bracket conjuncts stay in one predicate so Catalyst
+    can push the common part (the join key) and evaluate the OR once
+    post-join.
+
+    Scale: part broadcasts; the OR collapses into one codegen'd
+    predicate — no union-of-three-scans blowup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    brackets = (
+        "(p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 "
+        " AND p_size BETWEEN 1 AND 5) OR "
+        "(p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 "
+        " AND p_size BETWEEN 1 AND 10) OR "
+        "(p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 "
+        " AND p_size BETWEEN 1 AND 15)")
+    g = j.where(F.expr(brackets)).agg(
+        F.expr(f"CAST(sum({revenue_e4()}) AS BIGINT)").alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_rows"))
+    return g.select("revenue_e4", "n_rows",
+                    (F.col("revenue_e4") / F.lit(10_000.0)).alias("revenue"))
+
+
+_BRACKET_REVENUE_SQL = f"""
+SELECT revenue_e4, n_rows, revenue_e4 / 10000.0 AS revenue
+FROM (
+  SELECT CAST(sum({revenue_e4()}) AS BIGINT) AS revenue_e4,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+         AND p_size BETWEEN 1 AND 5)
+     OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+         AND p_size BETWEEN 1 AND 10)
+     OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+         AND p_size BETWEEN 1 AND 15)
+)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q13_cust_order_dist": Query(_cust_order_dist, _CUST_ORDER_DIST_SQL,
                                  "outer-join two-level count distribution"),
@@ -481,4 +692,15 @@ QUERIES: dict[str, Query] = {
                                _SOLE_SUPPLIER_ORDERS_SQL,
                                "correlated NOT EXISTS as anti "
                                "self-join w/ inequality residual"),
+    "q6_forecast_revenue": Query(_forecast_revenue, _FORECAST_REVENUE_SQL,
+                                 "pure scan-filter-agg (columnar "
+                                 "pushdown showcase)"),
+    "q8_market_share": Query(_market_share, _MARKET_SHARE_SQL,
+                             "two-nation-lookup market share per year"),
+    "q10_returned_items": Query(_returned_items, _RETURNED_ITEMS_SQL,
+                                "returned-revenue ranking, "
+                                "deterministic top-20"),
+    "q19_bracket_revenue": Query(_bracket_revenue, _BRACKET_REVENUE_SQL,
+                                 "disjunctive bracket predicates "
+                                 "(OR of conjunct brackets)"),
 }
