@@ -173,3 +173,38 @@ def test_decontaminate_single_corpus_aggregate(spark, catalog):
     plan = plan_of(catalog["doc_decontaminate"].fn(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") == 1
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_filters_push_to_scan(spark, catalog):
+    # the pure scan-filter-agg: date + quantity predicates reach the
+    # parquet scan, the plan stays fully codegen'd, and no join appears
+    plan = plan_of(catalog["q6_forecast_revenue"].fn(spark, SF_DIR))
+    # the filter list is truncated in toString, so pin its head — the
+    # date and quantity predicates must reach the parquet scan
+    assert ("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity), "
+            "GreaterThanOrEqual(l_shipdate" in plan)
+    assert "l_quantity" in plan.split("ReadSchema")[0]
+    assert "Join" not in plan
+
+
+def test_q8_broadcasts_every_dimension(spark, catalog):
+    # the fact table must reach the aggregate through broadcast joins
+    # only — no shuffle of lineitem against a dimension side
+    plan = plan_of(catalog["q8_market_share"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q10_top20_is_take_ordered(spark, catalog):
+    # the global top-20 must be a TakeOrderedAndProject (per-partition
+    # heaps + driver merge), never a full global sort of the output
+    plan = plan_of(catalog["q10_returned_items"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_or_brackets_single_scan(spark, catalog):
+    # OR-of-brackets must evaluate as ONE predicate over one joined
+    # stream — not a union of three scans
+    plan = plan_of(catalog["q19_bracket_revenue"].fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # lineitem + part, once each
+    assert "Union" not in plan
