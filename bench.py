@@ -68,6 +68,7 @@ HEADLINE = [
     "doc_training_manifest",
     "doc_decontaminate",
     "doc_delete_ids",
+    "doc_snapshot_diff",
     "doc_rarity",
     "doc_sentence_dedup",
     "doc_length_stats",

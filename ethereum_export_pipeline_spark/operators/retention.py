@@ -38,6 +38,37 @@ def _null_last(values):
     return sorted(values, key=lambda p: (p is None, "" if p is None else str(p)))
 
 
+def snapshot_diff(cur: DataFrame, prev: DataFrame,
+                  id_col: str = "doc_id",
+                  content_col: str = "text") -> DataFrame:
+    """Corpus snapshot diff — dataset versioning's core query: which
+    rows were added, removed, changed, or unchanged between two corpus
+    snapshots. Output: (id_col, status).
+
+    Scale notes: each side is projected to (id, md5(content)) BEFORE
+    the full-outer join, so wide text/binary columns never travel —
+    the exchange carries 8+16 bytes per row. One shuffle per side on
+    the id; with both snapshots bucketed by id it is shuffle-free.
+    Presence is tracked with explicit flags (not id-NULL checks) so
+    NULL content and NULL-id corner rows cannot masquerade as
+    absence; content equality is null-safe (NULL content on both
+    sides compares as unchanged)."""
+    a = cur.select(F.col(id_col).alias("_id"),
+                   F.md5(F.col(content_col)).alias("_h_cur"),
+                   F.lit(1).alias("_in_cur"))
+    b = prev.select(F.col(id_col).alias("_id"),
+                    F.md5(F.col(content_col)).alias("_h_prev"),
+                    F.lit(1).alias("_in_prev"))
+    j = a.join(b, "_id", "full_outer")
+    status = (
+        F.when(F.col("_in_prev").isNull(), F.lit("added"))
+         .when(F.col("_in_cur").isNull(), F.lit("removed"))
+         .when(F.col("_h_cur").eqNullSafe(F.col("_h_prev")),
+               F.lit("unchanged"))
+         .otherwise(F.lit("changed")))
+    return j.select(F.col("_id").alias(id_col), status.alias("status"))
+
+
 def delete_ids(spark: SparkSession, corpus_dir: str, ids: DataFrame,
                id_col: str = "doc_id",
                partition_col: str = "source") -> dict:

@@ -86,7 +86,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "stream_hopping_counts", "emb_bruteforce_topk",
                   # second decoded modality: same Arrow decode path as
                   # the in-window mm_extract_features, audio codec
-                  "mm_audio_features")
+                  "mm_audio_features",
+                  # join skeleton (hash-projected full outer) graded
+                  # in-window via eth_anti_join + doc_dedup_exact
+                  "doc_snapshot_diff")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -1461,6 +1461,46 @@ FROM v
 """
 
 
+# ----------------------------------------------------- snapshot diff
+
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff graded per-row: the 'previous' snapshot
+    is derived deterministically from the corpus (drop doc_id % 7 = 0
+    → those become 'added'; perturb text for doc_id % 11 = 0 →
+    'changed'; inject doc_id % 13 = 0 rows under shifted ids →
+    'removed'), so the oracle recomputes every per-doc status."""
+    from ..operators.retention import snapshot_diff
+    docs = load_table(spark, sf_dir, "documents")
+    perturbed = F.when(F.col("doc_id") % 11 == 0,
+                       F.concat(F.col("text"), F.lit("!"))) \
+                 .otherwise(F.col("text"))
+    prev = (docs.where("doc_id % 7 != 0")
+                .select("doc_id", perturbed.alias("text"))
+                .unionByName(
+                    docs.where("doc_id % 13 = 0")
+                        .select((F.col("doc_id") + 10_000_000)
+                                .alias("doc_id"), "text")))
+    return snapshot_diff(docs, prev)
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH cur AS (SELECT doc_id, md5(text) AS h FROM documents),
+prev AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || '!' ELSE text END) AS h
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, md5(text) FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+       CASE WHEN p.doc_id IS NULL THEN 'added'
+            WHEN c.doc_id IS NULL THEN 'removed'
+            WHEN c.h IS NOT DISTINCT FROM p.h THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+"""
+
+
 # --------------------------------------------------- targeted deletion
 
 def _delete_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1607,6 +1647,10 @@ QUERIES: dict[str, Query] = {
                             "targeted deletion (RTBF): partition-pruned "
                             "rewrite graded by reading the rewritten "
                             "corpus back"),
+    "doc_snapshot_diff": Query(_snapshot_diff, _SNAPSHOT_DIFF_SQL,
+                               "dataset-versioning diff: per-row "
+                               "added/removed/changed/unchanged via "
+                               "hash-projected full-outer join"),
     "doc_rarity": Query(_rarity, _rarity_sql(),
                         "corpus-relative token rarity (df join, "
                         "hapax/mean-df quality signal)"),

@@ -198,3 +198,19 @@ def test_delete_ids_null_and_escaped_partition_values(spark, tmp_path):
     back = spark.read.parquet(corpus)
     assert back.count() == 10
     assert back.where("source IS NULL OR source = 'a:b'").count() == 0
+
+
+def test_snapshot_diff_statuses(spark):
+    import pyspark.sql.functions as F
+    from ethereum_export_pipeline_spark.operators.retention import (
+        snapshot_diff)
+    cur = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "new")],
+        "doc_id long, text string")
+    prev = spark.createDataFrame(
+        [(1, "a"), (2, "OLD"), (3, None), (9, "gone")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.status for r in snapshot_diff(cur, prev).collect()}
+    assert got == {1: "unchanged", 2: "changed",
+                   3: "unchanged",          # NULL on both sides
+                   4: "added", 9: "removed"}
