@@ -69,6 +69,7 @@ HEADLINE = [
     "doc_decontaminate",
     "doc_delete_ids",
     "doc_snapshot_diff",
+    "doc_trade_pagerank",
     "doc_rarity",
     "doc_sentence_dedup",
     "doc_length_stats",

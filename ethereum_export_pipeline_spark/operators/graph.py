@@ -1,0 +1,73 @@
+"""Graph analytics for corpus curation: authority scoring over an
+edge list (the web-crawl-curation use: weight sources/hosts by how
+central they are in a sharing/link graph before sampling a training
+mix; the same shape serves address-graph analysis over the exported
+chain tables).
+
+`pagerank_exact` is PageRank in FIXED-POINT INTEGER arithmetic:
+every step is integer multiply / truncating divide on BIGINTs, so the
+result is bit-identical on any engine with floor division for
+non-negative ints (Spark `div`, DuckDB `//`) — the catalog can
+hash-compare a 5-iteration run against an unrolled-CTE DuckDB twin,
+which float PageRank never could (float sum order flaps the hash).
+
+Scale notes: the per-iteration plan is the Pregel step expressed
+relationally — contributions = edges ⋈ ranks (shuffle on src, the
+edge list's natural key) then a hash agg on dst; exchange per round
+is bounded by |E| + |V| regardless of iteration count. Degrees are
+computed once outside the loop. For large iteration counts pass
+`checkpoint_every` to break lineage the same way connected_components
+does; the default keeps the loop lazy (one 5-deep plan) which AQE
+handles fine at small k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PR_SCALE = 1_000_000_000  # ranks are integers scaled by 1e9
+
+
+def pagerank_exact(edges: DataFrame, iters: int = 5,
+                   scale: int = PR_SCALE,
+                   src: str = "src", dst: str = "dst",
+                   damping_pct: int = 85,
+                   checkpoint_every: int | None = None) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list. Returns
+    (node, rank) with rank ≈ PageRank · `scale`, exact integers.
+
+    r_0(v)   = scale // n
+    r_{k+1}(v) = (100-d)·(scale // n) // 100
+               + d · Σ_{u→v} (r_k(u) // deg(u)) // 100
+
+    Truncating division everywhere; all values non-negative, so
+    Spark's `div` and DuckDB's `//` agree bit-for-bit. Dangling
+    targets (no in-edges) receive only the teleport term; nodes are
+    the union of both edge endpoints."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+              .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+              .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+              .union(e.select(F.col("dst").alias("node"))).distinct())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = scale // n
+    teleport = ((100 - damping_pct) * base) // 100
+    r = nodes.withColumn("r", F.lit(base).cast("long"))
+    for k in range(iters):
+        contrib = (e.join(r, e.src == r.node)
+                    .join(deg, "src")
+                    .select(F.col("dst").alias("node"),
+                            F.expr("r div deg").alias("c"))
+                    .groupBy("node")
+                    .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("c")))
+        r = (nodes.join(contrib, "node", "left")
+                  .select("node",
+                          F.expr(f"CAST({teleport} + ({damping_pct} * "
+                                 f"coalesce(c, CAST(0 AS BIGINT))) div 100 "
+                                 f"AS BIGINT)").alias("r")))
+        if checkpoint_every and (k + 1) % checkpoint_every == 0:
+            r = r.localCheckpoint(eager=True)
+    return r.select("node", F.col("r").alias("rank"))

@@ -89,7 +89,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "mm_audio_features",
                   # join skeleton (hash-projected full outer) graded
                   # in-window via eth_anti_join + doc_dedup_exact
-                  "doc_snapshot_diff")
+                  "doc_snapshot_diff",
+                  # iterative join+agg skeleton graded in-window via
+                  # doc_dedup_clusters (connected components)
+                  "doc_trade_pagerank")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -685,3 +685,34 @@ def test_extract_audio_features_known_answers(spark):
     assert r1.crossings == 3   # 100→200, 200→50, 50→130 all cross 128
     assert got[2].n_bytes == 0 and got[2].amp_sum is None
     assert got[3].amp_sum is None
+
+
+# ------------------------------------------------------------- graph
+
+def test_pagerank_exact_hand_computed(spark):
+    """2-cycle A↔B plus A→C (dangling sink): ranks must match the
+    fixed-point recurrence computed by a 10-line Python twin."""
+    from ethereum_export_pipeline_spark.operators.graph import (
+        PR_SCALE, pagerank_exact)
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("A", "C")], "src string, dst string")
+    got = {r.node: r.rank for r in pagerank_exact(edges, iters=4).collect()}
+
+    base = PR_SCALE // 3
+    tele = (15 * base) // 100
+    r = {"A": base, "B": base, "C": base}
+    deg = {"A": 2, "B": 1}
+    for _ in range(4):
+        contrib = {"A": r["B"] // deg["B"],
+                   "B": r["A"] // deg["A"],
+                   "C": r["A"] // deg["A"]}
+        r = {v: tele + (85 * contrib[v]) // 100 for v in r}
+    assert got == r
+    assert got["B"] == got["C"]       # symmetric receivers of A
+    assert got["A"] > got["C"]        # A gets B's whole rank
+
+
+def test_pagerank_empty_graph(spark):
+    from ethereum_export_pipeline_spark.operators.graph import pagerank_exact
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank_exact(edges).count() == 0
