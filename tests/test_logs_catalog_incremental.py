@@ -636,3 +636,45 @@ def test_stream_interval_join_cross_batch_state(spark, tmp_path):
                                       delay_s=7200,
                                       max_files_per_trigger=1).collect())
     assert got == [(1, 3, 300_000_000), (2, 4, 100_000_000)]
+
+
+def test_incremental_rollup_replay_after_crash_mid_upsert(spark, tmp_path):
+    """Crash-safety contract: the micro-batch commits to the stream
+    checkpoint only AFTER the upsert returns, so a crash between the
+    sink write and the commit replays the same batch — and the
+    per-partition dynamic overwrite converges to the same rollup.
+    Simulated by deleting the checkpoint's last commit marker (the
+    state as-of a crash mid-upsert: sink written, batch uncommitted)
+    and re-running."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ethereum_export_pipeline_spark.streaming import (
+        WINDOW_US, incremental_rollup)
+    src = tmp_path / "crash_src"; src.mkdir()
+    dest, ckpt = str(tmp_path / "crash_out"), str(tmp_path / "crash_ckpt")
+    ids = list(range(400))
+    pq.write_table(pa.table({"event_id": ids,
+                             "ts": [i * 90_000_000_000 for i in ids]}),
+                   src / "f1")
+    incremental_rollup(spark, str(src), dest, ckpt, range_width=25)
+    before = {r.win: r.n for r in spark.read.parquet(dest).collect()}
+    exp = {}
+    for i in ids:
+        w = i * 90_000_000 // WINDOW_US
+        exp[w] = exp.get(w, 0) + 1
+    assert before == exp
+
+    # "crash": batch 0's sink write landed but the commit never did
+    # (the .crc sidecar must go too or the checkpoint manager reads
+    # the orphaned checksum as a concurrent modification)
+    cdir = os.path.join(ckpt, "commits")
+    last = sorted(f for f in os.listdir(cdir) if not f.startswith("."))[-1]
+    os.remove(os.path.join(cdir, last))
+    crc = os.path.join(cdir, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    incremental_rollup(spark, str(src), dest, ckpt, range_width=25)
+    after = {r.win: r.n for r in spark.read.parquet(dest).collect()}
+    assert after == exp                     # replay converged, no dupes
