@@ -160,11 +160,28 @@ def decode_image(payload: bytes | None):
         return None
     if bytes(payload[:2]) == b"BM":
         return decode_bmp(payload)
-    if payload[:2] not in (b"P6", b"P5"):
-        return None
     buf = bytes(payload)
+    parsed = _parse_netpbm_header(buf, 0)
+    if parsed is None:
+        return None
+    w, h, channels, data_start = parsed
+    need = w * h * channels
+    if len(buf) - data_start < need:
+        return None
+    pixels = (np.frombuffer(buf, np.uint8, count=need, offset=data_start)
+                .reshape(h, w, channels))
+    return w, h, channels, pixels
+
+
+def _parse_netpbm_header(buf: bytes, pos: int):
+    """Parse one netpbm header starting at `pos`: magic, width,
+    height, maxval as whitespace-separated tokens with `#` comments,
+    one whitespace byte after maxval. Returns (w, h, channels,
+    data_start) or None."""
+    if buf[pos:pos + 2] not in (b"P6", b"P5"):
+        return None
     tokens: list[bytes] = []
-    i = 0
+    i = pos
     while len(tokens) < 4 and i < len(buf):
         c = buf[i:i + 1]
         if c in _WS:
@@ -189,13 +206,36 @@ def decode_image(payload: bytes | None):
         return None
     if w <= 0 or h <= 0 or not (0 < maxval <= 255):
         return None
-    channels = 3 if tokens[0] == b"P6" else 1
-    need = w * h * channels
-    if len(buf) - i < need:
+    return w, h, (3 if tokens[0] == b"P6" else 1), i
+
+
+def demux_netpbm_stream(payload: bytes | None):
+    """REAL demux of an uncompressed multi-frame stream: a 'video'
+    here is concatenated netpbm frames, each with its own header (the
+    layout an MJPEG-style stream has, minus compression). Walks the
+    buffer frame by frame — parse header, slice exactly w·h·c sample
+    bytes, advance — and returns a list of (w, h, c, pixels) per
+    frame. A torn or malformed stream returns None (corrupt, not
+    partially usable), NULL payload returns None."""
+    import numpy as np
+    if payload is None:
         return None
-    pixels = (np.frombuffer(buf, np.uint8, count=need, offset=i)
-                .reshape(h, w, channels))
-    return w, h, channels, pixels
+    buf = bytes(payload)
+    frames = []
+    pos = 0
+    while pos < len(buf):
+        parsed = _parse_netpbm_header(buf, pos)
+        if parsed is None:
+            return None
+        w, h, c, data_start = parsed
+        need = w * h * c
+        if len(buf) - data_start < need:
+            return None
+        frames.append((w, h, c,
+                       np.frombuffer(buf, np.uint8, count=need,
+                                     offset=data_start).reshape(h, w, c)))
+        pos = data_start + need
+    return frames
 
 
 def decode_bmp(payload: bytes | None):
@@ -285,7 +325,17 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 cols["px_hist"].append(
                     [int(v) for v in np.bincount((px >> 5).ravel(),
                                                  minlength=8)])
-            yield pd.DataFrame(cols)
+            # explicit dtypes: an empty batch would otherwise infer
+            # float64 for the list columns and break Arrow conversion
+            yield pd.DataFrame({
+                "media_id": pd.Series(cols["media_id"], dtype="int64"),
+                "n_bytes": pd.Series(cols["n_bytes"], dtype="int64"),
+                "width": pd.Series(cols["width"], dtype="object"),
+                "height": pd.Series(cols["height"], dtype="object"),
+                "channels": pd.Series(cols["channels"], dtype="object"),
+                "ch_sum": pd.Series(cols["ch_sum"], dtype="object"),
+                "px_hist": pd.Series(cols["px_hist"], dtype="object"),
+            })
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
@@ -479,35 +529,107 @@ def documents_as_wav_media(df: DataFrame, id_col: str = "doc_id",
     ]))
 
 
-def sample_frames(media: DataFrame, n_frames: int = 4,
-                  frame_bytes: int = 256) -> DataFrame:
-    """Frame-sampling plumbing for video-shaped payloads: one output
-    row per sampled frame (media_id, frame_idx, frame payload) —
-    the 1→N row fan-out shape mapInPandas must produce for video.
-    Frame extraction is STUBBED as evenly-spaced byte windows; swap for
-    a real demuxer (decord/pyav) in production."""
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_idx", T.LongType()),
+    T.StructField("src_frame", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("ch_sum", T.ArrayType(T.LongType())),
+])
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """REAL frame sampling over multi-frame payloads: demux the
+    concatenated-netpbm stream (`demux_netpbm_stream`), pick
+    `n_frames` evenly-spaced frame indices — src_frame k·total//n, or
+    every frame when the clip is shorter — DECODE the chosen frames,
+    and emit one row per sampled frame with exact per-channel pixel
+    sums: the 1→N fan-out shape video feature extraction needs, with
+    the demux and decode genuinely performed. A production pipeline
+    swaps the demuxer for decord/pyav on compressed containers;
+    everything downstream is identical. NULL/undecodable payloads
+    produce no rows (countable upstream via extract_features)."""
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            cols: dict[str, list] = {k: [] for k in (
+                "media_id", "sample_idx", "src_frame", "width", "height",
+                "ch_sum")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is None or len(payload) == 0:
+                frames = demux_netpbm_stream(payload)
+                if not frames:
                     continue
-                stride = max(len(payload) // n_frames, 1)
-                for i in range(min(n_frames, len(payload))):
-                    off = i * stride
-                    ids.append(mid); idxs.append(i)
-                    frames.append(bytes(payload[off:off + frame_bytes]))
-            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
-                                "frame_idx": pd.Series(idxs, dtype="int64"),
-                                "frame": frames if frames else
-                                         pd.Series([], dtype=object)})
+                total = len(frames)
+                picks = (range(total) if total <= n_frames else
+                         [(k * total) // n_frames for k in range(n_frames)])
+                for k, fi in enumerate(picks):
+                    w, h, c, px = frames[fi]
+                    cols["media_id"].append(mid)
+                    cols["sample_idx"].append(k)
+                    cols["src_frame"].append(fi)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["ch_sum"].append(
+                        [int(v) for v in px.sum(axis=(0, 1),
+                                                dtype=np.int64)])
+            # explicit dtypes: an all-skipped batch would otherwise
+            # infer float64 for the list column and break the Arrow
+            # conversion
+            yield pd.DataFrame({
+                "media_id": pd.Series(cols["media_id"], dtype="int64"),
+                "sample_idx": pd.Series(cols["sample_idx"], dtype="int64"),
+                "src_frame": pd.Series(cols["src_frame"], dtype="int64"),
+                "width": pd.Series(cols["width"], dtype="object"),
+                "height": pd.Series(cols["height"], dtype="object"),
+                "ch_sum": pd.Series(cols["ch_sum"], dtype="object"),
+            })
 
-    schema = T.StructType([
-        T.StructField("media_id", T.LongType()),
-        T.StructField("frame_idx", T.LongType()),
-        T.StructField("frame", T.BinaryType()),
-    ])
-    return media.mapInPandas(run, schema)
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def documents_as_video_media(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             frame_w: int = 8, frame_h: int = 8) -> DataFrame:
+    """The VIDEO media fixture: one concatenated-netpbm stream per
+    document with 2 + id % 5 frames; frame f's pixel plane is the text
+    bytes tiled with a start offset of f (byte j = text[(j + f) mod
+    len]), so frames differ deterministically and an oracle can
+    recompute any sampled frame's statistics. NULL text → NULL
+    payload; empty text → all-zero frames."""
+    import numpy as np
+
+    id_out, txt = "media_id", "__txt"
+    src = df.select(F.col(id_col).alias(id_out), F.col(text_col).alias(txt))
+    n_px = frame_w * frame_h * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_out], pdf[txt]):
+                ids.append(mid)
+                if text is None:
+                    payloads.append(None)
+                    continue
+                raw = np.frombuffer(text.encode("utf-8"), np.uint8)
+                total = 2 + int(mid) % 5
+                frames = []
+                for f in range(total):
+                    if raw.size:
+                        plane = np.resize(np.roll(raw, -f), n_px)
+                    else:
+                        plane = np.zeros(n_px, np.uint8)
+                    frames.append(encode_netpbm(
+                        plane.reshape(frame_h, frame_w, 3)))
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame({id_out: pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
+
+    return src.mapInPandas(run, T.StructType([
+        T.StructField(id_out, T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]))
 
 
 def binary_stats(media: DataFrame, format_col: str = "meta.format") -> DataFrame:

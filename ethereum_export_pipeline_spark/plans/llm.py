@@ -766,26 +766,54 @@ FROM v
 
 
 def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (1→N fan-out) via mapInPandas; frame offsets and
-    byte counts follow deterministically from the payload length, so
-    the fan-out shape is fully oracle-checked."""
-    out = multimodal.sample_frames(_doc_media(spark, sf_dir),
-                                   n_frames=4, frame_bytes=256)
-    return out.select("media_id", "frame_idx",
-                      F.octet_length("frame").cast("long").alias("frame_bytes"))
+    """REAL video-frame sampling, hash-checked: the fixture builds a
+    multi-frame concatenated-netpbm stream per document (2 + id % 5
+    frames, each frame's plane tiled from the text with a per-frame
+    rotation), `sample_frames` DEMUXES the stream frame-by-frame,
+    picks 2 evenly-spaced frames, decodes them, and grades exact
+    per-channel pixel sums of the CHOSEN frames — wrong frame
+    boundaries, a wrong pick index, or a decode bug all flip the
+    hash."""
+    media = multimodal.documents_as_video_media(
+        load_table(spark, sf_dir, "documents"))
+    out = multimodal.sample_frames(media, n_frames=2)
+    return out.select(
+        "media_id", "sample_idx", "src_frame", "width", "height",
+        *[F.element_at("ch_sum", c + 1).alias(f"ch_sum_{c}")
+          for c in range(3)])
 
 
-# mirrors sample_frames exactly, including payloads SHORTER than
-# n_frames bytes: stride = max(len // 4, 1) and only min(4, len)
-# frames are emitted, so a 1-3-byte payload fans out to len frames
-_FRAME_SAMPLE_SQL = """
-SELECT doc_id AS media_id, i AS frame_idx,
-       CAST(least(256, octet_length(encode(text)) -
-                  i * greatest(octet_length(encode(text)) // 4, 1)) AS BIGINT)
-         AS frame_bytes
-FROM documents, UNNEST(range(4)) u(i)
-WHERE text IS NOT NULL AND octet_length(encode(text)) >= 1
-  AND i < least(4, octet_length(encode(text)))
+def _frame_sample_sql() -> str:
+    """DuckDB twin: total = 2 + id % 5 (≥ 2, so exactly 2 samples with
+    src_frame = k·total // 2); frame f's plane byte j = text byte
+    (j + f) mod nb; channel sums over the 8×8 frame."""
+    digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
+    byte_at = (f"16 * ({digit.format(i='2*p+1')}) + ({digit.format(i='2*p+2')})")
+    ch_sums = ", ".join(
+        "CASE WHEN nb = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(list_sum(list_transform(range(64), "
+        f"p -> vals[((3*p + {c} + fi) % nb) + 1])) AS BIGINT) "
+        f"END AS ch_sum_{c}"
+        for c in range(3))
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb,
+         CAST(2 + doc_id % 5 AS BIGINT) AS total
+  FROM documents WHERE text IS NOT NULL
+), v AS (
+  SELECT doc_id, nb, total,
+         CASE WHEN nb = 0 THEN []
+              ELSE list_transform(range(nb), p -> {byte_at}) END AS vals
+  FROM m
+), f AS (
+  SELECT doc_id, nb, vals, k, (k * total) // 2 AS fi
+  FROM v, UNNEST(range(2)) u(k)
+)
+SELECT doc_id AS media_id, k AS sample_idx, fi AS src_frame,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       {ch_sums}
+FROM f
 """
 
 
@@ -1704,8 +1732,10 @@ QUERIES: dict[str, Query] = {
                        "REAL nearest-neighbor image resize "
                        "(decode→gather→re-encode→re-decode), "
                        "pixel-sum verified"),
-    "mm_frame_sample": Query(_frame_sample, _FRAME_SAMPLE_SQL,
-                             "video frame-sample fan-out"),
+    "mm_frame_sample": Query(_frame_sample, _frame_sample_sql(),
+                             "REAL multi-frame demux (concatenated "
+                             "netpbm stream) + evenly-spaced frame "
+                             "sampling, decoded-pixel sums"),
     "mm_audio_features": Query(_audio_features, _audio_features_sql(),
                                "REAL RIFF/WAVE PCM decode (chunk-list "
                                "walk) — exact decoded-sample stats"),

@@ -283,14 +283,42 @@ def test_resize_media_real_pixels(spark):
     assert got[2].payload is None and got[2].n_bytes == 0
 
 
-def test_sample_frames_fanout(spark):
+def test_demux_netpbm_stream_walks_frames():
+    import numpy as np
     from ethereum_export_pipeline_spark.operators.multimodal import (
-        documents_as_media, sample_frames)
-    df = docs(spark, [(1, "a" * 1024)])
-    rows = sorted((r.frame_idx, len(r.frame)) for r in
-                  sample_frames(documents_as_media(df),
-                                n_frames=4, frame_bytes=256).collect())
-    assert rows == [(0, 256), (1, 256), (2, 256), (3, 256)]
+        demux_netpbm_stream, encode_netpbm)
+    f0 = np.full((2, 2, 3), 1, np.uint8)
+    f1 = np.full((1, 3, 3), 9, np.uint8)  # different dims mid-stream
+    frames = demux_netpbm_stream(encode_netpbm(f0) + encode_netpbm(f1))
+    assert [(w, h, c) for w, h, c, _ in frames] == [(2, 2, 3), (3, 1, 3)]
+    assert (frames[1][3] == 9).all()
+    # a torn stream is corrupt, not partially usable
+    assert demux_netpbm_stream(encode_netpbm(f0) + b"P6\n2 2\n255\nxx") is None
+    assert demux_netpbm_stream(None) is None
+
+
+def test_sample_frames_demuxes_and_decodes(spark):
+    import numpy as np
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        encode_netpbm, sample_frames)
+    # 3 frames with distinct constant fills: n_frames=2 must pick
+    # src frames 0 and (1*3)//2 = 1 and sum the DECODED pixels
+    mk = lambda v: encode_netpbm(np.full((2, 2, 3), v, np.uint8))
+    stream = mk(1) + mk(2) + mk(3)
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=bytes(stream)),
+         Row(media_id=2, payload=None),
+         Row(media_id=3, payload=b"garbage")],
+        "media_id long, payload binary")
+    got = sorted((r.media_id, r.sample_idx, r.src_frame, r.ch_sum)
+                 for r in sample_frames(media, n_frames=2).collect())
+    assert got == [(1, 0, 0, [4, 4, 4]),      # frame 0: 4 px × 1
+                   (1, 1, 1, [8, 8, 8])]      # frame 1: 4 px × 2
+    # short clip: every frame sampled
+    short = spark.createDataFrame([Row(media_id=9, payload=bytes(mk(5)))],
+                                  "media_id long, payload binary")
+    [only] = sample_frames(short, n_frames=4).collect()
+    assert (only.sample_idx, only.src_frame, only.ch_sum) == (0, 0, [20, 20, 20])
 
 
 def test_ivf_cells_cluster_similar_vectors(spark):
