@@ -49,6 +49,7 @@ HEADLINE = [
     "eth_parquet_partitioned",
     "eth_range_join",
     "eth_token_transfers",
+    "eth_zorder_key",
     "doc_dedup_exact",
     "doc_ngram_pairs",
     "doc_minhash_pairs",

@@ -92,7 +92,11 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "doc_snapshot_diff",
                   # iterative join+agg skeleton graded in-window via
                   # doc_dedup_clusters (connected components)
-                  "doc_trade_pagerank")
+                  "doc_trade_pagerank",
+                  # projection skeleton graded in-window via
+                  # eth_typed_projection; the layout WRITE path is
+                  # pinned by the file-pruning comparison test
+                  "eth_zorder_key")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -522,6 +522,31 @@ FROM (SELECT n_nationkey, n_name,
 """
 
 
+# ---------------------------------------------------- z-order layout
+
+def _zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Morton clustering key (operators/layout.py) as a graded
+    projection: exact integer bit-interleave of (l_partkey,
+    l_suppkey) — the key `write_zordered` range-partitions on so box
+    predicates on either dimension prune files. Pure codegen'd shifts
+    and masks, hash-identical in DuckDB."""
+    from ..operators.layout import z_value_expr
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_partkey",
+                     "l_suppkey",
+                     z_value_expr("l_partkey", "l_suppkey")
+                     .alias("z_key"))
+
+
+def _zorder_key_sql() -> str:
+    from ..operators.layout import z_value_sql
+    return f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       {z_value_sql('l_partkey', 'l_suppkey')} AS z_key
+FROM lineitem
+"""
+
+
 QUERIES: dict[str, Query] = {
     "eth_typed_projection": Query(_typed_projection, _TYPED_PROJECTION_SQL,
                                   "P1-P3 ApplyMapping typed projection"),
@@ -561,4 +586,7 @@ QUERIES: dict[str, Query] = {
     "eth_resolve_choice": Query(_resolve_choice, _RESOLVE_CHOICE_SQL,
                                 "P5 ResolveChoice: PERMISSIVE CSV parse + "
                                 "typed resolution of conflicting rows"),
+    "eth_zorder_key": Query(_zorder_key, _zorder_key_sql(),
+                            "Z-order (Morton) clustering key: exact "
+                            "bit-interleave for 2-dim data skipping"),
 }
