@@ -50,6 +50,7 @@ HEADLINE = [
     "eth_range_join",
     "eth_token_transfers",
     "eth_zorder_key",
+    "eth_quality_audit",
     "doc_dedup_exact",
     "doc_ngram_pairs",
     "doc_minhash_pairs",

@@ -96,7 +96,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   # projection skeleton graded in-window via
                   # eth_typed_projection; the layout WRITE path is
                   # pinned by the file-pruning comparison test
-                  "eth_zorder_key")
+                  "eth_zorder_key",
+                  # agg/anti-join skeletons graded in-window via
+                  # eth_drop_null_fields + eth_anti_join
+                  "eth_quality_audit")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -522,6 +522,77 @@ FROM (SELECT n_nationkey, n_name,
 """
 
 
+# ----------------------------------------------------- quality audit
+
+def _quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-promotion data-quality audit (operators/checks.py): the
+    gate a pipeline runs before publishing an export — per-row rules
+    in ONE scan (conditional sums), key uniqueness, and
+    referential-integrity orphan counts, unioned into a
+    (rule, n_violations) report. The reference's implicit contracts
+    (non-null keys driving dependent exports, config.py:40,46,56)
+    made explicit and countable."""
+    from ..operators.checks import (audit, check_ref, check_rules,
+                                    check_unique)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    return audit([
+        check_rules(o, {
+            "orders_key_not_null": "o_orderkey IS NOT NULL",
+            "orders_price_nonneg": "o_totalprice >= 0",
+            "orders_date_in_range":
+                "o_orderdate >= CAST('1990-01-01' AS TIMESTAMP_NTZ) AND "
+                "o_orderdate < CAST('2010-01-01' AS TIMESTAMP_NTZ)",
+            "orders_priority_known":
+                "o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',"
+                "'4-NOT SPECIFIED','5-LOW')",
+        }),
+        check_unique(o, "o_orderkey"),
+        check_ref(li, o, "l_orderkey", "o_orderkey"),
+        check_ref(o, c, "o_custkey", "c_custkey"),
+    ])
+
+
+_QUALITY_AUDIT_SQL = """
+SELECT 'orders_key_not_null' AS rule,
+       CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_violations FROM orders
+UNION ALL
+SELECT 'orders_price_nonneg',
+       CAST(sum(CASE WHEN o_totalprice >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_date_in_range',
+       CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01'
+                      AND o_orderdate < TIMESTAMP '2010-01-01'
+                     THEN 0 ELSE 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_priority_known',
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH',
+                     '3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                     THEN 0 ELSE 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique_o_orderkey',
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+            + sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'ref_l_orderkey', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey IS NOT NULL
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderkey IS NOT NULL)
+UNION ALL
+SELECT 'ref_o_custkey', CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_custkey IS NOT NULL)
+"""
+
+
 # ---------------------------------------------------- z-order layout
 
 def _zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,4 +660,8 @@ QUERIES: dict[str, Query] = {
     "eth_zorder_key": Query(_zorder_key, _zorder_key_sql(),
                             "Z-order (Morton) clustering key: exact "
                             "bit-interleave for 2-dim data skipping"),
+    "eth_quality_audit": Query(_quality_audit, _QUALITY_AUDIT_SQL,
+                               "data-quality audit: one-scan rule "
+                               "checks + uniqueness + referential "
+                               "orphan counts"),
 }

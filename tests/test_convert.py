@@ -214,3 +214,25 @@ def test_snapshot_diff_statuses(spark):
     assert got == {1: "unchanged", 2: "changed",
                    3: "unchanged",          # NULL on both sides
                    4: "added", 9: "removed"}
+
+
+def test_quality_checks_known_violations(spark):
+    from ethereum_export_pipeline_spark.operators.checks import (
+        audit, check_ref, check_rules, check_unique)
+    df = spark.createDataFrame(
+        [(1, 10, "ok"), (2, -5, "ok"), (2, 3, None), (None, 7, "ok")],
+        "k long, v long, s string")
+    got = {r.rule: r.n_violations for r in audit([
+        check_rules(df, {"v_nonneg": "v >= 0",
+                         "s_not_null": "s IS NOT NULL",
+                         "k_small": "k < 100"}),   # NULL k → violation
+        check_unique(df, "k"),
+    ]).collect()}
+    assert got == {"v_nonneg": 1, "s_not_null": 1,
+                   "k_small": 1,            # unknown is not a pass
+                   "unique_k": 2}           # one dup pair + one NULL
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    [orph] = check_ref(df, parent, "k", "k").collect()
+    assert (orph.rule, orph.n_violations) == ("ref_k", 0)
+    parent2 = spark.createDataFrame([(1,)], "k long")
+    assert check_ref(df, parent2, "k", "k").collect()[0].n_violations == 2
