@@ -1511,9 +1511,14 @@ def _trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"),
                        F.concat(F.lit("C"), F.col("o_custkey")).alias("c"))
                .distinct())
-    edges = (pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-                  .union(pairs.select(F.col("c").alias("src"),
-                                      F.col("s").alias("dst"))))
+    # both directions as a 1→2 explode, NOT a union of two selects —
+    # a union evaluates the whole join+distinct subtree twice (the
+    # branches are not canonically identical, so no ReusedExchange)
+    edges = (pairs.select(F.explode(F.array(
+                  F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                  F.struct(F.col("c").alias("src"), F.col("s").alias("dst"))))
+                  .alias("e"))
+                  .select("e.src", "e.dst"))
     r = pagerank_exact(edges, iters=5)
     return r.select("node", "rank",
                     (F.col("rank") / F.lit(1e9)).alias("rank_norm"))

@@ -203,6 +203,41 @@ def main() -> int:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
+    # exact PageRank over an amplified trade graph: supplier/customer
+    # key spaces offset per copy so nodes AND edges scale ×N (plain
+    # copies would collapse in the distinct)
+    def trade_pagerank():
+        from ethereum_export_pipeline_spark.operators.graph import (
+            pagerank_exact)
+        li = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+                   .select("l_orderkey", "l_suppkey"))
+        o = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+                  .select("o_orderkey", "o_custkey"))
+        li2 = (li.crossJoin(copies)
+                 .select((F.col("l_orderkey") + F.col("copy") * 200_000)
+                         .alias("ok"),
+                         (F.col("l_suppkey") + F.col("copy") * 1_000)
+                         .alias("sk")))
+        o2 = (o.crossJoin(copies)
+               .select((F.col("o_orderkey") + F.col("copy") * 200_000)
+                       .alias("okk"),
+                       (F.col("o_custkey") + F.col("copy") * 2_000)
+                       .alias("ck")))
+        pairs = (li2.join(o2, F.col("ok") == F.col("okk"))
+                    .select(F.concat(F.lit("S"), F.col("sk")).alias("s"),
+                            F.concat(F.lit("C"), F.col("ck")).alias("c"))
+                    .distinct())
+        # 1→2 explode, not union: a union evaluates the join twice
+        edges = (pairs.select(F.explode(F.array(
+                     F.struct(F.col("s").alias("src"),
+                              F.col("c").alias("dst")),
+                     F.struct(F.col("c").alias("src"),
+                              F.col("s").alias("dst")))).alias("e"))
+                      .select("e.src", "e.dst"))
+        return pagerank_exact(edges, iters=5)
+
+    bench("trade_pagerank", trade_pagerank)
+
     BULK_PRED = "vec_id < 200"
     bench_no_broadcast(
         "ivf_topk_bulk",
