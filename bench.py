@@ -92,6 +92,7 @@ HEADLINE = [
     "stream_hopping_counts",
     "stream_interval_join",
     "stream_chain_scan",
+    "stream_static_enrich",
 ]
 
 

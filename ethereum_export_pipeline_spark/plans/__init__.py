@@ -99,7 +99,11 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "eth_zorder_key",
                   # agg/anti-join skeletons graded in-window via
                   # eth_drop_null_fields + eth_anti_join
-                  "eth_quality_audit")
+                  "eth_quality_audit",
+                  # stream machinery graded in-window via
+                  # stream_tumbling_counts; the broadcast-join shape
+                  # via eth_semi_join
+                  "stream_static_enrich")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

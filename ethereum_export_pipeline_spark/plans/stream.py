@@ -10,8 +10,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..streaming import (WINDOW_US, stream_chain_counts,
                          stream_dedup_within_watermark,
                          stream_exact_dedup, stream_hopping_counts,
-                         stream_interval_join, stream_tumbling_counts,
-                         stream_watermark_counts)
+                         stream_interval_join, stream_static_enrich,
+                         stream_tumbling_counts, stream_watermark_counts)
 from .analytics import _EVENTS_SESSIONS_SQL
 from .base import Query
 
@@ -134,6 +134,27 @@ GROUP BY 1
 """
 
 
+def _stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: the events stream joined to
+    the static customer dimension on user_id, aggregated per market
+    segment by the streaming engine."""
+    from ..sources.tables import load_table
+    from pyspark.sql import functions as F
+    dim = (load_table(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_mktsegment").alias("segment")))
+    return stream_static_enrich(spark,
+                                f"{sf_dir.rstrip('/')}/events.parquet", dim)
+
+
+_STREAM_ENRICH_SQL = """
+SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
 def _stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_within_watermark(
         spark, f"{sf_dir.rstrip('/')}/events.parquet")
@@ -154,6 +175,9 @@ QUERIES: dict[str, Query] = {
     "stream_chain_scan": Query(_stream_chain, _STREAM_CHAIN_SQL,
                                "streaming agg over the NON-FILE chain "
                                "data source (custom stream reader)"),
+    "stream_static_enrich": Query(_stream_enrich, _STREAM_ENRICH_SQL,
+                                  "stream-static broadcast dimension "
+                                  "enrichment + per-segment agg"),
     "stream_hopping_counts": Query(_stream_hopping, _STREAM_HOPPING_SQL,
                                    "overlapping hopping-window counts"),
     "stream_watermark_counts": Query(_stream_watermark,

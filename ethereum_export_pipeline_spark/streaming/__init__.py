@@ -285,6 +285,26 @@ def stream_chain_export(spark: SparkSession, dest_dir: str,
             f"offset — rerun with a larger timeout_s to resume")
 
 
+def stream_static_enrich(spark: SparkSession, events_path: str,
+                         dim: DataFrame, key: str = "user_id",
+                         seg_col: str = "segment") -> DataFrame:
+    """STREAM-STATIC enrichment join — the production shape where a
+    fact stream is joined to a slowly-changing dimension table held as
+    a broadcast (no state store involved: the static side is re-read
+    per micro-batch, so dimension updates between batches are picked
+    up), then aggregated per dimension attribute. The batch twin over
+    the same inputs is the oracle."""
+    from ..sources.tables import with_event_time
+    sdf = with_event_time(read_stream(spark, events_path))
+    joined = sdf.join(F.broadcast(dim), key)
+    agg = (joined.groupBy(seg_col)
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.min("event_id").alias("first_event"),
+                      F.max("event_id").alias("last_event")))
+    return run_available_now(agg,
+                             width=bounded_stream_width(spark, events_path))
+
+
 def stream_chain_counts(spark: SparkSession, head: int = 999,
                         batch_size: int = 100,
                         bucket: int = 100) -> DataFrame:
