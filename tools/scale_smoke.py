@@ -131,6 +131,20 @@ def main() -> int:
     bench("decontaminate", lambda: dedup.decontaminate(big_docs))
     bench("token_rarity", lambda: text.token_rarity(big_docs))
 
+    def snapshot_diff():
+        """Corpus diff at scale: previous = current with 1/7 dropped,
+        1/11 perturbed — the hash-projected full-outer join."""
+        from ethereum_export_pipeline_spark.operators.retention import (
+            snapshot_diff as diff)
+        prev = (big_docs.where("doc_id % 7 != 0")
+                .select("doc_id",
+                        F.expr("CASE WHEN doc_id % 11 = 0 "
+                               "THEN concat(text, '!') ELSE text END")
+                        .alias("text")))
+        return diff(big_docs, prev)
+
+    bench("snapshot_diff", snapshot_diff)
+
     # ---- ANN / embedding tier over amplified embeddings: per-copy
     # dimension ROTATION — norms (and so self-similarity structure) are
     # preserved while cross-copy cosines decorrelate, keeping near-dup
