@@ -372,6 +372,99 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                          F.col("lbl").alias("cluster_id"))
 
 
+def connected_components_star(pairs: DataFrame, src: str = "doc_a",
+                              dst: str = "doc_b",
+                              id_out: str = "doc_id",
+                              max_rounds: int = 25) -> DataFrame:
+    """Connected components by ALTERNATING STAR CONTRACTION (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    the O(log n)-round alternative to `connected_components` for
+    graphs with LONG CHAINS, where min-label propagation needs
+    O(diameter) rounds and raises past `max_iter`. Same contract:
+    (id_out, cluster_id = component min) for every node appearing in
+    a pair.
+
+    Per round, two relational steps over the edge list:
+      * large-star — every node's LARGER neighbours re-attach to the
+        minimum of its neighbourhood (min(Γ(u) ∪ {u}));
+      * small-star — edges directed large→small; every node's smaller
+        neighbours (and itself) attach to their minimum.
+    Each is a groupBy-min + self-join — the same shuffle budget as one
+    propagation round — but component heights halve geometrically, so
+    a 10^6-long chain converges in ~20 rounds instead of 10^6.
+    Convergence = edge set reaches a fixpoint (checked exactly with
+    two anti joins — a checksum could false-stop); the fixpoint is a
+    star forest rooted at each component's min.
+
+    Kept alongside `connected_components` (the default: dup graphs
+    from LSH banding are near-cliques where 2-4 label rounds beat
+    2-per-round star shuffles); the catalog grades BOTH against the
+    same recursive-CTE oracle."""
+    e = (pairs.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+              .where(F.col("u") != F.col("v"))
+              .distinct()
+              .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("node"))
+              .union(e.select(F.col("v").alias("node"))).distinct()
+              .localCheckpoint(eager=True))
+
+    sess = pairs.sparkSession
+    old_width = sess.conf.get("spark.sql.shuffle.partitions")
+    if e.count() < 1_000_000 and str(old_width).isdigit():
+        sess.conf.set("spark.sql.shuffle.partitions",
+                      str(min(4, int(old_width))))
+    try:
+        cur = e
+        converged = False
+        for _ in range(max_rounds):
+            # ---- large star: sym neighbours; larger ones → min
+            sym = (cur.select("u", "v")
+                      .union(cur.select(F.col("v").alias("u"),
+                                        F.col("u").alias("v"))))
+            mins = (sym.groupBy("u")
+                       .agg(F.min("v").alias("mn"))
+                       .select("u", F.least("u", F.col("mn")).alias("m")))
+            ls = (sym.join(mins, "u")
+                     .where(F.col("v") > F.col("u"))
+                     .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                     .where(F.col("u") != F.col("v"))
+                     .distinct())
+            # ---- small star: direct large→small, attach to min
+            d = ls.select(F.greatest("u", "v").alias("a"),
+                          F.least("u", "v").alias("b"))
+            mins2 = d.groupBy("a").agg(F.min("b").alias("m"))
+            joined = d.join(mins2, "a")
+            ss = (joined.select(F.col("b").alias("u"),
+                                F.col("m").alias("v"))
+                        .union(joined.select(F.col("a").alias("u"),
+                                             F.col("m").alias("v")))
+                        .where(F.col("u") != F.col("v"))
+                        .distinct()
+                        .localCheckpoint(eager=True))
+            # exact fixpoint check: set equality via two anti joins
+            if (ss.join(cur, ["u", "v"], "left_anti").limit(1).count() == 0
+                    and cur.join(ss, ["u", "v"], "left_anti")
+                           .limit(1).count() == 0):
+                cur = ss
+                converged = True
+                break
+            cur = ss
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_width)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint within "
+            f"max_rounds={max_rounds} (components halve per round — "
+            f"this bounds graphs up to ~2^{max_rounds} nodes)")
+    # fixpoint is a star forest: non-roots point at their component
+    # min; roots (and mid-contraction isolated nodes) label themselves
+    mapping = cur.groupBy("u").agg(F.min("v").alias("lbl"))
+    return (nodes.join(mapping, nodes.node == mapping.u, "left")
+                 .select(F.col("node").alias(id_out),
+                         F.coalesce("lbl", "node").alias("cluster_id")))
+
+
 def keep_canonical(df: DataFrame, clusters: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Materialize the deduped corpus: keep every document that is

@@ -103,7 +103,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   # stream machinery graded in-window via
                   # stream_tumbling_counts; the broadcast-join shape
                   # via eth_semi_join
-                  "stream_static_enrich")
+                  "stream_static_enrich",
+                  # algorithm variant of the in-window
+                  # doc_dedup_clusters, same oracle
+                  "doc_dedup_clusters_star")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -849,6 +849,17 @@ FROM reach GROUP BY 1
 """
 
 
+def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters, different algorithm: alternating star contraction
+    (O(log n) rounds — the long-chain-safe variant) over the same
+    MinHash pair graph, graded against the SAME recursive-CTE oracle
+    as `doc_dedup_clusters` — two independent implementations must
+    hash-agree with the SQL fixpoint."""
+    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
+                                    threshold=NGRAM_THRESHOLD)
+    return dedup.connected_components_star(pairs)
+
+
 def _dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pairs → clusters → keep min-id survivor per cluster: the
     deduped-corpus materialization, reported as kept doc_ids."""
@@ -1663,6 +1674,11 @@ QUERIES: dict[str, Query] = {
     "doc_dedup_canonical": Query(_dedup_canonical, _dedup_canonical_sql(),
                                  "deduped corpus: one survivor per "
                                  "cluster (broadcast left join)"),
+    "doc_dedup_clusters_star": Query(_dedup_clusters_star,
+                                     _dedup_clusters_sql(),
+                                     "same clusters via alternating "
+                                     "star contraction (O(log n) "
+                                     "rounds, long-chain safe)"),
     "doc_simhash_pairs": Query(_simhash_pairs, _simhash_pairs_sql(),
                                "SimHash banded near-dup"),
     "doc_language_id": Query(_language_id, _language_id_sql(),

@@ -744,3 +744,34 @@ def test_pagerank_empty_graph(spark):
     from ethereum_export_pipeline_spark.operators.graph import pagerank_exact
     edges = spark.createDataFrame([], "src string, dst string")
     assert pagerank_exact(edges).count() == 0
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        connected_components, connected_components_star)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 8), (20, 21)],
+        "doc_a long, doc_b long")
+    a = {(r.doc_id, r.cluster_id)
+         for r in connected_components(pairs).collect()}
+    b = {(r.doc_id, r.cluster_id)
+         for r in connected_components_star(pairs).collect()}
+    assert a == b == {(1, 1), (2, 1), (3, 1),
+                      (7, 7), (8, 7), (9, 7), (20, 20), (21, 20)}
+
+
+def test_star_contraction_handles_long_chain(spark):
+    """The case min-label propagation cannot: a 300-node chain has
+    diameter 300 (label propagation raises within max_iter=20), but
+    star contraction halves component height per round."""
+    import pytest as _pytest
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        connected_components, connected_components_star)
+    n = 300
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=20)
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components_star(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}

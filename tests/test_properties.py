@@ -211,3 +211,33 @@ def test_wav_roundtrip_property(samples, sixteen, rate):
     rrate, ch, bits, back = decode_wav(encode_wav(arr, rate))
     assert (rrate, ch, bits) == (rate, 1, 16 if sixteen else 8)
     assert (back[:, 0] == arr).all()
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)),
+                      min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_star_contraction_matches_union_find(spark, edges):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        connected_components_star)
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components_star(pairs).collect()}
+    assert got == expected
