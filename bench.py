@@ -51,6 +51,8 @@ HEADLINE = [
     "eth_token_transfers",
     "eth_zorder_key",
     "eth_quality_audit",
+    "eth_compaction_plan",
+    "q_scd2_versions",
     "doc_dedup_exact",
     "doc_ngram_pairs",
     "doc_minhash_pairs",
@@ -72,6 +74,8 @@ HEADLINE = [
     "doc_delete_ids",
     "doc_snapshot_diff",
     "doc_trade_pagerank",
+    "doc_distinct_sketch",
+    "doc_dup_triangles",
     "doc_rarity",
     "doc_sentence_dedup",
     "doc_length_stats",

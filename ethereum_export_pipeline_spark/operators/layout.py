@@ -43,6 +43,69 @@ def z_value_sql(x: str, y: str, bits: int = Z_BITS) -> str:
     return f"CAST({terms} AS BIGINT)"
 
 
+def compaction_plan(files: DataFrame, target_bytes: int,
+                    key_col: str = "file_id",
+                    bytes_col: str = "bytes",
+                    bucket: int = 1024) -> DataFrame:
+    """Small-file compaction planning as a distributed query — the
+    OPTIMIZE/bin-packing step every long-lived 100 TB lake needs once
+    ingestion has dribbled millions of under-sized files.
+
+    Input: a file inventory (ordering key, size). Output: one row per
+    planned output file (bin): (bin, n_files, total_bytes, first_file,
+    last_file). Policy is ORDER-PRESERVING offset binning: walk files
+    in key order and assign bin(f) = floor(bytes_before(f) /
+    `target_bytes`) — each bin covers one target-sized byte interval
+    of the ordered stream, so bins hold ~target bytes (overshooting
+    only by the tail of their boundary-straddling last file). Real
+    compactors (Delta OPTIMIZE, Iceberg binpack) make the same
+    order-preserving choice: key locality is what min/max data
+    skipping relies on; first-fit-decreasing packs marginally tighter
+    but scrambles key ranges and is inherently sequential. A file
+    larger than `target_bytes` lands alone — the bins its tail spans
+    stay empty (files are never split).
+
+    The prefix sum is computed DISTRIBUTED via the same two-level
+    scheme as `text.pack_sequences` (per-bucket running sums in
+    parallel + one tiny bucket-totals window broadcast back) — no
+    global single-partition sort even at a hundred-million-file
+    inventory."""
+    from pyspark.sql import Window
+    n = (files.where(F.col(key_col).isNotNull())
+              .select(F.col(key_col).alias("f"),
+                      F.col(bytes_col).cast("long").alias("sz"),
+                      F.expr(f"CAST({key_col} AS BIGINT) div {bucket}")
+                       .alias("_bkt")))
+    w_local = (Window.partitionBy("_bkt").orderBy("f")
+                     .rowsBetween(Window.unboundedPreceding, -1))
+    local = n.withColumn(
+        "_before_local",
+        F.coalesce(F.sum("sz").over(w_local), F.lit(0)).cast("long"))
+    totals = local.groupBy("_bkt").agg(
+        F.max(F.col("_before_local") + F.col("sz")).alias("_bkt_total"))
+    w_bkt = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (totals.withColumn(
+        "_bkt_before",
+        F.coalesce(F.sum("_bkt_total").over(w_bkt), F.lit(0)).cast("long"))
+        .select("_bkt", "_bkt_before"))
+    binned = (local.join(F.broadcast(offsets), "_bkt")
+                   .withColumn("_before",
+                               (F.col("_bkt_before") + F.col("_before_local"))
+                               .cast("long"))
+                   .withColumn("bin",
+                               F.expr(f"_before div {target_bytes}")
+                                .cast("long")))
+    return (binned.groupBy("bin")
+                  .agg(F.count(F.lit(1)).alias("n_files"),
+                       F.sum("sz").alias("total_bytes"),
+                       F.min("f").alias("first_file"),
+                       F.max("f").alias("last_file"))
+                  .select("bin",
+                          F.col("n_files").cast("long").alias("n_files"),
+                          F.col("total_bytes").cast("long").alias("total_bytes"),
+                          "first_file", "last_file"))
+
+
 def write_zordered(df: DataFrame, path: str, x: str, y: str,
                    n_files: int = 16, bits: int = Z_BITS) -> None:
     """Write `df` as parquet clustered on the (x, y) Morton curve:

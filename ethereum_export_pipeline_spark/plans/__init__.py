@@ -106,7 +106,16 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "stream_static_enrich",
                   # algorithm variant of the in-window
                   # doc_dedup_clusters, same oracle
-                  "doc_dedup_clusters_star")
+                  "doc_dedup_clusters_star",
+                  # round-4 tail additions (window stays the curated
+                  # 50): the sketch's hash-distinct + top-k-window
+                  # skeleton is graded via doc_dedup_exact +
+                  # q_window_topn; triangle counting rides the graded
+                  # minhash pair generation; the compaction planner's
+                  # two-level prefix sum is the graded doc_pack
+                  # machinery over a file inventory
+                  "doc_distinct_sketch", "doc_dup_triangles",
+                  "eth_compaction_plan")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -788,9 +788,35 @@ INTO NAME measure VALUE value_cents
 """
 
 
+# ------------------------------------------------------- SCD2 history
+
+def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build over the event log: each user's
+    event_type runs become effective-dated dimension versions with
+    half-open [valid_from, valid_to) µs bounds and a current flag —
+    one shuffle on user_id, two window passes, no joins
+    (operators/temporal.scd2)."""
+    from ..operators.temporal import scd2
+    e = (load_table(spark, sf_dir, "events")
+         .withColumn("ts_us", F.expr("ts_ns div 1000")))
+    return scd2(e, key_col="user_id", attr_col="event_type",
+                ts_us_col="ts_us", seq_col="event_id")
+
+
+def _scd2_versions_sql() -> str:
+    from ..operators.temporal import scd2_sql
+    return scd2_sql(
+        "SELECT user_id, event_type, epoch_us(ts) AS us, event_id "
+        "FROM events",
+        key="user_id", attr="event_type", ts_us="us", seq="event_id")
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": Query(_pricing_summary, _PRICING_SUMMARY_SQL,
                                 "flagship scan→filter→agg"),
+    "q_scd2_versions": Query(_scd2_versions, _scd2_versions_sql(),
+                             "SCD Type-2 history build (effective-"
+                             "dated versions from the event log)"),
     "q3_shipping_priority": Query(_shipping_priority, _SHIPPING_PRIORITY_SQL,
                                   "3-way join, top-10"),
     "q5_region_revenue": Query(_region_revenue, _REGION_REVENUE_SQL,

@@ -618,6 +618,50 @@ FROM lineitem
 """
 
 
+# ------------------------------------------------------ compaction plan
+
+COMPACT_TARGET = 1 << 16  # 64 KiB target output files (fixture-scaled)
+COMPACT_GROUP = 100       # orderkeys per synthetic input file
+
+
+def _compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the maintenance job behind the
+    reference's %08d part layout once incremental exports accumulate):
+    a deterministic file inventory — one synthetic file per
+    `COMPACT_GROUP` consecutive orderkeys, each row contributing a
+    deterministic varied width — bin-packed into `COMPACT_TARGET`-byte
+    outputs by
+    `operators.layout.compaction_plan`'s order-preserving distributed
+    prefix sum. Every column exact integers."""
+    from ..operators.layout import compaction_plan
+    li = load_table(spark, sf_dir, "lineitem")
+    inv = (li.groupBy(F.expr(f"l_orderkey div {COMPACT_GROUP}")
+                       .cast("long").alias("file_id"))
+             .agg(F.expr("CAST(sum(48 + l_partkey % 64 + l_suppkey % 32) "
+                         "AS BIGINT)").alias("bytes")))
+    return compaction_plan(inv, target_bytes=COMPACT_TARGET)
+
+
+_COMPACTION_PLAN_SQL = f"""
+WITH inv AS (
+  SELECT l_orderkey // {COMPACT_GROUP} AS f,
+         CAST(sum(48 + l_partkey % 64 + l_suppkey % 32) AS BIGINT) AS sz
+  FROM lineitem GROUP BY 1
+), pre AS (
+  SELECT f, sz,
+         COALESCE(sum(sz) OVER (ORDER BY f
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM inv
+)
+SELECT CAST(before // {COMPACT_TARGET} AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(sz) AS BIGINT) AS total_bytes,
+       CAST(min(f) AS BIGINT) AS first_file,
+       CAST(max(f) AS BIGINT) AS last_file
+FROM pre GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "eth_typed_projection": Query(_typed_projection, _TYPED_PROJECTION_SQL,
                                   "P1-P3 ApplyMapping typed projection"),
@@ -664,4 +708,8 @@ QUERIES: dict[str, Query] = {
                                "data-quality audit: one-scan rule "
                                "checks + uniqueness + referential "
                                "orphan counts"),
+    "eth_compaction_plan": Query(_compaction_plan, _COMPACTION_PLAN_SQL,
+                                 "small-file compaction planning: "
+                                 "order-preserving bin packing via "
+                                 "distributed prefix sum"),
 }

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import (MERSENNE31, affine_hash_sql, h32_sql,
                           h60_sql, tokens_sql)
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, similarity, sketch, text
 from ..sources.tables import load_table
 from .base import Query, cents
 
@@ -1661,6 +1661,62 @@ FROM documents GROUP BY 1
 """
 
 
+# ---------------------------------------------------- KMV distinct sketch
+
+SKETCH_K = 32
+
+
+def _distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source + merged distinct-document cardinality via the
+    k-minimum-values sketch — the VERIFIABLE sketch (HLL registers are
+    engine-private; KMV is md5 order statistics, so DuckDB reproduces
+    the sketch AND the estimate bit-for-bit, float included)."""
+    return sketch.kmv_sketch(load_table(spark, sf_dir, "documents"),
+                             group_col="source", key_col="text",
+                             k=SKETCH_K)
+
+
+# --------------------------------------------------- dup-graph triangles
+
+def _dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle support over the MinHash near-dup graph —
+    the clique-vs-chain diagnostic: documents whose pair-edges close
+    into triangles are hard duplicates; bridge documents with edges
+    but no triangles are threshold artifacts. Degree-oriented wedge
+    enumeration (operators/graph.triangle_counts) bounds fan-out by
+    graph degeneracy, not hub degree."""
+    from ..operators.graph import triangle_counts
+    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
+                                    threshold=NGRAM_THRESHOLD)
+    return triangle_counts(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+
+
+def _dup_triangles_sql() -> str:
+    # the oracle enumerates each triangle once as an ordered triple
+    # x<y<z over the canonical (a<b) edge list — the same triangle set
+    # the degree-oriented Spark plan finds, counted per member node
+    return f"""
+WITH pairs AS ({_minhash_pairs_sql()}),
+e AS (SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+      FROM pairs WHERE doc_a <> doc_b),
+nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+support AS (
+  SELECT node, count(*) AS n FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+  GROUP BY 1)
+SELECT n.node AS node, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN support s USING (node)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
                              "exact dedup via md5 hash-agg"),
@@ -1795,4 +1851,13 @@ QUERIES: dict[str, Query] = {
                                       "text near-dup pairs scored with "
                                       "embedding cosine (threshold "
                                       "calibration report)"),
+    "doc_distinct_sketch": Query(_distinct_sketch,
+                                 sketch.kmv_sketch_sql(k=SKETCH_K),
+                                 "KMV distinct-count sketch per source "
+                                 "+ merged — the cross-engine-"
+                                 "verifiable cardinality sketch"),
+    "doc_dup_triangles": Query(_dup_triangles, _dup_triangles_sql(),
+                               "per-doc triangle support on the "
+                               "near-dup graph (degree-oriented wedge "
+                               "enumeration)"),
 }

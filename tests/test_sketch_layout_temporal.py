@@ -1,0 +1,156 @@
+"""Known-answer tests for the round-4 operator additions: KMV
+cardinality sketch, triangle counting, compaction planning, SCD2."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- KMV sketch
+
+def test_kmv_exact_below_k(spark):
+    """Groups with fewer than k distinct keys are counted EXACTLY
+    (the sketch is the key set), including after merging."""
+    from ethereum_export_pipeline_spark.operators.sketch import kmv_sketch
+    rows = ([("a", f"k{i}") for i in range(5)]
+            + [("a", "k0")]              # duplicate: distinct = 5
+            + [("b", f"k{i}") for i in range(3, 10)])  # distinct = 7
+    df = spark.createDataFrame(rows, "grp string, key string")
+    out = {r["grp"]: r for r in
+           kmv_sketch(df, group_col="grp", key_col="key", k=32).collect()}
+    assert out["a"]["n_kept"] == 5 and out["a"]["est_distinct"] == 5.0
+    assert out["b"]["n_kept"] == 7 and out["b"]["est_distinct"] == 7.0
+    # union of the two key sets = k0..k9 → merged exact = 10
+    assert out["__ALL__"]["n_kept"] == 10
+    assert out["__ALL__"]["est_distinct"] == 10.0
+
+
+def test_kmv_estimates_within_tolerance(spark):
+    """For n >> k the estimate lands within the sketch's expected
+    relative error envelope (σ ≈ 1/√(k−2); allow 4σ)."""
+    from ethereum_export_pipeline_spark.operators.sketch import kmv_sketch
+    k, n = 64, 5000
+    df = spark.createDataFrame([("g", f"key-{i}") for i in range(n)],
+                               "grp string, key string")
+    row = {r["grp"]: r for r in
+           kmv_sketch(df, group_col="grp", key_col="key", k=k).collect()}
+    est = row["g"]["est_distinct"]
+    assert row["g"]["n_kept"] == k
+    assert abs(est - n) / n < 4 / (k - 2) ** 0.5, est
+    # the merged row over one group is the same sketch
+    assert row["__ALL__"]["est_distinct"] == est
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """Sketch mergeability: merging per-group sketches must give the
+    SAME sketch as hashing the union directly — the property that
+    lets 1000 executors combine partials without a rescan."""
+    from ethereum_export_pipeline_spark.operators.sketch import kmv_sketch
+    k = 16
+    rows = ([("a", f"x{i}") for i in range(200)]
+            + [("b", f"x{i}") for i in range(100, 300)])  # overlap 100..199
+    df = spark.createDataFrame(rows, "grp string, key string")
+    merged = {r["grp"]: r for r in
+              kmv_sketch(df, group_col="grp", key_col="key", k=k).collect()}
+    direct = {r["grp"]: r for r in
+              kmv_sketch(df.withColumn("grp", F.lit("u")),
+                         group_col="grp", key_col="key", k=k).collect()}
+    assert merged["__ALL__"]["kth_min"] == direct["u"]["kth_min"]
+    assert merged["__ALL__"]["est_distinct"] == direct["u"]["est_distinct"]
+
+
+# -------------------------------------------------------------- triangles
+
+def test_triangle_counts_known_graph(spark):
+    """K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant
+    chain 4-5-6 (no triangles, but nodes must still report 0)."""
+    from ethereum_export_pipeline_spark.operators.graph import triangle_counts
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}
+
+
+def test_triangle_counts_direction_and_dup_insensitive(spark):
+    """Reversed/duplicate edges and self-loops must not change counts."""
+    from ethereum_export_pipeline_spark.operators.graph import triangle_counts
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)],
+        "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+# -------------------------------------------------------------- compaction
+
+def test_compaction_plan_order_and_conservation(spark):
+    """Offset binning: key order preserved (bins are contiguous key
+    ranges), every file in exactly one bin, bytes conserved, and an
+    oversized file leaves the bins its tail spans empty."""
+    from ethereum_export_pipeline_spark.operators.layout import compaction_plan
+    files = [(i, 10) for i in range(10)]          # 100 B of small files
+    files.append((10, 250))                       # oversized (target 100)
+    files += [(11 + i, 30) for i in range(6)]     # 180 B tail
+    df = spark.createDataFrame(files, "file_id long, bytes long")
+    plan = (compaction_plan(df, target_bytes=100)
+            .orderBy("bin").collect())
+    assert sum(r["n_files"] for r in plan) == len(files)
+    assert sum(r["total_bytes"] for r in plan) == 10 * 10 + 250 + 6 * 30
+    # bins cover disjoint, increasing key ranges
+    for prev, cur in zip(plan, plan[1:]):
+        assert prev["last_file"] < cur["first_file"]
+    # the oversized file starts at offset 100 → bin 1, alone; its tail
+    # spans bins 2 and 3 which therefore don't exist; next file starts
+    # at offset 350 → bin 3 exists for the tail files
+    by_bin = {r["bin"]: r for r in plan}
+    assert by_bin[1]["n_files"] == 1 and by_bin[1]["total_bytes"] == 250
+    assert 2 not in by_bin
+    assert by_bin[3]["first_file"] == 11
+
+
+def test_compaction_plan_two_level_prefix_sum_crosses_buckets(spark):
+    """The distributed prefix sum must be globally correct across
+    bucket boundaries (bucket=4 forces multiple buckets)."""
+    from ethereum_export_pipeline_spark.operators.layout import compaction_plan
+    df = spark.createDataFrame([(i, 7) for i in range(40)],
+                               "file_id long, bytes long")
+    plan = compaction_plan(df, target_bytes=70, bucket=4).orderBy("bin").collect()
+    # 40×7=280 bytes → exactly 4 bins of 10 files each
+    assert [r["n_files"] for r in plan] == [10, 10, 10, 10]
+    assert [r["first_file"] for r in plan] == [0, 10, 20, 30]
+
+
+# ------------------------------------------------------------------ SCD2
+
+def test_scd2_runs_versions_and_current_flag(spark):
+    """Consecutive same values collapse into one version; changes
+    close the prior version at the change instant (half-open); the
+    last version is open/current; A→B→A yields three versions."""
+    from ethereum_export_pipeline_spark.operators.temporal import scd2
+    log = [(1, "A", 100, 1), (1, "A", 200, 2), (1, "B", 300, 3),
+           (1, "A", 400, 4), (2, "X", 50, 5)]
+    df = spark.createDataFrame(
+        log, "user_id long, event_type string, ts_us long, event_id long")
+    out = sorted(scd2(df).collect(), key=lambda r: (r["user_id"], r["version"]))
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [(r["attr"], r["valid_from_us"], r["valid_to_us"], r["is_current"])
+            for r in u1] == [("A", 100, 300, 0), ("B", 300, 400, 0),
+                             ("A", 400, None, 1)]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert [(r["version"], r["is_current"]) for r in u2] == [(1, 1)]
+
+
+def test_scd2_null_attr_and_tiebreak(spark):
+    """NULL→NULL is not a change (null-safe compare); same-timestamp
+    rows order deterministically by the sequence column."""
+    from ethereum_export_pipeline_spark.operators.temporal import scd2
+    log = [(1, None, 100, 1), (1, None, 200, 2), (1, "A", 300, 3),
+           (3, "P", 500, 10), (3, "Q", 500, 11)]
+    df = spark.createDataFrame(
+        log, "user_id long, event_type string, ts_us long, event_id long")
+    out = sorted(scd2(df).collect(), key=lambda r: (r["user_id"], r["version"]))
+    u1 = [(r["attr"], r["valid_from_us"]) for r in out if r["user_id"] == 1]
+    assert u1 == [(None, 100), ("A", 300)]
+    u3 = [(r["attr"], r["version"]) for r in out if r["user_id"] == 3]
+    assert u3 == [("P", 1), ("Q", 2)]  # event_id breaks the ts tie
