@@ -71,8 +71,10 @@ HEADLINE = [
     "doc_mix_sample",
     "doc_training_manifest",
     "doc_decontaminate",
+    "doc_bloom_decontaminate",
     "doc_delete_ids",
     "doc_snapshot_diff",
+    "doc_token_drift",
     "doc_trade_pagerank",
     "doc_distinct_sketch",
     "doc_dup_triangles",

@@ -75,7 +75,14 @@ def compaction_plan(files: DataFrame, target_bytes: int,
               .select(F.col(key_col).alias("f"),
                       F.col(bytes_col).cast("long").alias("sz"),
                       F.expr(f"CAST({key_col} AS BIGINT) div {bucket}")
-                       .alias("_bkt")))
+                       .alias("_bkt"))
+              # explicit, though implied by the join: both consumers of
+              # the bucket exchange (window, totals) then canonicalize
+              # identically and AQE reuses ONE shuffle — without it the
+              # join branch alone gets an inferred isnotnull(_bkt) and
+              # the inventory is derived twice (pack_sequences:
+              # the same discipline)
+              .where(F.col("_bkt").isNotNull()))
     w_local = (Window.partitionBy("_bkt").orderBy("f")
                      .rowsBetween(Window.unboundedPreceding, -1))
     local = n.withColumn(

@@ -530,3 +530,51 @@ def length_order_stats(df: DataFrame, id_col: str = "doc_id",
                    at(75).alias("len_p75"),
                    F.max(len_col).alias("len_max"))
     )
+
+
+PPB = 1_000_000_000  # parts-per-billion fixed point for drift freqs
+
+
+def token_drift(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                side_col=None) -> DataFrame:
+    """Token-distribution drift between two corpus slices — the
+    DISTRIBUTION-level monitor that complements `snapshot_diff`'s
+    row-level one (a refreshed crawl can keep every doc_id yet shift
+    its language mix; per-row diffs won't see it, frequency drift
+    will).
+
+    `side_col` is a 0/1 Column splitting the corpus (default:
+    doc_id parity, standing in for snapshot tags). Per token:
+    occurrence counts in each side, fixed-point ppb frequencies
+    (freq = cnt·1e9 div side_total — truncating division, engine-
+    identical), and `drift_ppb` = |freq_a − freq_b|. Σ drift_ppb / 2
+    is the scaled total-variation distance; per-token rows rank WHAT
+    drifted. Fixed point keeps every value an exact BIGINT: a float
+    chi-square would sum doubles in shuffle order and flap any
+    cross-engine hash.
+
+    Scale shape: ONE corpus scan (both sides' counts are conditional
+    sums in the same token aggregate — no per-side scans), one
+    shuffle on the token key; the two side totals aggregate from the
+    vocabulary-sized count table and enter as a broadcast cross join
+    (2 ints). At 100 TB the bill is the token-key exchange, same as
+    tf-idf's, bounded by vocabulary size after map-side combine."""
+    side = side_col if side_col is not None \
+        else (F.col(id_col) % 2 == 0).cast("int")
+    occ = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+           .select(side.alias("_a"), F.explode(TOKENS_COL).alias("tok")))
+    counts = (occ.groupBy("tok")
+                 .agg(F.sum("_a").cast("long").alias("cnt_a"),
+                      F.sum(1 - F.col("_a")).cast("long").alias("cnt_b")))
+    totals = counts.agg(F.sum("cnt_a").cast("long").alias("tot_a"),
+                        F.sum("cnt_b").cast("long").alias("tot_b"))
+    return (counts.crossJoin(F.broadcast(totals))
+                  .select("tok", "cnt_a", "cnt_b",
+                          F.expr(f"cnt_a * {PPB} div tot_a")
+                           .alias("freq_a_ppb"),
+                          F.expr(f"cnt_b * {PPB} div tot_b")
+                           .alias("freq_b_ppb"),
+                          F.expr(f"abs(cnt_a * {PPB} div tot_a - "
+                                 f"cnt_b * {PPB} div tot_b)")
+                           .alias("drift_ppb")))

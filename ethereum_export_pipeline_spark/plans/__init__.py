@@ -115,7 +115,14 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   # two-level prefix sum is the graded doc_pack
                   # machinery over a file inventory
                   "doc_distinct_sketch", "doc_dup_triangles",
-                  "eth_compaction_plan")
+                  "eth_compaction_plan",
+                  # bloom variant of the in-window doc_decontaminate
+                  # (same bench set, adds the sketch pre-filter)
+                  "doc_bloom_decontaminate",
+                  # distribution twin of the in-window machinery:
+                  # tokenize scan + token-key agg graded via doc_tfidf,
+                  # row-level diff via doc_snapshot_diff
+                  "doc_token_drift")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -1661,6 +1661,130 @@ FROM documents GROUP BY 1
 """
 
 
+# ----------------------------------------------- Bloom decontamination
+
+def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a DETERMINISTIC Bloom filter
+    (operators/sketch.bloom_build/probe) instead of the broadcast
+    semi join — the membership pre-filter for when the authoritative
+    set outgrows comfortable broadcast: the filter is m bits however
+    large the set, probes are map-side. Output per doc: bloom verdict
+    AND exact verdict side by side with the false-positive count, so
+    the hash check pins the no-false-negative guarantee
+    (n_bloom_hits ≥ n_exact_hits on every row)."""
+    from ..operators.sketch import bloom_bits, bloom_build, bloom_hit_expr
+    sh = dedup.shingles(load_table(spark, sf_dir, "documents"))
+    is_bench = (F.col("doc_id") % BENCH_MOD) == 0
+    # the bench shingle set feeds the filter build AND the exact
+    # verdict — materialize the (eval-suite-sized) set once instead of
+    # re-deriving it from a corpus tokenize scan per consumer
+    bench_sh = (sh.where(is_bench).select("shingle").distinct()
+                  .localCheckpoint(eager=True))
+    # the filter collapses to 128 longs at plan build and probes as a
+    # map-side literal expression — the relational bloom_probe twin
+    # shuffled 768 MB at ×100 re-aggregating per-position verdicts;
+    # this form shuffles nothing before the per-doc aggregate
+    bits = bloom_bits(bloom_build(bench_sh, key_col="shingle"))
+    probed = (sh.where(~is_bench).select("doc_id", "shingle")
+                .withColumn("bloom_hit", bloom_hit_expr("shingle", bits)))
+    exact = probed.join(F.broadcast(bench_sh.withColumn("_hit", F.lit(1))),
+                        "shingle", "left")
+    return (exact.groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_shingles"),
+                      F.sum("bloom_hit").alias("n_bloom_hits"),
+                      F.sum(F.coalesce("_hit", F.lit(0))).alias("n_exact_hits"))
+                 .select("doc_id",
+                         F.col("n_shingles").cast("long").alias("n_shingles"),
+                         F.col("n_bloom_hits").cast("long")
+                          .alias("n_bloom_hits"),
+                         F.col("n_exact_hits").cast("long")
+                          .alias("n_exact_hits"),
+                         (F.col("n_bloom_hits") > 0).cast("long")
+                          .alias("bloom_contaminated"),
+                         (F.col("n_exact_hits") > 0).cast("long")
+                          .alias("exact_contaminated"),
+                         (F.col("n_bloom_hits") - F.col("n_exact_hits"))
+                          .cast("long").alias("n_false_pos")))
+
+
+def _bloom_decontaminate_sql() -> str:
+    from ..operators.sketch import bloom_positions_sql
+    pos = bloom_positions_sql("shingle")
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+sh AS ({SHINGLES_CTE}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+limbs AS (
+  SELECT p // 32 AS limb, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM (SELECT unnest({pos}) AS p FROM bench) GROUP BY 1
+),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+probe AS (
+  SELECT doc_id, shingle, p // 32 AS limb,
+         1::BIGINT << CAST(p % 32 AS INT) AS mask
+  FROM (SELECT doc_id, shingle, unnest({pos}) AS p FROM corpus)
+),
+verdict AS (
+  SELECT p.doc_id, p.shingle,
+         min(CASE WHEN (coalesce(l.bits, 0) & p.mask) = p.mask
+                  THEN 1 ELSE 0 END) AS bloom_hit
+  FROM probe p LEFT JOIN limbs l USING (limb)
+  GROUP BY 1, 2
+),
+joined AS (
+  SELECT v.doc_id, v.bloom_hit,
+         CASE WHEN v.shingle IN (SELECT shingle FROM bench)
+              THEN 1 ELSE 0 END AS exact_hit
+  FROM verdict v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(exact_hit) AS BIGINT) AS n_exact_hits,
+       CAST(CASE WHEN sum(bloom_hit) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS bloom_contaminated,
+       CAST(CASE WHEN sum(exact_hit) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS exact_contaminated,
+       CAST(sum(bloom_hit) - sum(exact_hit) AS BIGINT) AS n_false_pos
+FROM joined GROUP BY 1
+"""
+
+
+# ------------------------------------------------- token drift monitor
+
+def _token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-level drift between the doc_id-parity corpus
+    slices — per-token fixed-point (ppb) frequency deltas
+    (operators/text.token_drift); Σ drift_ppb / 2 = scaled total
+    variation distance. One scan, one token-key shuffle."""
+    return text.token_drift(load_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_DRIFT_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+occ AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a, unnest(t) AS tok
+  FROM toks
+),
+counts AS (
+  SELECT tok, CAST(sum(a) AS BIGINT) AS cnt_a,
+         CAST(sum(1 - a) AS BIGINT) AS cnt_b
+  FROM occ GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+         CAST(sum(cnt_b) AS BIGINT) AS tot_b
+  FROM counts
+)
+SELECT tok, cnt_a, cnt_b,
+       cnt_a * {text.PPB} // tot_a AS freq_a_ppb,
+       cnt_b * {text.PPB} // tot_b AS freq_b_ppb,
+       abs(cnt_a * {text.PPB} // tot_a - cnt_b * {text.PPB} // tot_b)
+         AS drift_ppb
+FROM counts, tot
+"""
+
+
 # ---------------------------------------------------- KMV distinct sketch
 
 SKETCH_K = 32
@@ -1860,4 +1984,14 @@ QUERIES: dict[str, Query] = {
                                "per-doc triangle support on the "
                                "near-dup graph (degree-oriented wedge "
                                "enumeration)"),
+    "doc_bloom_decontaminate": Query(_bloom_decontaminate,
+                                     _bloom_decontaminate_sql(),
+                                     "decontamination via a "
+                                     "deterministic Bloom filter: "
+                                     "bloom verdict vs exact verdict "
+                                     "+ false-positive census"),
+    "doc_token_drift": Query(_token_drift, _TOKEN_DRIFT_SQL,
+                             "token-distribution drift between corpus "
+                             "slices (fixed-point ppb total-variation "
+                             "contributions)"),
 }

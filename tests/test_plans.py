@@ -208,3 +208,45 @@ def test_q19_or_brackets_single_scan(spark, catalog):
     plan = plan_of(catalog["q19_bracket_revenue"].fn(spark, SF_DIR))
     assert plan.count("Scan parquet") == 2  # lineitem + part, once each
     assert "Union" not in plan
+
+
+def test_compaction_plan_single_scan_reuses_bucket_exchange(spark, catalog):
+    # same discipline as doc_pack: bucket totals ride the per-bucket
+    # window's exchange — the inventory is scanned once
+    plan = plan_of(catalog["eth_compaction_plan"].fn(spark, SF_DIR),
+                   execute=True)
+    final = plan.split("Initial Plan")[0]
+    assert "ReusedExchange" in final or "ShuffleQueryStage" in final
+    assert final.count("FileScan parquet") == 1
+
+
+def test_token_drift_single_scan_broadcast_totals(spark, catalog):
+    # both sides' counts are conditional sums in ONE token aggregate
+    # (no per-side scans); the 1-row totals enter as a broadcast
+    plan = plan_of(catalog["doc_token_drift"].fn(spark, SF_DIR),
+                   execute=True)
+    final = plan.split("Initial Plan")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "BroadcastExchange" in final
+
+
+def test_bloom_probe_is_inline_literal(spark, catalog):
+    # the filter enters the plan as a LITERAL limb array probed
+    # map-side: one corpus scan, the exact-verdict broadcast join,
+    # and NO join or exchange for the bloom verdict itself (the
+    # relational probe shuffled 768 MB at ×100 — SCALE.md)
+    plan = plan_of(catalog["doc_bloom_decontaminate"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan          # exact verdict join
+    assert plan.count("FileScan parquet") == 1  # corpus scanned once
+    # bloom verdict = projection: exactly the joins the exact check
+    # needs, none added by the probe
+    assert plan.count("Join") == plan.count("BroadcastHashJoin")
+
+
+def test_kmv_sketch_merged_rides_kept_exchange(spark, catalog):
+    # the merged sketch is built FROM the per-group sketch rows: its
+    # branch must reuse the kept-rows exchange, not rescan the corpus
+    plan = plan_of(catalog["doc_distinct_sketch"].fn(spark, SF_DIR),
+                   execute=True)
+    final = plan.split("Initial Plan")[0]
+    assert "ReusedExchange" in final or "ShuffleQueryStage" in final

@@ -154,3 +154,54 @@ def test_scd2_null_attr_and_tiebreak(spark):
     assert u1 == [(None, 100), ("A", 300)]
     u3 = [(r["attr"], r["version"]) for r in out if r["user_id"] == 3]
     assert u3 == [("P", 1), ("Q", 2)]  # event_id breaks the ts tie
+
+
+# ---------------------------------------------------------- Bloom filter
+
+def test_bloom_no_false_negatives_and_rejects_most(spark):
+    """Every built-in key must probe positive (no false negatives);
+    foreign keys mostly probe negative (fp rate ~(1-e^{-kn/m})^k ≈
+    small at 200 keys / 4096 bits / 4 hashes)."""
+    from ethereum_export_pipeline_spark.operators.sketch import (
+        bloom_build, bloom_probe)
+    members = spark.createDataFrame([(f"in-{i}",) for i in range(200)],
+                                    "key string")
+    limbs = bloom_build(members)
+    hits = bloom_probe(members, limbs).collect()
+    assert all(r["bloom_hit"] == 1 for r in hits) and len(hits) == 200
+    outsiders = spark.createDataFrame([(f"out-{i}",) for i in range(500)],
+                                      "key string")
+    fp = sum(r["bloom_hit"] for r in bloom_probe(outsiders, limbs).collect())
+    assert fp < 50, f"false-positive rate implausibly high: {fp}/500"
+
+
+def test_bloom_limb_table_is_bounded(spark):
+    """The filter's relational size is m/32 rows regardless of how
+    many keys were inserted — the property that makes it shippable
+    where a broadcast set is not."""
+    from ethereum_export_pipeline_spark.operators.sketch import (
+        BLOOM_M, bloom_build)
+    big = spark.createDataFrame([(f"k{i}",) for i in range(5000)],
+                                "key string")
+    assert bloom_build(big).count() <= BLOOM_M // 32
+
+
+# ------------------------------------------------------------ token drift
+
+def test_token_drift_identical_and_disjoint(spark):
+    """Identical slices → zero drift on every token; fully disjoint
+    vocabularies → each token's drift equals its own side frequency
+    (and Σ drift_ppb / 2 ≈ 1e9, the maximum total variation)."""
+    from ethereum_export_pipeline_spark.operators.text import token_drift
+    same = spark.createDataFrame(
+        [(i, "alpha beta beta") for i in range(10)],
+        "doc_id long, text string")
+    rows = token_drift(same).collect()
+    assert rows and all(r["drift_ppb"] == 0 for r in rows)
+    disjoint = spark.createDataFrame(
+        [(0, "aa aa bb"), (2, "aa bb cc"), (1, "xx yy"), (3, "zz zz")],
+        "doc_id long, text string")
+    out = {r["tok"]: r for r in token_drift(disjoint).collect()}
+    assert out["aa"]["cnt_b"] == 0 and out["xx"]["cnt_a"] == 0
+    tv2 = sum(r["drift_ppb"] for r in out.values())
+    assert abs(tv2 - 2 * 10**9) <= 4  # truncating div: ≤1 ulp per token

@@ -252,6 +252,68 @@ def main() -> int:
 
     bench("trade_pagerank", trade_pagerank)
 
+    # round-4 additions: sketches, dup-graph triangles, compaction,
+    # SCD2. All over the same density-preserving amplified inputs.
+    from ethereum_export_pipeline_spark.operators import sketch as sk
+    from ethereum_export_pipeline_spark.operators.graph import triangle_counts
+    from ethereum_export_pipeline_spark.operators.layout import compaction_plan
+    from ethereum_export_pipeline_spark.operators.temporal import scd2
+
+    bench("kmv_sketch",
+          lambda: sk.kmv_sketch(
+              big_docs.withColumn("source",
+                                  F.expr("CAST(doc_id % 20 AS STRING)")),
+              group_col="source", key_col="text", k=32))
+
+    bench("dup_triangles",
+          lambda: triangle_counts(
+              dedup.minhash_lsh_pairs(big_docs)
+                   .select(F.col("doc_a").alias("src"),
+                           F.col("doc_b").alias("dst"))))
+
+    def bloom_decon():
+        # the inline (literal-filter) probe — the 100 TB path; the
+        # relational bloom_probe twin measured 187 s / 768 MB shuffle
+        # at ×100 re-aggregating per-position verdicts
+        sh = dedup.shingles(big_docs)
+        is_bench = (F.col("doc_id") % 97) == 0
+        bench_sh = (sh.where(is_bench).select("shingle").distinct()
+                      .localCheckpoint(eager=True))
+        bits = sk.bloom_bits(sk.bloom_build(bench_sh, key_col="shingle"))
+        return (sh.where(~is_bench).select("doc_id", "shingle")
+                  .withColumn("bloom_hit",
+                              sk.bloom_hit_expr("shingle", bits))
+                  .groupBy("doc_id")
+                  .agg(F.sum("bloom_hit").alias("n_bloom_hits")))
+
+    bench("bloom_decontaminate", bloom_decon)
+
+    bench("compaction_plan",
+          lambda: compaction_plan(
+              big_docs.select(F.expr("doc_id div 50").alias("file_id"),
+                              F.length("text").alias("bytes"))
+                      .groupBy("file_id")
+                      .agg(F.expr("CAST(sum(bytes) AS BIGINT)")
+                            .alias("bytes")),
+              target_bytes=1 << 20))
+
+    def scd2_scaled():
+        from ethereum_export_pipeline_spark.sources.tables import (
+            with_event_time)
+        ev = with_event_time(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+        n_users = 20_000
+        ev2 = (ev.crossJoin(copies)
+                 .select((F.col("user_id") + F.col("copy") * n_users)
+                         .alias("user_id"),
+                         "event_type",
+                         F.expr("ts_ns div 1000").alias("ts_us"),
+                         "event_id"))
+        return scd2(ev2)
+
+    bench("scd2", scd2_scaled)
+
+    bench("token_drift", lambda: text.token_drift(big_docs))
+
     BULK_PRED = "vec_id < 200"
     bench_no_broadcast(
         "ivf_topk_bulk",
