@@ -67,6 +67,7 @@ HEADLINE = [
     "doc_repetition",
     "doc_chunk",
     "doc_tfidf",
+    "doc_bm25",
     "doc_pack",
     "doc_mix_sample",
     "doc_training_manifest",
@@ -74,6 +75,7 @@ HEADLINE = [
     "doc_bloom_decontaminate",
     "doc_delete_ids",
     "doc_snapshot_diff",
+    "doc_apply_changes",
     "doc_token_drift",
     "doc_trade_pagerank",
     "doc_distinct_sketch",

@@ -142,3 +142,56 @@ def delete_ids(spark: SparkSession, corpus_dir: str, ids: DataFrame,
             shutil.rmtree(full, ignore_errors=True)
     return {"partitions_rewritten": _null_last(affected),
             "rows_deleted": n_before - n_after}
+
+
+def apply_changes(base: DataFrame, changes: DataFrame,
+                  id_col: str = "doc_id",
+                  payload_cols: tuple[str, ...] = ("text",),
+                  op_col: str = "op",
+                  seq_col: str = "seq") -> DataFrame:
+    """CDC MERGE: apply a change feed (I/U/D rows with a sequence
+    number) to a base snapshot and return the next snapshot — the
+    Delta/Iceberg ``MERGE INTO`` shape on plain DataFrames, and the
+    batch twin of the streaming `incremental_rollup` upsert.
+
+    Semantics: per key, the HIGHEST-`seq_col` change wins (late feed
+    entries supersede earlier ones — the multi-batch CDC compaction
+    rule; ties broken by op for determinism); 'D' drops the row,
+    'I'/'U' take the change's payload (an 'U' for an absent key
+    behaves as insert, an 'I' for a present key as update — the
+    idempotent upsert convention); keys without changes pass
+    through. Output adds `action` ('kept'/'inserted'/'updated') for
+    audit. Presence is tracked with explicit flags, never payload
+    nullness — NULL payloads are legal data.
+
+    Scale shape: the change feed aggregates to latest-per-key (one
+    shuffle of the CHANGES, which are deltas — small), then ONE
+    full-outer hash join against the base on the key. The base
+    shuffles once on its key; with both sides bucketed on the key
+    (operators/skew bucketing) the exchange disappears entirely. No
+    windows over the base, no iteration."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("_k").orderBy(F.col(seq_col).desc(),
+                                         F.col("_op").asc())
+    latest = (changes.select(F.col(id_col).alias("_k"),
+                             F.col(op_col).alias("_op"),
+                             F.col(seq_col),
+                             *[F.col(c).alias(f"_c_{c}")
+                               for c in payload_cols])
+                     .withColumn("_rn", F.row_number().over(w))
+                     .where(F.col("_rn") == 1)
+                     .drop("_rn", seq_col)
+                     .withColumn("_in_changes", F.lit(1)))
+    b = (base.select(F.col(id_col).alias("_k"),
+                     *[F.col(c) for c in payload_cols])
+             .withColumn("_in_base", F.lit(1)))
+    j = b.join(latest, "_k", "full_outer")
+    return (j.where(F.col("_op").isNull() | (F.col("_op") != "D"))
+             .select(
+                 F.col("_k").alias(id_col),
+                 *[F.when(F.col("_in_changes").isNotNull(),
+                          F.col(f"_c_{c}")).otherwise(F.col(c)).alias(c)
+                   for c in payload_cols],
+                 F.when(F.col("_in_changes").isNull(), F.lit("kept"))
+                  .when(F.col("_in_base").isNull(), F.lit("inserted"))
+                  .otherwise(F.lit("updated")).alias("action")))

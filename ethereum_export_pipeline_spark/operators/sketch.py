@@ -67,6 +67,8 @@ def kmv_sketch(df: DataFrame, group_col: str = "source",
     per_group = (kept.groupBy("grp")
                      .agg(F.count(F.lit(1)).alias("n_kept"),
                           F.max("h").alias("kth_min")))
+    # global window, but over the UNION OF SKETCHES — ≤ k rows per
+    # group reach it, never the key universe
     merged_kept = (kept.select("h").distinct()
                        .withColumn("rk", F.row_number().over(
                            Window.orderBy("h")))

@@ -578,3 +578,79 @@ def token_drift(df: DataFrame, id_col: str = "doc_id",
                           F.expr(f"abs(cnt_a * {PPB} div tot_a - "
                                  f"cnt_b * {PPB} div tot_b)")
                            .alias("drift_ppb")))
+
+
+BM25_TOPK = 20
+BM25_QTERMS = 3
+
+
+def bm25_topk(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", k: int = BM25_TOPK,
+              n_query_terms: int = BM25_QTERMS) -> DataFrame:
+    """BM25-shaped retrieval scoring in EXACT fixed-point integers —
+    the lexical-search counterpart of the ANN tier (the other half of
+    a retrieval stack: sparse keyword scoring next to dense vectors).
+
+    Differences from textbook BM25, both forced by cross-engine
+    hashing and both rank-preserving:
+      * idf is LINEAR (N/df), not log — same rationale as
+        `tfidf_top_terms` (libm `ln` differs between engines in the
+        last ulp);
+      * the k1=1.2 / b=0.75 saturation term is computed in integer
+        arithmetic: with T = total tokens, N = docs, the saturation
+        tf·(k1+1) / (tf + k1(1−b) + k1·b·dl·N/T) multiplies through
+        by 20·T into sat_ppm = (44·tf·T·10⁶) div
+        (20·T·tf + 6·T + 18·dl·N) — truncating integer division both
+        engines share, then contrib = (sat_ppm·N) div df and the
+        per-doc score Σ contrib is an exact BIGINT sum (a float BM25
+        would sum in shuffle order and flap the hash). Bound:
+        tf·T < ~2·10¹¹ keeps 44·tf·T·10⁶ inside int64 — at larger
+        corpora drop the 10⁶ to 10³.
+
+    The query is the corpus's `n_query_terms` highest-df terms
+    (deterministic fixture stand-in for a user query — swap the
+    `qterms` frame for a literal list in real use; high-df terms are
+    deliberately the WORST case for BM25's saturation, which the
+    scores then demonstrate).
+
+    Scale shape: identical to `tfidf_top_terms` — ONE tokenize scan
+    into the (doc, term) tf aggregate; df and dl are windows over
+    that frame (term-key and doc-key exchanges); T broadcasts as one
+    row, the query terms as `n_query_terms` rows; final top-k is a
+    TakeOrdered, not a global sort."""
+    from pyspark.sql import Window
+    tf = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = (df.where(F.col(text_col).isNotNull())
+                .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    stats = (tf.withColumn("df", F.count(F.lit(1)).over(
+                 Window.partitionBy("term")).cast("long"))
+               .withColumn("dl", F.sum("tf").over(
+                 Window.partitionBy(id_col)).cast("long")))
+    totals = tf.agg(F.sum("tf").cast("long").alias("t_tokens"))
+    qterms = (stats.select("term", "df").distinct()
+                   .withColumn("_qr", F.row_number().over(
+                       Window.orderBy(F.col("df").desc(),
+                                      F.col("term").asc())))
+                   .where(F.col("_qr") <= n_query_terms)
+                   .select("term"))
+    scored = (stats.join(F.broadcast(qterms), "term")
+                   .crossJoin(F.broadcast(totals))
+                   .crossJoin(F.broadcast(n_docs))
+                   .withColumn("sat_ppm", F.expr(
+                       "(44 * tf * t_tokens * 1000000) div "
+                       "(20 * t_tokens * tf + 6 * t_tokens + 18 * dl * n)"))
+                   .withColumn("contrib",
+                               F.expr("(sat_ppm * n) div df")))
+    agg = (scored.groupBy(id_col)
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+                      F.max("dl").alias("dl"),
+                      F.expr("CAST(sum(contrib) AS BIGINT)").alias("score")))
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition
+    # top-k + driver merge); the rank window then runs over the k
+    # surviving rows only — never a global sort of the match set
+    top = agg.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -122,7 +122,14 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   # distribution twin of the in-window machinery:
                   # tokenize scan + token-key agg graded via doc_tfidf,
                   # row-level diff via doc_snapshot_diff
-                  "doc_token_drift")
+                  "doc_token_drift",
+                  # full-outer key-join skeleton graded in-window via
+                  # doc_snapshot_diff; the latest-per-key window via
+                  # q_window_topn
+                  "doc_apply_changes",
+                  # tokenize→tf→window-df skeleton graded in-window
+                  # via doc_tfidf; adds integer BM25 saturation
+                  "doc_bm25")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -1750,6 +1750,121 @@ FROM joined GROUP BY 1
 """
 
 
+# ------------------------------------------------------- BM25 retrieval
+
+def _bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point BM25 top-20 for the corpus's 3 highest-df query
+    terms (operators/text.bm25_topk): saturation and linear idf in
+    exact integer arithmetic, TakeOrdered final ranking."""
+    return text.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+_BM25_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+       WHERE text IS NOT NULL),
+stats AS (
+  SELECT doc_id, term, tf,
+         CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+  FROM tf
+),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t_tokens FROM tf),
+qterms AS (
+  SELECT term FROM (
+    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS qr
+    FROM (SELECT DISTINCT term, df FROM stats)) WHERE qr <= {text.BM25_QTERMS}
+),
+scored AS (
+  SELECT s.doc_id, s.dl, s.df,
+         (44 * s.tf * t_tokens * 1000000) //
+         (20 * t_tokens * s.tf + 6 * t_tokens + 18 * s.dl * n) AS sat_ppm,
+         n
+  FROM stats s JOIN qterms USING (term), tot, nd
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+         CAST(max(dl) AS BIGINT) AS dl,
+         CAST(sum((sat_ppm * n) // df) AS BIGINT) AS score
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_hit_terms, dl, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank
+FROM agg ORDER BY score DESC, doc_id LIMIT {text.BM25_TOPK}
+"""
+
+
+# ------------------------------------------------------ CDC merge-into
+
+def _apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the corpus: a deterministic change feed —
+    superseded + final updates for doc_id%5 (seq precedence), deletes
+    for doc_id%7=3 (winning over same-key updates at higher seq),
+    inserts from the %11 slice under shifted keys — applied by
+    `operators/retention.apply_changes` (latest-per-key compaction +
+    ONE full-outer key join). The hash pins precedence, delete-wins,
+    pass-through, and payload content per surviving row."""
+    from ..operators.retention import apply_changes
+    d = load_table(spark, sf_dir, "documents")
+    u2 = d.where("doc_id % 5 = 0").select(
+        "doc_id", F.expr("concat(text, ' [rev2]')").alias("text"),
+        F.lit("U").alias("op"), F.lit(2).alias("seq"))
+    u1 = d.where("doc_id % 5 = 0").select(
+        "doc_id", F.expr("concat(text, ' [rev1]')").alias("text"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"))
+    dels = d.where("doc_id % 7 = 3").select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"), F.lit(3).alias("seq"))
+    ins = d.where("doc_id % 11 = 0").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.expr("concat('new: ', text)").alias("text"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"))
+    changes = u2.unionByName(u1).unionByName(dels).unionByName(ins)
+    out = apply_changes(d, changes)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.expr("md5(coalesce(text, ''))").alias("content_key"),
+                      "action")
+
+
+_APPLY_CHANGES_SQL = """
+WITH changes AS (
+  SELECT doc_id, text || ' [rev2]' AS text, 'U' AS op, 2 AS seq
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text || ' [rev1]', 'U', 1
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, NULL, 'D', 3 FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 10000000, 'new: ' || text, 'I', 1
+  FROM documents WHERE doc_id % 11 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY seq DESC, op) AS rn
+    FROM changes) WHERE rn = 1
+),
+j AS (
+  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+         CASE WHEN c.doc_id IS NOT NULL THEN c.text ELSE b.text END AS text,
+         CASE WHEN c.doc_id IS NULL THEN 'kept'
+              WHEN b.doc_id IS NULL THEN 'inserted'
+              ELSE 'updated' END AS action,
+         c.op AS op
+  FROM documents b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(coalesce(text, '')) AS content_key, action
+FROM j WHERE op IS NULL OR op <> 'D'
+"""
+
+
 # ------------------------------------------------- token drift monitor
 
 def _token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1994,4 +2109,12 @@ QUERIES: dict[str, Query] = {
                              "token-distribution drift between corpus "
                              "slices (fixed-point ppb total-variation "
                              "contributions)"),
+    "doc_apply_changes": Query(_apply_changes, _APPLY_CHANGES_SQL,
+                               "CDC MERGE INTO: latest-per-key change "
+                               "compaction + one full-outer key join "
+                               "(precedence, delete-wins, upsert)"),
+    "doc_bm25": Query(_bm25, _BM25_SQL,
+                      "fixed-point BM25 top-k (lexical retrieval "
+                      "next to the ANN tier; exact integer "
+                      "saturation + linear idf)"),
 }

@@ -205,3 +205,51 @@ def test_token_drift_identical_and_disjoint(spark):
     assert out["aa"]["cnt_b"] == 0 and out["xx"]["cnt_a"] == 0
     tv2 = sum(r["drift_ppb"] for r in out.values())
     assert abs(tv2 - 2 * 10**9) <= 4  # truncating div: ≤1 ulp per token
+
+
+# ------------------------------------------------------------- CDC merge
+
+def test_apply_changes_precedence_and_actions(spark):
+    """Latest seq wins; delete wins at higher seq but LOSES to a
+    later update; upsert convention for absent keys; untouched keys
+    pass through as 'kept' even with NULL payloads."""
+    from ethereum_export_pipeline_spark.operators.retention import (
+        apply_changes)
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, None), (4, "four")],
+        "doc_id long, text string")
+    changes = spark.createDataFrame(
+        [(1, "one-v1", "U", 1), (1, "one-v2", "U", 2),   # latest wins
+         (2, None, "D", 9),                              # delete
+         (4, None, "D", 1), (4, "four-v2", "U", 2),      # U outlives D
+         (9, "nine", "U", 1)],                           # upsert-insert
+        "doc_id long, text string, op string, seq long")
+    out = {r["doc_id"]: r for r in apply_changes(base, changes).collect()}
+    assert 2 not in out
+    assert out[1]["text"] == "one-v2" and out[1]["action"] == "updated"
+    assert out[3]["text"] is None and out[3]["action"] == "kept"
+    assert out[4]["text"] == "four-v2" and out[4]["action"] == "updated"
+    assert out[9]["text"] == "nine" and out[9]["action"] == "inserted"
+    assert len(out) == 4
+
+
+# ----------------------------------------------------------------- BM25
+
+def test_bm25_saturation_and_length_normalization(spark):
+    """tf monotonicity with saturation (more tf → higher score,
+    diminishing) and b>0 length penalty (same tf, longer doc →
+    lower score); ranking follows score with doc_id tiebreak."""
+    from ethereum_export_pipeline_spark.operators.text import bm25_topk
+    docs = [(1, "hot hot hot"),          # tf=3, dl=3
+            (2, "hot hot hot pad pad pad pad pad pad"),  # tf=3, dl=9
+            (3, "hot"),                  # tf=1
+            (4, "cold cold")]            # no query term (hot is top-df)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           bm25_topk(df, n_query_terms=1, k=10).collect()}
+    assert 4 not in out  # 'hot' is the single query term (df=3 > others)
+    assert out[1]["score"] > out[2]["score"] > 0   # length normalization
+    assert out[1]["score"] > out[3]["score"]       # tf monotone
+    ranked = sorted(out.values(), key=lambda r: r["rank"])
+    scores = [r["score"] for r in ranked]
+    assert scores == sorted(scores, reverse=True)

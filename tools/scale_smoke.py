@@ -314,6 +314,25 @@ def main() -> int:
 
     bench("token_drift", lambda: text.token_drift(big_docs))
 
+    def apply_changes_scaled():
+        from ethereum_export_pipeline_spark.operators.retention import (
+            apply_changes)
+        changes = (big_docs.where("doc_id % 5 = 0")
+                   .select("doc_id",
+                           F.expr("concat(text, ' [rev2]')").alias("text"),
+                           F.lit("U").alias("op"), F.lit(2).alias("seq"))
+                   .unionByName(
+                       big_docs.where("doc_id % 7 = 3")
+                       .select("doc_id",
+                               F.lit(None).cast("string").alias("text"),
+                               F.lit("D").alias("op"),
+                               F.lit(3).alias("seq"))))
+        return apply_changes(big_docs, changes)
+
+    bench("apply_changes", apply_changes_scaled)
+
+    bench("bm25", lambda: text.bm25_topk(big_docs))
+
     BULK_PRED = "vec_id < 200"
     bench_no_broadcast(
         "ivf_topk_bulk",
