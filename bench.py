@@ -52,6 +52,7 @@ HEADLINE = [
     "eth_zorder_key",
     "eth_quality_audit",
     "eth_compaction_plan",
+    "eth_table_profile",
     "q_scd2_versions",
     "doc_dedup_exact",
     "doc_ngram_pairs",

@@ -156,7 +156,10 @@ def apply_changes(base: DataFrame, changes: DataFrame,
 
     Semantics: per key, the HIGHEST-`seq_col` change wins (late feed
     entries supersede earlier ones — the multi-batch CDC compaction
-    rule; ties broken by op for determinism); 'D' drops the row,
+    rule; seq ties broken by op ascending; the feed contract is
+    unique seq per key — full-tie rows must be payload-identical or
+    the pick among them is undefined, as in any CDC compactor);
+    'D' drops the row,
     'I'/'U' take the change's payload (an 'U' for an absent key
     behaves as insert, an 'I' for a present key as update — the
     idempotent upsert convention); keys without changes pass

@@ -129,7 +129,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "doc_apply_changes",
                   # tokenize→tf→window-df skeleton graded in-window
                   # via doc_tfidf; adds integer BM25 saturation
-                  "doc_bm25")
+                  "doc_bm25",
+                  # one-scan conditional-agg skeleton graded in-window
+                  # via eth_quality_audit (same stack-melt discipline)
+                  "eth_table_profile")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -662,6 +662,29 @@ FROM pre GROUP BY 1
 """
 
 
+# -------------------------------------------------------- table profile
+
+_PROFILE_INT = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+
+
+def _table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profiling of lineitem (exact-typed columns:
+    four BIGINTs + two VARCHARs) — `operators/checks.profile_table`;
+    the statistics pass behind schema docs and drift alarms."""
+    from ..operators.checks import profile_table
+    return profile_table(load_table(spark, sf_dir, "lineitem"),
+                         int_cols=_PROFILE_INT, str_cols=_PROFILE_STR)
+
+
+_TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", CAST(count({c}) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value FROM lineitem"""
+    for c in _PROFILE_INT + _PROFILE_STR)
+
+
 QUERIES: dict[str, Query] = {
     "eth_typed_projection": Query(_typed_projection, _TYPED_PROJECTION_SQL,
                                   "P1-P3 ApplyMapping typed projection"),
@@ -712,4 +735,7 @@ QUERIES: dict[str, Query] = {
                                  "small-file compaction planning: "
                                  "order-preserving bin packing via "
                                  "distributed prefix sum"),
+    "eth_table_profile": Query(_table_profile, _TABLE_PROFILE_SQL,
+                               "one-scan column profiling: n_nonnull/"
+                               "ndv/min/max per column, melted"),
 }

@@ -236,3 +236,18 @@ def test_quality_checks_known_violations(spark):
     assert (orph.rule, orph.n_violations) == ("ref_k", 0)
     parent2 = spark.createDataFrame([(1,)], "k long")
     assert check_ref(df, parent2, "k", "k").collect()[0].n_violations == 2
+
+
+def test_profile_table_known_stats(spark):
+    """One-scan profiling: exact nonnull/ndv/min/max per column,
+    NULLs excluded from all four statistics."""
+    from ethereum_export_pipeline_spark.operators.checks import profile_table
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (None, "b"), (7, "a")],
+        "k long, s string")
+    out = {r["column"]: r for r in
+           profile_table(df, int_cols=("k",), str_cols=("s",)).collect()}
+    assert (out["k"]["n_nonnull"], out["k"]["n_distinct"],
+            out["k"]["min_value"], out["k"]["max_value"]) == (4, 3, "1", "7")
+    assert (out["s"]["n_nonnull"], out["s"]["n_distinct"],
+            out["s"]["min_value"], out["s"]["max_value"]) == (4, 2, "a", "b")

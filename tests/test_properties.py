@@ -241,3 +241,121 @@ def test_star_contraction_matches_union_find(spark, edges):
     got = {r.doc_id: r.cluster_id
            for r in connected_components_star(pairs).collect()}
     assert got == expected
+
+
+@given(log=st.lists(
+    st.tuples(st.integers(1, 4),                      # user
+              st.sampled_from(["A", "B", "C", None]),  # attr
+              st.integers(0, 50)),                     # ts
+    min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_scd2_reconstructs_point_in_time_state(spark, log):
+    """SCD2 soundness: for every (user, t), the version row whose
+    [valid_from, valid_to) interval covers t carries exactly the
+    attribute a python replay of the log reports at t."""
+    from ethereum_export_pipeline_spark.operators.temporal import scd2
+    rows = [(u, a, t, i) for i, (u, a, t) in enumerate(log)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_us long, event_id long")
+    versions = scd2(df).collect()
+    by_user: dict = {}
+    for u, a, t, i in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+        by_user.setdefault(u, []).append((t, a))
+    for u, seq in by_user.items():
+        vs = sorted([v for v in versions if v["user_id"] == u],
+                    key=lambda v: v["version"])
+        # intervals tile [first_ts, ∞) with no gaps or overlaps
+        assert vs[0]["valid_from_us"] == seq[0][0]
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+        assert vs[-1]["valid_to_us"] is None and vs[-1]["is_current"] == 1
+        for t in {t for t, _ in seq} | {max(t for t, _ in seq) + 7}:
+            expected = [a for tt, a in seq if tt <= t][-1] if any(
+                tt <= t for tt, _ in seq) else None
+            covering = [v for v in vs
+                        if v["valid_from_us"] <= t
+                        and (v["valid_to_us"] is None
+                             or t < v["valid_to_us"])]
+            if any(tt <= t for tt, _ in seq):
+                assert len(covering) == 1
+                assert covering[0]["attr"] == expected
+
+
+@given(files=st.lists(st.integers(1, 300), min_size=1, max_size=50),
+       target=st.integers(10, 500))
+@settings(**SETTINGS)
+def test_compaction_plan_matches_python_reference(spark, files, target):
+    """Offset binning vs a sequential python replay: same bins, same
+    per-bin membership, bytes conserved."""
+    from ethereum_export_pipeline_spark.operators.layout import (
+        compaction_plan)
+    rows = [(i, sz) for i, sz in enumerate(files)]
+    df = spark.createDataFrame(rows, "file_id long, bytes long")
+    got = {r["bin"]: (r["n_files"], r["total_bytes"], r["first_file"],
+                      r["last_file"])
+           for r in compaction_plan(df, target_bytes=target,
+                                    bucket=7).collect()}
+    ref: dict = {}
+    before = 0
+    for i, sz in rows:
+        b = before // target
+        n, t, fo, la = ref.get(b, (0, 0, i, i))
+        ref[b] = (n + 1, t + sz, min(fo, i), max(la, i))
+        before += sz
+    assert got == ref
+
+
+@given(base=st.dictionaries(st.integers(0, 20),
+                            st.sampled_from(["x", "y", None]),
+                            max_size=15),
+       feed=st.lists(st.tuples(st.integers(0, 25),
+                               st.sampled_from(["I", "U", "D"]),
+                               st.integers(0, 9)),
+                     max_size=25))
+@settings(**SETTINGS)
+def test_apply_changes_matches_python_reference(spark, base, feed):
+    """CDC merge vs a python replay (latest seq wins, ties broken by
+    op ascending; D drops; I/U upsert), including idempotency:
+    re-applying the compacted feed to the result is a no-op."""
+    from ethereum_export_pipeline_spark.operators.retention import (
+        apply_changes)
+    base_rows = [(k, v) for k, v in base.items()]
+    # payload derived from (k, op, seq): exact-tie rows then carry
+    # identical payloads, matching the operator's contract (unique
+    # seq per key, or tie rows payload-identical)
+    feed_rows = [(k, f"{k}-{op}-{sq}" if op != "D" else None, op, sq)
+                 for (k, op, sq) in feed]
+    bdf = spark.createDataFrame(base_rows or [(999, "z")],
+                                "doc_id long, text string")
+    if not base_rows:
+        bdf = bdf.where("doc_id < 0")
+    cdf = spark.createDataFrame(feed_rows or [(999, "z", "U", 0)],
+                                "doc_id long, text string, op string, seq long")
+    if not feed_rows:
+        cdf = cdf.where("doc_id < 0")
+    got = {r["doc_id"]: (r["text"], r["action"])
+           for r in apply_changes(bdf, cdf).collect()}
+    latest: dict = {}
+    for k, txt, op, sq in feed_rows:
+        cur = latest.get(k)
+        # operator order: seq DESC, op ASC → max seq, min op on ties
+        if cur is None or sq > cur[0] or (sq == cur[0] and op < cur[1]):
+            latest[k] = (sq, op, txt)
+    ref = {}
+    for k, v in (base or {}).items():
+        if k not in latest:
+            ref[k] = (v, "kept")
+    for k, (sq, op, txt) in latest.items():
+        if op == "D":
+            continue
+        ref[k] = (txt, "updated" if k in (base or {}) else "inserted")
+    assert got == ref
+    # idempotency: reapply the same feed to the merged result
+    merged_df = spark.createDataFrame(
+        [(k, v[0]) for k, v in got.items()] or [(999, "z")],
+        "doc_id long, text string")
+    if not got:
+        merged_df = merged_df.where("doc_id < 0")
+    again = {r["doc_id"]: r["text"]
+             for r in apply_changes(merged_df, cdf).collect()}
+    assert again == {k: v[0] for k, v in got.items()}
