@@ -88,6 +88,7 @@ HEADLINE = [
     "emb_lsh_topk",
     "emb_ivf_topk",
     "emb_ivfpq_topk",
+    "emb_jl_rerank",
     "emb_neardup_pairs",
     "emb_neardup_multiband",
     "emb_semantic_dedup",

@@ -496,3 +496,99 @@ def crossmodal_agreement(pairs: DataFrame, emb: DataFrame,
                      (F.col("cosine") >= cos_threshold).cast("long")
                      .alias("emb_agrees"))
     )
+
+
+# --------------------------------------------- JL projection + rerank
+
+JL_DIM = 32    # projected dimensions (64 → 32: 2× cheaper candidates;
+               # ε ≈ √(ln n / 32) — the synthetic corpus's near-orthogonal
+               # vectors are JL's worst case, so the fixture default favors
+               # recall; clustered real embedding corpora tolerate 8-16)
+JL_CAND = 80   # stage-1 candidates per query fed to the exact rerank
+
+
+def jl_signs(out_dim: int = JL_DIM, dim: int = EMB_DIM) -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix from
+    md5('jl:j:d') — the sign-matrix (Achlioptas) JL variant: integer
+    dot products, exact on both engines. Namespaced apart from
+    `plane_signs` so LSH buckets and JL projections are independent."""
+    return [[1 if py_h32(f"jl:{j}:{d}") % 2 == 0 else -1
+             for d in range(dim)]
+            for j in range(out_dim)]
+
+
+def jl_rerank_topk(df: DataFrame, id_col: str = "vec_id",
+                   emb_col: str = "embedding", k: int = 5,
+                   n_cand: int = JL_CAND, query_pred: str | None = None,
+                   out_dim: int = JL_DIM, dim: int = EMB_DIM,
+                   max_queries: int = 10_000) -> DataFrame:
+    """Two-stage retrieval: rank candidates on a low-dim JL PROJECTION
+    (cheaper dot products, ±1 sign matrix — distances preserved to
+    1±ε with ε ≈ √(ln n / out_dim)), keep `n_cand` per query, then
+    EXACT-rerank only those on the full vectors — the coarse-then-
+    rerank pattern every production ANN stack uses (IVF-PQ's ADC is
+    the quantization flavor; this is the projection flavor, and the
+    two compose).
+
+    Output (query_id, neighbor_id, cosine, p_rank, rank): `cosine`
+    is EXACT (same expression as `brute_force_topk`, so overlapping
+    pairs score identically); `p_rank` is the stage-1 position —
+    p_rank ≠ rank rows are exactly the reorderings the rerank exists
+    to fix.
+
+    Scale shape: stage 1 scans the corpus once computing the
+    projection in-scan (out_dim × dim integer lambda ops per row) and
+    ranks per query on 16-int dots; stage 2 broadcasts the pruned
+    (Q × n_cand) candidate list back into ONE corpus scan for full
+    vectors — the 64-dim arithmetic runs on Q × n_cand rows, not
+    Q × N. The stage-1 candidate join is the same broadcast-queries
+    shape as `brute_force_topk` (and shares its `max_queries` guard);
+    at corpus scale compose with `ivf_topk`/`lsh_topk` cells for
+    candidate generation and keep this operator's rerank stage."""
+    from pyspark.sql import Window
+    query_pred = query_pred or f"{id_col} < 10"
+    S = matrix_lit(jl_signs(out_dim, dim))
+    base = (with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+            .withColumn("p", F.transform(
+                S, lambda s: F.aggregate(
+                    F.zip_with(F.col("qvec"), s, lambda x, y: x * y),
+                    F.lit(0).cast("long"), lambda a, v: a + v)))
+            .withColumn("pn2", F.expr(dot_expr("p", "p")))
+            .select(id_col, "qvec", "n2", "p", "pn2"))
+    q = (base.where(query_pred)
+             .select(F.col(id_col).alias("query_id"),
+                     F.col("p").alias("pq"), F.col("pn2").alias("pqn2")))
+    if max_queries is not None:
+        n_q = q.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"jl_rerank_topk: query_pred selects > {max_queries} rows; "
+                f"stage 1 broadcasts the query set — prune the predicate "
+                f"or compose with ivf_topk/lsh_topk for candidates")
+    c1 = base.select(F.col(id_col).alias("neighbor_id"),
+                     F.col("p").alias("pc"), F.col("pn2").alias("pcn2"))
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("neighbor_id").asc())
+    cands = (F.broadcast(q).crossJoin(c1)
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("pdot", F.expr(dot_expr("pq", "pc")))
+              .withColumn("pcos", _cosine(F.col("pdot"), F.col("pqn2"),
+                                          F.col("pcn2")))
+              .withColumn("p_rank", F.row_number().over(w1).cast("long"))
+              .where(F.col("p_rank") <= n_cand)
+              .select("query_id", "neighbor_id", "p_rank"))
+    qfull = (base.where(query_pred)
+                 .select(F.col(id_col).alias("query_id"),
+                         F.col("qvec").alias("qv"), F.col("n2").alias("qn2")))
+    cfull = base.select(F.col(id_col).alias("neighbor_id"),
+                        F.col("qvec").alias("cv"), F.col("n2").alias("cn2"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (F.broadcast(cands.join(F.broadcast(qfull), "query_id"))
+             .join(cfull, "neighbor_id")
+             .withColumn("dot", F.expr(dot_expr("qv", "cv")))
+             .withColumn("cosine", _cosine(F.col("dot"), F.col("qn2"),
+                                           F.col("cn2")))
+             .withColumn("rank", F.row_number().over(w2).cast("long"))
+             .where(F.col("rank") <= k)
+             .select("query_id", "neighbor_id", "cosine", "p_rank", "rank"))

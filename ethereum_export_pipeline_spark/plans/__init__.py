@@ -132,7 +132,11 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "doc_bm25",
                   # one-scan conditional-agg skeleton graded in-window
                   # via eth_quality_audit (same stack-melt discipline)
-                  "eth_table_profile")
+                  "eth_table_profile",
+                  # candidate-then-exact-verify skeleton graded
+                  # in-window via emb_lsh_topk; adds the projection
+                  # coarse stage + rerank
+                  "emb_jl_rerank")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -363,6 +363,61 @@ cos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM scored)
 """
 
 
+def _jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: 16-dim JL-projection candidate ranking →
+    exact rerank on full vectors (operators/similarity.jl_rerank_topk
+    — the coarse-then-rerank production ANN pattern; `p_rank` ≠
+    `rank` rows are the reorderings the rerank fixes)."""
+    return similarity.jl_rerank_topk(load_table(spark, sf_dir,
+                                                "embeddings"), k=TOPK_K)
+
+
+def _jl_rerank_sql() -> str:
+    proj = "[" + ", ".join(
+        "list_sum(list_transform(list_zip(q, ["
+        + ", ".join(str(s) for s in row)
+        + "]), s -> s[1] * s[2]))"
+        for row in similarity.jl_signs()) + "]"
+    pdot = "CAST(list_sum(list_transform(pq, (x, i) -> x * pc[i])) AS BIGINT)"
+    pcos = ("CAST(pdot AS DOUBLE) / "
+            "sqrt(CAST(pqn2 AS DOUBLE) * CAST(pcn2 AS DOUBLE))")
+    return f"""
+WITH {_BASE_CTES},
+pj AS (SELECT vec_id, q, n2, {proj} AS p FROM wn),
+pj2 AS (SELECT vec_id, q, n2, p,
+        CAST(list_sum(list_transform(p, x -> x * x)) AS BIGINT) AS pn2
+        FROM pj),
+q1 AS (SELECT vec_id AS query_id, p AS pq, pn2 AS pqn2 FROM pj2
+       WHERE vec_id < 10),
+c1 AS (SELECT vec_id AS neighbor_id, p AS pc, pn2 AS pcn2 FROM pj2),
+cand AS (
+  SELECT query_id, neighbor_id, p_rank FROM (
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY pcos DESC, neighbor_id ASC) AS BIGINT) AS p_rank
+    FROM (SELECT query_id, neighbor_id, {pcos} AS pcos
+          FROM (SELECT query_id, neighbor_id, {pdot} AS pdot, pqn2, pcn2
+                FROM q1 CROSS JOIN c1 WHERE neighbor_id <> query_id)))
+  WHERE p_rank <= {similarity.JL_CAND}
+),
+qf AS (SELECT vec_id AS query_id, q AS qv, n2 AS qn2 FROM wn
+       WHERE vec_id < 10),
+cf AS (SELECT vec_id AS neighbor_id, q AS cv, n2 AS cn2 FROM wn),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.p_rank,
+         {_DOT} AS dot, qn2, cn2
+  FROM cand JOIN qf USING (query_id) JOIN cf USING (neighbor_id)
+),
+cos AS (SELECT query_id, neighbor_id, p_rank, {_COS} AS cosine FROM scored)
+SELECT query_id, neighbor_id, cosine, p_rank, rk AS "rank" FROM (
+  SELECT query_id, neighbor_id, cosine, p_rank,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rk
+  FROM cos
+) WHERE rk <= {TOPK_K}
+"""
+
+
 LSH_TOPK_BANDS = 2  # graded default: OR-amplified recall (≥2 bands)
 
 
@@ -2117,4 +2172,8 @@ QUERIES: dict[str, Query] = {
                       "fixed-point BM25 top-k (lexical retrieval "
                       "next to the ANN tier; exact integer "
                       "saturation + linear idf)"),
+    "emb_jl_rerank": Query(_jl_rerank, _jl_rerank_sql(),
+                           "two-stage retrieval: JL-projection "
+                           "candidates + exact rerank (coarse-then-"
+                           "rerank ANN pattern)"),
 }
