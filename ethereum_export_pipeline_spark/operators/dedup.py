@@ -522,3 +522,90 @@ def decontaminate(df: DataFrame, id_col: str = "doc_id",
                   (F.col("n_hits").cast("double")
                    / F.col("n_shingles")).alias("hit_rate"))
     )
+
+
+# ----------------------------------------------- exact substring spans
+
+SUBSTR_GRAM_LEN = 20  # chars per gram (the "min duplicated length")
+
+
+def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        gram_len: int = SUBSTR_GRAM_LEN) -> DataFrame:
+    """EXACT duplicated-substring census — per document, the merged
+    character spans covered by any length-`gram_len` substring that
+    occurs at least twice anywhere in the corpus (including twice in
+    the same document: self-repetition is duplication too).
+
+    This is the "exact substring deduplication" signal of Lee et al.
+    2022 (Deduplicating Training Data Makes Language Models Better),
+    re-expressed for a shared-nothing engine: where the paper builds
+    a single-machine suffix array, here every overlapping character
+    gram becomes an inverted-index posting — the standard MapReduce
+    equivalent. A span duplicated for >= gram_len chars necessarily
+    contains a duplicated gram, so merged gram hits recover the
+    duplicated regions (granularity: span boundaries are gram-aligned,
+    the standard over-approximation by < gram_len chars per edge).
+
+    Pipeline (all exact integer / md5 arithmetic — oracle-twinned):
+      1. positions: explode 1..len-gram_len+1, key = md5(gram). Only
+         the 32-hex key + (doc_id, pos) ever shuffles — the text stays
+         in the scan.
+      2. duplicated keys: hash-agg on key HAVING count >= 2.
+      3. hit positions: semi join positions x duplicated keys.
+      4. span merge per doc: ascending positions, new-island flag when
+         the gap >= gram_len (equal-length spans: the running island
+         end is lag(pos)+gram_len-1), island id = running sum, then
+         min/max per island.
+    Returns one row per doc: (doc_id, n_chars, n_dup_spans, dup_chars,
+    dup_frac_ppm) — truncating-division ppm, exact BIGINTs throughout.
+
+    Scale shape: the honest cost of exactness is an exchange of ONE
+    POSTING PER CORPUS CHARACTER (~24 B each), i.e. O(corpus bytes)
+    shuffle — same asymptotics as the paper's suffix-array build, but
+    embarrassingly parallel. Map-side combine collapses within-
+    partition repeats of hot grams; the semi join shuffles the same
+    posting table again on the same key, so AQE plans it as one
+    exchange reuse. The span merge partitions by doc — bounded by the
+    longest document, not the corpus.
+    """
+    from pyspark.sql import Window
+    L = gram_len
+    base = df.where(F.col(text_col).isNotNull()
+                    & (F.length(text_col) >= L))
+    pos = base.select(
+        F.col(id_col), F.col(text_col),
+        F.explode(F.sequence(
+            F.lit(1), F.length(text_col) - L + 1)).alias("pos"))
+    keyed = pos.select(
+        F.col(id_col), F.col("pos"),
+        F.md5(F.expr(f"substr({text_col}, pos, {L})")).alias("gk"))
+    dup_keys = (keyed.groupBy("gk")
+                     .agg(F.count(F.lit(1)).alias("c"))
+                     .where(F.col("c") >= 2)
+                     .select("gk"))
+    hits = keyed.join(dup_keys, "gk", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = (hits.withColumn(
+               "_nf", F.when(F.lag("pos").over(w).isNull()
+                             | (F.col("pos") - F.lag("pos").over(w) >= L),
+                             1).otherwise(0))
+               .withColumn("_iid", F.sum("_nf").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    spans = (isl.groupBy(id_col, "_iid")
+                .agg(F.min("pos").alias("s"),
+                     (F.max("pos") + L - 1).alias("e")))
+    per_doc = (spans.groupBy(id_col)
+                    .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+                         F.expr("CAST(sum(e - s + 1) AS BIGINT)")
+                          .alias("dup_chars")))
+    all_docs = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.length(text_col).cast("long").alias("n_chars"))
+    return (all_docs.join(per_doc, id_col, "left")
+            .select(id_col, "n_chars",
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+                     .alias("n_dup_spans"),
+                    F.coalesce("dup_chars", F.lit(0)).cast("long")
+                     .alias("dup_chars"),
+                    F.expr("coalesce(dup_chars, 0) * 1000000 div n_chars")
+                     .alias("dup_frac_ppm")))

@@ -136,7 +136,11 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   # candidate-then-exact-verify skeleton graded
                   # in-window via emb_lsh_topk; adds the projection
                   # coarse stage + rerank
-                  "emb_jl_rerank")
+                  "emb_jl_rerank",
+                  # inverted-index + semi-join + span-window skeleton
+                  # graded in-window via doc_ngram_pairs +
+                  # doc_dedup_exact; adds the positional span merge
+                  "doc_substring_spans")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -2011,6 +2011,68 @@ FROM nodes n LEFT JOIN support s USING (node)
 """
 
 
+# -------------------------------------------- exact substring spans
+
+def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact duplicated-substring census (Lee et al. 2022's
+    exact-substring-dedup signal, inverted-gram-index formulation):
+    merged char spans covered by any 20-char gram occurring >= 2
+    times corpus-wide (operators/dedup.substring_dup_spans). One
+    posting per corpus character shuffles; span merge is per-doc."""
+    return dedup.substring_dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+_SUBSTR_L = dedup.SUBSTR_GRAM_LEN
+
+_SUBSTRING_SPANS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) >= {_SUBSTR_L}
+),
+pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, CAST(n - {_SUBSTR_L - 1} AS BIGINT))) AS pos
+  FROM base
+),
+keyed AS (
+  SELECT doc_id, pos,
+         md5(substr(text, CAST(pos AS INT), {_SUBSTR_L})) AS gk
+  FROM pos
+),
+dup AS (SELECT gk FROM keyed GROUP BY gk HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM keyed WHERE gk IN (SELECT gk FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w >= {_SUBSTR_L}
+              THEN 1 ELSE 0 END AS nf
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS iid
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, iid, min(pos) AS s, max(pos) + {_SUBSTR_L - 1} AS e
+  FROM isl2 GROUP BY doc_id, iid
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.dup_chars, 0) AS dup_chars,
+       COALESCE(p.dup_chars, 0) * 1000000 // length(d.text) AS dup_frac_ppm
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.text IS NOT NULL
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
                              "exact dedup via md5 hash-agg"),
@@ -2172,6 +2234,10 @@ QUERIES: dict[str, Query] = {
                       "fixed-point BM25 top-k (lexical retrieval "
                       "next to the ANN tier; exact integer "
                       "saturation + linear idf)"),
+    "doc_substring_spans": Query(_substring_spans, _SUBSTRING_SPANS_SQL,
+                                 "exact duplicated-substring census "
+                                 "(Lee et al. exact substring dedup, "
+                                 "inverted gram index + span merge)"),
     "emb_jl_rerank": Query(_jl_rerank, _jl_rerank_sql(),
                            "two-stage retrieval: JL-projection "
                            "candidates + exact rerank (coarse-then-"

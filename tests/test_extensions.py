@@ -775,3 +775,54 @@ def test_star_contraction_handles_long_chain(spark):
     got = {r.doc_id: r.cluster_id
            for r in connected_components_star(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+# ------------------------------------------- exact substring spans
+
+def test_substring_spans_known_answer(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        substring_dup_spans)
+    # 40-char shared prefix between docs 1 and 2; doc 3 unique;
+    # doc 4 shorter than the gram; gram_len=10.
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789abcd"   # 40 chars
+    df = docs(spark, [(1, shared + "-tail-one-xxxxx"),
+                      (2, shared + "+tail-two-yyyyy"),
+                      (3, "completely different text here!!"),
+                      (4, "short"), (5, None)])
+    out = {r.doc_id: r for r in
+           substring_dup_spans(df, gram_len=10).collect()}
+    # every 10-gram inside the 40-char prefix occurs in both docs →
+    # one merged span of exactly 40 chars each
+    for d in (1, 2):
+        assert out[d].n_dup_spans == 1
+        assert out[d].dup_chars == 40
+        assert out[d].dup_frac_ppm == 40 * 1_000_000 // out[d].n_chars
+    assert out[3].n_dup_spans == 0 and out[3].dup_chars == 0
+    assert out[4].dup_chars == 0          # too short to carry a gram
+    assert 5 not in out                   # NULL text excluded
+
+
+def test_substring_spans_self_repetition_and_merge(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        substring_dup_spans)
+    # one doc, periodic text: "0123456789" * 4 — every 10-gram occurs
+    # at >= 2 positions within the SAME doc → whole doc is one span
+    df = docs(spark, [(1, "0123456789" * 4)])
+    r = substring_dup_spans(df, gram_len=10).collect()[0]
+    assert r.n_dup_spans == 1 and r.dup_chars == 40
+    assert r.dup_frac_ppm == 1_000_000
+
+
+def test_substring_spans_two_disjoint_islands(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        substring_dup_spans)
+    a, b = "AAAAAAAAAA", "BBBBBBBBBB"        # two shared 10-grams
+    gap = "-x1-y2-z3-q4-w5-e6-r7-"           # 22 unique chars between
+    df = docs(spark, [(1, a + gap + b), (2, a + "####unique####" + b)])
+    r = {x.doc_id: x for x in
+         substring_dup_spans(df, gram_len=10).collect()}
+    # A-run and B-run each duplicated, separated by > gram_len → two
+    # islands of >= 10 chars each (runs of a repeated char self-match,
+    # so the island extends across the whole run, not past the gap)
+    assert r[1].n_dup_spans == 2
+    assert r[2].n_dup_spans == 2
