@@ -25,8 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions import (MERSENNE31, affine_hash_sql, h32, h32_sql, h60,
-                         h60_sql, hash_family)
+from ..functions import (MERSENNE31, affine_hash, affine_hash_sql, h32,
+                         h32_sql, h60, h60_sql, hash_family, tokens)
 
 #: h60 draws 15 hex chars = 60 bits; hashes are uniform on [0, 2^60).
 H60_MAX = 1 << 60
@@ -219,3 +219,145 @@ def bloom_hit_expr(key_expr: str, bits: list[int]):
             f"shiftleft(CAST(1 AS BIGINT), CAST({p} % {_LIMB_BITS} AS INT)))"
             f" != 0)")
     return F.expr("CAST((" + " AND ".join(conds) + ") AS BIGINT)")
+
+
+# -------------------------------------------------- count-min sketch
+# The third mergeable sketch: frequency estimation. At 100 TB "how
+# often does each of these tokens / URLs / user agents occur" is a
+# count-min question when the key universe is too wide to aggregate
+# exactly — the sketch is a fixed D×W integer counter matrix however
+# many distinct keys exist, and two sketches over two corpus slices
+# merge by cell-wise addition (counts are linear). Like KMV and the
+# Bloom filter, it is built from md5-affine hashes + integer sums
+# ONLY, so a DuckDB oracle reproduces every cell and every estimate
+# bit-for-bit (Cormode & Muthukrishnan, J.Algorithms'05).
+
+CMS_D = 4                  # depth: hash rows (error probability 2^-D-ish)
+CMS_W = 512                # width: counters per row (error ~ N/W)
+CMS_FAMILY = hash_family(CMS_D, seed=29)
+CMS_TOPK = 20
+
+
+def cms_cells(key_hash, d: int = CMS_D, w: int = CMS_W):
+    """array<long> of the D cell columns a key hashes to (one affine
+    hash per row, reduced mod W)."""
+    return F.array(*[
+        affine_hash(key_hash, a, b) % w for a, b in CMS_FAMILY[:d]])
+
+
+def cms_build(occ: DataFrame, key_col: str = "tok",
+              d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Build the D×W sketch from an occurrence frame (one row per key
+    OCCURRENCE): returns (r, c, cnt) with at most d·w rows.
+
+    Scale shape: ONE scan; posexplode fans each occurrence into its D
+    cells and the (r, c) hash-agg map-side-combines into ≤ d·w partial
+    cells per task BEFORE the exchange — the shuffle is bounded by
+    d·w·n_tasks rows regardless of corpus size, and the result is
+    d·w rows. That boundedness (plus cell-wise mergeability) is the
+    whole point of the sketch at 100 TB."""
+    return (occ.select(F.posexplode(cms_cells(h32(F.col(key_col)), d, w))
+                        .alias("r", "c"))
+               .groupBy("r", "c")
+               .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def cms_estimate(keys: DataFrame, sketch: DataFrame,
+                 key_col: str = "tok",
+                 d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Point-query the sketch for each key in `keys`: estimate =
+    min over rows r of sketch[r][h_r(key)] — an OVERESTIMATE of the
+    true count by construction (hash collisions only ever add).
+    Adds `cms_cnt` to `keys`. The ≤ d·w-row sketch broadcasts; probes
+    are a map-side join + a d-row min per key."""
+    cells = keys.select(key_col,
+                        F.posexplode(cms_cells(h32(F.col(key_col)), d, w))
+                         .alias("r", "c"))
+    return (cells.join(F.broadcast(sketch), ["r", "c"], "left")
+                 .groupBy(key_col)
+                 .agg(F.min(F.coalesce("cnt", F.lit(0)))
+                       .cast("long").alias("cms_cnt")))
+
+
+def cms_heavy_hitters(df: DataFrame, text_col: str = "text",
+                      k: int = CMS_TOPK, d: int = CMS_D,
+                      w: int = CMS_W) -> DataFrame:
+    """Heavy-hitter report: the corpus's exact top-k tokens next to
+    their count-min estimates — (rank, tok, exact_cnt, cms_cnt,
+    overcount). The catalog hash PINS the CMS guarantee on every row:
+    cms_cnt >= exact_cnt always (overcount >= 0), with equality
+    whenever no heavier key shares all D cells.
+
+    (The exact counts are the fixture-sized ground truth the sketch
+    is graded against; at 100 TB one keeps ONLY the d·w-cell sketch
+    plus a candidate stream — the exact side of this report is the
+    verification harness, not the production plan.)
+
+    Scale shape: the exact top-k is a token hash-agg + TakeOrdered;
+    the sketch build is the bounded exchange described in
+    `cms_build`; the probe broadcasts the sketch. Three scans of the
+    token stream in the graded report, ONE (the sketch build) in
+    production."""
+    from pyspark.sql import Window
+    occ = (df.where(F.col(text_col).isNotNull())
+             .select(F.explode(tokens(text_col)).alias("tok")))
+    exact = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    top = (exact.orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+                .limit(k))
+    est = cms_estimate(top.select("tok"), cms_build(occ, "tok", d, w),
+                       "tok", d, w)
+    wrk = Window.orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+    return (top.join(est, "tok")
+               .withColumn("rank", F.row_number().over(wrk).cast("long"))
+               .select("rank", "tok", "exact_cnt", "cms_cnt",
+                       (F.col("cms_cnt") - F.col("exact_cnt"))
+                        .alias("overcount")))
+
+
+def cms_heavy_hitters_sql(table: str = "documents",
+                          text_expr: str = "text",
+                          k: int = CMS_TOPK, d: int = CMS_D,
+                          w: int = CMS_W) -> str:
+    """DuckDB twin of `cms_heavy_hitters`: identical affine cell
+    hashes (UNION ALL per row r), identical min-over-rows estimate."""
+    from ..functions import tokens_sql
+    cell_selects = "\n  UNION ALL\n".join(
+        f"  SELECT {r} AS r, ({affine_hash_sql('h', a, b)}) % {w} AS c "
+        "FROM hashed"
+        for r, (a, b) in enumerate(CMS_FAMILY[:d]))
+    probe_cells = "\n  UNION ALL\n".join(
+        f"  SELECT tok, exact_cnt, {r} AS r, "
+        f"({affine_hash_sql('h', a, b)}) % {w} AS c FROM top"
+        for r, (a, b) in enumerate(CMS_FAMILY[:d]))
+    return f"""
+WITH occ AS (
+  SELECT unnest({tokens_sql(text_expr)}) AS tok
+  FROM {table} WHERE {text_expr} IS NOT NULL
+),
+hashed AS (SELECT {h32_sql('tok')} AS h FROM occ),
+cells AS (
+{cell_selects}
+),
+sketch AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+           FROM cells GROUP BY r, c),
+exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM occ GROUP BY tok),
+top AS (
+  SELECT tok, exact_cnt, {h32_sql('tok')} AS h
+  FROM exact ORDER BY exact_cnt DESC, tok ASC LIMIT {k}
+),
+probe AS (
+{probe_cells}
+),
+est AS (
+  SELECT p.tok, p.exact_cnt,
+         CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS cms_cnt
+  FROM probe p LEFT JOIN sketch s USING (r, c)
+  GROUP BY p.tok, p.exact_cnt
+)
+SELECT CAST(row_number() OVER (ORDER BY exact_cnt DESC, tok ASC) AS BIGINT)
+         AS rank,
+       tok, exact_cnt, cms_cnt, cms_cnt - exact_cnt AS overcount
+FROM est
+"""

@@ -140,7 +140,11 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   # inverted-index + semi-join + span-window skeleton
                   # graded in-window via doc_ngram_pairs +
                   # doc_dedup_exact; adds the positional span merge
-                  "doc_substring_spans")
+                  "doc_substring_spans",
+                  # third mergeable sketch next to the graded
+                  # doc_distinct_sketch / doc_bloom_decontaminate
+                  # family; same hash-agg + broadcast-probe skeleton
+                  "doc_heavy_hitters")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

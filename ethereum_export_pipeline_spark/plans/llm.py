@@ -2011,6 +2011,15 @@ FROM nodes n LEFT JOIN support s USING (node)
 """
 
 
+# ------------------------------------------- count-min heavy hitters
+
+def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 tokens next to their count-min estimates
+    (operators/sketch.cms_heavy_hitters). The hash pins the CMS
+    overestimate guarantee (cms_cnt >= exact_cnt) on every row."""
+    return sketch.cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
 # -------------------------------------------- exact substring spans
 
 def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2234,6 +2243,11 @@ QUERIES: dict[str, Query] = {
                       "fixed-point BM25 top-k (lexical retrieval "
                       "next to the ANN tier; exact integer "
                       "saturation + linear idf)"),
+    "doc_heavy_hitters": Query(_heavy_hitters,
+                               sketch.cms_heavy_hitters_sql(),
+                               "count-min sketch heavy hitters: exact "
+                               "top-k tokens vs sketch estimates (the "
+                               "hash pins cms >= exact per row)"),
     "doc_substring_spans": Query(_substring_spans, _SUBSTRING_SPANS_SQL,
                                  "exact duplicated-substring census "
                                  "(Lee et al. exact substring dedup, "

@@ -283,3 +283,67 @@ def test_jl_rerank_scores_exact_and_recall(spark):
     full = {(r["query_id"], r["neighbor_id"]): r["cosine"]
             for r in jl_rerank_topk(emb, k=5, n_cand=10_000).collect()}
     assert full == exact
+
+
+# ------------------------------------------------- count-min sketch
+
+def _occ(spark, toks):
+    from pyspark.sql import Row
+    return spark.createDataFrame([Row(tok=t) for t in toks], "tok string")
+
+
+def test_cms_never_underestimates(spark):
+    from ethereum_export_pipeline_spark.operators import sketch
+    toks = (["alpha"] * 50 + ["beta"] * 20 + ["gamma"] * 5
+            + [f"noise{i}" for i in range(200)])
+    occ = _occ(spark, toks)
+    sk = sketch.cms_build(occ)
+    keys = occ.select("tok").distinct()
+    est = {r.tok: r.cms_cnt
+           for r in sketch.cms_estimate(keys, sk).collect()}
+    exact = {r.tok: r.cnt for r in
+             occ.groupBy("tok").agg(F.count("*").alias("cnt")).collect()}
+    assert all(est[t] >= c for t, c in exact.items())
+    # with 225 occurrences in a 4x512 sketch, the top key is exact or
+    # near-exact; it can never be low
+    assert est["alpha"] >= 50
+
+
+def test_cms_exact_when_no_collisions(spark):
+    from ethereum_export_pipeline_spark.operators import sketch
+    # few enough distinct keys that all D rows are collision-free with
+    # overwhelming likelihood in a 512-wide row; if two keys did
+    # collide in EVERY row the min would still overestimate, which the
+    # first assertion of the previous test covers
+    toks = ["a"] * 7 + ["b"] * 3 + ["c"] * 1
+    occ = _occ(spark, toks)
+    est = {r.tok: r.cms_cnt for r in sketch.cms_estimate(
+        occ.select("tok").distinct(), sketch.cms_build(occ)).collect()}
+    assert est == {"a": 7, "b": 3, "c": 1}
+
+
+def test_cms_sketches_merge_by_cell_addition(spark):
+    from ethereum_export_pipeline_spark.operators import sketch
+    a = _occ(spark, ["x"] * 4 + ["y"] * 2 + ["z"])
+    b = _occ(spark, ["x"] * 3 + ["w"] * 5)
+    both = a.unionAll(b)
+    merged = (sketch.cms_build(a).unionAll(sketch.cms_build(b))
+              .groupBy("r", "c").agg(F.sum("cnt").cast("long").alias("cnt")))
+    direct = sketch.cms_build(both)
+    sym_diff = (merged.exceptAll(direct).count()
+                + direct.exceptAll(merged).count())
+    assert sym_diff == 0
+
+
+def test_cms_heavy_hitters_report_shape(spark):
+    from ethereum_export_pipeline_spark.operators.sketch import (
+        cms_heavy_hitters)
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="spark spark spark duck duck goose"),
+         Row(doc_id=2, text="spark duck")],
+        "doc_id long, text string")
+    rows = cms_heavy_hitters(df, k=3).orderBy("rank").collect()
+    assert [r.tok for r in rows] == ["spark", "duck", "goose"]
+    assert [r.exact_cnt for r in rows] == [4, 3, 1]
+    assert all(r.overcount >= 0 for r in rows)
