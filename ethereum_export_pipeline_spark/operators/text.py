@@ -654,3 +654,56 @@ def bm25_topk(df: DataFrame, id_col: str = "doc_id",
     top = agg.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bigram_fluency(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Corpus-conditional bigram typicality score per document — the
+    n-gram-LM quality signal of CCNet-style pipelines (Wenzek et al.
+    2020 score documents with a KenLM 5-gram; the statistic here is
+    the 2-gram, corpus-self-trained flavor): documents whose token
+    transitions are RARE relative to the corpus score low (boilerplate
+    and fluent prose score high; keyboard-mash, ciphertext, and
+    wrong-language text score low).
+
+    Per bigram (w1,w2): conditional probability c(w1,w2)/c(w1·) in
+    truncating fixed point, prob_ppb = c2·1e9 div c1 (c2 <= c1 keeps
+    it <= 1e9). Per doc: fluency_ppb = Σ prob_ppb div n_bigrams — the
+    MEAN conditional probability, exact BIGINTs end to end (an actual
+    log-perplexity would sum libm floats in shuffle order and flap any
+    cross-engine hash; the mean-probability statistic ranks documents
+    the same way for the quality-gate use).
+
+    Int64 bound: c2·1e9 needs c2 < 9.2e9 — at corpora beyond ~10^10
+    bigram occurrences per (w1,w2) pair, drop PPB to ppm (same bound
+    discipline as `bm25_topk`).
+
+    Scale shape: ONE tokenize scan into the per-occurrence bigram
+    frame (transform over the token array, no self-join of the
+    corpus); the two corpus-count windows exchange on (w1,w2) then
+    w1 — vocabulary-bounded after map-side combine is not available
+    for windows, so the exchanges carry the bigram occurrence stream
+    (~2 tokens/row); the final per-doc aggregate exchanges on the doc
+    key. Hot prefixes (stopwords as w1) skew the w1 window the same
+    way hot terms skew tf-idf's df window — the same salt/df-cut
+    mitigations apply."""
+    from pyspark.sql import Window
+    bg = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+          .where(F.size(TOKENS_COL) >= 2)
+          .select(F.col(id_col),
+                  F.explode(F.expr(
+                      f"transform(sequence(0, size({TOKENS_COL}) - 2), "
+                      f"i -> struct({TOKENS_COL}[i] AS w1, "
+                      f"{TOKENS_COL}[i+1] AS w2))")).alias("b"))
+          .select(id_col, "b.w1", "b.w2"))
+    stats = (bg.withColumn("c2", F.count(F.lit(1)).over(
+                  Window.partitionBy("w1", "w2")).cast("long"))
+               .withColumn("c1", F.count(F.lit(1)).over(
+                  Window.partitionBy("w1")).cast("long")))
+    return (stats.groupBy(id_col)
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                      F.expr(f"CAST(sum(c2 * {PPB} div c1) AS BIGINT)")
+                       .alias("sum_prob_ppb"))
+                 .select(id_col, "n_bigrams", "sum_prob_ppb",
+                         F.expr("sum_prob_ppb div n_bigrams")
+                          .alias("fluency_ppb")))

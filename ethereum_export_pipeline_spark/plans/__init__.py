@@ -144,7 +144,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   # third mergeable sketch next to the graded
                   # doc_distinct_sketch / doc_bloom_decontaminate
                   # family; same hash-agg + broadcast-probe skeleton
-                  "doc_heavy_hitters")
+                  "doc_heavy_hitters",
+                  # tokenize-scan + corpus-count-window skeleton graded
+                  # in-window via doc_tfidf; adds the bigram transform
+                  "doc_bigram_fluency")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -2011,6 +2011,36 @@ FROM nodes n LEFT JOIN support s USING (node)
 """
 
 
+# ---------------------------------------------- bigram-LM fluency
+
+def _bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean corpus-conditional bigram probability in fixed
+    point (operators/text.bigram_fluency) — the CCNet-style n-gram-LM
+    quality gate, corpus-self-trained."""
+    return text.bigram_fluency(load_table(spark, sf_dir, "documents"))
+
+
+_BIGRAM_FLUENCY_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+bg AS (
+  SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+  FROM toks, UNNEST(range(len(t) - 1)) u(i)
+  WHERE len(t) >= 2
+),
+stats AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY w1, w2) AS c2,
+         count(*) OVER (PARTITION BY w1) AS c1
+  FROM bg
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(c2 * {text.PPB} // c1) AS BIGINT) AS sum_prob_ppb,
+       CAST(sum(c2 * {text.PPB} // c1) AS BIGINT) // count(*)
+         AS fluency_ppb
+FROM stats GROUP BY doc_id
+"""
+
+
 # ------------------------------------------- count-min heavy hitters
 
 def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2243,6 +2273,10 @@ QUERIES: dict[str, Query] = {
                       "fixed-point BM25 top-k (lexical retrieval "
                       "next to the ANN tier; exact integer "
                       "saturation + linear idf)"),
+    "doc_bigram_fluency": Query(_bigram_fluency, _BIGRAM_FLUENCY_SQL,
+                                "bigram-LM fluency score (CCNet-style "
+                                "n-gram quality gate, fixed-point mean "
+                                "conditional probability)"),
     "doc_heavy_hitters": Query(_heavy_hitters,
                                sketch.cms_heavy_hitters_sql(),
                                "count-min sketch heavy hitters: exact "
