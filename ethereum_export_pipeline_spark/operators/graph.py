@@ -158,3 +158,77 @@ def triangle_counts(edges: DataFrame,
                  .select("node",
                          F.coalesce(F.col("n_triangles"), F.lit(0))
                           .cast("long").alias("n_triangles")))
+
+
+def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core membership by iterative peeling — the cohesion metric
+    BETWEEN degree and triangles: a node survives the k-core iff it
+    keeps >= k neighbors after everyone below k is recursively
+    removed. On a near-dup graph this separates dense duplicate
+    communities (which survive) from peel-away chains and stars of
+    borderline pairs (which don't) — the 2-core is exactly "edges on
+    at least one cycle", the classic template/boilerplate-cluster
+    signal (Seidman '83; distributed peeling à la Montresor et al.).
+
+    Runs EXACTLY `rounds` peel rounds (not to convergence): each round
+    recomputes degrees over the surviving subgraph and semi-joins the
+    edge list to nodes with deg >= k. A fixed round count keeps the
+    operator twinnable against an unrolled-CTE oracle — the same
+    determinism contract as `pagerank_exact`. Once the peel reaches a
+    fixed point the remaining rounds are no-ops, so `rounds` only
+    needs to exceed the peel DEPTH (max cascade length), not the node
+    count; pass more rounds for long chains (a length-L path at k=2
+    peels from both ends in ceil(L/2) rounds).
+
+    Returns (node, in_core, core_deg) for every node of the ORIGINAL
+    graph: in_core ∈ {0,1} after `rounds`, core_deg the node's degree
+    within the surviving subgraph (0 when peeled).
+
+    Scale shape: per round one degree hash-agg (|E'| rows, map-side
+    combined) + two semi joins on node keys — all exchanges bounded by
+    the CURRENT subgraph, which only shrinks. Iteration discipline as
+    `pagerank_exact`: the canonical edge list materializes once, each
+    round's survivor list is eagerly checkpointed (the loop otherwise
+    stacks 2·rounds lazy joins onto the upstream pair-generation
+    lineage), and the shuffle width is clamped to the graph's size."""
+    e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+               .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                      & (F.col("a") != F.col("b")))
+               .select(F.least("a", "b").alias("a"),
+                       F.greatest("a", "b").alias("b"))
+               .distinct()
+               .localCheckpoint(eager=True))
+    nodes = (e0.select(F.col("a").alias("node"))
+               .union(e0.select(F.col("b").alias("node"))).distinct()
+               .localCheckpoint(eager=True))
+    sess = edges.sparkSession
+    old_width = sess.conf.get("spark.sql.shuffle.partitions")
+    if e0.count() < 1_000_000 and str(old_width).isdigit():
+        sess.conf.set("spark.sql.shuffle.partitions",
+                      str(min(4, int(old_width))))
+    try:
+        e = e0
+        for _ in range(rounds):
+            deg = (e.select(F.col("a").alias("node"))
+                    .unionAll(e.select(F.col("b").alias("node")))
+                    .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+            keep = (deg.where(F.col("deg") >= k).select("node")
+                       .localCheckpoint(eager=True))
+            e = (e.join(keep.select(F.col("node").alias("a")), "a",
+                        "left_semi")
+                  .join(keep.select(F.col("node").alias("b")), "b",
+                        "left_semi")
+                  .localCheckpoint(eager=True))
+        core_deg = (e.select(F.col("a").alias("node"))
+                     .unionAll(e.select(F.col("b").alias("node")))
+                     .groupBy("node")
+                     .agg(F.count(F.lit(1)).cast("long").alias("core_deg")))
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_width)
+    return (nodes.join(core_deg, "node", "left")
+                 .select("node",
+                         F.when(F.col("core_deg").isNotNull(), 1)
+                          .otherwise(0).cast("long").alias("in_core"),
+                         F.coalesce("core_deg", F.lit(0)).cast("long")
+                          .alias("core_deg")))

@@ -147,7 +147,11 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "doc_heavy_hitters",
                   # tokenize-scan + corpus-count-window skeleton graded
                   # in-window via doc_tfidf; adds the bigram transform
-                  "doc_bigram_fluency")
+                  "doc_bigram_fluency",
+                  # iterative semi-join peel on the same graded
+                  # minhash-pair graph as doc_dup_triangles /
+                  # doc_dedup_clusters
+                  "doc_dup_kcore")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

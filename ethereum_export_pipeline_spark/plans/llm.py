@@ -2011,6 +2011,66 @@ FROM nodes n LEFT JOIN support s USING (node)
 """
 
 
+# --------------------------------------------------- k-core peel
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def _dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership over the MinHash near-dup graph
+    (operators/graph.kcore_peel, k=2, 4 peel rounds): dense duplicate
+    communities survive the recursive peel, chains and stars of
+    borderline pairs do not — the cohesion diagnostic between raw
+    degree and triangle support."""
+    from ..operators.graph import kcore_peel
+    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
+                                    threshold=NGRAM_THRESHOLD)
+    return kcore_peel(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")),
+        k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _dup_kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    # unrolled peel, same determinism contract as _pagerank_sql: each
+    # round keeps edges whose BOTH endpoints have degree >= k in the
+    # previous round's subgraph; survivors are the final endpoints.
+    # Every e{r} is referenced FOUR times by the next round (degree
+    # union + two IN probes) — MATERIALIZED keeps DuckDB's CTE
+    # inlining from re-expanding the minhash pipeline 4^rounds times
+    peel = []
+    for r in range(rounds):
+        prev, cur = f"e{r}", f"e{r + 1}"
+        peel.append(f"""
+k{r} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS deg FROM (
+      SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+    GROUP BY 1) WHERE deg >= {k}),
+{cur} AS MATERIALIZED (
+  SELECT a, b FROM {prev}
+  WHERE a IN (SELECT node FROM k{r})
+    AND b IN (SELECT node FROM k{r}))""")
+    return f"""
+WITH pairs AS ({_minhash_pairs_sql()}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(doc_a, doc_b) AS a,
+                  greatest(doc_a, doc_b) AS b
+  FROM pairs WHERE doc_a <> doc_b),
+nodes AS (SELECT a AS node FROM e0 UNION SELECT b FROM e0),
+{','.join(peel)},
+core AS (SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+  SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+  GROUP BY 1)
+SELECT n.node AS node,
+       CAST(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS in_core,
+       CAST(COALESCE(c.core_deg, 0) AS BIGINT) AS core_deg
+FROM nodes n LEFT JOIN core c USING (node)
+"""
+
+
 # ---------------------------------------------- bigram-LM fluency
 
 def _bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2273,6 +2333,10 @@ QUERIES: dict[str, Query] = {
                       "fixed-point BM25 top-k (lexical retrieval "
                       "next to the ANN tier; exact integer "
                       "saturation + linear idf)"),
+    "doc_dup_kcore": Query(_dup_kcore, _dup_kcore_sql(),
+                           "k-core peel of the near-dup graph (dense "
+                           "duplicate communities vs peel-away chains; "
+                           "unrolled-peel oracle)"),
     "doc_bigram_fluency": Query(_bigram_fluency, _BIGRAM_FLUENCY_SQL,
                                 "bigram-LM fluency score (CCNet-style "
                                 "n-gram quality gate, fixed-point mean "

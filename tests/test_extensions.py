@@ -867,3 +867,48 @@ def test_bigram_fluency_rare_transition_scores_low(spark):
     assert out[10] == PPB // 10
     assert out[0] == 9 * PPB // 10
     assert out[10] < out[0]
+
+
+# -------------------------------------------------------- k-core
+
+def _edges(spark, pairs):
+    from pyspark.sql import Row
+    return spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs], "src long, dst long")
+
+
+def test_kcore_triangle_survives_tail_peels(spark):
+    from ethereum_export_pipeline_spark.operators.graph import kcore_peel
+    # triangle 1-2-3 with a pendant path 3-4-5: peeling k=2 removes 5
+    # (deg 1) then 4 (deg 1 after 5 leaves); the triangle stays intact
+    out = {r.node: r for r in kcore_peel(
+        _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]),
+        k=2, rounds=3).collect()}
+    assert [out[n].in_core for n in (1, 2, 3)] == [1, 1, 1]
+    assert [out[n].core_deg for n in (1, 2, 3)] == [2, 2, 2]
+    assert [out[n].in_core for n in (4, 5)] == [0, 0]
+    assert len(out) == 5          # peeled nodes still reported
+
+
+def test_kcore_cascade_needs_rounds(spark):
+    from ethereum_export_pipeline_spark.operators.graph import kcore_peel
+    # pure path 1-2-3-4-5-6 at k=2 peels entirely, from both ends
+    # inward — depth 3 > 1 round, exactly 0 survivors with enough
+    # rounds, and the fixed-round contract leaves the middle edge
+    # alive after round 1 (both endpoints still saw deg 2)
+    path = [(i, i + 1) for i in range(1, 6)]
+    full = kcore_peel(_edges(spark, path), k=2, rounds=3)
+    assert full.where("in_core = 1").count() == 0
+    one = kcore_peel(_edges(spark, path), k=2, rounds=1)
+    assert one.where("in_core = 1").count() == 4   # 2,3,4,5 remain
+    two = kcore_peel(_edges(spark, path), k=2, rounds=2)
+    assert two.where("in_core = 1").count() == 2   # 3,4 remain
+
+
+def test_kcore_dedup_insensitive_to_direction_and_self_loops(spark):
+    from ethereum_export_pipeline_spark.operators.graph import kcore_peel
+    a = kcore_peel(_edges(spark, [(1, 2), (2, 1), (1, 1), (2, 3),
+                                  (1, 3)]), k=2, rounds=2)
+    b = kcore_peel(_edges(spark, [(1, 2), (2, 3), (1, 3)]),
+                   k=2, rounds=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
