@@ -64,3 +64,48 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time: str,
         out = out.drop(f"{p}{suffix}").withColumnRenamed(f"__fill_{p}",
                                                          f"{p}{suffix}")
     return out
+
+
+def fuzzy_pairs(df: DataFrame, id_col: str, name_col: str,
+                block_col, max_dist: int = 2,
+                max_block: int | None = 10_000) -> DataFrame:
+    """Record linkage by BLOCKING + edit distance — the entity-
+    resolution staple (Fellegi–Sunter style candidate generation):
+    pair up rows whose `name_col` values are within `max_dist`
+    Levenshtein edits, considering ONLY pairs that share a blocking
+    key (`block_col`, any deterministic Column — first token, sorted
+    character sketch, phonetic code …). Exact matches (distance 0)
+    are excluded: that's `dedup_exact`'s job; linkage exists to find
+    the NON-identical same-entity rows.
+
+    Returns (id_a, id_b, name_a, name_b, dist) with id_a < id_b.
+
+    Scale shape: the naive all-pairs comparison is O(n²) and dead at
+    any scale; blocking makes candidate generation an EQUI-join on
+    the block key, so pairs only materialize within blocks —
+    quadratic in the largest block, not the table. That makes hot
+    blocks the skew risk (the empty/default name!), so `max_block`
+    drops blocks larger than the cap before the self-join — the same
+    df-cut discipline as `dedup.DEFAULT_MAX_DF`. levenshtein runs
+    post-join on the residual, JVM codegen (no UDF)."""
+    base = (df.where(F.col(name_col).isNotNull())
+              .select(F.col(id_col).alias("_id"),
+                      F.col(name_col).alias("_name"),
+                      block_col.alias("_blk"))
+              .where(F.col("_blk").isNotNull()))
+    if max_block is not None:
+        small = (base.groupBy("_blk")
+                     .agg(F.count(F.lit(1)).alias("_c"))
+                     .where(F.col("_c") <= max_block)
+                     .select("_blk"))
+        base = base.join(small, "_blk", "left_semi")
+    a = base.select(F.col("_blk"), F.col("_id").alias("id_a"),
+                    F.col("_name").alias("name_a"))
+    b = base.select(F.col("_blk"), F.col("_id").alias("id_b"),
+                    F.col("_name").alias("name_b"))
+    return (a.join(b, "_blk")
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("dist", F.levenshtein("name_a", "name_b")
+                                  .cast("long"))
+             .where((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+             .select("id_a", "id_b", "name_a", "name_b", "dist"))

@@ -811,9 +811,54 @@ def _scd2_versions_sql() -> str:
         key="user_id", attr="event_type", ts_us="us", seq="event_id")
 
 
+# ------------------------------------------------ fuzzy record linkage
+
+#: deterministic "typo" injection: every 5th part's name loses its 3rd
+#: character — the dirty-entity fixture the linkage then has to re-link
+#: (the eth_resolve_choice discipline: corruption is part of the query,
+#: identical in both engines)
+_DIRTY_NAME = ("CASE WHEN p_partkey % 5 = 0 "
+               "THEN concat(substr(p_name, 1, 2), substr(p_name, 4)) "
+               "ELSE p_name END")
+
+
+def _fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over a deterministically-dirtied part-name
+    column (operators/joins.fuzzy_pairs): blocking on the first two
+    characters (chosen to survive the injected char-drop typo — a
+    first-WORD block would miss every corrupted pair), candidate
+    equi-join within blocks, Levenshtein 1..2 residual. Exact matches
+    are excluded by contract (dedup_exact's job)."""
+    from ..operators.joins import fuzzy_pairs
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.expr(_DIRTY_NAME).alias("name"))
+    return fuzzy_pairs(p, "id", "name",
+                       F.expr("substr(name, 1, 2)"), max_dist=2)
+
+
+_FUZZY_MATCH_SQL = f"""
+WITH p AS (
+  SELECT p_partkey AS id, {_DIRTY_NAME} AS name FROM part
+),
+base AS (
+  SELECT id, name, substr(name, 1, 2) AS blk
+  FROM p WHERE name IS NOT NULL AND substr(name, 1, 2) IS NOT NULL
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_pricing_summary": Query(_pricing_summary, _PRICING_SUMMARY_SQL,
                                 "flagship scan→filter→agg"),
+    "q_fuzzy_match": Query(_fuzzy_match, _FUZZY_MATCH_SQL,
+                           "blocked fuzzy record linkage (Levenshtein "
+                           "residual over a typo-dirtied entity column)"),
     "q_scd2_versions": Query(_scd2_versions, _scd2_versions_sql(),
                              "SCD Type-2 history build (effective-"
                              "dated versions from the event log)"),

@@ -912,3 +912,35 @@ def test_kcore_dedup_insensitive_to_direction_and_self_loops(spark):
     b = kcore_peel(_edges(spark, [(1, 2), (2, 3), (1, 3)]),
                    k=2, rounds=2)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ----------------------------------------------- fuzzy record linkage
+
+def test_fuzzy_pairs_blocking_and_threshold(spark):
+    from ethereum_export_pipeline_spark.operators.joins import fuzzy_pairs
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(id=1, name="acme corp"), Row(id=2, name="acme corp."),
+         Row(id=3, name="acme corp"),          # exact dup of 1
+         Row(id=4, name="zenith ltd"),          # different block
+         Row(id=5, name="acme corporation"),    # too far (dist > 2)
+         Row(id=6, name=None)],
+        "id long, name string")
+    out = fuzzy_pairs(df, "id", "name", F.expr("substr(name, 1, 2)"),
+                      max_dist=2).collect()
+    pairs = {(r.id_a, r.id_b): r.dist for r in out}
+    assert pairs == {(1, 2): 1, (2, 3): 1}   # exact (1,3) excluded
+    assert all(r.id_a < r.id_b for r in out)
+
+
+def test_fuzzy_pairs_hot_block_cap(spark):
+    from ethereum_export_pipeline_spark.operators.joins import fuzzy_pairs
+    from pyspark.sql import Row
+    rows = [Row(id=i, name=f"aa{i:03d}") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    capped = fuzzy_pairs(df, "id", "name", F.expr("substr(name, 1, 2)"),
+                         max_dist=2, max_block=10)
+    assert capped.count() == 0               # 50-row block dropped
+    free = fuzzy_pairs(df, "id", "name", F.expr("substr(name, 1, 2)"),
+                       max_dist=2, max_block=None)
+    assert free.count() > 0
