@@ -151,7 +151,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   # iterative semi-join peel on the same graded
                   # minhash-pair graph as doc_dup_triangles /
                   # doc_dedup_clusters
-                  "doc_dup_kcore")
+                  "doc_dup_kcore",
+                  # declarative twin of the graded stream_sessions
+                  # (same oracle shape, engine-managed session state)
+                  "stream_session_window")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

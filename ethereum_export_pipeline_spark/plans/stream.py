@@ -10,8 +10,10 @@ from pyspark.sql import DataFrame, SparkSession
 from ..streaming import (WINDOW_US, stream_chain_counts,
                          stream_dedup_within_watermark,
                          stream_exact_dedup, stream_hopping_counts,
-                         stream_interval_join, stream_static_enrich,
-                         stream_tumbling_counts, stream_watermark_counts)
+                         stream_interval_join,
+                         stream_session_window_counts,
+                         stream_static_enrich, stream_tumbling_counts,
+                         stream_watermark_counts)
 from .analytics import _EVENTS_SESSIONS_SQL
 from .base import Query
 
@@ -165,6 +167,51 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+SW_GAP_US = 1_800_000_000
+SW_DELAY_S = 1800
+
+
+def _stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in `session_window` sessionization, append mode behind a
+    watermark — the declarative twin of the applyInPandasWithState
+    entry; only CLOSED sessions (end = last event + gap ≤ final
+    watermark) emit."""
+    return stream_session_window_counts(
+        spark, f"{sf_dir.rstrip('/')}/events.parquet",
+        gap_us=SW_GAP_US, delay_s=SW_DELAY_S)
+
+
+#: same gap sessionization as _EVENTS_SESSIONS_SQL plus the append-mode
+#: emission cutoff: session end (last event + gap) ≤ watermark (max
+#: event time ms-truncated − delay), measured on 4.1
+_STREAM_SESSION_WINDOW_SQL = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+m AS (SELECT (max(us) // 1000 - {SW_DELAY_S * 1000}) * 1000 AS wm FROM e),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {SW_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, sid, min(us) AS start_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         min(event_id) AS first_event, max(event_id) AS last_event,
+         max(us) + {SW_GAP_US} AS send
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, start_us, n_events, first_event, last_event
+FROM agg, m WHERE send <= wm
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stream_tumbling_counts": Query(_stream_tumbling, _STREAM_TUMBLING_SQL,
                                     "availableNow streaming window agg"),
@@ -192,4 +239,8 @@ QUERIES: dict[str, Query] = {
                                       _STREAM_DEDUP_WM_SQL,
                                       "bounded-state dedup "
                                       "(dropDuplicatesWithinWatermark)"),
+    "stream_session_window": Query(_stream_session_window,
+                                   _STREAM_SESSION_WINDOW_SQL,
+                                   "built-in session_window sessions, "
+                                   "append mode (closed sessions only)"),
 }

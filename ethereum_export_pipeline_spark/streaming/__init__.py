@@ -49,7 +49,7 @@ def read_stream(spark: SparkSession, path: str,
     production layout (a directory files land in) needs none of this."""
     ensure_conf(spark)
     static = spark.read.parquet(path)
-    if path.rstrip("/").endswith(".parquet"):
+    if path.rstrip("/").endswith(".parquet") and os.path.isfile(path):
         from ..util import scratch_dir
         staged = scratch_dir("spark_graft_stream_")
         os.symlink(os.path.abspath(path),
@@ -178,6 +178,50 @@ def stream_watermark_counts(spark: SparkSession, events_path: str,
                    F.max("event_id").alias("last_event"))
               .select(F.unix_micros("w.start").alias("win_start"),
                       "n", "first_event", "last_event"))
+    return run_available_now(agg, output_mode="append",
+                             width=bounded_stream_width(spark, events_path))
+
+
+def stream_session_window_counts(spark: SparkSession, events_path: str,
+                                 gap_us: int = 1_800_000_000,
+                                 delay_s: int = 1800) -> DataFrame:
+    """Per-user session aggregation with Spark's BUILT-IN
+    `session_window` — the declarative sibling of the
+    applyInPandasWithState sessionizer in `streaming.sessions` (same
+    semantics, engine-managed merge state instead of hand-written
+    state code; both are catalog entries so the two implementations
+    are pinned against each other through their oracles).
+
+    Merge rule measured on 4.1 and encoded in the oracle: an event
+    within OR AT exactly `gap_us` of the previous one extends the
+    session (split strictly beyond the gap) — matching the batch
+    sessionizer's `diff > gap` new-session flag. APPEND mode behind a
+    watermark: a session only emits once the watermark (max event
+    time − `delay_s`, ms-truncated) passes its end (last event +
+    gap), so the output is exactly the CLOSED sessions — open tails
+    are withheld, which is what bounds state on an infinite stream.
+    Returns (user_id, start_us, n_events, first_event, last_event).
+
+    Scale shape: one shuffle on user_id into the session-merge state
+    store; state is per OPEN session, evicted at emission — the
+    watermark is the memory bound. Width sized to the bounded input
+    via `bounded_stream_width` (production: size to expected
+    concurrent-session cardinality)."""
+    from ..sources.tables import with_event_time
+    sdf = with_event_time(read_stream(spark, events_path))
+    evt = sdf.select(F.expr("timestamp_micros(ts_ns div 1000)").alias("evt_ts"),
+                     "user_id", "event_id")
+    agg = (evt.withWatermark("evt_ts", f"{delay_s} seconds")
+              .groupBy("user_id",
+                       F.session_window("evt_ts",
+                                        f"{gap_us // 1_000_000} seconds")
+                        .alias("sw"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.min("event_id").alias("first_event"),
+                   F.max("event_id").alias("last_event"))
+              .select("user_id",
+                      F.unix_micros("sw.start").alias("start_us"),
+                      "n_events", "first_event", "last_event"))
     return run_available_now(agg, output_mode="append",
                              width=bounded_stream_width(spark, events_path))
 

@@ -678,3 +678,32 @@ def test_incremental_rollup_replay_after_crash_mid_upsert(spark, tmp_path):
     incremental_rollup(spark, str(src), dest, ckpt, range_width=25)
     after = {r.win: r.n for r in spark.read.parquet(dest).collect()}
     assert after == exp                     # replay converged, no dupes
+
+
+def test_session_window_boundary_and_withheld_tail(spark, tmp_path):
+    """Built-in session_window: exactly-gap events merge; sessions not
+    closed by the final watermark are withheld in append mode."""
+    import datetime
+    from ethereum_export_pipeline_spark.streaming import (
+        stream_session_window_counts)
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, secs):
+        return (eid, base + datetime.timedelta(seconds=secs), uid,
+                "click", 0.0, "{}")
+
+    rows = [ev(1, 1, 0), ev(2, 1, 30),        # merge at exactly gap=30s
+            ev(3, 2, 0), ev(4, 2, 31),        # split beyond gap
+            ev(5, 3, 9_000)]                  # open tail at stream end
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    p = str(tmp_path / "events_dir")      # plain dir: the production
+    df.coalesce(1).write.parquet(p)       # file-stream layout
+    out = stream_session_window_counts(spark, p, gap_us=30_000_000,
+                                       delay_s=60)
+    got = [(r.user_id, r.n_events) for r in out.collect()]
+    # watermark = max(9000s) - 60s → closes every session but user 3's
+    assert (1, 2) in got                      # exact-gap pair merged
+    assert got.count((2, 1)) == 2             # split into two singletons
+    assert all(u != 3 for u, _ in got)        # open tail withheld
