@@ -707,3 +707,47 @@ def bigram_fluency(df: DataFrame, id_col: str = "doc_id",
                  .select(id_col, "n_bigrams", "sum_prob_ppb",
                          F.expr("sum_prob_ppb div n_bigrams")
                           .alias("fluency_ppb")))
+
+
+def weighted_sample(df: DataFrame, id_col: str = "doc_id",
+                    weight_col: str = "n_chars",
+                    target_ppb: int = 100_000_000,
+                    salt: str = "wsample-v1") -> DataFrame:
+    """Deterministic WEIGHTED (Poisson) sampling — inclusion
+    probability proportional to a per-row weight, the sampling design
+    behind length-proportional corpus subsets and importance-weighted
+    eval slices (Hájek/Poisson πps sampling; the fixed-hash flavor of
+    weighted reservoir selection à la Efraimidis–Spirakis, minus the
+    RNG: same salt → same sample on every run, retry, and engine).
+
+    Each row's inclusion probability is
+        p_i = min(1, f · w_i / mean(w))      with f = target_ppb/1e9,
+    computed in truncating fixed point (p_ppb = w·target_ppb div
+    mean_w, capped at 1e9), so E[sample weight share] ≈ f and heavy
+    rows are proportionally favored. The coin is `h60(salt:id) mod
+    1e9` — uniform on [0,1e9) up to a 2^-60-level bias from 2^60 not
+    dividing 1e9, identical in both engines (documented, not a
+    correctness risk). Returns the kept rows as (id, w, p_ppb).
+
+    Scale shape: ONE aggregate for (Σw, n) broadcasts as a single row
+    into a codegen filter projection — no shuffle of the corpus, no
+    rand(), composes with any upstream gate. (Exact-size weighted
+    sampling WITHOUT replacement needs the E-S order statistic — a
+    top-k by u^(1/w) — which is float-exponentiation territory;
+    Poisson sampling is the standard scale substitute and what
+    VarOpt/priority sampling degrade to per-partition.)"""
+    from ..functions import h60
+    base = (df.where(F.col(weight_col).isNotNull()
+                     & (F.col(weight_col) > 0))
+              .select(F.col(id_col), F.col(weight_col).cast("long")
+                       .alias("w")))
+    tot = base.agg(F.expr("CAST(sum(w) AS BIGINT)").alias("tw"),
+                   F.count(F.lit(1)).cast("long").alias("n"))
+    coin = h60(F.concat(F.lit(salt + ":"),
+                        F.col(id_col).cast("string"))) % PPB
+    return (base.crossJoin(F.broadcast(tot))
+                .withColumn("p_ppb",
+                            F.expr(f"least(CAST({PPB} AS BIGINT), "
+                                   f"w * {target_ppb} div (tw div n))"))
+                .where(coin < F.col("p_ppb"))
+                .select(id_col, "w", "p_ppb"))

@@ -154,7 +154,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "doc_dup_kcore",
                   # declarative twin of the graded stream_sessions
                   # (same oracle shape, engine-managed session state)
-                  "stream_session_window")
+                  "stream_session_window",
+                  # weighted sibling of the graded doc_mix_sample /
+                  # doc_hash_split salted-hash sampling family
+                  "doc_weighted_sample")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -2011,6 +2011,38 @@ FROM nodes n LEFT JOIN support s USING (node)
 """
 
 
+# ---------------------------------------------- weighted sampling
+
+WSAMPLE_PPB = 100_000_000  # target expected weight share: 10%
+
+
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson πps sample, inclusion ∝ n_chars
+    (operators/text.weighted_sample): one broadcast totals row into a
+    codegen filter — no corpus shuffle, no rand()."""
+    return text.weighted_sample(load_table(spark, sf_dir, "documents"),
+                                target_ppb=WSAMPLE_PPB)
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(count(*) AS BIGINT) AS n
+  FROM base
+)
+SELECT doc_id, w,
+       least(CAST({text.PPB} AS BIGINT),
+             w * {WSAMPLE_PPB} // (tw // n)) AS p_ppb
+FROM base, tot
+WHERE ({h60_sql("'wsample-v1:' || CAST(doc_id AS VARCHAR)")}) % {text.PPB}
+      < least(CAST({text.PPB} AS BIGINT),
+              w * {WSAMPLE_PPB} // (tw // n))
+"""
+
+
 # --------------------------------------------------- k-core peel
 
 KCORE_K = 2
@@ -2333,6 +2365,10 @@ QUERIES: dict[str, Query] = {
                       "fixed-point BM25 top-k (lexical retrieval "
                       "next to the ANN tier; exact integer "
                       "saturation + linear idf)"),
+    "doc_weighted_sample": Query(_weighted_sample, _WEIGHTED_SAMPLE_SQL,
+                                 "deterministic Poisson weighted "
+                                 "sampling (inclusion ∝ doc length, "
+                                 "no rand, no shuffle)"),
     "doc_dup_kcore": Query(_dup_kcore, _dup_kcore_sql(),
                            "k-core peel of the near-dup graph (dense "
                            "duplicate communities vs peel-away chains; "

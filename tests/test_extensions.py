@@ -944,3 +944,37 @@ def test_fuzzy_pairs_hot_block_cap(spark):
     free = fuzzy_pairs(df, "id", "name", F.expr("substr(name, 1, 2)"),
                        max_dist=2, max_block=None)
     assert free.count() > 0
+
+
+# ---------------------------------------------- weighted sampling
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from ethereum_export_pipeline_spark.operators.text import (
+        PPB, weighted_sample)
+    from pyspark.sql import Row
+    rows = ([Row(doc_id=i, n_chars=10) for i in range(500)]
+            + [Row(doc_id=i, n_chars=90) for i in range(500, 1000)])
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    a = weighted_sample(df, target_ppb=200_000_000)
+    b = weighted_sample(df, target_ppb=200_000_000)
+    sa = sorted(map(tuple, a.collect()))
+    assert sa == sorted(map(tuple, b.collect()))   # same salt → same rows
+    # mean w = 50; p(light) = 10*0.2/50 = 4%, p(heavy) = 36%
+    light = sum(1 for d, w, p in sa if w == 10)
+    heavy = sum(1 for d, w, p in sa if w == 90)
+    assert {p for d, w, p in sa if w == 10} == {10 * 200_000_000 // 50}
+    assert {p for d, w, p in sa if w == 90} == {90 * 200_000_000 // 50}
+    assert heavy > 4 * light                       # 9x expected ratio
+
+
+def test_weighted_sample_cap_and_exclusions(spark):
+    from ethereum_export_pipeline_spark.operators.text import (
+        PPB, weighted_sample)
+    from pyspark.sql import Row
+    rows = [Row(doc_id=1, n_chars=10**9), Row(doc_id=2, n_chars=0),
+            Row(doc_id=3, n_chars=None), Row(doc_id=4, n_chars=1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {r.doc_id: r for r in
+           weighted_sample(df, target_ppb=500_000_000).collect()}
+    assert out[1].p_ppb == PPB                     # capped → always kept
+    assert 2 not in out and 3 not in out           # zero/null excluded

@@ -333,6 +333,22 @@ def main() -> int:
 
     bench("bm25", lambda: text.bm25_topk(big_docs))
 
+    # round-4 late additions: exact substring spans (one posting per
+    # corpus char — the heaviest text op by design), CMS heavy
+    # hitters, bigram fluency, k-core peel over the dup graph
+    bench("substring_spans", lambda: dedup.substring_dup_spans(big_docs))
+    bench("heavy_hitters", lambda: sk.cms_heavy_hitters(big_docs))
+    bench("bigram_fluency", lambda: text.bigram_fluency(big_docs))
+
+    def dup_kcore():
+        from ethereum_export_pipeline_spark.operators.graph import kcore_peel
+        pairs = dedup.minhash_lsh_pairs(big_docs)
+        return kcore_peel(pairs.select(F.col("doc_a").alias("src"),
+                                       F.col("doc_b").alias("dst")),
+                          k=2, rounds=4)
+
+    bench("dup_kcore", dup_kcore)
+
     BULK_PRED = "vec_id < 200"
     bench_no_broadcast(
         "ivf_topk_bulk",
