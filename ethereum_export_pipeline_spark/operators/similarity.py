@@ -592,3 +592,63 @@ def jl_rerank_topk(df: DataFrame, id_col: str = "vec_id",
              .withColumn("rank", F.row_number().over(w2).cast("long"))
              .where(F.col("rank") <= k)
              .select("query_id", "neighbor_id", "cosine", "p_rank", "rank"))
+
+
+def semdedup_cells(df: DataFrame, centroids: list[list[int]],
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   threshold: float = 0.3, dim: int = EMB_DIM,
+                   scan_parallelism: int | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    assign every vector to its k-means cell, compare pairs ONLY
+    within a cell, and greedily drop any vector that has an
+    over-threshold neighbor with a smaller id — the keep-one-per-
+    ε-ball pruning the paper applies inside each cluster, with the
+    paper's random representative replaced by the min-id one
+    (deterministic, engine-identical). The LSH-graph flavor lives in
+    `plans/llm._semantic_dedup`; this is the cluster-partitioned
+    flavor — the two bracket the recall/cost trade: k-means cells
+    adapt to density, LSH bands are data-independent.
+
+    Returns one row per vector: (vec_id, cell, n_dups, keep) —
+    n_dups = over-threshold in-cell neighbors (either direction),
+    keep = 0 iff some over-threshold neighbor has a smaller id.
+
+    Scale shape: cell assignment is a pre-shuffle codegen/interpreted
+    projection at scan width (`_ensure_scan_width` discipline); the
+    pair join is an equi-shuffle on the small int cell key, quadratic
+    only WITHIN a cell — the whole point of clustering first (at 100
+    TB: cap cell population via more centroids, the paper's k ∝ √n).
+    One cosine per candidate pair, one hash-agg back to vectors."""
+    narrowed = _ensure_scan_width(df.where(F.size(F.col(emb_col)) == dim),
+                                  scan_parallelism)
+    base = (with_quantized(narrowed, emb_col)
+            .withColumn("cell", ivf_cell_col(centroids).cast("long"))
+            .select(id_col, "qvec", "n2", "cell")
+            .localCheckpoint(eager=True))  # referenced by 3 consumers
+    a = base.select(F.col(id_col).alias("id_a"), F.col("qvec").alias("qv"),
+                    F.col("n2").alias("qn2"), "cell")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("qvec").alias("cv"),
+                    F.col("n2").alias("cn2"), "cell")
+    pairs = (a.join(b, "cell")
+              .where(F.col("id_a") < F.col("id_b"))
+              .withColumn("dot", F.expr(dot_expr("qv", "cv")))
+              .withColumn("cosine", _cosine(F.col("dot"), F.col("qn2"),
+                                            F.col("cn2")))
+              .where(F.col("cosine") >= threshold)
+              .select("id_a", "id_b"))
+    dup_counts = (pairs.select(F.col("id_a").alias("node"))
+                       .unionAll(pairs.select(F.col("id_b").alias("node")))
+                       .groupBy("node")
+                       .agg(F.count(F.lit(1)).cast("long").alias("n_dups")))
+    dropped = pairs.select(F.col("id_b").alias("node")).distinct()
+    return (base.select(F.col(id_col), "cell")
+                .join(dup_counts, F.col(id_col) == dup_counts.node, "left")
+                .drop("node")
+                .join(dropped.withColumn("_drop", F.lit(1)),
+                      F.col(id_col) == dropped.node, "left")
+                .drop("node")
+                .select(id_col, "cell",
+                        F.coalesce("n_dups", F.lit(0)).cast("long")
+                         .alias("n_dups"),
+                        F.when(F.col("_drop").isNull(), 1).otherwise(0)
+                         .cast("long").alias("keep")))

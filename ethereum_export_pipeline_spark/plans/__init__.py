@@ -157,7 +157,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "stream_session_window",
                   # weighted sibling of the graded doc_mix_sample /
                   # doc_hash_split salted-hash sampling family
-                  "doc_weighted_sample")
+                  "doc_weighted_sample",
+                  # cluster-partitioned flavor of the graded
+                  # emb_semantic_dedup (k-means cells vs LSH bands)
+                  "emb_semdedup_cells")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

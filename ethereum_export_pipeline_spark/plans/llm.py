@@ -2011,6 +2011,50 @@ FROM nodes n LEFT JOIN support s USING (node)
 """
 
 
+# ------------------------------------------- SemDeDup (cell flavor)
+
+def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-partitioned semantic dedup (SemDeDup, Abbas et al.
+    2023): k-means cell assignment, in-cell pairwise cosine, greedy
+    min-id survivor (operators/similarity.semdedup_cells). The
+    LSH-graph flavor is emb_semantic_dedup; this one's pair join is
+    quadratic only within a cell."""
+    return similarity.semdedup_cells(
+        load_table(spark, sf_dir, "embeddings"), get_quantizers()[0],
+        threshold=NEARDUP_COS)
+
+
+def _semdedup_cells_sql() -> str:
+    return f"""
+WITH {_BASE_CTES},
+cells AS (SELECT vec_id, q, n2, {_ivf_cell_sql()} AS cell FROM wn),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.replace('CAST(dot AS DOUBLE)', f'CAST(({_DOT}) AS DOUBLE)')}
+             AS cosine
+    FROM (SELECT vec_id, q AS qv, n2 AS qn2, cell FROM cells) a
+    JOIN (SELECT vec_id, q AS cv, n2 AS cn2, cell FROM cells) b
+      USING (cell)
+    WHERE a.vec_id < b.vec_id)
+  WHERE cosine >= {NEARDUP_COS}
+),
+dup_counts AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_dups FROM (
+    SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs)
+  GROUP BY 1
+),
+dropped AS (SELECT DISTINCT id_b AS node FROM pairs)
+SELECT c.vec_id AS vec_id, c.cell AS cell,
+       COALESCE(dc.n_dups, 0) AS n_dups,
+       CAST(CASE WHEN dr.node IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS keep
+FROM cells c
+LEFT JOIN dup_counts dc ON dc.node = c.vec_id
+LEFT JOIN dropped dr ON dr.node = c.vec_id
+"""
+
+
 # ---------------------------------------------- weighted sampling
 
 WSAMPLE_PPB = 100_000_000  # target expected weight share: 10%
@@ -2365,6 +2409,10 @@ QUERIES: dict[str, Query] = {
                       "fixed-point BM25 top-k (lexical retrieval "
                       "next to the ANN tier; exact integer "
                       "saturation + linear idf)"),
+    "emb_semdedup_cells": Query(_semdedup_cells, _semdedup_cells_sql,
+                                "SemDeDup cluster-partitioned semantic "
+                                "dedup (in-cell pairwise cosine, "
+                                "greedy min-id survivor)"),
     "doc_weighted_sample": Query(_weighted_sample, _WEIGHTED_SAMPLE_SQL,
                                  "deterministic Poisson weighted "
                                  "sampling (inclusion ∝ doc length, "

@@ -978,3 +978,44 @@ def test_weighted_sample_cap_and_exclusions(spark):
            weighted_sample(df, target_ppb=500_000_000).collect()}
     assert out[1].p_ppb == PPB                     # capped → always kept
     assert 2 not in out and 3 not in out           # zero/null excluded
+
+
+# ------------------------------------------------ SemDeDup cells
+
+def test_semdedup_cells_greedy_survivor(spark):
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        semdedup_cells)
+    # two well-separated directions; centroids at each. ids 1,2 are
+    # near-identical (same cell), 3 orthogonal-ish in the other cell
+    a = [1.0, 0.0, 0.0, 0.0]
+    a2 = [0.99, 0.01, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    df = embs(spark, [(1, a), (2, a2), (3, b)])
+    cents = [[10_000, 0, 0, 0], [0, 10_000, 0, 0]]   # quantized scale
+    out = {r.vec_id: r for r in
+           semdedup_cells(df, cents, threshold=0.9, dim=4).collect()}
+    assert out[1].keep == 1 and out[1].n_dups == 1
+    assert out[2].keep == 0 and out[2].n_dups == 1   # dropped by 1
+    assert out[3].keep == 1 and out[3].n_dups == 0
+    assert out[1].cell == out[2].cell != out[3].cell
+
+
+def test_semdedup_cells_cross_cell_pairs_never_compared(spark):
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        semdedup_cells)
+    # identical vectors forced into DIFFERENT cells never pair — the
+    # recall cost of cell partitioning (documented, by design)
+    v = [1.0, 1.0, 0.0, 0.0]
+    df = embs(spark, [(1, v), (2, v)])
+    cents = [[10_000, 9_999, 0, 0], [9_999, 10_000, 0, 0]]
+    out = semdedup_cells(df, cents, threshold=0.5, dim=4).collect()
+    # both land in cell argmin — same distances → tie broken to first
+    # centroid for BOTH (deterministic), so they DO pair here; instead
+    # separate them explicitly:
+    df2 = embs(spark, [(1, [1.0, 0.9, 0.0, 0.0]),
+                       (2, [0.9, 1.0, 0.0, 0.0])])
+    out2 = {r.vec_id: r for r in
+            semdedup_cells(df2, cents, threshold=0.5, dim=4).collect()}
+    assert out2[1].cell != out2[2].cell
+    assert out2[1].keep == 1 and out2[2].keep == 1   # never compared
+    assert all(r.keep == 0 or r.n_dups >= 0 for r in out)
