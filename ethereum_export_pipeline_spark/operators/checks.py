@@ -117,3 +117,96 @@ def profile_table(df: DataFrame, int_cols: tuple[str, ...] = (),
     return wide.selectExpr(
         f"stack({len(cols)}, {pairs}) AS "
         "(column, n_nonnull, n_distinct, min_value, max_value)")
+
+
+def equiwidth_histogram(df: DataFrame, group_col: str, value_col: str,
+                        n_bins: int = 10) -> DataFrame:
+    """Per-group equi-width histogram of an integer column — the
+    distribution-SHAPE profile next to `profile_table`'s point stats
+    and text.length_order_stats' quantiles (a bimodal length
+    distribution has healthy-looking min/max/median; the histogram is
+    what exposes it).
+
+    Bin edges derive from the GLOBAL min/max (one aggregate row,
+    broadcast), so bins are comparable across groups:
+      bin = least(n_bins-1, (x - lo) * n_bins div (hi - lo + 1)),
+    truncating integer arithmetic, engine-identical. Returns
+    (group, bin, bin_lo, bin_hi, n) for every OCCUPIED (group, bin);
+    bin_hi is inclusive (bin_lo of bin+1 minus 1).
+
+    Scale shape: one min/max aggregate (broadcast as a single row
+    into the projection) + one (group, bin) hash-agg — two corpus
+    scans, both map-side combined; output is ≤ groups·n_bins rows.
+    Overflow: (x-lo)·n_bins must stay under 2^63 — fine for any
+    physical quantity binned into ≤ 10^6 bins."""
+    vals = (df.where(F.col(value_col).isNotNull())
+              .select(F.col(group_col).alias("grp"),
+                      F.col(value_col).cast("long").alias("x")))
+    rng = vals.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    return (vals.crossJoin(F.broadcast(rng))
+                .withColumn("bin", F.expr(
+                    f"least({n_bins - 1} , "
+                    f"(x - lo) * {n_bins} div (hi - lo + 1))"))
+                .groupBy("grp", "bin")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.expr(f"min(lo + bin * (hi - lo + 1) div {n_bins})")
+                      .alias("bin_lo"),
+                     F.expr(f"min(lo + (bin + 1) * (hi - lo + 1) "
+                            f"div {n_bins} - 1)").alias("bin_hi"))
+                .select(F.col("grp").alias(group_col), "bin",
+                        "bin_lo", "bin_hi", "n"))
+
+
+def robust_outlier_census(df: DataFrame, group_col: str, value_col: str,
+                          k: int = 3) -> DataFrame:
+    """Per-group robust outlier census via median/MAD — the
+    distribution-drift tripwire that mean/stddev can't be (one
+    pathological crawl shard with 10^8-char documents drags the mean
+    past every normal doc; the median doesn't move). A row is an
+    outlier when |x − median| > k·MAD, the classic robust z-score
+    with the 1.4826 normality constant folded into k (float-free).
+
+    Medians are EXACT integer order statistics — the lower median,
+    element at index (n−1) div 2 of the sorted group, same
+    `row_number` selection in both engines (no interpolation: an
+    interpolated median of ints is a float and flaps the hash). MAD
+    repeats the selection over |x − median|. Returns one row per
+    group: (group, n, median, mad, n_outliers, outlier_ppm).
+
+    Scale shape: two window sorts over the group key (the order-
+    statistic exchanges; same discipline as text.length_order_stats)
+    + one conditional-sum aggregate. Groups are source shards —
+    thousands, not billions; per-group sort is the per-partition
+    cost. Zero-MAD groups (>= half the values identical) count only
+    EXACT deviants as inliers: |x−med| > 0 flags every non-median
+    value, the standard degenerate-MAD behavior, documented here."""
+    from pyspark.sql import Window
+    vals = (df.where(F.col(value_col).isNotNull())
+              .select(F.col(group_col).alias("grp"),
+                      F.col(value_col).cast("long").alias("x")))
+    w = Window.partitionBy("grp").orderBy("x")
+    med = (vals.withColumn("_rn", F.row_number().over(w))
+               .withColumn("_n", F.count(F.lit(1)).over(
+                   Window.partitionBy("grp")))
+               .where(F.col("_rn") == F.expr("(_n - 1) div 2 + 1"))
+               .select("grp", F.col("x").alias("median")))
+    dev = (vals.join(med, "grp")
+               .withColumn("d", F.abs(F.col("x") - F.col("median"))))
+    wd = Window.partitionBy("grp").orderBy("d")
+    mad = (dev.withColumn("_rn", F.row_number().over(wd))
+              .withColumn("_n", F.count(F.lit(1)).over(
+                  Window.partitionBy("grp")))
+              .where(F.col("_rn") == F.expr("(_n - 1) div 2 + 1"))
+              .select("grp", F.col("d").alias("mad")))
+    return (dev.join(mad, "grp")
+               .groupBy("grp")
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.min("median").alias("median"),
+                    F.min("mad").alias("mad"),
+                    F.expr(f"CAST(sum(CASE WHEN d > {k} * mad "
+                           "THEN 1 ELSE 0 END) AS BIGINT)")
+                     .alias("n_outliers"))
+               .select(F.col("grp").alias(group_col), "n", "median",
+                       "mad", "n_outliers",
+                       F.expr("n_outliers * 1000000 div n")
+                        .alias("outlier_ppm")))

@@ -160,7 +160,11 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "doc_weighted_sample",
                   # cluster-partitioned flavor of the graded
                   # emb_semantic_dedup (k-means cells vs LSH bands)
-                  "emb_semdedup_cells")
+                  "emb_semdedup_cells",
+                  # distribution-shape siblings of the graded
+                  # eth_table_profile / doc_length_stats machinery
+                  # (broadcast-range binning, order-stat windows)
+                  "doc_length_histogram", "doc_length_outliers")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

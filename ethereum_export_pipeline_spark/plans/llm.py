@@ -2011,6 +2011,90 @@ FROM nodes n LEFT JOIN support s USING (node)
 """
 
 
+# ------------------------------------ distribution-shape profiling
+
+HIST_BINS = 10
+OUTLIER_K = 3
+
+
+def _length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source equi-width doc-length histogram over GLOBAL bin
+    edges (operators/checks.equiwidth_histogram) — the shape profile
+    next to the point stats of eth_table_profile."""
+    from ..operators.checks import equiwidth_histogram
+    return equiwidth_histogram(load_table(spark, sf_dir, "documents"),
+                               "source", "n_chars", n_bins=HIST_BINS)
+
+
+_LENGTH_HISTOGRAM_SQL = f"""
+WITH vals AS (
+  SELECT source AS grp, CAST(n_chars AS BIGINT) AS x
+  FROM documents WHERE n_chars IS NOT NULL
+),
+rng AS (SELECT min(x) AS lo, max(x) AS hi FROM vals),
+binned AS (
+  SELECT grp,
+         CAST(least({HIST_BINS - 1},
+                    (x - lo) * {HIST_BINS} // (hi - lo + 1)) AS BIGINT)
+           AS bin, lo, hi
+  FROM vals, rng
+)
+SELECT grp AS source, bin,
+       CAST(min(lo + bin * (hi - lo + 1) // {HIST_BINS}) AS BIGINT)
+         AS bin_lo,
+       CAST(min(lo + (bin + 1) * (hi - lo + 1) // {HIST_BINS} - 1)
+            AS BIGINT) AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM binned GROUP BY grp, bin
+"""
+
+
+def _length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust outlier census (median/MAD, exact integer
+    order statistics — operators/checks.robust_outlier_census)."""
+    from ..operators.checks import robust_outlier_census
+    return robust_outlier_census(load_table(spark, sf_dir, "documents"),
+                                 "source", "n_chars", k=OUTLIER_K)
+
+
+_LENGTH_OUTLIERS_SQL = f"""
+WITH vals AS (
+  SELECT source AS grp, CAST(n_chars AS BIGINT) AS x
+  FROM documents WHERE n_chars IS NOT NULL
+),
+med AS (
+  SELECT grp, x AS median FROM (
+    SELECT grp, x,
+           row_number() OVER (PARTITION BY grp ORDER BY x) AS rn,
+           count(*) OVER (PARTITION BY grp) AS n
+    FROM vals)
+  WHERE rn = (n - 1) // 2 + 1
+),
+dev AS (
+  SELECT v.grp, v.x, m.median, abs(v.x - m.median) AS d
+  FROM vals v JOIN med m USING (grp)
+),
+mad AS (
+  SELECT grp, d AS mad FROM (
+    SELECT grp, d,
+           row_number() OVER (PARTITION BY grp ORDER BY d) AS rn,
+           count(*) OVER (PARTITION BY grp) AS n
+    FROM dev)
+  WHERE rn = (n - 1) // 2 + 1
+)
+SELECT dev.grp AS source, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(dev.median) AS BIGINT) AS median,
+       CAST(min(mad.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN dev.d > {OUTLIER_K} * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(sum(CASE WHEN dev.d > {OUTLIER_K} * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         // CAST(count(*) AS BIGINT) AS outlier_ppm
+FROM dev JOIN mad USING (grp)
+GROUP BY dev.grp
+"""
+
+
 # ------------------------------------------- SemDeDup (cell flavor)
 
 def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2409,6 +2493,12 @@ QUERIES: dict[str, Query] = {
                       "fixed-point BM25 top-k (lexical retrieval "
                       "next to the ANN tier; exact integer "
                       "saturation + linear idf)"),
+    "doc_length_histogram": Query(_length_histogram, _LENGTH_HISTOGRAM_SQL,
+                                  "per-source equi-width length "
+                                  "histogram over global bin edges"),
+    "doc_length_outliers": Query(_length_outliers, _LENGTH_OUTLIERS_SQL,
+                                 "per-source median/MAD robust outlier "
+                                 "census (exact integer order stats)"),
     "emb_semdedup_cells": Query(_semdedup_cells, _semdedup_cells_sql,
                                 "SemDeDup cluster-partitioned semantic "
                                 "dedup (in-cell pairwise cosine, "

@@ -347,3 +347,58 @@ def test_cms_heavy_hitters_report_shape(spark):
     assert [r.tok for r in rows] == ["spark", "duck", "goose"]
     assert [r.exact_cnt for r in rows] == [4, 3, 1]
     assert all(r.overcount >= 0 for r in rows)
+
+
+# ------------------------------------- distribution-shape profiling
+
+def test_equiwidth_histogram_known_bins(spark):
+    from ethereum_export_pipeline_spark.operators.checks import (
+        equiwidth_histogram)
+    from pyspark.sql import Row
+    rows = [Row(src="a", v=0), Row(src="a", v=9), Row(src="a", v=10),
+            Row(src="b", v=99), Row(src="b", v=None)]
+    df = spark.createDataFrame(rows, "src string, v long")
+    out = {(r.src, r.bin): r for r in
+           equiwidth_histogram(df, "src", "v", n_bins=10).collect()}
+    # global range [0,99], width 10: v=0,9 → bin 0; 10 → bin 1; 99 → 9
+    assert out[("a", 0)].n == 2
+    assert (out[("a", 0)].bin_lo, out[("a", 0)].bin_hi) == (0, 9)
+    assert out[("a", 1)].n == 1
+    assert out[("b", 9)].n == 1
+    assert (out[("b", 9)].bin_lo, out[("b", 9)].bin_hi) == (90, 99)
+    assert ("b", 0) not in out            # unoccupied bins absent
+
+
+def test_equiwidth_histogram_counts_conserved(spark):
+    from ethereum_export_pipeline_spark.operators.checks import (
+        equiwidth_histogram)
+    from pyspark.sql import Row
+    rows = [Row(src=str(i % 3), v=i * 7 % 101) for i in range(200)]
+    df = spark.createDataFrame(rows, "src string, v long")
+    out = equiwidth_histogram(df, "src", "v", n_bins=7)
+    assert out.agg(F.sum("n")).collect()[0][0] == 200
+    assert out.where("bin < 0 OR bin > 6").count() == 0
+
+
+def test_robust_outlier_census_known_answer(spark):
+    from ethereum_export_pipeline_spark.operators.checks import (
+        robust_outlier_census)
+    from pyspark.sql import Row
+    # group a: 1,2,3,4,100 → median 3 (idx 2), |d| = 2,1,0,1,97 →
+    # MAD 1 (sorted 0,1,1,2,97 idx 2); outliers: d > 3 → only 100
+    rows = [Row(src="a", v=x) for x in (1, 2, 3, 4, 100)]
+    df = spark.createDataFrame(rows, "src string, v long")
+    [r] = robust_outlier_census(df, "src", "v", k=3).collect()
+    assert (r.n, r.median, r.mad, r.n_outliers) == (5, 3, 1, 1)
+    assert r.outlier_ppm == 1_000_000 // 5
+
+
+def test_robust_outlier_zero_mad_degenerate(spark):
+    from ethereum_export_pipeline_spark.operators.checks import (
+        robust_outlier_census)
+    from pyspark.sql import Row
+    # constant group: MAD 0 → any deviant flagged (documented)
+    rows = [Row(src="c", v=5)] * 6 + [Row(src="c", v=6)]
+    df = spark.createDataFrame(rows, "src string, v long")
+    [r] = robust_outlier_census(df, "src", "v").collect()
+    assert (r.median, r.mad, r.n_outliers) == (5, 0, 1)
