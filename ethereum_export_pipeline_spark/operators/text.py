@@ -751,3 +751,36 @@ def weighted_sample(df: DataFrame, id_col: str = "doc_id",
                                    f"w * {target_ppb} div (tw div n))"))
                 .where(coin < F.col("p_ppb"))
                 .select(id_col, "w", "p_ppb"))
+
+
+def stratified_reservoir(df: DataFrame, id_col: str = "doc_id",
+                         stratum_col: str = "source", k: int = 5,
+                         salt: str = "reservoir-v1") -> DataFrame:
+    """EXACT-k-per-stratum deterministic sample — the fixed-size
+    counterpart of `mix_sample` (rate-based) and `weighted_sample`
+    (Poisson): eval sets and human-review batches need exactly k
+    docs per source, not k in expectation. Selection = the k smallest
+    salted hashes per stratum, which IS a simple random sample
+    without replacement under the uniform-hash model, and — unlike a
+    true reservoir's RNG — is identical across runs, retries, and
+    engines (same salt → same sample; change the salt to redraw).
+
+    Returns (stratum, id, pick) with pick ∈ 1..k in hash order.
+
+    Scale shape: one shuffle on the stratum key + a per-stratum
+    top-k window — rank truncation, not a global sort; strata are
+    sources (thousands), so the window never sees a corpus-sized
+    partition. (For millions of strata the same plan holds: the
+    exchange is the group-by any per-stratum statistic pays.)"""
+    from pyspark.sql import Window
+    from ..functions import h60
+    coin = h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return (df.where(F.col(stratum_col).isNotNull())
+              .select(F.col(stratum_col).alias("stratum"),
+                      F.col(id_col), coin.alias("_coin"))
+              .withColumn("pick", F.row_number().over(
+                  Window.partitionBy("stratum")
+                        .orderBy(F.col("_coin").asc(),
+                                 F.col(id_col).asc())).cast("long"))
+              .where(F.col("pick") <= k)
+              .select("stratum", id_col, "pick"))

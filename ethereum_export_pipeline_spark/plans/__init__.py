@@ -164,7 +164,11 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   # distribution-shape siblings of the graded
                   # eth_table_profile / doc_length_stats machinery
                   # (broadcast-range binning, order-stat windows)
-                  "doc_length_histogram", "doc_length_outliers")
+                  "doc_length_histogram", "doc_length_outliers",
+                  # third member of the graded sampling family
+                  # (doc_mix_sample in-window): salted-hash top-k
+                  # window, the q_window_topn skeleton
+                  "doc_reservoir_sample")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

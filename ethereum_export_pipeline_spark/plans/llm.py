@@ -2011,6 +2011,32 @@ FROM nodes n LEFT JOIN support s USING (node)
 """
 
 
+# --------------------------------------- exact-k stratified sample
+
+RESERVOIR_K = 5
+
+
+def _stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k docs per source by smallest salted hash
+    (operators/text.stratified_reservoir) — the fixed-size
+    deterministic sampling design next to rate-based mix_sample and
+    Poisson weighted_sample."""
+    return text.stratified_reservoir(
+        load_table(spark, sf_dir, "documents"), k=RESERVOIR_K)
+
+
+_STRATIFIED_RESERVOIR_SQL = f"""
+SELECT stratum, doc_id, pick FROM (
+  SELECT source AS stratum, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY {h60_sql("'reservoir-v1:' || CAST(doc_id AS VARCHAR)")}
+                    ASC, doc_id ASC) AS BIGINT) AS pick
+  FROM documents WHERE source IS NOT NULL)
+WHERE pick <= {RESERVOIR_K}
+"""
+
+
 # ------------------------------------ distribution-shape profiling
 
 HIST_BINS = 10
@@ -2493,6 +2519,10 @@ QUERIES: dict[str, Query] = {
                       "fixed-point BM25 top-k (lexical retrieval "
                       "next to the ANN tier; exact integer "
                       "saturation + linear idf)"),
+    "doc_reservoir_sample": Query(_stratified_reservoir,
+                                  _STRATIFIED_RESERVOIR_SQL,
+                                  "exact-k-per-stratum deterministic "
+                                  "sample (k smallest salted hashes)"),
     "doc_length_histogram": Query(_length_histogram, _LENGTH_HISTOGRAM_SQL,
                                   "per-source equi-width length "
                                   "histogram over global bin edges"),

@@ -1019,3 +1019,28 @@ def test_semdedup_cells_cross_cell_pairs_never_compared(spark):
     assert out2[1].cell != out2[2].cell
     assert out2[1].keep == 1 and out2[2].keep == 1   # never compared
     assert all(r.keep == 0 or r.n_dups >= 0 for r in out)
+
+
+# ------------------------------------------- stratified reservoir
+
+def test_stratified_reservoir_exact_k_and_deterministic(spark):
+    from ethereum_export_pipeline_spark.operators.text import (
+        stratified_reservoir)
+    from pyspark.sql import Row
+    rows = ([Row(doc_id=i, source="a") for i in range(40)]
+            + [Row(doc_id=i, source="b") for i in range(40, 43)]
+            + [Row(doc_id=99, source=None)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_reservoir(df, k=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.stratum, []).append((r.pick, r.doc_id))
+    assert len(by_src["a"]) == 5                    # exact k
+    assert len(by_src["b"]) == 3                    # stratum smaller than k
+    assert sorted(p for p, _ in by_src["a"]) == [1, 2, 3, 4, 5]
+    assert all(r.stratum is not None for r in out)  # NULL stratum dropped
+    again = stratified_reservoir(df, k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    redraw = stratified_reservoir(df, k=5, salt="other").collect()
+    assert {r.doc_id for r in redraw if r.stratum == "a"} != \
+           {r.doc_id for r in out if r.stratum == "a"}
