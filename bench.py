@@ -81,6 +81,17 @@ HEADLINE = [
     "doc_trade_pagerank",
     "doc_distinct_sketch",
     "doc_dup_triangles",
+    "doc_dup_kcore",
+    "doc_substring_spans",
+    "doc_heavy_hitters",
+    "doc_bigram_fluency",
+    "doc_weighted_sample",
+    "doc_reservoir_sample",
+    "doc_length_histogram",
+    "doc_length_outliers",
+    "q_fuzzy_match",
+    "emb_semdedup_cells",
+    "stream_session_window",
     "doc_rarity",
     "doc_sentence_dedup",
     "doc_length_stats",
