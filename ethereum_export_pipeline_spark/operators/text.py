@@ -784,3 +784,72 @@ def stratified_reservoir(df: DataFrame, id_col: str = "doc_id",
                                  F.col(id_col).asc())).cast("long"))
               .where(F.col("pick") <= k)
               .select("stratum", id_col, "pick"))
+
+
+BPE_ROUNDS = 6
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              rounds: int = BPE_ROUNDS) -> DataFrame:
+    """BPE tokenizer-merge training (Sennrich et al. 2016) as an
+    iterative DataFrame computation — the TOKENIZER-side artifact of
+    a training-data pipeline, next to the corpus-side gates: learn
+    the first `rounds` merge rules by repeatedly fusing the corpus's
+    most frequent adjacent symbol pair.
+
+    State lives in the standard BPE word-frequency table, NOT the
+    corpus: (word, count) is vocabulary-sized, so after the one
+    corpus-scan word count every round runs over ~|V| rows however
+    big the corpus is — the reason BPE training scales at all.
+    Words are delimited symbol strings (' c a t '); a merge (x, y)
+    is `replace(w, ' x y ', ' xy ')`, which is left-to-right
+    NON-OVERLAPPING in both engines — exactly BPE's greedy
+    application (' a a a ' + (a,a) → ' aa a '). Pair counting splits
+    the symbols back out and weights adjacent pairs by word count;
+    the winner is argmax with (count desc, x asc, y asc) tie-break —
+    deterministic, engine-identical. Returns the learned merge table
+    (round, x, y, pair_n).
+
+    Scale shape: one tokenize scan into the word-count hash-agg
+    (corpus-bounded, map-side combined); per round one pair hash-agg
+    over the vocabulary, a 1-row TakeOrdered argmax broadcast into
+    the rewrite projection, and an eager checkpoint (the usual
+    iteration discipline — 2·rounds lazy stages otherwise pile onto
+    the scan lineage). Production BPE trains on a word-count SAMPLE
+    for the same reason this plan never rescans the corpus."""
+    from ..functions import tokens
+    words = (df.where(F.col(text_col).isNotNull())
+               .select(F.explode(tokens(text_col)).alias("word"))
+               .groupBy("word")
+               .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+               .select(F.expr("concat(' ', regexp_replace(word, '(.)', "
+                              "'$1 '))").alias("w"),
+                       "cnt")
+               .localCheckpoint(eager=True))
+    spark = df.sparkSession
+    merges = None
+    for r in range(rounds):
+        pairs = (words
+                 .select(F.expr("split(trim(w), ' ')").alias("s"), "cnt")
+                 .where(F.size("s") >= 2)
+                 .select(F.explode(F.expr(
+                     "transform(sequence(0, size(s) - 2), "
+                     "i -> struct(s[i] AS x, s[i+1] AS y))")).alias("p"),
+                     "cnt")
+                 .groupBy("p.x", "p.y")
+                 .agg(F.expr("CAST(sum(cnt) AS BIGINT)").alias("pair_n")))
+        best = (pairs.orderBy(F.col("pair_n").desc(), F.col("x").asc(),
+                              F.col("y").asc())
+                     .limit(1)
+                     .select(F.lit(r + 1).cast("long").alias("round"),
+                             "x", "y", "pair_n")
+                     .localCheckpoint(eager=True))
+        merges = best if merges is None else merges.unionAll(best)
+        words = (words.crossJoin(F.broadcast(
+                     best.select(F.col("x").alias("_x"),
+                                 F.col("y").alias("_y"))))
+                      .select(F.expr(
+                          "replace(w, concat(' ', _x, ' ', _y, ' '), "
+                          "concat(' ', _x, _y, ' '))").alias("w"), "cnt")
+                      .localCheckpoint(eager=True))
+    return merges

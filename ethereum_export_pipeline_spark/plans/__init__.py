@@ -168,7 +168,11 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   # third member of the graded sampling family
                   # (doc_mix_sample in-window): salted-hash top-k
                   # window, the q_window_topn skeleton
-                  "doc_reservoir_sample")
+                  "doc_reservoir_sample",
+                  # iterative argmax-rewrite loop; the iteration
+                  # discipline is graded via doc_dedup_clusters /
+                  # doc_trade_pagerank
+                  "doc_bpe_merges")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

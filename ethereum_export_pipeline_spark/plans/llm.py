@@ -2011,6 +2011,51 @@ FROM nodes n LEFT JOIN support s USING (node)
 """
 
 
+# ------------------------------------------- BPE tokenizer training
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merge rules learned from the corpus
+    (operators/text.bpe_train): iterative argmax-pair fusion over the
+    vocabulary-sized word-frequency table — the tokenizer-side
+    artifact of the pipeline."""
+    return text.bpe_train(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_sql(rounds: int = text.BPE_ROUNDS) -> str:
+    # unrolled rounds, MATERIALIZED (each words{r} feeds both the pair
+    # count and the rewrite; plain inlining re-expands the corpus
+    # tokenization once per reference). DuckDB's replace() is
+    # left-to-right non-overlapping like Spark's — BPE's greedy
+    # application.
+    steps = []
+    for r in range(rounds):
+        steps.append(f"""
+pairs{r} AS MATERIALIZED (
+  SELECT x, y, CAST(sum(cnt) AS BIGINT) AS pair_n FROM (
+    SELECT s[i+1] AS x, s[i+2] AS y, cnt FROM (
+      SELECT string_split(trim(w), ' ') AS s, cnt FROM words{r}),
+      UNNEST(range(len(s) - 1)) u(i))
+  GROUP BY 1, 2),
+best{r} AS MATERIALIZED (
+  SELECT CAST({r + 1} AS BIGINT) AS round, x, y, pair_n
+  FROM pairs{r} ORDER BY pair_n DESC, x ASC, y ASC LIMIT 1),
+words{r + 1} AS MATERIALIZED (
+  SELECT replace(w, ' ' || x || ' ' || y || ' ',
+                 ' ' || x || y || ' ') AS w, cnt
+  FROM words{r}, best{r})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT round, x, y, pair_n FROM best{r}" for r in range(rounds))
+    return f"""
+WITH words0 AS MATERIALIZED (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({tokens_sql('text')}) AS word
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY 1),{','.join(steps)}
+{union}
+"""
+
+
 # --------------------------------------- exact-k stratified sample
 
 RESERVOIR_K = 5
@@ -2519,6 +2564,10 @@ QUERIES: dict[str, Query] = {
                       "fixed-point BM25 top-k (lexical retrieval "
                       "next to the ANN tier; exact integer "
                       "saturation + linear idf)"),
+    "doc_bpe_merges": Query(_bpe_merges, _bpe_sql(),
+                            "BPE tokenizer training: first 6 merge "
+                            "rules by iterative argmax pair fusion "
+                            "over the word-frequency table"),
     "doc_reservoir_sample": Query(_stratified_reservoir,
                                   _STRATIFIED_RESERVOIR_SQL,
                                   "exact-k-per-stratum deterministic "

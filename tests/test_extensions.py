@@ -1044,3 +1044,28 @@ def test_stratified_reservoir_exact_k_and_deterministic(spark):
     redraw = stratified_reservoir(df, k=5, salt="other").collect()
     assert {r.doc_id for r in redraw if r.stratum == "a"} != \
            {r.doc_id for r in out if r.stratum == "a"}
+
+
+# ------------------------------------------------------ BPE training
+
+def test_bpe_train_hand_computed_merges(spark):
+    from ethereum_export_pipeline_spark.operators.text import bpe_train
+    # vocab: aaab x2, ab x1.
+    # r1: (a,a)=4 beats (a,b)=3 → 'aa a b'/'a b'
+    # r2: (a,b)=3 beats (aa,a)=2 → 'aa ab'/'ab'
+    # r3: (aa,ab)=2 → 'aaab'
+    df = docs(spark, [(1, "aaab aaab"), (2, "ab")])
+    got = [(r.round, r.x, r.y, r.pair_n) for r in
+           bpe_train(df, rounds=3).orderBy("round").collect()]
+    assert got == [(1, "a", "a", 4), (2, "a", "b", 3),
+                   (3, "aa", "ab", 2)]
+
+
+def test_bpe_greedy_nonoverlapping_application(spark):
+    from ethereum_export_pipeline_spark.operators.text import bpe_train
+    # 'aaa': pairs (a,a) counted twice but greedy merge fuses only the
+    # LEFT pair → next round the top pair is (aa,a), not (a,a)
+    df = docs(spark, [(1, "aaa aaa aaa")])
+    got = [(r.round, r.x, r.y) for r in
+           bpe_train(df, rounds=2).orderBy("round").collect()]
+    assert got == [(1, "a", "a"), (2, "aa", "a")]
