@@ -2366,11 +2366,15 @@ pos AS (
 ),
 keyed AS (
   SELECT doc_id, pos,
-         md5(substr(text, CAST(pos AS INT), {_SUBSTR_L})) AS gk
+         ('0x' || substr(md5(substr(text, CAST(pos AS INT), {_SUBSTR_L})),
+                         1, 15))::BIGINT AS g1,
+         ('0x' || substr(md5(substr(text, CAST(pos AS INT), {_SUBSTR_L})),
+                         16, 15))::BIGINT AS g2
   FROM pos
 ),
-dup AS (SELECT gk FROM keyed GROUP BY gk HAVING count(*) >= 2),
-hits AS (SELECT doc_id, pos FROM keyed WHERE gk IN (SELECT gk FROM dup)),
+dup AS (SELECT g1, g2 FROM keyed GROUP BY 1, 2 HAVING count(*) >= 2),
+hits AS (SELECT k.doc_id, k.pos FROM keyed k
+         SEMI JOIN dup d USING (g1, g2)),
 isl AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER w IS NULL
