@@ -172,7 +172,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   # iterative argmax-rewrite loop; the iteration
                   # discipline is graded via doc_dedup_clusters /
                   # doc_trade_pagerank
-                  "doc_bpe_merges")
+                  "doc_bpe_merges",
+                  # outer variant of the tail's stream_interval_join
+                  # (same state shape, adds the eviction-time emits)
+                  "stream_interval_join_outer")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -92,6 +92,7 @@ HAVING win_start + {WINDOW_US} <=
 
 
 IJ_GAP_S = 3600
+IJ_DELAY_S = 7200   # the streaming op's default watermark delay
 
 
 def _stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,6 +165,51 @@ def _stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_DEDUP_WM_SQL = """
 SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def _stream_interval_join_outer(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked interval join — conversions AND the
+    non-converting clicks. Cutoff semantics measured on 4.1 and
+    encoded in the oracle: the global watermark is the MIN across
+    both inputs' (max event time ms-truncated − delay), and an
+    unmatched click emits iff click_ts + gap < wm STRICTLY (the
+    fixture's last unmatched click lands exactly on the boundary and
+    is withheld — the oracle pins that row)."""
+    from ..streaming import stream_interval_join_outer
+    return stream_interval_join_outer(
+        spark, f"{sf_dir.rstrip('/')}/events.parquet",
+        gap_s=IJ_GAP_S, delay_s=IJ_DELAY_S)
+
+
+def _stream_interval_join_outer_sql() -> str:
+    gap_us = IJ_GAP_S * 1_000_000
+    return f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+m AS (SELECT least(
+        (SELECT (max(us) // 1000 - {IJ_DELAY_S * 1000}) * 1000
+         FROM e WHERE event_type = 'click'),
+        (SELECT (max(us) // 1000 - {IJ_DELAY_S * 1000}) * 1000
+         FROM e WHERE event_type = 'purchase')) AS wm),
+c AS (SELECT event_id AS click_id, user_id, us FROM e
+      WHERE event_type = 'click'),
+b AS (SELECT event_id AS buy_id, user_id, us FROM e
+      WHERE event_type = 'purchase'),
+matched AS (
+  SELECT c.click_id, c.user_id, b.buy_id, CAST(1 AS BIGINT) AS matched,
+         b.us - c.us AS delta_us
+  FROM c JOIN b ON c.user_id = b.user_id
+              AND b.us >= c.us AND b.us <= c.us + {gap_us}),
+unmatched AS (
+  SELECT c.click_id, c.user_id, CAST(NULL AS BIGINT) AS buy_id,
+         CAST(0 AS BIGINT) AS matched, CAST(NULL AS BIGINT) AS delta_us
+  FROM c, m
+  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = c.user_id
+                    AND b.us >= c.us AND b.us <= c.us + {gap_us})
+    AND c.us + {gap_us} < wm)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
 """
 
 
@@ -243,4 +289,9 @@ QUERIES: dict[str, Query] = {
                                    _STREAM_SESSION_WINDOW_SQL,
                                    "built-in session_window sessions, "
                                    "append mode (closed sessions only)"),
+    "stream_interval_join_outer": Query(_stream_interval_join_outer,
+                                        _stream_interval_join_outer_sql(),
+                                        "LEFT OUTER watermarked interval "
+                                        "join (non-converting clicks, "
+                                        "strict min-watermark cutoff)"),
 }

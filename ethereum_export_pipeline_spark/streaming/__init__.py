@@ -429,6 +429,54 @@ def stream_interval_join(spark: SparkSession, events_path: str,
                              width=bounded_stream_width(spark, events_path))
 
 
+def stream_interval_join_outer(spark: SparkSession, events_path: str,
+                               gap_s: int = 3600,
+                               delay_s: int = 7200) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the attribution join
+    that also reports the NON-converting clicks (the rows an inner
+    join silently drops are usually the business question). Same
+    watermarked interval condition as `stream_interval_join`; the
+    engine emits an unmatched click with NULL buy columns only once
+    the watermark proves no matching purchase can still arrive
+    (watermark past click_ts + gap — measured on 4.1: the cutoff is
+    the FINAL watermark, max event time ms-truncated − delay, and
+    clicks closer than `gap_s` to it stay withheld). Emitted columns
+    carry `matched` ∈ {0,1} and delta_us NULL for non-conversions.
+
+    Scale notes: identical state shape to the inner join (both sides
+    keyed on user, interval-bounded eviction); the outer rows add no
+    state — they are emitted exactly at eviction time."""
+    from ..sources.tables import with_event_time
+    sdf = with_event_time(read_stream(spark, events_path))
+    base = sdf.select("event_id", "user_id", "event_type",
+                      F.expr("timestamp_micros(ts_ns div 1000)")
+                       .alias("evt_ts"))
+    clicks = (base.where("event_type = 'click'")
+                  .select(F.col("event_id").alias("click_id"),
+                          F.col("user_id").alias("click_user"),
+                          F.col("evt_ts").alias("click_ts"))
+                  .withWatermark("click_ts", f"{delay_s} seconds"))
+    buys = (base.where("event_type = 'purchase'")
+                .select(F.col("event_id").alias("buy_id"),
+                        F.col("user_id").alias("buy_user"),
+                        F.col("evt_ts").alias("buy_ts"))
+                .withWatermark("buy_ts", f"{delay_s} seconds"))
+    j = clicks.join(
+        buys,
+        F.expr(f"click_user = buy_user AND buy_ts >= click_ts AND "
+               f"buy_ts <= click_ts + INTERVAL {gap_s} SECONDS"),
+        "leftOuter")
+    out = j.select("click_id",
+                   F.col("click_user").alias("user_id"),
+                   F.col("buy_id"),
+                   F.when(F.col("buy_id").isNotNull(), 1).otherwise(0)
+                    .cast("long").alias("matched"),
+                   (F.unix_micros("buy_ts") - F.unix_micros("click_ts"))
+                   .alias("delta_us"))
+    return run_available_now(out, output_mode="append",
+                             width=bounded_stream_width(spark, events_path))
+
+
 def stream_dedup_within_watermark(spark: SparkSession, events_path: str,
                                   delay_s: int = 3600) -> DataFrame:
     """Bounded-state streaming dedup via `dropDuplicatesWithinWatermark`

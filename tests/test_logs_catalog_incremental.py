@@ -707,3 +707,40 @@ def test_session_window_boundary_and_withheld_tail(spark, tmp_path):
     assert (1, 2) in got                      # exact-gap pair merged
     assert got.count((2, 1)) == 2             # split into two singletons
     assert all(u != 3 for u, _ in got)        # open tail withheld
+
+
+def test_interval_join_outer_unmatched_and_withheld(spark, tmp_path):
+    """LEFT OUTER interval join: matched pairs carry delta, closed
+    unmatched clicks emit NULL-padded, boundary/late clicks are
+    withheld until the watermark proves no match can arrive."""
+    import datetime
+    from ethereum_export_pipeline_spark.streaming import (
+        stream_interval_join_outer)
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, secs, typ):
+        return (eid, base + datetime.timedelta(seconds=secs), uid, typ,
+                0.0, "{}")
+
+    rows = [ev(1, 1, 0, "click"), ev(2, 1, 60, "purchase"),   # match
+            ev(3, 2, 0, "click"),                              # no buy
+            ev(4, 3, 90_000, "click"),                         # near end
+            ev(5, 9, 100_000, "purchase"),                     # advances wm
+            ev(6, 9, 100_000, "click"),                        # matches 5
+            ev(7, 10, 100_000, "click")]                       # open tail
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    p = str(tmp_path / "ev_outer")
+    df.coalesce(1).write.parquet(p)
+    out = {r.click_id: r for r in stream_interval_join_outer(
+        spark, p, gap_s=120, delay_s=60).collect()}
+    assert out[1].matched == 1 and out[1].delta_us == 60_000_000
+    assert out[3].matched == 0 and out[3].buy_id is None
+    # wm = min(click max, buy max) - 60 s = 100_000 - 60 = 99_940 s;
+    # click 4 at 90_000: 90_000+120 < 99_940 → closed, emits unmatched;
+    # click 6 matches purchase 5 instantly (matches ignore the wm);
+    # click 7 at 100_000 unmatched: 100_120 > wm → withheld
+    assert out[4].matched == 0
+    assert out[6].matched == 1 and out[6].delta_us == 0
+    assert 7 not in out
