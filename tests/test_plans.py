@@ -250,3 +250,33 @@ def test_kmv_sketch_merged_rides_kept_exchange(spark, catalog):
                    execute=True)
     final = plan.split("Initial Plan")[0]
     assert "ReusedExchange" in final or "ShuffleQueryStage" in final
+
+
+def test_fuzzy_match_is_equi_join_on_block_key(spark, catalog):
+    # blocking makes candidate generation an equi-join; the Levenshtein
+    # residual must NOT degrade the join to a nested loop / cartesian
+    plan = plan_of(catalog["q_fuzzy_match"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan.lower()
+
+
+def test_semdedup_cells_joins_on_cell_key(spark, catalog):
+    plan = plan_of(catalog["emb_semdedup_cells"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_spans_semi_join_and_pushdown(spark, catalog):
+    plan = plan_of(catalog["doc_substring_spans"].fn(spark, SF_DIR),
+                   execute=True)
+    assert "LeftSemi" in plan                     # postings × dup keys
+    assert "CartesianProduct" not in plan
+    # text never shuffles: the exchange carries only limbs + (id, pos)
+    assert "PythonUDF" not in plan
+
+
+def test_heavy_hitters_sketch_probe_is_broadcast(spark, catalog):
+    plan = plan_of(catalog["doc_heavy_hitters"].fn(spark, SF_DIR),
+                   execute=True)
+    assert "BroadcastHashJoin" in plan            # ≤ d·w-row sketch side
