@@ -642,3 +642,69 @@ def binary_stats(media: DataFrame, format_col: str = "meta.format") -> DataFrame
                   F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
                   F.min(F.octet_length("payload")).cast("long").alias("min_bytes"))
     )
+
+
+def ahash_images(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over decoded images — the
+    MULTIMODAL near-dup key, completing the dedup matrix (text:
+    minhash/simhash; embeddings: LSH/SemDeDup; images: this).
+    aHash is resize-invariant by construction: nearest-neighbor
+    downsample to `grid`×`grid`, integer grayscale (r+g+b) div c,
+    integer mean over the grid, bit k = gray_k > mean — so an image
+    and its upscaled copy hash identically (pinned by test), which
+    byte-level `dedup_exact` can never see.
+
+    All arithmetic is exact-integer (truncating division, strict >),
+    so the DuckDB twin recomputes every bit from the fixture's
+    deterministic text→pixel tiling. The 64 bits return as two
+    BIGINTs (hash_hi, hash_lo: bits 32-63 / 0-31 — one int64 would
+    overflow the sign bit). NULL/undecodable payloads are excluded,
+    dedup_exact's NULL-text discipline.
+
+    Scale shape: the decode+hash is one Arrow mapInPandas projection
+    (embarrassingly parallel, no shuffle); downstream grouping is a
+    hash-agg on a 64-bit key — exactly `dedup_exact`'s plan."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decode_image(payload)
+                if dec is None:
+                    continue
+                w, h, c, px = dec
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                sub = px[ys][:, xs, :].astype(np.int64)
+                gray = sub.sum(axis=2) // c              # grid×grid
+                mean = int(gray.sum()) // (grid * grid)
+                bits = (gray > mean).ravel()             # k = y*grid+x
+                val = 0
+                for k, b in enumerate(bits):
+                    val |= int(b) << k
+                ids.append(mid)
+                his.append(val >> 32)
+                los.append(val & 0xFFFFFFFF)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "hash_hi": pd.Series(his, dtype="int64"),
+                "hash_lo": pd.Series(los, dtype="int64"),
+            })
+
+    return media.mapInPandas(
+        run, "media_id long, hash_hi long, hash_lo long")
+
+
+def ahash_dup_groups(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual duplicate grouping: aHash per image, then the
+    `dedup_exact` group report on the hash key — (media_id, hash_hi,
+    hash_lo, n_copies, keep_id) with keep_id the group's min id."""
+    from pyspark.sql import Window
+    hashed = ahash_images(media, grid)
+    w = Window.partitionBy("hash_hi", "hash_lo")
+    return (hashed
+            .withColumn("n_copies", F.count(F.lit(1)).over(w).cast("long"))
+            .withColumn("keep_id", F.min("media_id").over(w).cast("long"))
+            .select("media_id", "hash_hi", "hash_lo", "n_copies",
+                    "keep_id"))

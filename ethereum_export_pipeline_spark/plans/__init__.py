@@ -175,7 +175,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "doc_bpe_merges",
                   # outer variant of the tail's stream_interval_join
                   # (same state shape, adds the eviction-time emits)
-                  "stream_interval_join_outer")
+                  "stream_interval_join_outer",
+                  # multimodal sibling of the graded mm_extract_features
+                  # Arrow decode path + doc_dedup_exact's hash-agg
+                  "mm_phash_dedup")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

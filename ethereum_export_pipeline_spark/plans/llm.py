@@ -2011,6 +2011,66 @@ FROM nodes n LEFT JOIN support s USING (node)
 """
 
 
+# ------------------------------------------ perceptual image dedup
+
+def _phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual aHash duplicate grouping over REAL decoded images
+    (operators/multimodal.ahash_dup_groups): the multimodal near-dup
+    key — resize-invariant, so byte-level dedup can't replicate it.
+    The oracle recomputes every hash bit from the fixture's
+    deterministic text→pixel tiling."""
+    media = multimodal.documents_as_ppm_media(
+        load_table(spark, sf_dir, "documents"))
+    return multimodal.ahash_dup_groups(media)
+
+
+def _phash_dedup_sql() -> str:
+    digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
+    byte_at = (f"16 * ({digit.format(i='2*p+1')}) "
+               f"+ ({digit.format(i='2*p+2')})")
+    src = "(((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3"
+    gray_k = (f"(vals[({src} + 0) % nb + 1] + vals[({src} + 1) % nb + 1]"
+              f" + vals[({src} + 2) % nb + 1]) // 3")
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb,
+         CAST(8 + doc_id % 9 AS BIGINT) AS w,
+         CAST(8 + doc_id % 7 AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+v AS (
+  SELECT doc_id, w, h, nb,
+         CASE WHEN nb = 0 THEN []
+              ELSE list_transform(range(nb), p -> {byte_at}) END AS vals
+  FROM m
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN nb = 0 THEN list_transform(range(64), k -> 0)
+              ELSE list_transform(range(64), k -> {gray_k}) END AS gray
+  FROM v
+),
+s AS (SELECT doc_id, gray,
+             CAST(list_sum(gray) AS BIGINT) // 64 AS mean FROM g),
+bits AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(32), k ->
+           (CASE WHEN gray[k + 33] > mean THEN CAST(1 AS BIGINT)
+                 ELSE 0 END) << k)) AS BIGINT) AS hash_hi,
+         CAST(list_sum(list_transform(range(32), k ->
+           (CASE WHEN gray[k + 1] > mean THEN CAST(1 AS BIGINT)
+                 ELSE 0 END) << k)) AS BIGINT) AS hash_lo
+  FROM s
+)
+SELECT doc_id AS media_id, hash_hi, hash_lo,
+       CAST(count(*) OVER w AS BIGINT) AS n_copies,
+       CAST(min(doc_id) OVER w AS BIGINT) AS keep_id
+FROM bits
+WINDOW w AS (PARTITION BY hash_hi, hash_lo)
+"""
+
+
 # ------------------------------------------- BPE tokenizer training
 
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2568,6 +2628,10 @@ QUERIES: dict[str, Query] = {
                       "fixed-point BM25 top-k (lexical retrieval "
                       "next to the ANN tier; exact integer "
                       "saturation + linear idf)"),
+    "mm_phash_dedup": Query(_phash_dedup, _phash_dedup_sql(),
+                            "perceptual aHash image dedup groups "
+                            "(resize-invariant multimodal near-dup "
+                            "key, every bit oracle-recomputed)"),
     "doc_bpe_merges": Query(_bpe_merges, _bpe_sql(),
                             "BPE tokenizer training: first 6 merge "
                             "rules by iterative argmax pair fusion "

@@ -1069,3 +1069,53 @@ def test_bpe_greedy_nonoverlapping_application(spark):
     got = [(r.round, r.x, r.y) for r in
            bpe_train(df, rounds=2).orderBy("round").collect()]
     assert got == [(1, "a", "a"), (2, "aa", "a")]
+
+
+# ------------------------------------------- perceptual image dedup
+
+def test_ahash_resize_invariant_and_groups(spark):
+    import numpy as np
+    from pyspark.sql import Row
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        ahash_dup_groups, encode_netpbm)
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8).astype(np.uint8)
+    up = px.repeat(2, axis=0).repeat(2, axis=1)      # exact 2x NN upscale
+    other = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=bytes(encode_netpbm(px))),
+         Row(media_id=2, payload=bytes(encode_netpbm(up))),
+         Row(media_id=3, payload=bytes(encode_netpbm(other.astype(np.uint8)))),
+         Row(media_id=4, payload=None),
+         Row(media_id=5, payload=b"not an image")],
+        "media_id long, payload binary")
+    out = {r.media_id: r for r in ahash_dup_groups(df).collect()}
+    # 2x NN upscale samples the SAME source pixels → identical hash
+    assert (out[1].hash_hi, out[1].hash_lo) == (out[2].hash_hi,
+                                                out[2].hash_lo)
+    assert out[1].n_copies == 2 and out[1].keep_id == 1
+    assert (out[3].hash_hi, out[3].hash_lo) != (out[1].hash_hi,
+                                                out[1].hash_lo)
+    assert out[3].n_copies == 1
+    assert 4 not in out and 5 not in out      # NULL/undecodable excluded
+
+
+def test_ahash_bits_hand_computed(spark):
+    import numpy as np
+    from pyspark.sql import Row
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        ahash_images, encode_netpbm)
+    # 8x8 grayscale-as-RGB: left half 0, right half 200 → mean 100,
+    # bits set exactly on the right half: columns 4-7 of every row
+    px = np.zeros((8, 8, 3), np.uint8)
+    px[:, 4:, :] = 200
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=bytes(encode_netpbm(px)))],
+        "media_id long, payload binary")
+    [r] = ahash_images(df).collect()
+    val = (r.hash_hi << 32) | r.hash_lo
+    expect = 0
+    for y in range(8):
+        for x in range(4, 8):
+            expect |= 1 << (y * 8 + x)
+    assert val == expect
