@@ -92,6 +92,9 @@ HEADLINE = [
     "q_fuzzy_match",
     "emb_semdedup_cells",
     "stream_session_window",
+    "stream_interval_join_outer",
+    "doc_bpe_merges",
+    "mm_phash_dedup",
     "doc_rarity",
     "doc_sentence_dedup",
     "doc_length_stats",
