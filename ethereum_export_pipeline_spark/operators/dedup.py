@@ -547,12 +547,17 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
     duplicated regions (granularity: span boundaries are gram-aligned,
     the standard over-approximation by < gram_len chars per edge).
 
-    Pipeline (all exact integer / md5 arithmetic — oracle-twinned):
-      1. positions: explode 1..len-gram_len+1, key = md5(gram) packed
-         into TWO int64 limbs (hex chars 1-15 and 16-30 → 120 bits:
-         a 32-char hex STRING key measured 11.4 GB shuffle at the
-         ×100 smoke, the limb pair ~2.5× less; 120 bits keeps the
-         corpus-wide collision expectation ≪ 1 even at 10^14 grams).
+    Pipeline (exact integer arithmetic; the OUTPUT spans are
+    oracle-twinned — the posting key is engine-internal, so it uses
+    the fastest JVM hash rather than a cross-engine md5):
+      1. positions: explode 1..len-gram_len+1, key = TWO independent
+         xxhash64 values of the gram (128 bits total: a 32-char md5
+         hex STRING key measured 11.4 GB shuffle at the ×100 smoke
+         and md5+conv dominated CPU; xxhash64 is codegen-native and
+         the limb pair ~2.5× smaller on the wire; 128 bits keeps the
+         corpus-wide collision expectation ≪ 1 even at 10^14 grams —
+         a collision would only ever ADD a false dup span, the same
+         direction as the gram-alignment over-approximation).
          Only the limbs + (doc_id, pos) ever shuffle — the text stays
          in the scan.
       2. duplicated keys: hash-agg on key HAVING count >= 2.
@@ -581,13 +586,11 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col), F.col(text_col),
         F.explode(F.sequence(
             F.lit(1), F.length(text_col) - L + 1)).alias("pos"))
-    gram_md5 = F.md5(F.expr(f"substr({text_col}, pos, {L})"))
+    gram = F.expr(f"substr({text_col}, pos, {L})")
     keyed = pos.select(
         F.col(id_col), F.col("pos"),
-        F.conv(F.substring(gram_md5, 1, 15), 16, 10).cast("long")
-         .alias("g1"),
-        F.conv(F.substring(gram_md5, 16, 15), 16, 10).cast("long")
-         .alias("g2"))
+        F.xxhash64(gram).alias("g1"),
+        F.xxhash64(F.lit(1), gram).alias("g2"))
     dup_keys = (keyed.groupBy("g1", "g2")
                      .agg(F.count(F.lit(1)).alias("c"))
                      .where(F.col("c") >= 2)

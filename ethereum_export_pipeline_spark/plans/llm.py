@@ -2425,16 +2425,15 @@ pos AS (
   FROM base
 ),
 keyed AS (
+  -- the posting key is engine-internal (Spark uses xxhash64); the
+  -- oracle groups on the gram itself — only the SPANS must agree
   SELECT doc_id, pos,
-         ('0x' || substr(md5(substr(text, CAST(pos AS INT), {_SUBSTR_L})),
-                         1, 15))::BIGINT AS g1,
-         ('0x' || substr(md5(substr(text, CAST(pos AS INT), {_SUBSTR_L})),
-                         16, 15))::BIGINT AS g2
+         substr(text, CAST(pos AS INT), {_SUBSTR_L}) AS gk
   FROM pos
 ),
-dup AS (SELECT g1, g2 FROM keyed GROUP BY 1, 2 HAVING count(*) >= 2),
+dup AS (SELECT gk FROM keyed GROUP BY 1 HAVING count(*) >= 2),
 hits AS (SELECT k.doc_id, k.pos FROM keyed k
-         SEMI JOIN dup d USING (g1, g2)),
+         SEMI JOIN dup d USING (gk)),
 isl AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER w IS NULL
