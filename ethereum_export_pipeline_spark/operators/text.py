@@ -853,3 +853,45 @@ def bpe_train(df: DataFrame, text_col: str = "text",
                           "concat(' ', _x, _y, ' '))").alias("w"), "cnt")
                       .localCheckpoint(eager=True))
     return merges
+
+
+def bpe_encode_counts(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Apply the corpus-trained BPE merges back to the corpus and
+    account per-document BPE token counts — the other half of the
+    tokenizer loop (`bpe_train` learns the merges; this is what a
+    sequence-packing or cost-estimation pass actually consumes:
+    "how many TOKENS is this document under OUR tokenizer", which
+    whitespace/regex counts only approximate).
+
+    The learned merge list (`rounds` rows) is a plan-time artifact:
+    collected once (the IVF-centroid literal discipline — 6 rows, not
+    data) and folded into ONE nested-`replace` codegen projection
+    over the distinct-word map, applied in training order. Per doc:
+    n_words (regex tokens) and n_bpe_tokens = Σ symbols of each word
+    occurrence. Returns (doc_id, n_words, n_bpe_tokens).
+
+    Scale shape: the word MAP is vocabulary-sized and broadcasts into
+    the per-occurrence join — the corpus's token stream never
+    shuffles on the word key; the only corpus exchange is the per-doc
+    count aggregate. Training cost is `bpe_train`'s (vocabulary-sized
+    rounds after one corpus scan)."""
+    from ..functions import tokens
+    merges = (bpe_train(df, text_col, rounds)
+              .orderBy("round").collect())
+    expr = "concat(' ', regexp_replace(word, '(.)', '$1 '))"
+    for m in merges:
+        expr = (f"replace({expr}, ' {m.x} {m.y} ', ' {m.x}{m.y} ')")
+    occ = (df.where(F.col(text_col).isNotNull())
+             .select(F.col(id_col), F.explode(tokens(text_col))
+                      .alias("word")))
+    word_map = (occ.select("word").distinct()
+                   .select("word",
+                           F.expr(f"size(split(trim({expr}), ' '))")
+                            .cast("long").alias("n_sym")))
+    return (occ.join(F.broadcast(word_map), "word")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                    F.expr("CAST(sum(n_sym) AS BIGINT)")
+                     .alias("n_bpe_tokens")))

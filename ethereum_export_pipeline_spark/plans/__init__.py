@@ -178,7 +178,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "stream_interval_join_outer",
                   # multimodal sibling of the graded mm_extract_features
                   # Arrow decode path + doc_dedup_exact's hash-agg
-                  "mm_phash_dedup")
+                  "mm_phash_dedup",
+                  # application half of doc_bpe_merges (broadcast
+                  # word-map join, the doc_rarity skeleton)
+                  "doc_bpe_encode")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -2081,12 +2081,12 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_train(load_table(spark, sf_dir, "documents"))
 
 
-def _bpe_sql(rounds: int = text.BPE_ROUNDS) -> str:
+def _bpe_chain(rounds: int = text.BPE_ROUNDS) -> str:
     # unrolled rounds, MATERIALIZED (each words{r} feeds both the pair
     # count and the rewrite; plain inlining re-expands the corpus
     # tokenization once per reference). DuckDB's replace() is
     # left-to-right non-overlapping like Spark's — BPE's greedy
-    # application.
+    # application. Shared by the training and encoding oracles.
     steps = []
     for r in range(rounds):
         steps.append(f"""
@@ -2103,16 +2103,52 @@ words{r + 1} AS MATERIALIZED (
   SELECT replace(w, ' ' || x || ' ' || y || ' ',
                  ' ' || x || y || ' ') AS w, cnt
   FROM words{r}, best{r})""")
+    return f"""occ AS MATERIALIZED (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS word
+  FROM documents WHERE text IS NOT NULL),
+words0 AS MATERIALIZED (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM occ GROUP BY 1),{','.join(steps)}"""
+
+
+def _bpe_sql(rounds: int = text.BPE_ROUNDS) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT round, x, y, pair_n FROM best{r}" for r in range(rounds))
     return f"""
-WITH words0 AS MATERIALIZED (
-  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w,
-         CAST(count(*) AS BIGINT) AS cnt
-  FROM (SELECT unnest({tokens_sql('text')}) AS word
-        FROM documents WHERE text IS NOT NULL)
-  GROUP BY 1),{','.join(steps)}
+WITH {_bpe_chain(rounds)}
 {union}
+"""
+
+
+def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus re-encoded with its own learned BPE merges: per-doc BPE
+    token counts (operators/text.bpe_encode_counts) — the tokenizer-
+    aware size accounting a packing/cost pass consumes."""
+    return text.bpe_encode_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_encode_sql(rounds: int = text.BPE_ROUNDS) -> str:
+    # word→segmentation map rewritten by the same best{r} chain the
+    # training oracle derives, then per-doc symbol accounting
+    maps = []
+    for r in range(rounds):
+        maps.append(f"""
+map{r + 1} AS MATERIALIZED (
+  SELECT word, replace(w, ' ' || x || ' ' || y || ' ',
+                       ' ' || x || y || ' ') AS w
+  FROM map{r}, best{r})""")
+    return f"""
+WITH {_bpe_chain(rounds)},
+map0 AS MATERIALIZED (
+  SELECT DISTINCT word,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w
+  FROM occ),{','.join(maps)}
+SELECT o.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split(trim(m.w), ' '))) AS BIGINT)
+         AS n_bpe_tokens
+FROM occ o JOIN map{rounds} m USING (word)
+GROUP BY 1
 """
 
 
@@ -2635,6 +2671,10 @@ QUERIES: dict[str, Query] = {
                             "BPE tokenizer training: first 6 merge "
                             "rules by iterative argmax pair fusion "
                             "over the word-frequency table"),
+    "doc_bpe_encode": Query(_bpe_encode, _bpe_encode_sql(),
+                            "corpus re-encoded with its own BPE "
+                            "merges: per-doc BPE token counts "
+                            "(broadcast word-map join)"),
     "doc_reservoir_sample": Query(_stratified_reservoir,
                                   _STRATIFIED_RESERVOIR_SQL,
                                   "exact-k-per-stratum deterministic "

@@ -1119,3 +1119,19 @@ def test_ahash_bits_hand_computed(spark):
         for x in range(4, 8):
             expect |= 1 << (y * 8 + x)
     assert val == expect
+
+
+def test_bpe_encode_counts_hand_computed(spark):
+    from ethereum_export_pipeline_spark.operators.text import (
+        bpe_encode_counts)
+    # merges (rounds=3, from test_bpe_train): (a,a), (a,b), (aa,ab)
+    # doc 1 'aaab aaab' → each word: a a a b →(a,a) aa a b →(a,b)
+    # aa ab →(aa,ab) aaab = 1 symbol → 2 words, 2 bpe tokens
+    # doc 2 'ab' → a b →(a,b) ab = 1 symbol
+    # doc 3 'ba' → b a : no merge applies → 2 symbols
+    df = docs(spark, [(1, "aaab aaab"), (2, "ab"), (3, "ba")])
+    out = {r.doc_id: r for r in
+           bpe_encode_counts(df, rounds=3).collect()}
+    assert (out[1].n_words, out[1].n_bpe_tokens) == (2, 2)
+    assert (out[2].n_words, out[2].n_bpe_tokens) == (1, 1)
+    assert (out[3].n_words, out[3].n_bpe_tokens) == (1, 2)
