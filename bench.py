@@ -94,6 +94,7 @@ HEADLINE = [
     "stream_session_window",
     "stream_interval_join_outer",
     "doc_bpe_merges",
+    "doc_bpe_encode",
     "mm_phash_dedup",
     "doc_rarity",
     "doc_sentence_dedup",
