@@ -95,6 +95,7 @@ HEADLINE = [
     "stream_interval_join_outer",
     "doc_bpe_merges",
     "doc_bpe_encode",
+    "emb_ann_recall",
     "mm_phash_dedup",
     "doc_rarity",
     "doc_sentence_dedup",

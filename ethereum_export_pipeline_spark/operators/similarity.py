@@ -652,3 +652,43 @@ def semdedup_cells(df: DataFrame, centroids: list[list[int]],
                          .alias("n_dups"),
                         F.when(F.col("_drop").isNull(), 1).otherwise(0)
                          .cast("long").alias("keep")))
+
+
+def ann_recall_report(df: DataFrame, k: int = 5,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      query_pred: str | None = None,
+                      dim: int = EMB_DIM, n_planes: int = N_PLANES,
+                      n_bands: int = 1) -> DataFrame:
+    """recall@k of the LSH path against the exact top-k — the metric
+    that TUNES an ANN deployment (how many bands/planes buy how much
+    recall) turned into a first-class query: per query,
+    (n_hits, recall_ppm) where n_hits = |LSH top-k ∩ exact top-k|.
+    Run it on a query SAMPLE next to any config change; the existing
+    recall-domination TESTS assert ordering, this measures the value.
+
+    Set membership, not rank agreement: a hit is the same neighbor id
+    in both top-k lists (ranks may permute under cosine ties).
+    recall_ppm = n_hits·1e6 div k — exact integers.
+
+    Scale shape: the exact side is `brute_force_topk`, O(Q·N) by
+    definition — this is an EVALUATION harness for a bounded query
+    sample (inherits brute force's `max_queries` guard), not a
+    production path; the LSH side and the final per-query join/agg
+    are the production plans themselves."""
+    query_pred = query_pred or f"{id_col} < 10"
+    exact = brute_force_topk(df, id_col, emb_col, k=k,
+                             query_pred=query_pred)
+    approx = lsh_topk(df, id_col, emb_col, k=k, query_pred=query_pred,
+                      dim=dim, n_planes=n_planes, n_bands=n_bands)
+    hits = (approx.join(exact.select("query_id", "neighbor_id"),
+                        ["query_id", "neighbor_id"], "left_semi")
+                  .groupBy("query_id")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    qs = exact.select("query_id").distinct()
+    return (qs.join(hits, "query_id", "left")
+              .select("query_id",
+                      F.coalesce("n_hits", F.lit(0)).cast("long")
+                       .alias("n_hits"),
+                      F.expr(f"coalesce(n_hits, 0) * 1000000 div {k}")
+                       .alias("recall_ppm")))

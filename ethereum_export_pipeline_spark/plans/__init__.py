@@ -181,7 +181,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "mm_phash_dedup",
                   # application half of doc_bpe_merges (broadcast
                   # word-map join, the doc_rarity skeleton)
-                  "doc_bpe_encode")
+                  "doc_bpe_encode",
+                  # composes the two graded ANN paths into the
+                  # recall@k evaluation metric
+                  "emb_ann_recall")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -2011,6 +2011,71 @@ FROM nodes n LEFT JOIN support s USING (node)
 """
 
 
+# ------------------------------------------------ ANN recall metric
+
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the graded 2-band LSH config vs exact top-k
+    (operators/similarity.ann_recall_report) — the band-tuning metric
+    as a first-class query over the 10-query evaluation sample."""
+    return similarity.ann_recall_report(
+        load_table(spark, sf_dir, "embeddings"), k=TOPK_K,
+        n_planes=LSH_PLANES, n_bands=LSH_TOPK_BANDS)
+
+
+def _ann_recall_sql() -> str:
+    # both graded twins inlined into one WITH: the brute-force cos
+    # frame and the banded-candidate cos frame, each ranked, joined
+    # on (query, neighbor) set membership
+    return f"""
+WITH {_BASE_CTES},
+bq AS (SELECT vec_id AS query_id, q AS qv, n2 AS qn2 FROM wn
+       WHERE vec_id < 10),
+bc AS (SELECT vec_id AS neighbor_id, q AS cv, n2 AS cn2 FROM wn),
+bscored AS (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2
+            FROM bq CROSS JOIN bc WHERE neighbor_id <> query_id),
+bcos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM bscored),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM bcos) WHERE rk <= {TOPK_K}
+),
+melted AS (SELECT vec_id, q, n2,
+           unnest({_banded_bucket_list_sql(LSH_TOPK_BANDS)}) AS bucket
+           FROM wn),
+lq AS (SELECT vec_id AS query_id, bucket FROM melted WHERE vec_id < 10),
+lc AS (SELECT vec_id AS neighbor_id, bucket FROM melted),
+cand AS (SELECT DISTINCT query_id, neighbor_id FROM lq JOIN lc USING (bucket)
+         WHERE neighbor_id <> query_id),
+wnp AS (SELECT cand.query_id, cand.neighbor_id,
+               wq.q AS qv, wq.n2 AS qn2, wc.q AS cv, wc.n2 AS cn2
+        FROM cand JOIN wn wq ON wq.vec_id = cand.query_id
+                  JOIN wn wc ON wc.vec_id = cand.neighbor_id),
+lscored AS (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2
+            FROM wnp),
+lcos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM lscored),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM lcos) WHERE rk <= {TOPK_K}
+),
+hits AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx a SEMI JOIN exact e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id AS query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) * 1000000 // {TOPK_K} AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h USING (query_id)
+"""
+
+
 # ------------------------------------------ perceptual image dedup
 
 def _phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2663,6 +2728,10 @@ QUERIES: dict[str, Query] = {
                       "fixed-point BM25 top-k (lexical retrieval "
                       "next to the ANN tier; exact integer "
                       "saturation + linear idf)"),
+    "emb_ann_recall": Query(_ann_recall, _ann_recall_sql(),
+                            "recall@k of the graded LSH config vs "
+                            "exact top-k (the ANN tuning metric as "
+                            "a query)"),
     "mm_phash_dedup": Query(_phash_dedup, _phash_dedup_sql(),
                             "perceptual aHash image dedup groups "
                             "(resize-invariant multimodal near-dup "

@@ -1135,3 +1135,31 @@ def test_bpe_encode_counts_hand_computed(spark):
     assert (out[1].n_words, out[1].n_bpe_tokens) == (2, 2)
     assert (out[2].n_words, out[2].n_bpe_tokens) == (1, 1)
     assert (out[3].n_words, out[3].n_bpe_tokens) == (1, 2)
+
+
+def test_ann_recall_report_bounds_and_perfect_case(spark):
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        ann_recall_report)
+    import math
+    # 16 well-separated vectors: with enough bands LSH recall can
+    # only be in [0, 1e6]; with n_bands high the candidate set covers
+    # everything → recall 1e6 exactly
+    vecs = []
+    for i in range(16):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        v[(i + 1) % 8] = 0.5 if i >= 8 else 0.0
+        vecs.append((i, v))
+    df = embs2(spark, vecs)
+    out = ann_recall_report(df, k=3, query_pred="vec_id < 4", dim=8,
+                            n_planes=4, n_bands=4).collect()
+    assert len(out) == 4
+    assert all(0 <= r.recall_ppm <= 1_000_000 for r in out)
+    assert all(r.recall_ppm == r.n_hits * 1_000_000 // 3 for r in out)
+
+
+def embs2(spark, rows):
+    from pyspark.sql import Row
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
