@@ -96,6 +96,7 @@ HEADLINE = [
     "doc_bpe_merges",
     "doc_bpe_encode",
     "emb_ann_recall",
+    "q_activity_streaks",
     "mm_phash_dedup",
     "doc_rarity",
     "doc_sentence_dedup",

@@ -811,6 +811,54 @@ def _scd2_versions_sql() -> str:
         key="user_id", attr="event_type", ts_us="us", seq="event_id")
 
 
+# ------------------------------------------------ gaps and islands
+
+def _activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands shape over event time: distinct (user, epoch
+    day), island key = day − row_number (constant within a
+    consecutive run), count per island, max per user. One shuffle on
+    the user key; the day dedup combines map-side. Exact integer days
+    (µs div 86_400_000_000) via the normalized event-time column."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.select("user_id",
+                      F.expr("ts_ns div 1000 div 86400000000")
+                       .alias("day"))
+              .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = (days.withColumn("isl", F.col("day")
+                               - F.row_number().over(w))
+                   .groupBy("user_id", "isl")
+                   .agg(F.count(F.lit(1)).cast("long").alias("run")))
+    return (islands.groupBy("user_id")
+                   .agg(F.expr("CAST(sum(run) AS BIGINT)")
+                         .alias("n_active_days"),
+                        F.max("run").alias("longest_streak"),
+                        F.count(F.lit(1)).cast("long").alias("n_streaks")))
+
+
+_ACTIVITY_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+islands AS (
+  SELECT user_id,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS isl
+  FROM days
+),
+runs AS (
+  SELECT user_id, isl, CAST(count(*) AS BIGINT) AS run
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(run) AS BIGINT) AS n_active_days,
+       CAST(max(run) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY 1
+"""
+
+
 # ------------------------------------------------ fuzzy record linkage
 
 #: deterministic "typo" injection: every 5th part's name loses its 3rd
@@ -859,6 +907,9 @@ QUERIES: dict[str, Query] = {
     "q_fuzzy_match": Query(_fuzzy_match, _FUZZY_MATCH_SQL,
                            "blocked fuzzy record linkage (Levenshtein "
                            "residual over a typo-dirtied entity column)"),
+    "q_activity_streaks": Query(_activity_streaks, _ACTIVITY_STREAKS_SQL,
+                                "gaps-and-islands: longest consecutive-"
+                                "active-day streak per user"),
     "q_scd2_versions": Query(_scd2_versions, _scd2_versions_sql(),
                              "SCD Type-2 history build (effective-"
                              "dated versions from the event log)"),

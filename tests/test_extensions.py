@@ -1163,3 +1163,30 @@ def embs2(spark, rows):
     return spark.createDataFrame(
         [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows],
         "vec_id long, embedding array<float>")
+
+
+def test_activity_streaks_gaps_and_islands(spark, tmp_path):
+    import datetime
+    from ethereum_export_pipeline_spark.plans.analytics import (
+        _activity_streaks)
+    base = datetime.datetime(2024, 1, 1)
+    # user 1: days 0,1,2, 5,6, 9 → streaks 3,2,1; user 2: day 0 only
+    evs = []
+    eid = 0
+    for d in (0, 1, 2, 5, 6, 9):
+        for _ in range(2):                     # dup events same day
+            eid += 1
+            evs.append((eid, base + datetime.timedelta(days=d, hours=eid % 3),
+                        1, "click", 0.0, "{}"))
+    evs.append((99, base, 2, "click", 0.0, "{}"))
+    df = spark.createDataFrame(
+        evs, "event_id long, ts timestamp_ntz, user_id long, "
+             "event_type string, value double, props string")
+    p = str(tmp_path / "sf_ev")
+    import os
+    os.makedirs(p)
+    df.write.parquet(f"{p}/events.parquet")
+    out = {r.user_id: r for r in _activity_streaks(spark, p).collect()}
+    assert (out[1].n_active_days, out[1].longest_streak,
+            out[1].n_streaks) == (6, 3, 3)
+    assert (out[2].n_active_days, out[2].longest_streak) == (1, 1)
