@@ -82,6 +82,7 @@ HEADLINE = [
     "doc_distinct_sketch",
     "doc_dup_triangles",
     "doc_dup_kcore",
+    "doc_dup_lpa",
     "doc_substring_spans",
     "doc_heavy_hitters",
     "doc_bigram_fluency",

@@ -232,3 +232,69 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4,
                           .otherwise(0).cast("long").alias("in_core"),
                          F.coalesce("core_deg", F.lit(0)).cast("long")
                           .alias("core_deg")))
+
+
+def lpa_communities(edges: DataFrame, rounds: int = 4,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) — the modularity-flavored grouping BETWEEN connected
+    components (which merge everything reachable) and k-core (which
+    thresholds cohesion): each node repeatedly adopts the most
+    frequent label among its neighbors. On a near-dup graph LPA
+    separates loosely-bridged duplicate communities that CC would
+    fuse through one borderline pair.
+
+    Determinism contract (engine-identical, oracle-twinnable):
+    synchronous rounds (all nodes update from the PREVIOUS round's
+    labels), argmax tie-break (count desc, label asc), labels start
+    as node ids, EXACTLY `rounds` rounds — `pagerank_exact`'s
+    fixed-iteration discipline; oscillation (LPA's known bipartite
+    flip-flop) is repeatable rather than hidden.
+
+    Returns (node, community, n_members) after `rounds`.
+
+    Scale shape: per round one edges⋈labels shuffle on the node key
+    (|E| rows) + a (node, label) hash-agg + a per-node argmax window
+    — the Pregel step relationally, exchange bounded by |E|+|V| per
+    round. Eager checkpoints between rounds; shuffle width clamped
+    to graph size (shared iteration discipline)."""
+    from pyspark.sql import Window
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                       & (F.col("a") != F.col("b")))
+                .select(F.least("a", "b").alias("a"),
+                        F.greatest("a", "b").alias("b"))
+                .distinct())
+    e = (und.select(F.explode(F.array(
+            F.struct(F.col("a").alias("s"), F.col("b").alias("d")),
+            F.struct(F.col("b").alias("s"), F.col("a").alias("d"))))
+            .alias("e"))
+            .select("e.s", "e.d")
+            .localCheckpoint(eager=True))
+    sess = edges.sparkSession
+    old_width = sess.conf.get("spark.sql.shuffle.partitions")
+    if e.count() < 1_000_000 and str(old_width).isdigit():
+        sess.conf.set("spark.sql.shuffle.partitions",
+                      str(min(4, int(old_width))))
+    try:
+        lab = (e.select(F.col("s").alias("node")).distinct()
+                .withColumn("label", F.col("node"))
+                .localCheckpoint(eager=True))
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("label").asc())
+        for _ in range(rounds):
+            votes = (e.join(lab, e.s == lab.node)
+                      .select(F.col("d").alias("node"), "label")
+                      .groupBy("node", "label")
+                      .agg(F.count(F.lit(1)).alias("c")))
+            lab = (votes.withColumn("_rk", F.row_number().over(w))
+                        .where(F.col("_rk") == 1)
+                        .select("node", "label")
+                        .localCheckpoint(eager=True))
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_width)
+    sizes = lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"))
+    return (lab.join(sizes, "label")
+               .select("node", F.col("label").alias("community"),
+                       "n_members"))

@@ -184,7 +184,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "doc_bpe_encode",
                   # composes the two graded ANN paths into the
                   # recall@k evaluation metric
-                  "emb_ann_recall")
+                  "emb_ann_recall",
+                  # fifth graph op on the same graded minhash-pair
+                  # graph (CC / star / pagerank / triangles / k-core)
+                  "doc_dup_lpa")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -2463,6 +2463,54 @@ FROM nodes n LEFT JOIN core c USING (node)
 """
 
 
+# ------------------------------------------------ LPA communities
+
+LPA_ROUNDS = 4
+
+
+def _dup_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the MinHash near-dup graph
+    (operators/graph.lpa_communities): separates loosely-bridged dup
+    communities that connected components would fuse."""
+    from ..operators.graph import lpa_communities
+    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
+                                    threshold=NGRAM_THRESHOLD)
+    return lpa_communities(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")), rounds=LPA_ROUNDS)
+
+
+def _dup_lpa_sql(rounds: int = LPA_ROUNDS) -> str:
+    # synchronous unrolled rounds; lab{r} feeds both the vote join and
+    # nothing else, but ed is referenced every round → MATERIALIZED
+    steps = []
+    for r in range(rounds):
+        steps.append(f"""
+lab{r + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                ORDER BY c DESC, label ASC) AS rk
+    FROM (SELECT ed.d AS node, l.label, count(*) AS c
+          FROM ed JOIN lab{r} l ON ed.s = l.node
+          GROUP BY 1, 2))
+  WHERE rk = 1)""")
+    return f"""
+WITH pairs AS ({_minhash_pairs_sql()}),
+und AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+                        greatest(doc_a, doc_b) AS b
+        FROM pairs WHERE doc_a <> doc_b),
+ed AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM und UNION ALL SELECT b, a FROM und),
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT s AS node, s AS label FROM ed),{','.join(steps)},
+sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+          FROM lab{rounds} GROUP BY 1)
+SELECT l.node AS node, l.label AS community, s.n_members AS n_members
+FROM lab{rounds} l JOIN sizes s USING (label)
+"""
+
+
 # ---------------------------------------------- bigram-LM fluency
 
 def _bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2762,6 +2810,10 @@ QUERIES: dict[str, Query] = {
                                  "deterministic Poisson weighted "
                                  "sampling (inclusion ∝ doc length, "
                                  "no rand, no shuffle)"),
+    "doc_dup_lpa": Query(_dup_lpa, _dup_lpa_sql(),
+                         "label-propagation communities on the "
+                         "near-dup graph (synchronous rounds, "
+                         "deterministic tie-break)"),
     "doc_dup_kcore": Query(_dup_kcore, _dup_kcore_sql(),
                            "k-core peel of the near-dup graph (dense "
                            "duplicate communities vs peel-away chains; "

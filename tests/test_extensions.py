@@ -1190,3 +1190,31 @@ def test_activity_streaks_gaps_and_islands(spark, tmp_path):
     assert (out[1].n_active_days, out[1].longest_streak,
             out[1].n_streaks) == (6, 3, 3)
     assert (out[2].n_active_days, out[2].longest_streak) == (1, 1)
+
+
+def test_lpa_two_cliques_one_bridge(spark):
+    from ethereum_export_pipeline_spark.operators.graph import (
+        lpa_communities)
+    # two triangles joined by one bridge edge: CC fuses them into one
+    # component; LPA keeps two communities (labels converge to each
+    # clique's min id; the bridge can't outvote two clique neighbors)
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(7, 8), (8, 9), (7, 9)]
+    out = {r.node: r.community for r in lpa_communities(
+        _edges(spark, tri1 + tri2 + [(3, 7)]), rounds=4).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[7] == out[8] == out[9]
+    assert out[1] != out[7]
+
+
+def test_lpa_deterministic_across_runs(spark):
+    from ethereum_export_pipeline_spark.operators.graph import (
+        lpa_communities)
+    edges = [(i, i + 1) for i in range(1, 12)] + [(1, 6), (4, 9)]
+    a = sorted(map(tuple,
+                   lpa_communities(_edges(spark, edges), rounds=3)
+                   .collect()))
+    b = sorted(map(tuple,
+                   lpa_communities(_edges(spark, edges), rounds=3)
+                   .collect()))
+    assert a == b
