@@ -870,19 +870,29 @@ _DIRTY_NAME = ("CASE WHEN p_partkey % 5 = 0 "
                "ELSE p_name END")
 
 
+#: blocking key: first two + LAST two characters — both survive the
+#: injected mid-word char-drop (a first-WORD block would not), and the
+#: suffix component keeps block population from growing with the
+#: table: a prefix-only substr(1,2) block put ~14% of all parts in one
+#: block and cost 30M Levenshtein evals / 40 s at sf0.1 (measured);
+#: the composite key cuts pairs ~40× at identical recall ON THE
+#: INJECTED TYPO CLASS (pairs differing in their last two chars are
+#: the documented blocking recall trade — production stacks multiple
+#: blocking passes)
+_BLOCK = "concat(substr(name, 1, 2), substr(name, length(name) - 1, 2))"
+
+
 def _fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution over a deterministically-dirtied part-name
-    column (operators/joins.fuzzy_pairs): blocking on the first two
-    characters (chosen to survive the injected char-drop typo — a
-    first-WORD block would miss every corrupted pair), candidate
+    column (operators/joins.fuzzy_pairs): composite prefix+suffix
+    blocking (survives the injected char-drop typo), candidate
     equi-join within blocks, Levenshtein 1..2 residual. Exact matches
     are excluded by contract (dedup_exact's job)."""
     from ..operators.joins import fuzzy_pairs
     p = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("id"),
         F.expr(_DIRTY_NAME).alias("name"))
-    return fuzzy_pairs(p, "id", "name",
-                       F.expr("substr(name, 1, 2)"), max_dist=2)
+    return fuzzy_pairs(p, "id", "name", F.expr(_BLOCK), max_dist=2)
 
 
 _FUZZY_MATCH_SQL = f"""
@@ -890,8 +900,8 @@ WITH p AS (
   SELECT p_partkey AS id, {_DIRTY_NAME} AS name FROM part
 ),
 base AS (
-  SELECT id, name, substr(name, 1, 2) AS blk
-  FROM p WHERE name IS NOT NULL AND substr(name, 1, 2) IS NOT NULL
+  SELECT id, name, {_BLOCK} AS blk
+  FROM p WHERE name IS NOT NULL AND {_BLOCK} IS NOT NULL
 )
 SELECT a.id AS id_a, b.id AS id_b,
        a.name AS name_a, b.name AS name_b,
