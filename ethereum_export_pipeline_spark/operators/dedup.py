@@ -620,3 +620,54 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
                      .alias("dup_chars"),
                     F.expr("coalesce(dup_chars, 0) * 1000000 div n_chars")
                      .alias("dup_frac_ppm")))
+
+
+CONTAINMENT_PPM = 800_000  # flag pairs where ≥80% of one side is shared
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      threshold_ppm: int = CONTAINMENT_PPM,
+                      n: int = NGRAM_N,
+                      max_shingle_df: int | None = DEFAULT_MAX_DF
+                      ) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    |S_A ∩ S_B| / |S_A| — the excerpt/superset signal Jaccard
+    structurally misses (a 100-shingle quote inside a 10,000-shingle
+    page has Jaccard ~0.01 but containment 1.0; in a training corpus
+    that's a benchmark excerpt, a syndicated article inside a
+    scraper page, a quoted document). Broder's containment sketch
+    semantics, computed exactly on the inverted index.
+
+    Same candidate machinery as `ngram_jaccard_pairs` (one sized-
+    shingle lineage, df-cut, equi-join — ReusedExchange pinned by the
+    jaccard twin's plan test), but thresholded on the MAX directional
+    containment, in exact ppm fixed point. Output per (a<b) pair:
+    (doc_a, doc_b, n_common, sz_a, sz_b, cont_a_ppm, cont_b_ppm)
+    where cont_a_ppm = 1e6·n_common div sz_a (share of A inside B).
+
+    Scale shape: identical to the jaccard pair generator — candidate
+    pairs only materialize for docs sharing a shingle, hot shingles
+    bounded by the df-cut; the directional division adds two codegen
+    expressions to the same aggregate."""
+    sh = _sized_shingles(df, id_col, text_col, n, max_shingle_df)
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle",
+                  F.col("sz").alias("sz_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle",
+                  F.col("sz").alias("sz_b"))
+    inter = (a.join(b, "shingle")
+              .where(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    return (inter
+            .withColumn("cont_a_ppm",
+                        F.expr("n_common * 1000000 div sz_a"))
+            .withColumn("cont_b_ppm",
+                        F.expr("n_common * 1000000 div sz_b"))
+            .where(F.greatest("cont_a_ppm", "cont_b_ppm")
+                   >= threshold_ppm)
+            .select("doc_a", "doc_b",
+                    F.col("n_common").cast("long").alias("n_common"),
+                    F.col("sz_a").cast("long").alias("sz_a"),
+                    F.col("sz_b").cast("long").alias("sz_b"),
+                    "cont_a_ppm", "cont_b_ppm"))

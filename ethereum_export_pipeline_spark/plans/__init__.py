@@ -187,7 +187,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "emb_ann_recall",
                   # fifth graph op on the same graded minhash-pair
                   # graph (CC / star / pagerank / triangles / k-core)
-                  "doc_dup_lpa")
+                  "doc_dup_lpa",
+                  # directional variant of the graded doc_ngram_pairs
+                  # (same sized-shingle lineage + df-cut)
+                  "doc_containment")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

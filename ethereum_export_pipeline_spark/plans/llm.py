@@ -2463,6 +2463,42 @@ FROM nodes n LEFT JOIN core c USING (node)
 """
 
 
+# ------------------------------------------ containment (excerpts)
+
+def _containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |S_A∩S_B|/|S_A| in exact ppm —
+    the excerpt/superset detector Jaccard misses
+    (operators/dedup.containment_pairs)."""
+    return dedup.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _containment_sql() -> str:
+    t = dedup.CONTAINMENT_PPM
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+sh0 AS ({SHINGLES_CTE}),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+         HAVING count(*) <= {dedup.DEFAULT_MAX_DF}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sz_a, sz_b, cont_a_ppm, cont_b_ppm
+FROM (
+  SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+         CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+         n_common * 1000000 // sa.sz AS cont_a_ppm,
+         n_common * 1000000 // sb.sz AS cont_b_ppm
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+) WHERE greatest(cont_a_ppm, cont_b_ppm) >= {t}
+"""
+
+
 # ------------------------------------------------ LPA communities
 
 LPA_ROUNDS = 4
@@ -2810,6 +2846,10 @@ QUERIES: dict[str, Query] = {
                                  "deterministic Poisson weighted "
                                  "sampling (inclusion ∝ doc length, "
                                  "no rand, no shuffle)"),
+    "doc_containment": Query(_containment, _containment_sql(),
+                             "asymmetric shingle containment (the "
+                             "excerpt/superset detector Jaccard "
+                             "misses; exact ppm)"),
     "doc_dup_lpa": Query(_dup_lpa, _dup_lpa_sql(),
                          "label-propagation communities on the "
                          "near-dup graph (synchronous rounds, "

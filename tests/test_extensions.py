@@ -1218,3 +1218,31 @@ def test_lpa_deterministic_across_runs(spark):
                    lpa_communities(_edges(spark, edges), rounds=3)
                    .collect()))
     assert a == b
+
+
+def test_containment_detects_excerpt_jaccard_misses(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+    quote = "alpha beta gamma delta epsilon zeta"
+    page = quote + " " + " ".join(f"w{i}" for i in range(60))
+    df = docs(spark, [(1, quote), (2, page), (3, "unrelated text here")])
+    out = containment_pairs(df, threshold_ppm=800_000).collect()
+    [r] = out
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.cont_a_ppm == 1_000_000       # every quote shingle in page
+    assert r.cont_b_ppm < 200_000          # tiny share of the page
+    # the same pair is INVISIBLE to symmetric jaccard at 0.5
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_containment_directional_values(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        containment_pairs)
+    # A: 4 shingles, B: 6 shingles, sharing 3 ("b c d e f" run)
+    a = "a b c d e f"          # shingles: abc bcd cde def -> 4
+    b = "b c d e f g h"        # shingles: bcd cde def efg fgh -> 5
+    df = docs(spark, [(1, a), (2, b)])
+    [r] = containment_pairs(df, threshold_ppm=500_000).collect()
+    assert (r.n_common, r.sz_a, r.sz_b) == (3, 4, 5)
+    assert r.cont_a_ppm == 3 * 1_000_000 // 4
+    assert r.cont_b_ppm == 3 * 1_000_000 // 5

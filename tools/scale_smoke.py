@@ -349,6 +349,29 @@ def main() -> int:
 
     bench("dup_kcore", dup_kcore)
 
+    def dup_lpa():
+        from ethereum_export_pipeline_spark.operators.graph import (
+            lpa_communities)
+        pairs = dedup.minhash_lsh_pairs(big_docs)
+        return lpa_communities(pairs.select(F.col("doc_a").alias("src"),
+                                            F.col("doc_b").alias("dst")),
+                               rounds=4)
+
+    bench("dup_lpa", dup_lpa)
+
+    def phash_dedup():
+        # decode 500k REAL images through Arrow mapInPandas — the
+        # Python-path throughput measurement for the multimodal tier
+        from ethereum_export_pipeline_spark.operators import multimodal
+        media = multimodal.documents_as_ppm_media(big_docs)
+        return multimodal.ahash_dup_groups(media)
+
+    bench("phash_dedup", phash_dedup)
+
+    # BPE training: the "state is vocabulary-sized" claim measured —
+    # corpus grows 100x, the per-round work shouldn't
+    bench("bpe_train", lambda: text.bpe_train(big_docs, rounds=6))
+
     BULK_PRED = "vec_id < 200"
     bench_no_broadcast(
         "ivf_topk_bulk",
