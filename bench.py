@@ -53,6 +53,7 @@ HEADLINE = [
     "eth_quality_audit",
     "eth_compaction_plan",
     "eth_table_profile",
+    "eth_reorg_resolve",
     "q_scd2_versions",
     "doc_dedup_exact",
     "doc_ngram_pairs",

@@ -190,7 +190,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "doc_dup_lpa",
                   # directional variant of the graded doc_ngram_pairs
                   # (same sized-shingle lineage + df-cut)
-                  "doc_containment")
+                  "doc_containment",
+                  # bounded-finality parent walk; the broadcast
+                  # point-lookup skeleton is graded via eth_keyed_fetch
+                  "eth_reorg_resolve")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -685,7 +685,59 @@ _TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
     for c in _PROFILE_INT + _PROFILE_STR)
 
 
+# --------------------------------------------------- reorg resolution
+
+REORG_H = 1000       # synthetic chain tip height
+REORG_DEPTH = 16     # fork-choice window (bounded finality)
+
+
+def _reorg_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-reorg resolution (operators/reorg.resolve_reorgs): a
+    synthetic block table with an uncle fork at every height ≡ 3
+    (mod 7) — hash md5('b'||h) / uncle md5('u'||h), parent
+    md5('b'||h−1), deterministic in both engines — resolved by a
+    REAL parent-walk from the tip over the last REORG_DEPTH heights.
+    The oracle states the known ground truth (main chain canonical,
+    uncles orphaned), so the walk is verified against the answer it
+    must reconstruct."""
+    from ..operators.reorg import resolve_reorgs
+    hs = (load_table(spark, sf_dir, "region").limit(1)
+          .select(F.explode(F.sequence(F.lit(0), F.lit(REORG_H)))
+                   .alias("h")))
+    main = hs.select(
+        F.col("h").alias("height"),
+        F.md5(F.concat(F.lit("b"), F.col("h").cast("string")))
+         .alias("hash"),
+        F.md5(F.concat(F.lit("b"), (F.col("h") - 1).cast("string")))
+         .alias("parent"))
+    uncles = (hs.where((F.col("h") % 7 == 3) & (F.col("h") > 0))
+                .select(
+        F.col("h").alias("height"),
+        F.md5(F.concat(F.lit("u"), F.col("h").cast("string")))
+         .alias("hash"),
+        F.md5(F.concat(F.lit("b"), (F.col("h") - 1).cast("string")))
+         .alias("parent")))
+    return resolve_reorgs(main.unionAll(uncles), max_depth=REORG_DEPTH)
+
+
+_REORG_RESOLVE_SQL = f"""
+WITH hs AS (SELECT unnest(range(0, {REORG_H + 1})) AS h)
+SELECT CAST(h AS BIGINT) AS height,
+       md5('b' || CAST(h AS VARCHAR)) AS block_hash,
+       CAST(1 AS BIGINT) AS canonical
+FROM hs WHERE h > {REORG_H - REORG_DEPTH}
+UNION ALL
+SELECT CAST(h AS BIGINT), md5('u' || CAST(h AS VARCHAR)),
+       CAST(0 AS BIGINT)
+FROM hs WHERE h % 7 = 3 AND h > {REORG_H - REORG_DEPTH}
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "eth_reorg_resolve": Query(_reorg_resolve, _REORG_RESOLVE_SQL,
+                               "chain-reorg resolution: parent-walk "
+                               "fork choice over the last 16 heights "
+                               "vs ground-truth canonical/orphan"),
     "eth_typed_projection": Query(_typed_projection, _TYPED_PROJECTION_SQL,
                                   "P1-P3 ApplyMapping typed projection"),
     "eth_partition_plan": Query(_partition_plan, _partition_plan_sql(),

@@ -1246,3 +1246,27 @@ def test_containment_directional_values(spark):
     assert (r.n_common, r.sz_a, r.sz_b) == (3, 4, 5)
     assert r.cont_a_ppm == 3 * 1_000_000 // 4
     assert r.cont_b_ppm == 3 * 1_000_000 // 5
+
+
+def test_resolve_reorgs_competing_fork_and_window(spark):
+    from pyspark.sql import Row
+    from ethereum_export_pipeline_spark.operators.reorg import (
+        resolve_reorgs)
+    # heights 0..5 main chain m0..m5; a COMPETING branch f4..f5 forking
+    # at height 3 but one block SHORTER tip... make the fork reach the
+    # same max height: tie at height 5 → tip tie-break = min hash.
+    rows = []
+    for h in range(6):
+        rows.append(Row(height=h, hash=f"m{h}", parent=f"m{h-1}"))
+    rows.append(Row(height=4, hash=f"f4", parent="m3"))
+    rows.append(Row(height=5, hash=f"f5", parent="f4"))
+    df = spark.createDataFrame(rows, "height long, hash string, parent string")
+    out = {(r.height, r.block_hash): r.canonical
+           for r in resolve_reorgs(df, max_depth=4).collect()}
+    # tip tie at height 5: 'f5' < 'm5' → the FORK wins fork-choice
+    assert out[(5, "f5")] == 1 and out[(5, "m5")] == 0
+    assert out[(4, "f4")] == 1 and out[(4, "m4")] == 0
+    assert out[(3, "m3")] == 1          # shared ancestor canonical
+    assert out[(2, "m2")] == 1
+    assert (1, "m1") not in out         # below the window: not judged
+    assert len(out) == 6
