@@ -81,6 +81,7 @@ HEADLINE = [
     "doc_token_drift",
     "doc_trade_pagerank",
     "doc_distinct_sketch",
+    "doc_source_overlap",
     "doc_dup_triangles",
     "doc_dup_kcore",
     "doc_dup_lpa",

@@ -361,3 +361,125 @@ SELECT CAST(row_number() OVER (ORDER BY exact_cnt DESC, tok ASC) AS BIGINT)
        tok, exact_cnt, cms_cnt, cms_cnt - exact_cnt AS overcount
 FROM est
 """
+
+
+def kmv_pair_overlap(df: DataFrame, group_col: str = "source",
+                     key_col: str = "text", k: int = 32) -> DataFrame:
+    """Pairwise set-INTERSECTION estimates between groups from their
+    KMV sketches alone — the sketch-algebra capability that makes
+    sketches a corpus-accounting tool rather than a single statistic
+    (Beyer et al., SIGMOD'07 multi-set KMV): "how many distinct
+    documents do sources A and B share" for every pair, WITHOUT
+    rescanning the corpus per pair (the exact answer is a quadratic
+    family of distinct-intersection queries; the sketches answer all
+    of them from k rows per group).
+
+    For a pair (a, b): the union sketch is the k smallest distinct
+    hashes of kept_a ∪ kept_b; ρ = (members of the union sketch
+    present in BOTH sides) / |union sketch| estimates the Jaccard,
+    and est_inter = ρ · est_union. Returns per pair:
+    (grp_a, grp_b, n_union_kept, kth_min, n_both, est_union,
+    est_inter) — counts exact BIGINTs, the two estimates each ONE
+    fixed float64 expression over them (cross-engine bit-identical).
+
+    Scale shape: the per-group kept sets are k rows each (built by
+    one corpus hash-distinct + per-group top-k window — `kmv_sketch`'s
+    exchange); everything pairwise happens on groups·k rows. 20
+    sources × k=32 = 640 rows feeding 190 pair estimates."""
+    from pyspark.sql import Window
+    hashes = (df.where(F.col(key_col).isNotNull()
+                       & F.col(group_col).isNotNull())
+                .select(F.col(group_col).alias("grp"),
+                        h60(F.col(key_col)).alias("h"))
+                .distinct())
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = (hashes.withColumn("rk", F.row_number().over(w))
+                  .where(F.col("rk") <= k).select("grp", "h"))
+    groups = kept.select("grp").distinct()
+    pairs = (groups.select(F.col("grp").alias("grp_a"))
+             .join(groups.select(F.col("grp").alias("grp_b")),
+                   F.col("grp_a") < F.col("grp_b")))
+    ka = kept.select(F.col("grp").alias("grp_a"), "h",
+                     F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    kb = kept.select(F.col("grp").alias("grp_b"), "h",
+                     F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    cols = ("grp_a", "grp_b", "h", "in_a", "in_b")
+    # select() both branches: unionAll is positional and each join
+    # moves its key column first — unchecked, the b-branch lands with
+    # grp_b in the grp_a slot (reversed pairs)
+    u = (pairs.join(ka, "grp_a").select(*cols)
+              .unionAll(pairs.join(kb, "grp_b").select(*cols))
+              .groupBy("grp_a", "grp_b", "h")
+              .agg(F.max("in_a").alias("in_a"),
+                   F.max("in_b").alias("in_b")))
+    wu = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    sk = (u.withColumn("rk", F.row_number().over(wu))
+           .where(F.col("rk") <= k))
+    agg = (sk.groupBy("grp_a", "grp_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_union_kept"),
+                  F.max("h").alias("kth_min"),
+                  F.expr("CAST(sum(in_a * in_b) AS BIGINT)")
+                   .alias("n_both")))
+    est_u = F.when(
+        F.col("n_union_kept") < k, F.col("n_union_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(H60_MAX))
+                / F.col("kth_min").cast("double"))
+    return (agg.withColumn("est_union", est_u)
+               .withColumn("est_inter",
+                           F.col("n_both").cast("double")
+                           / F.col("n_union_kept").cast("double")
+                           * F.col("est_union"))
+               .select("grp_a", "grp_b", "n_union_kept", "kth_min",
+                       "n_both", "est_union", "est_inter"))
+
+
+def kmv_pair_overlap_sql(table: str = "documents",
+                         group_expr: str = "source",
+                         key_expr: str = "text", k: int = 32) -> str:
+    """DuckDB twin of `kmv_pair_overlap` — identical order statistics
+    and the same two fixed float expressions."""
+    est_u = (f"CASE WHEN n_union_kept < {k} "
+             f"THEN CAST(n_union_kept AS DOUBLE) "
+             f"ELSE CAST({float(k - 1)} AS DOUBLE) * {float(H60_MAX)}"
+             f" / CAST(kth_min AS DOUBLE) END")
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT {group_expr} AS grp, {h60_sql(key_expr)} AS h
+  FROM {table}
+  WHERE {key_expr} IS NOT NULL AND {group_expr} IS NOT NULL
+),
+kept AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+    FROM hashes) WHERE rk <= {k}
+),
+gs AS (SELECT DISTINCT grp FROM kept),
+pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b
+          FROM gs a JOIN gs b ON a.grp < b.grp),
+u AS (
+  SELECT grp_a, grp_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.grp_a, p.grp_b, ka.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN kept ka ON ka.grp = p.grp_a
+    UNION ALL
+    SELECT p.grp_a, p.grp_b, kb.h, 0, 1
+    FROM pairs p JOIN kept kb ON kb.grp = p.grp_b)
+  GROUP BY 1, 2, 3
+),
+sk AS (
+  SELECT * FROM (
+    SELECT grp_a, grp_b, h, in_a, in_b,
+           row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rk
+    FROM u) WHERE rk <= {k}
+),
+agg AS (
+  SELECT grp_a, grp_b, CAST(count(*) AS BIGINT) AS n_union_kept,
+         CAST(max(h) AS BIGINT) AS kth_min,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM sk GROUP BY 1, 2
+)
+SELECT grp_a, grp_b, n_union_kept, kth_min, n_both,
+       {est_u} AS est_union,
+       CAST(n_both AS DOUBLE) / CAST(n_union_kept AS DOUBLE)
+         * ({est_u}) AS est_inter
+FROM agg
+"""

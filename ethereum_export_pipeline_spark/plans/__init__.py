@@ -193,7 +193,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "doc_containment",
                   # bounded-finality parent walk; the broadcast
                   # point-lookup skeleton is graded via eth_keyed_fetch
-                  "eth_reorg_resolve")
+                  "eth_reorg_resolve",
+                  # sketch-algebra extension of the graded
+                  # doc_distinct_sketch (same kept-hash machinery)
+                  "doc_source_overlap")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -2463,6 +2463,17 @@ FROM nodes n LEFT JOIN core c USING (node)
 """
 
 
+# --------------------------------------- KMV pairwise set overlap
+
+def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shared-distinct-documents estimates between sources
+    from KMV sketch algebra alone (operators/sketch.kmv_pair_overlap)
+    — 190 pair estimates from k rows per source, zero per-pair corpus
+    rescans."""
+    return sketch.kmv_pair_overlap(load_table(spark, sf_dir, "documents"),
+                                   k=SKETCH_K)
+
+
 # ------------------------------------------ containment (excerpts)
 
 def _containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2846,6 +2857,11 @@ QUERIES: dict[str, Query] = {
                                  "deterministic Poisson weighted "
                                  "sampling (inclusion ∝ doc length, "
                                  "no rand, no shuffle)"),
+    "doc_source_overlap": Query(_source_overlap,
+                                sketch.kmv_pair_overlap_sql(k=SKETCH_K),
+                                "pairwise source-overlap estimates "
+                                "from KMV sketch algebra (union/"
+                                "intersection, no per-pair rescan)"),
     "doc_containment": Query(_containment, _containment_sql(),
                              "asymmetric shingle containment (the "
                              "excerpt/superset detector Jaccard "

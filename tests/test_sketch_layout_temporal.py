@@ -402,3 +402,43 @@ def test_robust_outlier_zero_mad_degenerate(spark):
     df = spark.createDataFrame(rows, "src string, v long")
     [r] = robust_outlier_census(df, "src", "v").collect()
     assert (r.median, r.mad, r.n_outliers) == (5, 0, 1)
+
+
+# ---------------------------------------------- KMV pair overlap
+
+def test_kmv_pair_overlap_exact_small_sets(spark):
+    from pyspark.sql import Row
+    from ethereum_export_pipeline_spark.operators.sketch import (
+        kmv_pair_overlap)
+    # below k everything is exact: a has {x1..x6}, b shares 3 of them,
+    # c is disjoint
+    rows = ([Row(source="a", text=f"x{i}") for i in range(6)]
+            + [Row(source="b", text=f"x{i}") for i in range(3)]
+            + [Row(source="b", text=f"y{i}") for i in range(3)]
+            + [Row(source="c", text=f"z{i}") for i in range(4)])
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.grp_a, r.grp_b): r for r in
+           kmv_pair_overlap(df, k=32).collect()}
+    ab = out[("a", "b")]
+    assert ab.n_union_kept == 9 and ab.n_both == 3
+    assert ab.est_union == 9.0
+    assert ab.est_inter == 3.0          # ρ=3/9 × 9 — exact below k
+    ac = out[("a", "c")]
+    assert ac.n_both == 0 and ac.est_inter == 0.0
+    assert len(out) == 3                # ab, ac, bc
+
+
+def test_kmv_pair_overlap_estimates_track_truth(spark):
+    from pyspark.sql import Row
+    from ethereum_export_pipeline_spark.operators.sketch import (
+        kmv_pair_overlap)
+    # 400 shared + 400 unique per side; k=64 sketches should land the
+    # intersection estimate within a loose 4σ-ish band of 400
+    rows = ([Row(source="a", text=f"s{i}") for i in range(400)]
+            + [Row(source="a", text=f"a{i}") for i in range(400)]
+            + [Row(source="b", text=f"s{i}") for i in range(400)]
+            + [Row(source="b", text=f"b{i}") for i in range(400)])
+    df = spark.createDataFrame(rows, "source string, text string")
+    [r] = kmv_pair_overlap(df, k=64).collect()
+    assert 150 <= r.est_inter <= 750
+    assert 800 <= r.est_union <= 1800
