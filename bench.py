@@ -101,6 +101,7 @@ HEADLINE = [
     "doc_bpe_encode",
     "emb_ann_recall",
     "q_activity_streaks",
+    "q_rfm_segments",
     "mm_phash_dedup",
     "doc_rarity",
     "doc_sentence_dedup",

@@ -811,6 +811,71 @@ def _scd2_versions_sql() -> str:
         key="user_id", attr="event_type", ts_us="us", seq="event_id")
 
 
+# --------------------------------------------------- RFM segmentation
+
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    purchase events — the marketing-analytics staple: per user,
+    recency µs from the corpus max event time, purchase count, exact
+    cents; each dimension quintiled with NTILE(5) over a DETERMINISTIC
+    order (value, then user_id — ties would otherwise split
+    arbitrarily between engines), segment label = concatenated
+    scores. One shuffle on user_id, three NTILE windows over the
+    users-sized frame, max-ts as a broadcast single row."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase")
+    per_user = (ev.groupBy("user_id")
+                  .agg(F.expr("max(ts_ns div 1000)").alias("last_us"),
+                       F.count(F.lit(1)).cast("long").alias("frequency"),
+                       F.expr(f"CAST(sum({cents('value')}) AS BIGINT)")
+                        .alias("monetary_cents")))
+    mx = per_user.agg(F.max("last_us").alias("corpus_max_us"))
+    base = (per_user.crossJoin(F.broadcast(mx))
+                    .withColumn("recency_us",
+                                F.col("corpus_max_us") - F.col("last_us")))
+    w_r = Window.orderBy(F.col("recency_us").asc(), F.col("user_id").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    w_m = Window.orderBy(F.col("monetary_cents").desc(),
+                         F.col("user_id").asc())
+    return (base.withColumn("r_score", F.ntile(5).over(w_r).cast("long"))
+                .withColumn("f_score", F.ntile(5).over(w_f).cast("long"))
+                .withColumn("m_score", F.ntile(5).over(w_m).cast("long"))
+                .select("user_id", "recency_us", "frequency",
+                        "monetary_cents", "r_score", "f_score", "m_score",
+                        F.expr("concat(r_score, f_score, m_score)")
+                         .alias("segment")))
+
+
+_RFM_SEGMENTS_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum({cents('value')}) AS BIGINT) AS monetary_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+mx AS (SELECT max(last_us) AS corpus_max_us FROM per_user),
+base AS (
+  SELECT user_id, corpus_max_us - last_us AS recency_us,
+         frequency, monetary_cents
+  FROM per_user, mx
+)
+SELECT user_id, recency_us, frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY recency_us ASC, user_id ASC)
+            AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+            AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC)
+            AS BIGINT) AS m_score,
+       CAST(ntile(5) OVER (ORDER BY recency_us ASC, user_id ASC)
+            AS VARCHAR)
+       || CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+               AS VARCHAR)
+       || CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC)
+               AS VARCHAR) AS segment
+FROM base
+"""
+
+
 # ------------------------------------------------ gaps and islands
 
 def _activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,6 +985,9 @@ QUERIES: dict[str, Query] = {
     "q_activity_streaks": Query(_activity_streaks, _ACTIVITY_STREAKS_SQL,
                                 "gaps-and-islands: longest consecutive-"
                                 "active-day streak per user"),
+    "q_rfm_segments": Query(_rfm_segments, _RFM_SEGMENTS_SQL,
+                            "RFM quintile segmentation over purchase "
+                            "events (deterministic NTILE ties)"),
     "q_scd2_versions": Query(_scd2_versions, _scd2_versions_sql(),
                              "SCD Type-2 history build (effective-"
                              "dated versions from the event log)"),
