@@ -103,6 +103,7 @@ HEADLINE = [
     "q_activity_streaks",
     "q_rfm_segments",
     "mm_phash_dedup",
+    "mm_audio_dedup",
     "doc_rarity",
     "doc_sentence_dedup",
     "doc_length_stats",

@@ -708,3 +708,56 @@ def ahash_dup_groups(media: DataFrame, grid: int = 8) -> DataFrame:
             .withColumn("keep_id", F.min("media_id").over(w).cast("long"))
             .select("media_id", "hash_hi", "hash_lo", "n_copies",
                     "keep_id"))
+
+
+def audio_fingerprint_groups(media: DataFrame, grid: int = 64) -> DataFrame:
+    """Perceptual audio fingerprint dedup — `ahash_dup_groups`' audio
+    sibling, completing the modality dedup matrix: NN-downsample the
+    decoded amplitude series to `grid` points (channel 0), integer
+    mean threshold, strict-> bits packed into two BIGINTs. A
+    sample-rate-doubled copy (each sample repeated) downsamples to
+    the SAME points, so re-encoded audio groups with its original
+    while byte-level dedup sees two distinct blobs.
+
+    Zero-sample and undecodable/NULL payloads are excluded. The
+    decode+hash is one Arrow mapInPandas projection; grouping is
+    `dedup_exact`'s hash-agg on the 64-bit key."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decode_wav(payload)
+                if dec is None:
+                    continue
+                _, _, bits_depth, samples = dec
+                n = samples.shape[0]
+                if n == 0:
+                    continue
+                ch = samples[:, 0].astype(np.int64)
+                idx = (np.arange(grid) * n) // grid
+                pts = ch[idx]
+                mean = int(pts.sum()) // grid
+                bits = pts > mean
+                val = 0
+                for k, b in enumerate(bits):
+                    val |= int(b) << k
+                ids.append(mid)
+                his.append(val >> 32)
+                los.append(val & 0xFFFFFFFF)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "hash_hi": pd.Series(his, dtype="int64"),
+                "hash_lo": pd.Series(los, dtype="int64"),
+            })
+
+    hashed = media.mapInPandas(
+        run, "media_id long, hash_hi long, hash_lo long")
+    from pyspark.sql import Window
+    w = Window.partitionBy("hash_hi", "hash_lo")
+    return (hashed
+            .withColumn("n_copies", F.count(F.lit(1)).over(w).cast("long"))
+            .withColumn("keep_id", F.min("media_id").over(w).cast("long"))
+            .select("media_id", "hash_hi", "hash_lo", "n_copies",
+                    "keep_id"))

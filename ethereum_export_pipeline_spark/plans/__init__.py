@@ -196,7 +196,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "eth_reorg_resolve",
                   # sketch-algebra extension of the graded
                   # doc_distinct_sketch (same kept-hash machinery)
-                  "doc_source_overlap")
+                  "doc_source_overlap",
+                  # audio sibling of mm_phash_dedup (same Arrow
+                  # decode + hash-agg skeleton)
+                  "mm_audio_dedup")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -2136,6 +2136,58 @@ WINDOW w AS (PARTITION BY hash_hi, hash_lo)
 """
 
 
+# ------------------------------------------ perceptual audio dedup
+
+def _audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint dedup groups over REAL decoded WAV samples
+    (operators/multimodal.audio_fingerprint_groups) — the audio
+    column of the modality dedup matrix."""
+    media = multimodal.documents_as_wav_media(
+        load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_fingerprint_groups(media)
+
+
+def _audio_dedup_sql(grid: int = 64) -> str:
+    digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
+    byte_at = (f"16 * ({digit.format(i='2*p+1')}) "
+               f"+ ({digit.format(i='2*p+2')})")
+    pt_k = f"vals[(k * nb) // {grid} + 1]"
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE text IS NOT NULL
+),
+v AS (
+  SELECT doc_id, nb,
+         list_transform(range(nb), p -> {byte_at}) AS vals
+  FROM m WHERE nb > 0
+),
+pts AS (
+  SELECT doc_id,
+         list_transform(range({grid}), k -> {pt_k}) AS pts
+  FROM v
+),
+s AS (SELECT doc_id, pts,
+             CAST(list_sum(pts) AS BIGINT) // {grid} AS mean FROM pts),
+bits AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(32), k ->
+           (CASE WHEN pts[k + 33] > mean THEN CAST(1 AS BIGINT)
+                 ELSE 0 END) << k)) AS BIGINT) AS hash_hi,
+         CAST(list_sum(list_transform(range(32), k ->
+           (CASE WHEN pts[k + 1] > mean THEN CAST(1 AS BIGINT)
+                 ELSE 0 END) << k)) AS BIGINT) AS hash_lo
+  FROM s
+)
+SELECT doc_id AS media_id, hash_hi, hash_lo,
+       CAST(count(*) OVER w AS BIGINT) AS n_copies,
+       CAST(min(doc_id) OVER w AS BIGINT) AS keep_id
+FROM bits
+WINDOW w AS (PARTITION BY hash_hi, hash_lo)
+"""
+
+
 # ------------------------------------------- BPE tokenizer training
 
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2827,6 +2879,10 @@ QUERIES: dict[str, Query] = {
                             "recall@k of the graded LSH config vs "
                             "exact top-k (the ANN tuning metric as "
                             "a query)"),
+    "mm_audio_dedup": Query(_audio_dedup, _audio_dedup_sql(),
+                            "perceptual audio fingerprint dedup "
+                            "(decoded-sample envelope hash, every "
+                            "bit oracle-recomputed)"),
     "mm_phash_dedup": Query(_phash_dedup, _phash_dedup_sql(),
                             "perceptual aHash image dedup groups "
                             "(resize-invariant multimodal near-dup "

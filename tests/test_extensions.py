@@ -1270,3 +1270,29 @@ def test_resolve_reorgs_competing_fork_and_window(spark):
     assert out[(2, "m2")] == 1
     assert (1, "m1") not in out         # below the window: not judged
     assert len(out) == 6
+
+
+def test_audio_fingerprint_rate_invariant_groups(spark):
+    import numpy as np
+    from pyspark.sql import Row
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        audio_fingerprint_groups, encode_wav)
+    rng = np.random.default_rng(11)
+    s = rng.integers(0, 256, 256, dtype=np.uint8).astype(np.uint8)
+    doubled = s.repeat(2)                 # 2x sample-rate re-encode
+    other = rng.integers(0, 256, 256, dtype=np.uint8).astype(np.uint8)
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=bytes(encode_wav(s))),
+         Row(media_id=2, payload=bytes(encode_wav(doubled, 32_000))),
+         Row(media_id=3, payload=bytes(encode_wav(other))),
+         Row(media_id=4, payload=None),
+         Row(media_id=5, payload=bytes(encode_wav(
+             np.array([], dtype=np.uint8))))],
+        "media_id long, payload binary")
+    out = {r.media_id: r for r in audio_fingerprint_groups(df).collect()}
+    assert (out[1].hash_hi, out[1].hash_lo) == (out[2].hash_hi,
+                                                out[2].hash_lo)
+    assert out[1].n_copies == 2 and out[1].keep_id == 1
+    assert (out[3].hash_hi, out[3].hash_lo) != (out[1].hash_hi,
+                                                out[1].hash_lo)
+    assert 4 not in out and 5 not in out   # NULL / zero-sample excluded
