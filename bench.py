@@ -96,6 +96,7 @@ HEADLINE = [
     "q_fuzzy_match",
     "emb_semdedup_cells",
     "stream_session_window",
+    "stream_cusum_alerts",
     "stream_interval_join_outer",
     "doc_bpe_merges",
     "doc_bpe_encode",

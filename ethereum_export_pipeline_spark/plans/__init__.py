@@ -199,7 +199,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "doc_source_overlap",
                   # audio sibling of mm_phash_dedup (same Arrow
                   # decode + hash-agg skeleton)
-                  "mm_audio_dedup")
+                  "mm_audio_dedup",
+                  # second applyInPandasWithState op next to the graded
+                  # stream_sessions (same state-store machinery)
+                  "stream_cusum_alerts")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

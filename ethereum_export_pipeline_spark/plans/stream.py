@@ -213,6 +213,43 @@ SELECT * FROM matched UNION ALL SELECT * FROM unmatched
 """
 
 
+def _stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful CUSUM drift alarms (streaming/sessions.py
+    `stream_cusum_alerts`) — a sequential recurrence no window form
+    expresses, verified VALUE-exactly against a per-user recursive-CTE
+    oracle running the same integer recurrence."""
+    from ..streaming.sessions import stream_cusum_alerts
+    return stream_cusum_alerts(spark,
+                               f"{sf_dir.rstrip('/')}/events.parquet")
+
+
+def _stream_cusum_sql() -> str:
+    from ..streaming.sessions import CUSUM_H, CUSUM_K0
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+c AS (
+  SELECT user_id, event_id, rn,
+         greatest(0, x - {CUSUM_K0}) AS raw,
+         CASE WHEN greatest(0, x - {CUSUM_K0}) > {CUSUM_H} THEN 0
+              ELSE greatest(0, x - {CUSUM_K0}) END AS s
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.rn,
+         greatest(0, c.s + o.x - {CUSUM_K0}),
+         CASE WHEN greatest(0, c.s + o.x - {CUSUM_K0}) > {CUSUM_H}
+              THEN 0 ELSE greatest(0, c.s + o.x - {CUSUM_K0}) END
+  FROM c JOIN e o ON o.user_id = c.user_id AND o.rn = c.rn + 1
+)
+SELECT user_id, event_id, CAST(raw AS BIGINT) AS s_cents
+FROM c WHERE raw > {CUSUM_H}
+"""
+
+
 SW_GAP_US = 1_800_000_000
 SW_DELAY_S = 1800
 
@@ -289,6 +326,10 @@ QUERIES: dict[str, Query] = {
                                    _STREAM_SESSION_WINDOW_SQL,
                                    "built-in session_window sessions, "
                                    "append mode (closed sessions only)"),
+    "stream_cusum_alerts": Query(_stream_cusum, _stream_cusum_sql(),
+                                 "custom stateful CUSUM drift alarms "
+                                 "(sequential recurrence, exact-value "
+                                 "recursive-CTE oracle)"),
     "stream_interval_join_outer": Query(_stream_interval_join_outer,
                                         _stream_interval_join_outer_sql(),
                                         "LEFT OUTER watermarked interval "

@@ -94,3 +94,70 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
     from . import bounded_stream_width
     return run_available_now(agg, output_mode="update",
                              width=bounded_stream_width(spark, events_path))
+
+
+# ------------------------------------------------ CUSUM drift alarm
+
+CUSUM_K0 = 6_000      # per-event drift allowance, exact cents
+CUSUM_H = 20_000      # alarm threshold, exact cents
+
+ALERT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("s_cents", LongType()),
+])
+
+CUSUM_STATE = StructType([StructField("s", LongType())])
+
+
+def _cusum_key(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    batch = pd.concat(list(pdfs))
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["ts_us", "event_id"])
+    s = state.get[0] if state.exists else 0
+    out: list[tuple[int, int, int]] = []
+    for eid, x in zip(batch["event_id"], batch["x"]):
+        s = max(0, s + int(x) - CUSUM_K0)
+        if s > CUSUM_H:
+            out.append((user_id, int(eid), s))
+            s = 0                         # standard restart after alarm
+    state.update((s,))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "s_cents"])
+
+
+def stream_cusum_alerts(spark: SparkSession, events_path: str) -> DataFrame:
+    """CUSUM drift alarms as a CUSTOM STATEFUL streaming operator —
+    the page-one sequential-change-detection statistic (Page 1954):
+    per user, s ← max(0, s + x − k0); alarm and restart when s > h.
+    The recurrence is inherently sequential (no window/aggregate form
+    exists), which is exactly what `applyInPandasWithState` is for:
+    s carries across micro-batches in the state store, alarms are
+    per-event facts emitted exactly once (never revised — safe in
+    update mode). x is exact CENTS, so every emitted s is an exact
+    BIGINT and the oracle — a per-user recursive CTE running the
+    same recurrence — hash-matches bit-for-bit: a custom stateful
+    stream with a FULL value oracle, not a rows-only check.
+
+    Ordering contract (same as `stream_sessionize`): events sort by
+    (ts_us, event_id) within a batch and batches arrive in event-time
+    order — the fixture layout; production fronts this with a
+    watermarked sort or accepts detection jitter.
+
+    Scale shape: one shuffle on user_id into per-key state (one int),
+    Arrow-batched per-key work linear in the batch."""
+    from ..sources.tables import with_event_time
+    from . import bounded_stream_width
+    sdf = with_event_time(read_stream(spark, events_path))
+    keyed = (sdf.selectExpr(
+                 "user_id", "(ts_ns div 1000) AS ts_us", "event_id",
+                 "CAST(round(value * 100) AS BIGINT) AS x")
+                .groupBy("user_id"))
+    agg = keyed.applyInPandasWithState(
+        _cusum_key, ALERT_SCHEMA, CUSUM_STATE,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+    return run_available_now(agg, output_mode="update",
+                             width=bounded_stream_width(spark, events_path))

@@ -744,3 +744,52 @@ def test_interval_join_outer_unmatched_and_withheld(spark, tmp_path):
     assert out[4].matched == 0
     assert out[6].matched == 1 and out[6].delta_us == 0
     assert 7 not in out
+
+
+def test_cusum_cross_batch_state_carry(spark, tmp_path):
+    """CUSUM state must CARRY across micro-batches: an alarm whose
+    accumulation spans two batches fires only if s survived batch 1."""
+    import datetime, os
+    from ethereum_export_pipeline_spark.streaming.sessions import (
+        CUSUM_H, CUSUM_K0, stream_cusum_alerts)
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, secs, cents):
+        return (eid, base + datetime.timedelta(seconds=secs), 1,
+                "click", cents / 100.0, "{}")
+
+    # each event adds (16000 - k0) = 10000; alarm needs s > 20000 →
+    # third event fires (s = 30000), with events 1-2 in batch 1 and
+    # event 3 in batch 2
+    p = str(tmp_path / "cusum")
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    spark.createDataFrame([ev(1, 0, 16_000), ev(2, 10, 16_000)],
+                          schema).coalesce(1).write.parquet(p)
+    import glob, shutil
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame([ev(3, 20, 16_000)], schema
+                          ).coalesce(1).write.parquet(b2)
+    for f in glob.glob(f"{b2}/part-*.parquet"):
+        shutil.move(f, os.path.join(p, "zz-" + os.path.basename(f)))
+
+    from ethereum_export_pipeline_spark.streaming import read_stream
+    from ethereum_export_pipeline_spark.sources.tables import (
+        with_event_time)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    # force two batches: one file per trigger (file order = name order,
+    # so batch 1 = events 1-2, batch 2 = event 3)
+    sdf = with_event_time(read_stream(spark, p, max_files_per_trigger=1))
+    from ethereum_export_pipeline_spark.streaming.sessions import (
+        ALERT_SCHEMA, CUSUM_STATE, _cusum_key)
+    from ethereum_export_pipeline_spark.streaming import (
+        run_available_now)
+    keyed = (sdf.selectExpr("user_id", "(ts_ns div 1000) AS ts_us",
+                            "event_id",
+                            "CAST(round(value * 100) AS BIGINT) AS x")
+                .groupBy("user_id"))
+    agg = keyed.applyInPandasWithState(
+        _cusum_key, ALERT_SCHEMA, CUSUM_STATE,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+    out = run_available_now(agg, output_mode="update").collect()
+    assert [(r.event_id, r.s_cents) for r in out] == [(3, 30_000)]
