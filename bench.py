@@ -103,6 +103,7 @@ HEADLINE = [
     "emb_ann_recall",
     "q_activity_streaks",
     "q_rfm_segments",
+    "q_trimmed_mean",
     "mm_phash_dedup",
     "mm_audio_dedup",
     "doc_rarity",

@@ -811,6 +811,54 @@ def _scd2_versions_sql() -> str:
         key="user_id", attr="event_type", ts_us="us", seq="event_id")
 
 
+# --------------------------------------------------- trimmed mean
+
+def _trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 10%-trimmed mean of purchase values — the robust
+    aggregate eval pipelines use where one outlier run would drag a
+    plain mean (trim = drop the top and bottom decile BY RANK, exact
+    integer boundaries: ranks in (n div 10, n − n div 10]). Exact
+    cents; the mean is the single final division. One shuffle on the
+    group key, one rank window riding it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("x").asc(), F.col("event_id").asc())
+    ranked = (ev.select("event_type", "event_id",
+                        F.expr(cents("value")).alias("x"))
+                .withColumn("rk", F.row_number().over(w))
+                .withColumn("n", F.count(F.lit(1)).over(
+                    Window.partitionBy("event_type"))))
+    kept = ranked.where((F.col("rk") > F.expr("n div 10"))
+                        & (F.col("rk") <= F.expr("n - n div 10")))
+    return (kept.groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                     F.expr("CAST(sum(x) AS BIGINT)").alias("sum_cents"))
+                .select("event_type", "n_kept", "sum_cents",
+                        (F.col("sum_cents").cast("double")
+                         / F.col("n_kept").cast("double"))
+                         .alias("trimmed_mean_cents")))
+
+
+_TRIMMED_MEAN_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, {cents('value')} AS x,
+         row_number() OVER (PARTITION BY event_type
+              ORDER BY {cents('value')} ASC, event_id ASC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+kept AS (
+  SELECT event_type, x FROM ranked
+  WHERE rk > n // 10 AND rk <= n - n // 10
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(x) AS BIGINT) AS sum_cents,
+       CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS trimmed_mean_cents
+FROM kept GROUP BY 1
+"""
+
+
 # --------------------------------------------------- RFM segmentation
 
 def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,6 +1036,9 @@ QUERIES: dict[str, Query] = {
     "q_rfm_segments": Query(_rfm_segments, _RFM_SEGMENTS_SQL,
                             "RFM quintile segmentation over purchase "
                             "events (deterministic NTILE ties)"),
+    "q_trimmed_mean": Query(_trimmed_mean, _TRIMMED_MEAN_SQL,
+                            "10%-trimmed mean per group (robust "
+                            "aggregate, exact rank boundaries)"),
     "q_scd2_versions": Query(_scd2_versions, _scd2_versions_sql(),
                              "SCD Type-2 history build (effective-"
                              "dated versions from the event log)"),
