@@ -58,6 +58,7 @@ HEADLINE = [
     "doc_dedup_exact",
     "doc_ngram_pairs",
     "doc_minhash_pairs",
+    "doc_minhash_quality",
     "doc_simhash_pairs",
     "doc_dedup_clusters",
     "doc_dedup_canonical",

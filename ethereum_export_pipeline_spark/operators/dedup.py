@@ -671,3 +671,54 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.col("sz_a").cast("long").alias("sz_a"),
                     F.col("sz_b").cast("long").alias("sz_b"),
                     "cont_a_ppm", "cont_b_ppm"))
+
+
+def minhash_estimator_quality(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              threshold: float = 0.5,
+                              n: int = NGRAM_N) -> DataFrame:
+    """MinHash estimator-quality report — `emb_ann_recall`'s text-side
+    twin: for every verified near-dup pair, the Jaccard ESTIMATE the
+    signatures imply (matching components / K — the statistic whose
+    expectation IS the Jaccard, the reason MinHash works) next to the
+    exact value, plus the signed error in ppm fixed point. This is
+    the K-tuning metric: widen K until |err| is acceptable, and the
+    report proves what the current K=16 buys.
+
+    Output per pair: (doc_a, doc_b, sig_matches, est_jaccard_ppm,
+    exact_jaccard_ppm, err_ppm) — all exact BIGINTs (the exact ppm is
+    1e6·n_common div (union), truncating).
+
+    Scale shape: rides `minhash_lsh_pairs`' machinery (signature agg,
+    banded candidates, semi-join-restricted exact verify) and adds
+    two broadcast-ish joins of the K-column signature frame onto the
+    (small) verified pair list — the pair list never re-scans the
+    corpus."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, n)
+    sz = (shingles(df, id_col, text_col, n)
+          .groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")))
+    pairs = (pairs
+             .join(sz.select(F.col(id_col).alias("doc_a"),
+                             F.col("sz").alias("sz_a")), "doc_a")
+             .join(sz.select(F.col(id_col).alias("doc_b"),
+                             F.col("sz").alias("sz_b")), "doc_b"))
+    sig = minhash_signatures(df, id_col, text_col, n)
+    k = MINHASH_K
+    sa = sig.select(F.col(id_col).alias("doc_a"),
+                    *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col(id_col).alias("doc_b"),
+                    *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(k))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+                 .withColumn("sig_matches", matches.cast("long"))
+                 .withColumn("est_jaccard_ppm",
+                             F.expr(f"sig_matches * 1000000 div {k}"))
+                 .withColumn("exact_jaccard_ppm",
+                             F.expr("n_common * 1000000 div "
+                                    "(sz_a + sz_b - n_common)"))
+                 .select("doc_a", "doc_b", "sig_matches",
+                         "est_jaccard_ppm", "exact_jaccard_ppm",
+                         F.expr("est_jaccard_ppm - exact_jaccard_ppm")
+                          .alias("err_ppm")))

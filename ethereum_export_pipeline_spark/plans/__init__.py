@@ -202,7 +202,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "mm_audio_dedup",
                   # second applyInPandasWithState op next to the graded
                   # stream_sessions (same state-store machinery)
-                  "stream_cusum_alerts")
+                  "stream_cusum_alerts",
+                  # estimator-quality twin of emb_ann_recall on the
+                  # graded minhash machinery
+                  "doc_minhash_quality")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -2515,6 +2515,51 @@ FROM nodes n LEFT JOIN core c USING (node)
 """
 
 
+# -------------------------------------- MinHash estimator quality
+
+def _minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-implied Jaccard vs exact per verified pair — the
+    K-tuning metric (operators/dedup.minhash_estimator_quality),
+    emb_ann_recall's text-side twin."""
+    return dedup.minhash_estimator_quality(
+        load_table(spark, sf_dir, "documents"), threshold=NGRAM_THRESHOLD)
+
+
+def _minhash_quality_sql() -> str:
+    k = dedup.MINHASH_K
+    matches = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(k))
+    mins = ", ".join(
+        f"min({affine_hash_sql('h', a, b)}) AS m{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_FAMILY))
+    return f"""
+WITH pairs AS MATERIALIZED ({_minhash_pairs_sql()}),
+toks AS ({TOKS_CTE}),
+sh AS ({SHINGLES_CTE}),
+hashed AS (SELECT doc_id, {h32_sql('shingle')} AS h FROM sh),
+sig AS MATERIALIZED (SELECT doc_id, {mins} FROM hashed GROUP BY 1),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+enriched AS (
+  SELECT p.doc_a, p.doc_b, p.n_common,
+         za.sz AS sz_a, zb.sz AS sz_b,
+         CAST(({matches}) AS BIGINT) AS sig_matches
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+  JOIN sz za ON za.doc_id = p.doc_a
+  JOIN sz zb ON zb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, sig_matches,
+       sig_matches * 1000000 // {k} AS est_jaccard_ppm,
+       n_common * 1000000 // (sz_a + sz_b - n_common)
+         AS exact_jaccard_ppm,
+       sig_matches * 1000000 // {k}
+         - n_common * 1000000 // (sz_a + sz_b - n_common) AS err_ppm
+FROM enriched
+"""
+
+
 # --------------------------------------- KMV pairwise set overlap
 
 def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2913,6 +2958,10 @@ QUERIES: dict[str, Query] = {
                                  "deterministic Poisson weighted "
                                  "sampling (inclusion ∝ doc length, "
                                  "no rand, no shuffle)"),
+    "doc_minhash_quality": Query(_minhash_quality, _minhash_quality_sql(),
+                                 "signature-implied Jaccard vs exact "
+                                 "per verified pair (the K-tuning "
+                                 "metric, signed err ppm)"),
     "doc_source_overlap": Query(_source_overlap,
                                 sketch.kmv_pair_overlap_sql(k=SKETCH_K),
                                 "pairwise source-overlap estimates "

@@ -1296,3 +1296,18 @@ def test_audio_fingerprint_rate_invariant_groups(spark):
     assert (out[3].hash_hi, out[3].hash_lo) != (out[1].hash_hi,
                                                 out[1].hash_lo)
     assert 4 not in out and 5 not in out   # NULL / zero-sample excluded
+
+
+def test_minhash_estimator_quality_identical_docs(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        MINHASH_K, minhash_estimator_quality)
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = docs(spark, [(1, text), (2, text),
+                      (3, "completely different words here entirely")])
+    [r] = minhash_estimator_quality(df, threshold=0.9).collect()
+    # identical docs: every signature component matches, both ppm exact
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.sig_matches == MINHASH_K
+    assert r.est_jaccard_ppm == 1_000_000
+    assert r.exact_jaccard_ppm == 1_000_000
+    assert r.err_ppm == 0
