@@ -93,6 +93,7 @@ HEADLINE = [
     "doc_weighted_sample",
     "doc_reservoir_sample",
     "doc_length_histogram",
+    "doc_length_quantile_bins",
     "doc_length_outliers",
     "q_fuzzy_match",
     "emb_semdedup_cells",

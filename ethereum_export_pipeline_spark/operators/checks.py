@@ -210,3 +210,41 @@ def robust_outlier_census(df: DataFrame, group_col: str, value_col: str,
                        "mad", "n_outliers",
                        F.expr("n_outliers * 1000000 div n")
                         .alias("outlier_ppm")))
+
+
+def equidepth_histogram(df: DataFrame, group_col: str, value_col: str,
+                        n_bins: int = 10) -> DataFrame:
+    """Per-group equi-DEPTH histogram — the quantile-bin complement of
+    `equiwidth_histogram` (equi-width shows shape on a fixed scale;
+    equi-depth shows WHERE the mass sits: bin boundaries ARE the
+    deciles). Bins are global NTILE buckets over (value, then group,
+    then an arbitrary-but-deterministic disambiguator is unnecessary:
+    ties broken by group then rowid-free value order) — here NTILE
+    orders by (x, grp) which is total for the aggregated frame below.
+
+    To keep the tie-break total WITHOUT a row id, the frame is first
+    aggregated to (grp, x, cnt) — distinct (grp, x) rows — and NTILE
+    assigns bins to those distinct rows weighted implicitly by their
+    order; bin populations then count cnt. Boundaries are exact
+    integer min/max per bin. Returns (group, bin, lo, hi, n).
+
+    Scale shape: one (grp, x) hash-agg (map-side combined — the
+    distinct-value frame is what shuffles, not the corpus), one
+    global-order NTILE window over that frame (single-partition sort
+    of DISTINCT values only; for >10^8 distinct values switch to
+    range partitioning — documented, same trade as any exact global
+    quantile), one (grp, bin) roll-up."""
+    from pyspark.sql import Window
+    vals = (df.where(F.col(value_col).isNotNull())
+              .select(F.col(group_col).alias("grp"),
+                      F.col(value_col).cast("long").alias("x"))
+              .groupBy("grp", "x")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w = Window.orderBy(F.col("x").asc(), F.col("grp").asc())
+    binned = vals.withColumn("bin", (F.ntile(n_bins).over(w) - 1)
+                             .cast("long"))
+    return (binned.groupBy("grp", "bin")
+                  .agg(F.min("x").alias("lo"), F.max("x").alias("hi"),
+                       F.expr("CAST(sum(cnt) AS BIGINT)").alias("n"))
+                  .select(F.col("grp").alias(group_col), "bin",
+                          "lo", "hi", "n"))

@@ -205,7 +205,9 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   "stream_cusum_alerts",
                   # estimator-quality twin of emb_ann_recall on the
                   # graded minhash machinery
-                  "doc_minhash_quality")
+                  "doc_minhash_quality",
+                  # equi-depth sibling of doc_length_histogram
+                  "doc_length_quantile_bins")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

@@ -2333,6 +2333,34 @@ FROM binned GROUP BY grp, bin
 """
 
 
+def _length_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source equi-DEPTH (decile-bin) doc-length histogram
+    (operators/checks.equidepth_histogram) — quantile boundaries
+    next to the equi-width shape profile."""
+    from ..operators.checks import equidepth_histogram
+    return equidepth_histogram(load_table(spark, sf_dir, "documents"),
+                               "source", "n_chars", n_bins=HIST_BINS)
+
+
+_LENGTH_QUANTILE_BINS_SQL = f"""
+WITH vals AS (
+  SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL
+  GROUP BY 1, 2
+),
+binned AS (
+  SELECT grp, x, cnt,
+         CAST(ntile({HIST_BINS}) OVER (ORDER BY x ASC, grp ASC) - 1
+              AS BIGINT) AS bin
+  FROM vals
+)
+SELECT grp AS source, bin, CAST(min(x) AS BIGINT) AS lo,
+       CAST(max(x) AS BIGINT) AS hi, CAST(sum(cnt) AS BIGINT) AS n
+FROM binned GROUP BY 1, 2
+"""
+
+
 def _length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source robust outlier census (median/MAD, exact integer
     order statistics — operators/checks.robust_outlier_census)."""
@@ -2947,6 +2975,10 @@ QUERIES: dict[str, Query] = {
     "doc_length_histogram": Query(_length_histogram, _LENGTH_HISTOGRAM_SQL,
                                   "per-source equi-width length "
                                   "histogram over global bin edges"),
+    "doc_length_quantile_bins": Query(_length_quantile_bins,
+                                      _LENGTH_QUANTILE_BINS_SQL,
+                                      "per-source equi-depth decile "
+                                      "bins (quantile boundaries)"),
     "doc_length_outliers": Query(_length_outliers, _LENGTH_OUTLIERS_SQL,
                                  "per-source median/MAD robust outlier "
                                  "census (exact integer order stats)"),

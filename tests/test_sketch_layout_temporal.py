@@ -442,3 +442,23 @@ def test_kmv_pair_overlap_estimates_track_truth(spark):
     [r] = kmv_pair_overlap(df, k=64).collect()
     assert 150 <= r.est_inter <= 750
     assert 800 <= r.est_union <= 1800
+
+
+def test_equidepth_histogram_decile_mass(spark):
+    from pyspark.sql import Row
+    from ethereum_export_pipeline_spark.operators.checks import (
+        equidepth_histogram)
+    # 100 distinct values in one group → 10 bins of 10 values each
+    rows = [Row(src="a", v=i) for i in range(100)]
+    df = spark.createDataFrame(rows, "src string, v long")
+    out = sorted(equidepth_histogram(df, "src", "v", n_bins=10).collect(),
+                 key=lambda r: r.bin)
+    assert [r.n for r in out] == [10] * 10
+    assert out[0].lo == 0 and out[0].hi == 9
+    assert out[9].lo == 90 and out[9].hi == 99
+    # repeated values weight bin POPULATION, not bin assignment
+    rows2 = [Row(src="a", v=1)] * 50 + [Row(src="a", v=i + 10)
+                                        for i in range(10)]
+    df2 = spark.createDataFrame(rows2, "src string, v long")
+    out2 = equidepth_histogram(df2, "src", "v", n_bins=2).collect()
+    assert sum(r.n for r in out2) == 60
