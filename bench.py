@@ -55,6 +55,7 @@ HEADLINE = [
     "eth_table_profile",
     "eth_reorg_resolve",
     "q_scd2_versions",
+    "q_scd2_asof",
     "doc_dedup_exact",
     "doc_ngram_pairs",
     "doc_minhash_pairs",

@@ -811,6 +811,48 @@ def _scd2_versions_sql() -> str:
         key="user_id", attr="event_type", ts_us="us", seq="event_id")
 
 
+# --------------------------------------------------- SCD2 AS OF
+
+def _scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) lookup over the SCD2 history — the query
+    the effective-dated table EXISTS to answer: every key's state at
+    the corpus's midpoint instant (t = (min+max) div 2 event time,
+    deterministic, broadcast as one row): the version with
+    valid_from ≤ t < valid_to (open tail = NULL valid_to). At scale
+    the half-open intervals make this one partition-prunable filter
+    over the history table — no joins, no windows at read time."""
+    from ..operators.temporal import scd2
+    e = (load_table(spark, sf_dir, "events")
+         .withColumn("ts_us", F.expr("ts_ns div 1000")))
+    hist = scd2(e, key_col="user_id", attr_col="event_type",
+                ts_us_col="ts_us", seq_col="event_id")
+    t = e.agg(F.expr("CAST((min(ts_us) + max(ts_us)) div 2 AS BIGINT)")
+              .alias("t"))
+    return (hist.crossJoin(F.broadcast(t))
+                .where((F.col("valid_from_us") <= F.col("t"))
+                       & (F.col("valid_to_us").isNull()
+                          | (F.col("valid_to_us") > F.col("t"))))
+                .select("user_id", "version", "attr",
+                        "valid_from_us", "valid_to_us"))
+
+
+def _scd2_asof_sql() -> str:
+    from ..operators.temporal import scd2_sql
+    hist = scd2_sql(
+        "SELECT user_id, event_type, epoch_us(ts) AS us, event_id "
+        "FROM events",
+        key="user_id", attr="event_type", ts_us="us", seq="event_id")
+    return f"""
+WITH hist AS ({hist}),
+t AS (SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+             AS BIGINT) AS t FROM events)
+SELECT user_id, version, attr, valid_from_us, valid_to_us
+FROM hist, t
+WHERE valid_from_us <= t
+  AND (valid_to_us IS NULL OR valid_to_us > t)
+"""
+
+
 # --------------------------------------------------- trimmed mean
 
 def _trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,6 +1081,9 @@ QUERIES: dict[str, Query] = {
     "q_trimmed_mean": Query(_trimmed_mean, _TRIMMED_MEAN_SQL,
                             "10%-trimmed mean per group (robust "
                             "aggregate, exact rank boundaries)"),
+    "q_scd2_asof": Query(_scd2_asof, _scd2_asof_sql(),
+                         "point-in-time AS OF lookup over the SCD2 "
+                         "history (state at the corpus midpoint)"),
     "q_scd2_versions": Query(_scd2_versions, _scd2_versions_sql(),
                              "SCD Type-2 history build (effective-"
                              "dated versions from the event log)"),

@@ -372,6 +372,10 @@ def main() -> int:
     # corpus grows 100x, the per-round work shouldn't
     bench("bpe_train", lambda: text.bpe_train(big_docs, rounds=6))
 
+    # asymmetric containment: same sized-shingle lineage as
+    # ngram_pairs, thresholded on max directional containment
+    bench("containment", lambda: dedup.containment_pairs(big_docs))
+
     BULK_PRED = "vec_id < 200"
     bench_no_broadcast(
         "ivf_topk_bulk",
