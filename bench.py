@@ -56,6 +56,7 @@ HEADLINE = [
     "eth_reorg_resolve",
     "q_scd2_versions",
     "q_scd2_asof",
+    "q_interval_overlap",
     "doc_dedup_exact",
     "doc_ngram_pairs",
     "doc_minhash_pairs",

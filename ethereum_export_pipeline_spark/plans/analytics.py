@@ -811,6 +811,98 @@ def _scd2_versions_sql() -> str:
         key="user_id", attr="event_type", ts_us="us", seq="event_id")
 
 
+# --------------------------------------------- interval overlap join
+
+IVL_BUCKET_US = 3_600_000_000  # 1-hour overlap-join grid
+
+
+def _interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP self-join — the second interval primitive
+    Spark lacks as a built-in (as-of = nearest-past point; this =
+    range × range): concurrent sessions of DIFFERENT users. The
+    naive θ-join (a.start ≤ b.end AND b.start ≤ a.end) plans as a
+    nested loop; the scalable shape is the eth_range_join discipline
+    lifted to two interval sides — explode each interval onto a
+    coarse BUCKET GRID (1 h), equi-join on the bucket, dedup the
+    (pair) key (one pair can share several buckets), and evaluate
+    the exact overlap as a residual. Fan-out is interval_len/bucket
+    per row; pairs only materialize inside a shared bucket —
+    quadratic in per-bucket concurrency, never in the table.
+
+    Output: (user_a, seq_a, user_b, seq_b, overlap_us ≥ 0) —
+    inclusive endpoints (sessions touching at one instant overlap 0).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = (ev.select("user_id", "event_id",
+                         F.expr("ts_ns div 1000").alias("ts_us"))
+                 .withColumn("_new", F.when(
+                     F.lag("ts_us").over(w).isNull()
+                     | (F.col("ts_us") - F.lag("ts_us").over(w)
+                        > SESSION_GAP_US), 1).otherwise(0))
+                 .withColumn("seq", F.sum("_new").over(
+                     w.rowsBetween(Window.unboundedPreceding, 0))))
+    sess = (flagged.groupBy("user_id", "seq")
+                   .agg(F.min("ts_us").alias("s"),
+                        F.max("ts_us").alias("e")))
+    B = IVL_BUCKET_US
+    binned = sess.select(
+        "user_id", "seq", "s", "e",
+        F.explode(F.sequence(F.expr(f"s div {B}"),
+                             F.expr(f"e div {B}"))).alias("bkt"))
+    a = binned.select(F.col("user_id").alias("user_a"),
+                      F.col("seq").alias("seq_a"),
+                      F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+                      "bkt")
+    b = binned.select(F.col("user_id").alias("user_b"),
+                      F.col("seq").alias("seq_b"),
+                      F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+                      "bkt")
+    return (a.join(b, "bkt")
+             .where(F.col("user_a") < F.col("user_b"))
+             .where((F.greatest("s_a", "s_b")
+                     <= F.least("e_a", "e_b")))
+             .select("user_a", "seq_a", "user_b", "seq_b",
+                     F.expr("least(e_a, e_b) - greatest(s_a, s_b)")
+                      .alias("overlap_us"))
+             .distinct())
+
+
+_INTERVAL_OVERLAP_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, seq, min(ts_us) AS s, max(ts_us) AS e FROM (
+    SELECT user_id, event_id, ts_us,
+           CAST(sum(_new) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS seq
+    FROM flagged)
+  GROUP BY 1, 2
+),
+binned AS (
+  SELECT user_id, seq, s, e,
+         unnest(generate_series(s // {IVL_BUCKET_US},
+                                e // {IVL_BUCKET_US})) AS bkt
+  FROM sess
+)
+SELECT DISTINCT a.user_id AS user_a, a.seq AS seq_a,
+       b.user_id AS user_b, b.seq AS seq_b,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+FROM binned a JOIN binned b USING (bkt)
+WHERE a.user_id < b.user_id
+  AND greatest(a.s, b.s) <= least(a.e, b.e)
+"""
+
+
 # --------------------------------------------------- SCD2 AS OF
 
 def _scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1084,6 +1176,10 @@ QUERIES: dict[str, Query] = {
     "q_scd2_asof": Query(_scd2_asof, _scd2_asof_sql(),
                          "point-in-time AS OF lookup over the SCD2 "
                          "history (state at the corpus midpoint)"),
+    "q_interval_overlap": Query(_interval_overlap, _INTERVAL_OVERLAP_SQL,
+                                "interval-overlap self-join via a "
+                                "1-hour bucket grid (range x range, "
+                                "no nested loop)"),
     "q_scd2_versions": Query(_scd2_versions, _scd2_versions_sql(),
                              "SCD Type-2 history build (effective-"
                              "dated versions from the event log)"),

@@ -1311,3 +1311,38 @@ def test_minhash_estimator_quality_identical_docs(spark):
     assert r.est_jaccard_ppm == 1_000_000
     assert r.exact_jaccard_ppm == 1_000_000
     assert r.err_ppm == 0
+
+
+def test_interval_overlap_bucket_grid(spark, tmp_path):
+    """Interval-overlap join: overlapping cross-user sessions found
+    once (despite sharing several grid buckets), disjoint ones not."""
+    import datetime
+    from ethereum_export_pipeline_spark.plans.analytics import (
+        _interval_overlap)
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, secs):
+        return (eid, base + datetime.timedelta(seconds=secs), uid,
+                "click", 0.0, "{}")
+
+    # user 1: session [0, 3h] (events every 20 min — one session);
+    # user 2: session [1h, 1h10] (inside user 1's) → overlap 600s;
+    # user 3: session at [10h, 10h01] → overlaps nobody
+    evs, eid = [], 0
+    for m in range(0, 181, 20):
+        eid += 1
+        evs.append(ev(eid, 1, m * 60))
+    evs += [ev(100, 2, 3600), ev(101, 2, 4200)]
+    evs += [ev(200, 3, 36000), ev(201, 3, 36060)]
+    df = spark.createDataFrame(
+        evs, "event_id long, ts timestamp_ntz, user_id long, "
+             "event_type string, value double, props string")
+    p = str(tmp_path / "ivl")
+    import os
+    os.makedirs(p)
+    df.write.parquet(f"{p}/events.parquet")
+    out = _interval_overlap(spark, p).collect()
+    assert len(out) == 1                       # found once, not per bucket
+    [r] = out
+    assert (r.user_a, r.user_b) == (1, 2)
+    assert r.overlap_us == 600 * 1_000_000
