@@ -89,6 +89,7 @@ HEADLINE = [
     "doc_dup_kcore",
     "doc_dup_lpa",
     "doc_containment",
+    "doc_novelty",
     "doc_substring_spans",
     "doc_heavy_hitters",
     "doc_bigram_fluency",

@@ -895,3 +895,36 @@ def bpe_encode_counts(df: DataFrame, text_col: str = "text",
                .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
                     F.expr("CAST(sum(n_sym) AS BIGINT)")
                      .alias("n_bpe_tokens")))
+
+
+def shingle_novelty(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Ordered-corpus novelty — the dedup-ROI estimator: treating
+    doc_id as ingestion order, what fraction of each document's
+    shingles has ALREADY appeared in an earlier document? A corpus
+    whose redundant fraction climbs toward 1 as ingestion proceeds is
+    telling you near-dup removal will shrink it hard (the Hills-style
+    type/token saturation curve, per document instead of per token).
+
+    Per shingle: first_seen = min(doc_id) over its postings (one
+    hash-agg on the shingle key — the inverted index's own exchange);
+    per doc: n_redundant = shingles with first_seen < doc_id,
+    novelty_ppm = 1e6·(n − n_redundant) div n, exact BIGINTs.
+
+    Scale shape: the shingle frame is the dedup tier's standard
+    explode; first_seen rides a window partitioned by the SAME
+    shingle key the frame would shuffle on anyway; the per-doc
+    roll-up exchanges on the doc key. No joins, two exchanges."""
+    from pyspark.sql import Window
+    from ..operators.dedup import shingles
+    sh = shingles(df, id_col, text_col)
+    w = Window.partitionBy("shingle")
+    flagged = sh.withColumn("first_seen", F.min(id_col).over(w))
+    return (flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                 F.expr(f"CAST(sum(CASE WHEN first_seen < {id_col} "
+                        "THEN 1 ELSE 0 END) AS BIGINT)")
+                  .alias("n_redundant"))
+            .select(id_col, "n_shingles", "n_redundant",
+                    F.expr("(n_shingles - n_redundant) * 1000000 "
+                           "div n_shingles").alias("novelty_ppm")))

@@ -207,7 +207,9 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   # graded minhash machinery
                   "doc_minhash_quality",
                   # equi-depth sibling of doc_length_histogram
-                  "doc_length_quantile_bins")
+                  "doc_length_quantile_bins",
+                  # first-seen window on the graded shingle frame
+                  "doc_novelty")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

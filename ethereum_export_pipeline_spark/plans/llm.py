@@ -2543,6 +2543,33 @@ FROM nodes n LEFT JOIN core c USING (node)
 """
 
 
+# -------------------------------------------- ordered novelty
+
+def _novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle novelty vs all earlier docs
+    (operators/text.shingle_novelty) — the dedup-ROI estimator."""
+    return text.shingle_novelty(load_table(spark, sf_dir, "documents"))
+
+
+_NOVELTY_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+sh AS ({SHINGLES_CTE}),
+flagged AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY shingle) AS first_seen
+  FROM sh
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN first_seen < doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_redundant,
+       (CAST(count(*) AS BIGINT)
+        - CAST(sum(CASE WHEN first_seen < doc_id THEN 1 ELSE 0 END)
+               AS BIGINT)) * 1000000 // CAST(count(*) AS BIGINT)
+         AS novelty_ppm
+FROM flagged GROUP BY 1
+"""
+
+
 # -------------------------------------- MinHash estimator quality
 
 def _minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2990,6 +3017,9 @@ QUERIES: dict[str, Query] = {
                                  "deterministic Poisson weighted "
                                  "sampling (inclusion ∝ doc length, "
                                  "no rand, no shuffle)"),
+    "doc_novelty": Query(_novelty, _NOVELTY_SQL,
+                         "ordered-corpus shingle novelty (the "
+                         "dedup-ROI estimator, first-seen window)"),
     "doc_minhash_quality": Query(_minhash_quality, _minhash_quality_sql(),
                                  "signature-implied Jaccard vs exact "
                                  "per verified pair (the K-tuning "

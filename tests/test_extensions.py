@@ -1346,3 +1346,17 @@ def test_interval_overlap_bucket_grid(spark, tmp_path):
     [r] = out
     assert (r.user_a, r.user_b) == (1, 2)
     assert r.overlap_us == 600 * 1_000_000
+
+
+def test_shingle_novelty_ordered_redundancy(spark):
+    from ethereum_export_pipeline_spark.operators.text import (
+        shingle_novelty)
+    # doc 1 coins "a b c d" (2 shingles); doc 2 repeats it verbatim
+    # (novelty 0); doc 3 shares one shingle out of two
+    df = docs(spark, [(1, "a b c d"), (2, "a b c d"),
+                      (3, "b c d e")])
+    out = {r.doc_id: r for r in shingle_novelty(df).collect()}
+    assert out[1].novelty_ppm == 1_000_000        # first coiner
+    assert out[2].novelty_ppm == 0                # verbatim repeat
+    assert (out[3].n_shingles, out[3].n_redundant) == (2, 1)
+    assert out[3].novelty_ppm == 500_000
