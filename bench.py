@@ -54,6 +54,7 @@ HEADLINE = [
     "eth_compaction_plan",
     "eth_table_profile",
     "eth_reorg_resolve",
+    "eth_gap_audit",
     "q_scd2_versions",
     "q_scd2_asof",
     "q_interval_overlap",

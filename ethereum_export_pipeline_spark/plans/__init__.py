@@ -209,7 +209,10 @@ _TAIL_VARIANTS = ("emb_lsh_topk_1band", "emb_neardup_pairs",
                   # equi-depth sibling of doc_length_histogram
                   "doc_length_quantile_bins",
                   # first-seen window on the graded shingle frame
-                  "doc_novelty")
+                  "doc_novelty",
+                  # islands skeleton graded via q_activity_streaks;
+                  # the domain completeness check
+                  "eth_gap_audit")
 
 _head = [n for n in _MERGED
          if (n in eth.QUERIES or n in llm.QUERIES or n in _STREAM_QUERIES)

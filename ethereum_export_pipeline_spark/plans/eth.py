@@ -685,6 +685,53 @@ _TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
     for c in _PROFILE_INT + _PROFILE_STR)
 
 
+# --------------------------------------------------- gap audit
+
+def _gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-completeness audit — the operational check a range-
+    partitioned exporter lives by (the reference schedules 131
+    activities and a silently-failed one leaves a HOLE in the block
+    space): find every gap in the exported key space as (gap_start,
+    gap_end, n_missing) runs. Orderkeys stand in for block numbers —
+    TPC-H orderkeys are deliberately sparse, so the fixture has real
+    gaps to find.
+
+    Shape: distinct keys → lag over the global order → runs where the
+    step exceeds 1. The global-order window sorts DISTINCT keys only;
+    at 10^10 keys swap in `repartitionByRange` + per-partition lag
+    with a boundary fix-up (the equidepth_histogram trade,
+    documented). Output bounded by the number of GAPS, not keys.
+
+    The fixture's key space is contiguous, so "failed activities" are
+    injected deterministically (every 97th key missing — the
+    eth_resolve_choice discipline: the corruption is part of the
+    query, identical in both engines)."""
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    keys = (o.where(F.expr("o_orderkey % 97 != 0"))
+             .select(F.col("o_orderkey").alias("k")).distinct())
+    w = Window.orderBy("k")
+    return (keys.withColumn("prev", F.lag("k").over(w))
+                .where(F.col("prev").isNotNull()
+                       & (F.col("k") - F.col("prev") > 1))
+                .select((F.col("prev") + 1).alias("gap_start"),
+                        (F.col("k") - 1).alias("gap_end"),
+                        (F.col("k") - F.col("prev") - 1)
+                         .alias("n_missing")))
+
+
+_GAP_AUDIT_SQL = """
+SELECT prev + 1 AS gap_start, k - 1 AS gap_end,
+       k - prev - 1 AS n_missing
+FROM (
+  SELECT k, lag(k) OVER (ORDER BY k) AS prev
+  FROM (SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderkey % 97 != 0)
+)
+WHERE prev IS NOT NULL AND k - prev > 1
+"""
+
+
 # --------------------------------------------------- reorg resolution
 
 REORG_H = 1000       # synthetic chain tip height
@@ -734,6 +781,9 @@ FROM hs WHERE h % 7 = 3 AND h > {REORG_H - REORG_DEPTH}
 
 
 QUERIES: dict[str, Query] = {
+    "eth_gap_audit": Query(_gap_audit, _GAP_AUDIT_SQL,
+                           "export-completeness audit: gap runs in "
+                           "the exported key space"),
     "eth_reorg_resolve": Query(_reorg_resolve, _REORG_RESOLVE_SQL,
                                "chain-reorg resolution: parent-walk "
                                "fork choice over the last 16 heights "

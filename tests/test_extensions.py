@@ -1360,3 +1360,24 @@ def test_shingle_novelty_ordered_redundancy(spark):
     assert out[2].novelty_ppm == 0                # verbatim repeat
     assert (out[3].n_shingles, out[3].n_redundant) == (2, 1)
     assert out[3].novelty_ppm == 500_000
+
+
+def test_gap_audit_runs_and_bounds(spark, tmp_path):
+    import os
+    from ethereum_export_pipeline_spark.plans.eth import _gap_audit
+    from pyspark.sql import Row
+    # keys 1..20 with % 97 never hitting (all < 97): audit an injected
+    # space by writing keys with real holes at 5 and 11-13
+    keys = [k for k in range(1, 21) if k not in (5, 11, 12, 13)]
+    df = spark.createDataFrame([Row(o_orderkey=k, o_custkey=1,
+                                    o_orderdate=None, o_orderpriority="x",
+                                    o_totalprice=1.0)
+                                for k in keys],
+                               "o_orderkey long, o_custkey long, "
+                               "o_orderdate timestamp_ntz, "
+                               "o_orderpriority string, o_totalprice double")
+    p = str(tmp_path / "gap")
+    os.makedirs(p)
+    df.write.parquet(f"{p}/orders.parquet")
+    out = sorted(map(tuple, _gap_audit(spark, p).collect()))
+    assert out == [(5, 5, 1), (11, 13, 3)]
