@@ -7,9 +7,12 @@ fixed-layout format decodable with numpy alone, no codec libs), and
 `decode_image` actually parses the header (whitespace-separated
 tokens, `#` comments, per the netpbm spec) and reshapes the raw
 sample plane into an h×w×c pixel array; features come from DECODED
-PIXELS. Compressed formats (JPEG/PNG/MP4) would slot into the same
-`mapInPandas` with PIL/decord in production; video frame EXTRACTION
-(`sample_frames`) remains a byte-window stub for that reason.
+PIXELS. The video path is real too: `sample_frames` demuxes a
+concatenated-netpbm stream (frame boundaries found by re-parsing each
+header) and DECODES the evenly-spaced chosen frames. Compressed
+formats (JPEG/PNG/MP4) would slot into the same `mapInPandas` with
+PIL/decord in production — only the codec is swapped, never the
+Spark-side plumbing.
 
 Scale notes: binary payloads dominate row size, so feature extraction
 uses `mapInPandas` (Arrow batches, zero row-at-a-time serde) and

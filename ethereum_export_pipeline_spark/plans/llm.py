@@ -2238,11 +2238,29 @@ WITH {_bpe_chain(rounds)}
 """
 
 
+_BPE_MERGES: dict[str, list] = {}
+
+
+def _get_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    """The learned merge list, memoized per corpus (the quantizer
+    discipline, get_quantizers): doc_bpe_merges and doc_bpe_encode
+    share one training run instead of the encode entry silently
+    re-running the full 6-round job at plan-build."""
+    import os
+    key = os.path.abspath(sf_dir)
+    if key not in _BPE_MERGES:
+        _BPE_MERGES[key] = (
+            text.bpe_train(load_table(spark, sf_dir, "documents"))
+                .orderBy("round").collect())
+    return _BPE_MERGES[key]
+
+
 def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus re-encoded with its own learned BPE merges: per-doc BPE
     token counts (operators/text.bpe_encode_counts) — the tokenizer-
     aware size accounting a packing/cost pass consumes."""
-    return text.bpe_encode_counts(load_table(spark, sf_dir, "documents"))
+    return text.bpe_encode_counts(load_table(spark, sf_dir, "documents"),
+                                  merges=_get_bpe_merges(spark, sf_dir))
 
 
 def _bpe_encode_sql(rounds: int = text.BPE_ROUNDS) -> str:
@@ -2814,7 +2832,180 @@ WHERE d.text IS NOT NULL
 """
 
 
+
+# --------------------------------------------- kNN graph / mix / PMI
+
+def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph (operators/similarity.knn_graph):
+    lsh_topk with every vector as a query — the neighbor structure
+    graph-based semantic dedup and diversity sampling start from."""
+    return similarity.knn_graph(load_table(spark, sf_dir, "embeddings"),
+                                k=TOPK_K, n_planes=LSH_PLANES,
+                                n_bands=MULTIBAND_BANDS)
+
+
+def _knn_graph_sql() -> str:
+    return f"""
+WITH {_BASE_CTES},
+melted AS (SELECT vec_id, q, n2,
+           unnest({_banded_bucket_list_sql(MULTIBAND_BANDS)}) AS bucket FROM wn),
+qs AS (SELECT vec_id AS query_id, bucket FROM melted),
+c AS (SELECT vec_id AS neighbor_id, bucket FROM melted),
+cand AS (SELECT DISTINCT query_id, neighbor_id FROM qs JOIN c USING (bucket)
+         WHERE neighbor_id <> query_id),
+wnp AS (SELECT cand.query_id, cand.neighbor_id,
+               wq.q AS qv, wq.n2 AS qn2, wc.q AS cv, wc.n2 AS cn2
+        FROM cand JOIN wn wq ON wq.vec_id = cand.query_id
+                  JOIN wn wc ON wc.vec_id = cand.neighbor_id),
+scored AS (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2 FROM wnp),
+cos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM scored)
+SELECT query_id AS vec_id, neighbor_id, cosine, rk AS "rank" FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rk
+  FROM cos
+) WHERE rk <= {TOPK_K}
+"""
+
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 100
+
+
+def _collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k collocation bigrams by PMI lift
+    (operators/text.collocations) — tokenizer-vocab candidates and
+    boilerplate phrase discovery."""
+    return text.collocations(load_table(spark, sf_dir, "documents"),
+                             min_count=COLLOC_MIN_COUNT,
+                             top_k=COLLOC_TOP_K)
+
+
+_COLLOCATIONS_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+bg AS (SELECT t[i+1] AS w1, t[i+2] AS w2
+       FROM toks, UNNEST(range(len(t) - 1)) u(i) WHERE len(t) >= 2),
+bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+        FROM bg GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_bi FROM bgc),
+stats AS (SELECT w1, w2, n_xy,
+          CAST(sum(n_xy) OVER (PARTITION BY w1) AS BIGINT) AS n_x,
+          CAST(sum(n_xy) OVER (PARTITION BY w2) AS BIGINT) AS n_y
+          FROM bgc),
+lifted AS (SELECT w1, w2, n_xy, n_x, n_y,
+           CAST(n_xy AS DOUBLE) * CAST(n_bi AS DOUBLE) /
+             (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)) AS lift
+           FROM stats, tot WHERE n_xy >= {COLLOC_MIN_COUNT})
+SELECT w1, w2, n_xy, n_x, n_y, lift, "rank" FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY lift DESC, w1 ASC, w2 ASC)
+                 AS BIGINT) AS "rank" FROM lifted)
+WHERE "rank" <= {COLLOC_TOP_K}
+"""
+
+
+MIX_BUDGET = 1_000_000
+
+
+def _mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=1/2) training-mix apportionment with exact
+    largest-remainder budget accounting
+    (operators/text.mixture_weights)."""
+    return text.mixture_weights(load_table(spark, sf_dir, "documents"),
+                                budget=MIX_BUDGET)
+
+
+_MIXTURE_WEIGHTS_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS weight
+  FROM documents WHERE source IS NOT NULL GROUP BY source),
+tot AS (SELECT CAST(sum(weight) AS BIGINT) AS total_w FROM counts),
+quotas AS (SELECT c.source, c.n_docs, c.weight,
+           (c.weight * {MIX_BUDGET}) // t.total_w AS quota,
+           (c.weight * {MIX_BUDGET}) % t.total_w AS rem
+           FROM counts c, tot t),
+seats AS (SELECT *,
+          CAST({MIX_BUDGET} - (SELECT CAST(sum(quota) AS BIGINT)
+                               FROM quotas) AS BIGINT) AS n_left,
+          row_number() OVER (ORDER BY rem DESC, source ASC) AS seat_rank
+          FROM quotas)
+SELECT source, n_docs, weight,
+       CAST(quota + CASE WHEN seat_rank <= n_left THEN 1 ELSE 0 END
+            AS BIGINT) AS target_docs
+FROM seats
+"""
+
+
+
+KMEANS_K = 8
+KMEANS_ROUNDS = 3
+
+
+def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 3-round Lloyd k-means over the full embeddings
+    table (operators/similarity.kmeans_assign) — the clustering-as-
+    the-product path next to the sample-trained IVF quantizer."""
+    return similarity.kmeans_assign(load_table(spark, sf_dir, "embeddings"),
+                                    k=KMEANS_K, rounds=KMEANS_ROUNDS)
+
+
+def _kmeans_assign_sql() -> str:
+    """Unrolled-CTE twin: per round an assignment CTE (argmin cell
+    over the k-row centroid table, ties -> smallest cell) and an
+    update CTE (per-component offset-mean, floor==trunc on the
+    non-negative numerator)."""
+    off = similarity.KMEANS_MEAN_OFF
+    dim = similarity.EMB_DIM
+    dist = ("CAST(list_sum(list_transform(list_zip(w.q, c.c), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)")
+    ctes = [f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cell, q AS c
+  FROM (SELECT vec_id, q FROM wn ORDER BY vec_id LIMIT {KMEANS_K}))"""]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        ctes.append(f"""a{r} AS (
+  SELECT vec_id, q, cell, dist2 FROM (
+    SELECT w.vec_id, w.q, c.cell, {dist} AS dist2,
+           row_number() OVER (PARTITION BY w.vec_id
+                ORDER BY {dist}, c.cell) AS rn
+    FROM wn w, c{r - 1} c) WHERE rn = 1)""")
+        ctes.append(f"""m{r} AS (
+  SELECT cell, i,
+         CAST((CAST(sum(q[i + 1]) AS BIGINT) + CAST(count(*) AS BIGINT) * {off})
+              // CAST(count(*) AS BIGINT) - {off} AS BIGINT) AS m
+  FROM a{r}, UNNEST(range({dim})) u(i) GROUP BY cell, i)""")
+        ctes.append(f"""u{r} AS (
+  SELECT cell, list(m ORDER BY i) AS cnew FROM m{r} GROUP BY cell)""")
+        ctes.append(f"""c{r} AS (
+  SELECT c.cell, coalesce(u.cnew, c.c) AS c
+  FROM c{r - 1} c LEFT JOIN u{r} u USING (cell))""")
+    final = f"""SELECT vec_id, cell, dist2 FROM (
+  SELECT w.vec_id, c.cell, {dist} AS dist2,
+         row_number() OVER (PARTITION BY w.vec_id
+              ORDER BY {dist}, c.cell) AS rn
+  FROM wn w, c{KMEANS_ROUNDS} c) WHERE rn = 1"""
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {_BASE_CTES},
+{joined}
+{final}
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "emb_kmeans_assign": Query(_kmeans_assign, _kmeans_assign_sql(),
+                               "distributed 3-round Lloyd k-means, "
+                               "integer fixed point, unrolled-CTE "
+                               "oracle"),
+    "emb_knn_graph": Query(_knn_graph, _knn_graph_sql(),
+                           "approximate kNN graph: banded-LSH "
+                           "candidates + exact rerank, every vector "
+                           "a query"),
+    "doc_collocations": Query(_collocations, _COLLOCATIONS_SQL,
+                              "PMI-lift collocation extraction "
+                              "(tokenizer-vocab candidates)"),
+    "doc_mixture_weights": Query(_mixture_weights, _MIXTURE_WEIGHTS_SQL,
+                                 "temperature training-mix targets, "
+                                 "largest-remainder apportionment"),
     "doc_dedup_exact": Query(_dedup_exact, _DEDUP_EXACT_SQL,
                              "exact dedup via md5 hash-agg"),
     "doc_ngram_pairs": Query(_ngram_pairs, _ngram_pairs_sql(),
