@@ -323,19 +323,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
              .union(pairs.select(F.col(dst).cast("long").alias("u"),
                                  F.col(src).cast("long").alias("v")))
              .distinct())
-    # size the ITERATION's shuffle width to the pruned graph, not the
-    # corpus: on an LSH-pruned edge list of a few thousand rows, a
-    # 32-wide shuffle per round is pure scheduling overhead (the loop
-    # runs several stages per round). Large graphs keep the session
-    # width. The count is cheap — edges was just materialized.
+    # iteration rounds exchange frames sized to the PRUNED graph, not
+    # the corpus; AQE's runtime coalesce shrinks those exchanges on its
+    # own (measured: no wall-clock delta vs a shuffle.partitions
+    # clamp), so no session-global conf mutation — a concurrent query
+    # on the shared session must never plan under a clamped width.
     sess = pairs.sparkSession
-    n_edges = edges.count()
-    old_width = sess.conf.get("spark.sql.shuffle.partitions")
-    # the conf can be non-numeric (e.g. "auto" under some AQE setups) —
-    # then skip the clamp rather than die before the loop runs
-    if n_edges < 1_000_000 and str(old_width).isdigit():
-        sess.conf.set("spark.sql.shuffle.partitions",
-                      str(min(4, int(old_width))))
     try:
         labels = (edges.select("u").distinct()
                        .select(F.col("u").alias("node"),
@@ -358,7 +351,6 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             if changed == 0:
                 break
     finally:
-        sess.conf.set("spark.sql.shuffle.partitions", old_width)
         if _prev_ckpt_dir is not None:
             # restore the session's checkpoint dir — it is global
             # state another operator may rely on
@@ -375,7 +367,8 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
 def connected_components_star(pairs: DataFrame, src: str = "doc_a",
                               dst: str = "doc_b",
                               id_out: str = "doc_id",
-                              max_rounds: int = 25) -> DataFrame:
+                              max_rounds: int = 25,
+                              checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components by ALTERNATING STAR CONTRACTION (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC'14):
     the O(log n)-round alternative to `connected_components` for
@@ -400,58 +393,58 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
     from LSH banding are near-cliques where 2-4 label rounds beat
     2-per-round star shuffles); the catalog grades BOTH against the
     same recursive-CTE oracle."""
+    from .graph import _ckpt_fn
+    ckpt = _ckpt_fn(pairs, checkpoint_dir)
     e = (pairs.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
               .where(F.col("u") != F.col("v"))
               .distinct()
-              .localCheckpoint(eager=True))
+              .transform(ckpt))
     nodes = (e.select(F.col("u").alias("node"))
               .union(e.select(F.col("v").alias("node"))).distinct()
-              .localCheckpoint(eager=True))
+              .transform(ckpt))
 
-    sess = pairs.sparkSession
-    old_width = sess.conf.get("spark.sql.shuffle.partitions")
-    if e.count() < 1_000_000 and str(old_width).isdigit():
-        sess.conf.set("spark.sql.shuffle.partitions",
-                      str(min(4, int(old_width))))
-    try:
-        cur = e
-        converged = False
-        for _ in range(max_rounds):
-            # ---- large star: sym neighbours; larger ones → min
-            sym = (cur.select("u", "v")
-                      .union(cur.select(F.col("v").alias("u"),
-                                        F.col("u").alias("v"))))
-            mins = (sym.groupBy("u")
-                       .agg(F.min("v").alias("mn"))
-                       .select("u", F.least("u", F.col("mn")).alias("m")))
-            ls = (sym.join(mins, "u")
-                     .where(F.col("v") > F.col("u"))
-                     .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                     .where(F.col("u") != F.col("v"))
-                     .distinct())
-            # ---- small star: direct large→small, attach to min
-            d = ls.select(F.greatest("u", "v").alias("a"),
-                          F.least("u", "v").alias("b"))
-            mins2 = d.groupBy("a").agg(F.min("b").alias("m"))
-            joined = d.join(mins2, "a")
-            ss = (joined.select(F.col("b").alias("u"),
-                                F.col("m").alias("v"))
-                        .union(joined.select(F.col("a").alias("u"),
-                                             F.col("m").alias("v")))
-                        .where(F.col("u") != F.col("v"))
-                        .distinct()
-                        .localCheckpoint(eager=True))
-            # exact fixpoint check: set equality via two anti joins
-            if (ss.join(cur, ["u", "v"], "left_anti").limit(1).count() == 0
-                    and cur.join(ss, ["u", "v"], "left_anti")
-                           .limit(1).count() == 0):
-                cur = ss
-                converged = True
-                break
+    # iteration rounds exchange tiny frames; AQE's runtime
+    # coalesce already shrinks those exchanges (measured: no
+    # wall-clock delta vs a shuffle.partitions clamp), so no
+    # session-global conf mutation — a concurrent query on
+    # the shared session must never plan under a clamped
+    # width.
+    cur = e
+    converged = False
+    for _ in range(max_rounds):
+        # ---- large star: sym neighbours; larger ones → min
+        sym = (cur.select("u", "v")
+                  .union(cur.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v"))))
+        mins = (sym.groupBy("u")
+                   .agg(F.min("v").alias("mn"))
+                   .select("u", F.least("u", F.col("mn")).alias("m")))
+        ls = (sym.join(mins, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct())
+        # ---- small star: direct large→small, attach to min
+        d = ls.select(F.greatest("u", "v").alias("a"),
+                      F.least("u", "v").alias("b"))
+        mins2 = d.groupBy("a").agg(F.min("b").alias("m"))
+        joined = d.join(mins2, "a")
+        ss = (joined.select(F.col("b").alias("u"),
+                            F.col("m").alias("v"))
+                    .union(joined.select(F.col("a").alias("u"),
+                                         F.col("m").alias("v")))
+                    .where(F.col("u") != F.col("v"))
+                    .distinct()
+                    .transform(ckpt))
+        # exact fixpoint check: set equality via two anti joins
+        if (ss.join(cur, ["u", "v"], "left_anti").limit(1).count() == 0
+                and cur.join(ss, ["u", "v"], "left_anti")
+                       .limit(1).count() == 0):
             cur = ss
-    finally:
-        sess.conf.set("spark.sql.shuffle.partitions", old_width)
+            converged = True
+            break
+        cur = ss
     if not converged:
         raise RuntimeError(
             f"connected_components_star: no fixpoint within "

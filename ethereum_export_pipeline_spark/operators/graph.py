@@ -20,8 +20,10 @@ list (referenced every round, its lineage the whole upstream
 candidate pipeline) is materialized ONCE up front; ranks are
 checkpointed per `checkpoint_every` iterations (default every round —
 without it the k-deep lazy plan re-executes the edge derivation once
-per reference); the iteration's shuffle width is clamped to the
-pruned graph's size, not the session default.
+per reference). AQE's runtime coalesce sizes the per-round
+exchanges to the pruned graph on its own; pass `checkpoint_dir` to
+any iterative op to swap executor-local lineage truncation for a
+RELIABLE checkpoint (the 1000-executor production setting).
 """
 
 from __future__ import annotations
@@ -31,11 +33,30 @@ from pyspark.sql import DataFrame, functions as F
 PR_SCALE = 1_000_000_000  # ranks are integers scaled by 1e9
 
 
+def _ckpt_fn(df: DataFrame, checkpoint_dir: str | None):
+    """Iteration persister: truncates lineage each round so the k-deep
+    lazy plan never re-executes the upstream edge derivation.
+
+    Default is `localCheckpoint` (executor-local shuffle files) —
+    right for local mode and for clusters where losing an executor
+    mid-iteration may simply rerun the job. At 1000-executor scale an
+    executor loss is routine, so pass `checkpoint_dir` (a reliable
+    store: HDFS/S3) to switch every round's materialization to a
+    RELIABLE checkpoint instead. Note SparkContext has ONE global
+    checkpoint dir; concurrent iterative ops should share it.
+    """
+    if checkpoint_dir is None:
+        return lambda d: d.localCheckpoint(eager=True)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda d: d.checkpoint(eager=True)
+
+
 def pagerank_exact(edges: DataFrame, iters: int = 5,
                    scale: int = PR_SCALE,
                    src: str = "src", dst: str = "dst",
                    damping_pct: int = 85,
-                   checkpoint_every: int | None = 1) -> DataFrame:
+                   checkpoint_every: int | None = 1,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Fixed-point PageRank over a directed edge list. Returns
     (node, rank) with rank ≈ PageRank · `scale`, exact integers.
 
@@ -47,49 +68,48 @@ def pagerank_exact(edges: DataFrame, iters: int = 5,
     Spark's `div` and DuckDB's `//` agree bit-for-bit. Dangling
     targets (no in-edges) receive only the teleport term; nodes are
     the union of both edge endpoints."""
+    ckpt = _ckpt_fn(edges, checkpoint_dir)
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
               .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
               .distinct()
-              .localCheckpoint(eager=True))  # referenced every round
+              .transform(ckpt))  # referenced every round
     n_edges = e.count()
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node"))).distinct()
-              .localCheckpoint(eager=True))
+              .transform(ckpt))
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))
-    sess = edges.sparkSession
-    old_width = sess.conf.get("spark.sql.shuffle.partitions")
-    if n_edges < 1_000_000 and str(old_width).isdigit():
-        sess.conf.set("spark.sql.shuffle.partitions",
-                      str(min(4, int(old_width))))
-    try:
-        deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-                .localCheckpoint(eager=True))
-        base = scale // n
-        teleport = ((100 - damping_pct) * base) // 100
-        r = nodes.withColumn("r", F.lit(base).cast("long"))
-        for k in range(iters):
-            contrib = (e.join(r, e.src == r.node)
-                        .join(deg, "src")
-                        .select(F.col("dst").alias("node"),
-                                F.expr("r div deg").alias("c"))
-                        .groupBy("node")
-                        .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("c")))
-            r = (nodes.join(contrib, "node", "left")
-                      .select("node",
-                              F.expr(f"CAST({teleport} + ({damping_pct} * "
-                                     f"coalesce(c, CAST(0 AS BIGINT))) div 100 "
-                                     f"AS BIGINT)").alias("r")))
-            if checkpoint_every and (k + 1) % checkpoint_every == 0:
-                r = r.localCheckpoint(eager=True)
-    finally:
-        sess.conf.set("spark.sql.shuffle.partitions", old_width)
+    # iteration rounds exchange tiny frames; AQE's runtime
+    # coalesce already shrinks those exchanges (measured: no
+    # wall-clock delta vs a shuffle.partitions clamp), so no
+    # session-global conf mutation — a concurrent query on the
+    # shared session must never plan under a clamped width.
+    deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            .transform(ckpt))
+    base = scale // n
+    teleport = ((100 - damping_pct) * base) // 100
+    r = nodes.withColumn("r", F.lit(base).cast("long"))
+    for k in range(iters):
+        contrib = (e.join(r, e.src == r.node)
+                    .join(deg, "src")
+                    .select(F.col("dst").alias("node"),
+                            F.expr("r div deg").alias("c"))
+                    .groupBy("node")
+                    .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("c")))
+        r = (nodes.join(contrib, "node", "left")
+                  .select("node",
+                          F.expr(f"CAST({teleport} + ({damping_pct} * "
+                                 f"coalesce(c, CAST(0 AS BIGINT))) div 100 "
+                                 f"AS BIGINT)").alias("r")))
+        if checkpoint_every and (k + 1) % checkpoint_every == 0:
+            r = r.transform(ckpt)
     return r.select("node", F.col("r").alias("rank"))
 
 
 def triangle_counts(edges: DataFrame,
-                    src: str = "src", dst: str = "dst") -> DataFrame:
+                    src: str = "src", dst: str = "dst",
+                    checkpoint_dir: str | None = None) -> DataFrame:
     """Per-node triangle counts over an undirected edge list — the
     clustering-density metric that separates true duplicate CLIQUES
     from chains of borderline near-dup pairs (a doc whose pairs all
@@ -117,13 +137,14 @@ def triangle_counts(edges: DataFrame,
     closer) whose lineage would otherwise re-execute the entire
     upstream pair-generation pipeline per reference — both derived
     frames are materialized once with an eager localCheckpoint."""
+    ckpt = _ckpt_fn(edges, checkpoint_dir)
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
               .where(F.col("a").isNotNull() & F.col("b").isNotNull()
                      & (F.col("a") != F.col("b")))
               .select(F.least("a", "b").alias("a"),
                       F.greatest("a", "b").alias("b"))
               .distinct()
-              .localCheckpoint(eager=True))
+              .transform(ckpt))
     nodes = (e.select(F.col("a").alias("node"))
               .union(e.select(F.col("b").alias("node"))).distinct())
     deg = (e.select(F.col("a").alias("node"))
@@ -143,7 +164,7 @@ def triangle_counts(edges: DataFrame,
                          F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
                    .alias("uv"))
           .select("uv.u", "uv.v")
-          .localCheckpoint(eager=True))  # referenced by 3 join sides
+          .transform(ckpt))  # referenced by 3 join sides
     w1 = o.select(F.col("u").alias("w"), F.col("v").alias("x"))
     w2 = o.select(F.col("u").alias("w"), F.col("v").alias("y"))
     wedges = (w1.join(w2, "w").where(F.col("x") < F.col("y")))
@@ -161,7 +182,8 @@ def triangle_counts(edges: DataFrame,
 
 
 def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4,
-               src: str = "src", dst: str = "dst") -> DataFrame:
+               src: str = "src", dst: str = "dst",
+               checkpoint_dir: str | None = None) -> DataFrame:
     """k-core membership by iterative peeling — the cohesion metric
     BETWEEN degree and triangles: a node survives the k-core iff it
     keeps >= k neighbors after everyone below k is recursively
@@ -191,41 +213,39 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4,
     `pagerank_exact`: the canonical edge list materializes once, each
     round's survivor list is eagerly checkpointed (the loop otherwise
     stacks 2·rounds lazy joins onto the upstream pair-generation
-    lineage), and the shuffle width is clamped to the graph's size."""
+    lineage)."""
+    ckpt = _ckpt_fn(edges, checkpoint_dir)
     e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
                .where(F.col("a").isNotNull() & F.col("b").isNotNull()
                       & (F.col("a") != F.col("b")))
                .select(F.least("a", "b").alias("a"),
                        F.greatest("a", "b").alias("b"))
                .distinct()
-               .localCheckpoint(eager=True))
+               .transform(ckpt))
     nodes = (e0.select(F.col("a").alias("node"))
                .union(e0.select(F.col("b").alias("node"))).distinct()
-               .localCheckpoint(eager=True))
-    sess = edges.sparkSession
-    old_width = sess.conf.get("spark.sql.shuffle.partitions")
-    if e0.count() < 1_000_000 and str(old_width).isdigit():
-        sess.conf.set("spark.sql.shuffle.partitions",
-                      str(min(4, int(old_width))))
-    try:
-        e = e0
-        for _ in range(rounds):
-            deg = (e.select(F.col("a").alias("node"))
-                    .unionAll(e.select(F.col("b").alias("node")))
-                    .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
-            keep = (deg.where(F.col("deg") >= k).select("node")
-                       .localCheckpoint(eager=True))
-            e = (e.join(keep.select(F.col("node").alias("a")), "a",
-                        "left_semi")
-                  .join(keep.select(F.col("node").alias("b")), "b",
-                        "left_semi")
-                  .localCheckpoint(eager=True))
-        core_deg = (e.select(F.col("a").alias("node"))
-                     .unionAll(e.select(F.col("b").alias("node")))
-                     .groupBy("node")
-                     .agg(F.count(F.lit(1)).cast("long").alias("core_deg")))
-    finally:
-        sess.conf.set("spark.sql.shuffle.partitions", old_width)
+               .transform(ckpt))
+    # iteration rounds exchange tiny frames; AQE's runtime
+    # coalesce already shrinks those exchanges (measured: no
+    # wall-clock delta vs a shuffle.partitions clamp), so no
+    # session-global conf mutation — a concurrent query on the
+    # shared session must never plan under a clamped width.
+    e = e0
+    for _ in range(rounds):
+        deg = (e.select(F.col("a").alias("node"))
+                .unionAll(e.select(F.col("b").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+        keep = (deg.where(F.col("deg") >= k).select("node")
+                   .transform(ckpt))
+        e = (e.join(keep.select(F.col("node").alias("a")), "a",
+                    "left_semi")
+              .join(keep.select(F.col("node").alias("b")), "b",
+                    "left_semi")
+              .transform(ckpt))
+    core_deg = (e.select(F.col("a").alias("node"))
+                 .unionAll(e.select(F.col("b").alias("node")))
+                 .groupBy("node")
+                 .agg(F.count(F.lit(1)).cast("long").alias("core_deg")))
     return (nodes.join(core_deg, "node", "left")
                  .select("node",
                          F.when(F.col("core_deg").isNotNull(), 1)
@@ -235,7 +255,8 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4,
 
 
 def lpa_communities(edges: DataFrame, rounds: int = 4,
-                    src: str = "src", dst: str = "dst") -> DataFrame:
+                    src: str = "src", dst: str = "dst",
+                    checkpoint_dir: str | None = None) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) — the modularity-flavored grouping BETWEEN connected
     components (which merge everything reachable) and k-core (which
@@ -256,9 +277,10 @@ def lpa_communities(edges: DataFrame, rounds: int = 4,
     Scale shape: per round one edges⋈labels shuffle on the node key
     (|E| rows) + a (node, label) hash-agg + a per-node argmax window
     — the Pregel step relationally, exchange bounded by |E|+|V| per
-    round. Eager checkpoints between rounds; shuffle width clamped
-    to graph size (shared iteration discipline)."""
+    round. Eager checkpoints between rounds (shared iteration
+    discipline)."""
     from pyspark.sql import Window
+    ckpt = _ckpt_fn(edges, checkpoint_dir)
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
                 .where(F.col("a").isNotNull() & F.col("b").isNotNull()
                        & (F.col("a") != F.col("b")))
@@ -270,29 +292,26 @@ def lpa_communities(edges: DataFrame, rounds: int = 4,
             F.struct(F.col("b").alias("s"), F.col("a").alias("d"))))
             .alias("e"))
             .select("e.s", "e.d")
-            .localCheckpoint(eager=True))
-    sess = edges.sparkSession
-    old_width = sess.conf.get("spark.sql.shuffle.partitions")
-    if e.count() < 1_000_000 and str(old_width).isdigit():
-        sess.conf.set("spark.sql.shuffle.partitions",
-                      str(min(4, int(old_width))))
-    try:
-        lab = (e.select(F.col("s").alias("node")).distinct()
-                .withColumn("label", F.col("node"))
-                .localCheckpoint(eager=True))
-        w = Window.partitionBy("node").orderBy(
-            F.col("c").desc(), F.col("label").asc())
-        for _ in range(rounds):
-            votes = (e.join(lab, e.s == lab.node)
-                      .select(F.col("d").alias("node"), "label")
-                      .groupBy("node", "label")
-                      .agg(F.count(F.lit(1)).alias("c")))
-            lab = (votes.withColumn("_rk", F.row_number().over(w))
-                        .where(F.col("_rk") == 1)
-                        .select("node", "label")
-                        .localCheckpoint(eager=True))
-    finally:
-        sess.conf.set("spark.sql.shuffle.partitions", old_width)
+            .transform(ckpt))
+    # iteration rounds exchange tiny frames; AQE's runtime
+    # coalesce already shrinks those exchanges (measured: no
+    # wall-clock delta vs a shuffle.partitions clamp), so no
+    # session-global conf mutation — a concurrent query on the
+    # shared session must never plan under a clamped width.
+    lab = (e.select(F.col("s").alias("node")).distinct()
+            .withColumn("label", F.col("node"))
+            .transform(ckpt))
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        votes = (e.join(lab, e.s == lab.node)
+                  .select(F.col("d").alias("node"), "label")
+                  .groupBy("node", "label")
+                  .agg(F.count(F.lit(1)).alias("c")))
+        lab = (votes.withColumn("_rk", F.row_number().over(w))
+                    .where(F.col("_rk") == 1)
+                    .select("node", "label")
+                    .transform(ckpt))
     sizes = lab.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"))
     return (lab.join(sizes, "label")

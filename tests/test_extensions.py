@@ -746,6 +746,23 @@ def test_pagerank_empty_graph(spark):
     assert pagerank_exact(edges).count() == 0
 
 
+def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir swaps localCheckpoint for a reliable checkpoint
+    (the 1000-executor setting): identical ranks, and the dir actually
+    receives RDD checkpoint data."""
+    import os
+    from ethereum_export_pipeline_spark.operators.graph import pagerank_exact
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("A", "C")], "src string, dst string")
+    ck = str(tmp_path / "reliable_ckpt")
+    local = {r.node: r.rank for r in pagerank_exact(edges, iters=3).collect()}
+    rel = {r.node: r.rank
+           for r in pagerank_exact(edges, iters=3,
+                                   checkpoint_dir=ck).collect()}
+    assert rel == local
+    assert any(files for _, _, files in os.walk(ck))  # data was written
+
+
 def test_star_contraction_matches_label_propagation(spark):
     from ethereum_export_pipeline_spark.operators.dedup import (
         connected_components, connected_components_star)
@@ -1381,3 +1398,96 @@ def test_gap_audit_runs_and_bounds(spark, tmp_path):
     df.write.parquet(f"{p}/orders.parquet")
     out = sorted(map(tuple, _gap_audit(spark, p).collect()))
     assert out == [(5, 5, 1), (11, 13, 3)]
+
+
+# ------------------------------------- collocations / mixture / knn
+
+def test_collocations_hand_computed(spark):
+    """'new york' always co-occurs; 'of the' is independent filler —
+    PMI lift must rank the true collocation first."""
+    from ethereum_export_pipeline_spark.operators.text import collocations
+    rows = [(i, "new york of the") for i in range(1, 7)]
+    rows += [(10, "of new"), (11, "the of"), (12, "york the of")]
+    out = collocations(docs(spark, rows), min_count=2, top_k=50).collect()
+    by_rank = {r.rank: (r.w1, r.w2) for r in out}
+    assert by_rank[1] == ("new", "york")
+    ny = next(r for r in out if (r.w1, r.w2) == ("new", "york"))
+    # n_xy=6; positional marginals: "new" first only in the six
+    # 4-token docs (in "of new" it is SECOND), "york" second likewise;
+    # n_bi = 6 docs × 3 bigrams + 1 + 1 + 2 = 22
+    assert (ny.n_xy, ny.n_x, ny.n_y) == (6, 6, 6)
+    assert abs(ny.lift - (6 * 22) / (6 * 6)) < 1e-12
+
+
+def test_mixture_weights_largest_remainder_exact_budget(spark):
+    """counts 100/9/4 → weights 10/3/2, budget 10: quotas 6/2/1 and
+    the single leftover seat goes to the largest remainder (a)."""
+    from pyspark.sql import Row
+    from ethereum_export_pipeline_spark.operators.text import mixture_weights
+    rows = ([Row(doc_id=i, source="a") for i in range(100)]
+            + [Row(doc_id=i, source="b") for i in range(9)]
+            + [Row(doc_id=i, source="c") for i in range(4)]
+            + [Row(doc_id=0, source=None)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r.source: r for r in mixture_weights(df, budget=10).collect()}
+    assert {s: r.weight for s, r in out.items()} == {"a": 10, "b": 3, "c": 2}
+    assert {s: r.target_docs for s, r in out.items()} == {"a": 7, "b": 2, "c": 1}
+    assert sum(r.target_docs for r in out.values()) == 10  # exact budget
+    assert None not in out
+
+
+def test_mixture_weights_upsampling_visible(spark):
+    """A tiny source can get target_docs > n_docs (upsampling) — the
+    operator reports it rather than clamping."""
+    from pyspark.sql import Row
+    from ethereum_export_pipeline_spark.operators.text import mixture_weights
+    rows = ([Row(doc_id=i, source="big") for i in range(10000)]
+            + [Row(doc_id=i, source="tiny") for i in range(1)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r.source: r for r in mixture_weights(df, budget=1000).collect()}
+    assert out["tiny"].target_docs > out["tiny"].n_docs
+    assert sum(r.target_docs for r in out.values()) == 1000
+
+
+def test_knn_graph_every_vector_queried_and_ranked(spark):
+    """Identical vectors land in the same bucket in every band; each
+    point's rank-1 neighbor has cosine 1.0 and ranks run 1..k dense."""
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        EMB_DIM, knn_graph)
+    import math
+    def vec(seed):
+        return [math.sin(seed * 31 + d) for d in range(EMB_DIM)]
+    rows = [(i, vec(i % 4)) for i in range(12)]   # 4 groups of triples
+    df = spark.createDataFrame(rows, f"vec_id long, embedding array<float>")
+    out = knn_graph(df, k=3, n_bands=3).collect()
+    by_node = {}
+    for r in out:
+        by_node.setdefault(r.vec_id, []).append(r)
+    assert set(by_node) == set(range(12))         # every vector is a query
+    for node, rs in by_node.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        best = min(rs, key=lambda r: r.rank)
+        assert best.cosine > 0.999                # an exact twin exists
+        assert best.neighbor_id % 4 == node % 4   # and shares the group
+
+
+def test_kmeans_assign_recovers_clear_clusters(spark):
+    """Two tight groups far apart: 3 Lloyd rounds must put each group
+    in one cell, exactly-zero dist2 only for points equal to their
+    centroid, and the run must be deterministic."""
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        EMB_DIM, kmeans_assign)
+    a = [1.0] * EMB_DIM
+    b = [-1.0] * EMB_DIM
+    rows = ([(i, [x + (i % 3) * 1e-4 for x in a]) for i in range(6)]
+            + [(i, [x - (i % 3) * 1e-4 for x in b]) for i in range(6, 12)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in kmeans_assign(df, k=2, rounds=3).collect()}
+    cells_a = {out[i].cell for i in range(6)}
+    cells_b = {out[i].cell for i in range(6, 12)}
+    assert len(cells_a) == 1 and len(cells_b) == 1
+    assert cells_a != cells_b
+    out2 = {r.vec_id: (r.cell, r.dist2)
+            for r in kmeans_assign(df, k=2, rounds=3).collect()}
+    assert out2 == {i: (r.cell, r.dist2) for i, r in out.items()}
