@@ -144,6 +144,17 @@ HEADLINE = [
     "stream_interval_join",
     "stream_chain_scan",
     "stream_static_enrich",
+    # round-5 additions
+    "doc_classifier_score",
+    "doc_dsir_weights",
+    "emb_knn_linkpred",
+    "mm_image_neardup",
+    "stream_decontaminate",
+    "q_entity_resolution",
+    "q_basket_pairs",
+    "q_k_anonymity",
+    "q_trend_slopes",
+    "q_decayed_activity",
 ]
 
 

@@ -66,7 +66,8 @@ def commit_ranges(spark: SparkSession, manifest_path: str, table: str,
             for s, e in ranges]
     if not rows:
         return
-    (spark.createDataFrame(rows, MANIFEST_SCHEMA)
+    from .util import local_df
+    (local_df(spark, rows, MANIFEST_SCHEMA)
           .coalesce(1).write.mode("append").parquet(manifest_path))
 
 

@@ -317,3 +317,50 @@ def lpa_communities(edges: DataFrame, rounds: int = 4,
     return (lab.join(sizes, "label")
                .select("node", F.col("label").alias("community"),
                        "n_members"))
+
+
+def link_prediction(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Common-neighbor link prediction over an undirected edge list
+    (edges given once per pair, src < dst): for every NON-adjacent
+    pair sharing ≥1 neighbor, the common-neighbor count and the
+    neighborhood-Jaccard score cn / (deg_a + deg_b − cn) — the
+    classic Liben-Nowell/Kleinberg (CIKM'03) predictors in exact
+    integers plus one final double division. On a dup graph this
+    surfaces "probably the same cluster but the bands missed it"
+    pairs — the recall-repair candidates a second verification pass
+    would score.
+
+    Scale shape: the wedge join is an equi-join of the adjacency list
+    with itself on the center node — quadratic per VERTEX DEGREE
+    (the triangle-counting cost profile), never all-pairs; candidates
+    hash-agg map-side; the adjacency anti-join and the two degree
+    joins ride the same (node) keys. Hub vertices dominate — at scale
+    cap or sample super-node neighborhoods (the df-cut discipline)
+    before the wedge join.
+
+    Returns (node_a, node_b, cn, deg_a, deg_b, jaccard), node_a <
+    node_b."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    adj = e.unionByName(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    w1 = adj.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    w2 = adj.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    cand = (w1.join(w2, "w")
+              .where(F.col("a") < F.col("b"))
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+              .join(e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+                    ["a", "b"], "left_anti"))
+    return (cand
+            .join(deg.select(F.col("u").alias("a"),
+                             F.col("deg").alias("deg_a")), "a")
+            .join(deg.select(F.col("u").alias("b"),
+                             F.col("deg").alias("deg_b")), "b")
+            .select(F.col("a").cast("long").alias("node_a"),
+                    F.col("b").cast("long").alias("node_b"),
+                    "cn", "deg_a", "deg_b",
+                    F.expr("CAST(cn AS DOUBLE) / "
+                           "CAST(deg_a + deg_b - cn AS DOUBLE)")
+                     .alias("jaccard")))

@@ -74,14 +74,24 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id",
 
 def documents_as_ppm_media(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
-                           format_col: str | None = None) -> DataFrame:
+                           format_col: str | None = None,
+                           neardup_mod: int | None = None,
+                           neardup_offset: int = 1_000_000) -> DataFrame:
     """The IMAGE media fixture: one real P6 PPM per document, pixel
     plane tiled deterministically from the utf-8 text bytes (byte j of
     the plane = text byte j mod len; all-zero when the text is empty),
     dimensions varying per id (w = 8 + id % 9, h = 8 + id % 7) so the
     decoder's header parsing is exercised across shapes. NULL text →
     NULL payload. Deterministic by construction, so an oracle can
-    recompute every decoded-pixel statistic from the text alone."""
+    recompute every decoded-pixel statistic from the text alone.
+
+    `neardup_mod` additionally emits, for every doc with id % mod ==
+    0, a NEAR-duplicate copy at media_id = id + `neardup_offset`:
+    same image with its first pixel forced to white — the
+    re-encode-with-a-small-edit fixture the banded-hamming near-dup
+    search exists to catch (the `_DIRTY_NAME` discipline: the
+    corruption is deterministic and part of the query, so the oracle
+    recomputes the copy's every hash bit too)."""
     import numpy as np
 
     id_out, txt, fmt = "media_id", "__txt", "__fmt"
@@ -104,6 +114,12 @@ def documents_as_ppm_media(df: DataFrame, id_col: str = "doc_id",
                 plane = (np.resize(raw, w * h * 3) if raw.size
                          else np.zeros(w * h * 3, np.uint8))
                 payloads.append(encode_netpbm(plane.reshape(h, w, 3)))
+                if neardup_mod is not None and int(mid) % neardup_mod == 0:
+                    plane2 = plane.copy()
+                    plane2[0:3] = 255
+                    ids.append(int(mid) + neardup_offset)
+                    formats.append(f)
+                    payloads.append(encode_netpbm(plane2.reshape(h, w, 3)))
             yield pd.DataFrame({id_out: pd.Series(ids, dtype="int64"),
                                 "payload": payloads,
                                 fmt: formats})
@@ -764,3 +780,49 @@ def audio_fingerprint_groups(media: DataFrame, grid: int = 64) -> DataFrame:
             .withColumn("keep_id", F.min("media_id").over(w).cast("long"))
             .select("media_id", "hash_hi", "hash_lo", "n_copies",
                     "keep_id"))
+
+
+def ahash_neardup_pairs(media: DataFrame, grid: int = 8,
+                        max_hamming: int = 6) -> DataFrame:
+    """Image NEAR-duplicate pairs: aHash per image, then banded
+    hamming search — the 64-bit hash splits into 8 one-byte bands,
+    candidates pair on any identical band (equi-join on (band, key)),
+    and the popcount hamming distance verifies ≤ `max_hamming`. The
+    pigeonhole guarantee: ≤ 7 differing bits cannot touch all 8
+    bands, so recall is EXACT for hamming ≤ 7 ⊇ the verify cut — no
+    probabilistic misses at this radius (tighter radii than the band
+    count would be probabilistic; that trade is simhash_pairs',
+    documented there).
+
+    Near-dup (vs `ahash_dup_groups`' exact-hash grouping) catches
+    re-encodes that perturb a few grid cells: crops, small edits,
+    brightness shifts that flip a handful of bits.
+
+    Scale shape: identical to simhash banding — 8 postings per image,
+    candidates only on band collision, the quadratic confined to
+    band buckets (hot buckets = genuinely self-similar image sets);
+    hamming verify is codegen'd bit_count, no decode re-touch."""
+    hashed = ahash_images(media, grid)
+    parts = ", ".join(
+        [f"named_struct('band', {k}, 'key', "
+         f"shiftright(hash_lo, {8 * k}) & 255)" for k in range(4)]
+        + [f"named_struct('band', {4 + k}, 'key', "
+           f"shiftright(hash_hi, {8 * k}) & 255)" for k in range(4)])
+    melted = (hashed.select(
+        "media_id", "hash_hi", "hash_lo",
+        F.explode(F.expr(f"array({parts})")).alias("bk"))
+        .select("media_id", "hash_hi", "hash_lo", "bk.band", "bk.key"))
+    a = melted.select("band", "key", F.col("media_id").alias("id_a"),
+                      F.col("hash_hi").alias("hi_a"),
+                      F.col("hash_lo").alias("lo_a"))
+    b = melted.select("band", "key", F.col("media_id").alias("id_b"),
+                      F.col("hash_hi").alias("hi_b"),
+                      F.col("hash_lo").alias("lo_b"))
+    return (a.join(b, ["band", "key"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.expr("CAST(bit_count(hi_a ^ hi_b) + "
+                            "bit_count(lo_a ^ lo_b) AS BIGINT)")
+                      .alias("hamming"))
+             .distinct()
+             .where(F.col("hamming") <= max_hamming))

@@ -208,6 +208,14 @@ def bloom_hit_expr(key_expr: str, bits: list[int]):
     form shuffles nothing). The all-literal array constant-folds to
     ONE Literal per occurrence — no per-row allocation (the
     `ivf_cell_col` lesson). Returns a 0/1 long Column."""
+    return F.expr(f"CAST(({bloom_hit_pred(key_expr, bits)}) AS BIGINT)")
+
+
+def bloom_hit_pred(key_expr: str, bits: list[int]) -> str:
+    """The raw boolean Spark-SQL TEXT of the bloom probe — usable
+    inside higher-order-function lambdas (`filter(arr, s -> …)`)
+    where a Column can't reach; `bloom_hit_expr` wraps it for
+    column-level use."""
     arr = "array(" + ", ".join(f"{b}L" for b in bits) + ")"
     h = (f"(CAST(conv(substring(md5(CAST({key_expr} AS STRING)), 1, 8), "
          f"16, 10) AS BIGINT) % {MERSENNE31})")
@@ -218,7 +226,7 @@ def bloom_hit_expr(key_expr: str, bits: list[int]):
             f"((element_at({arr}, CAST({p} div {_LIMB_BITS} AS INT) + 1) & "
             f"shiftleft(CAST(1 AS BIGINT), CAST({p} % {_LIMB_BITS} AS INT)))"
             f" != 0)")
-    return F.expr("CAST((" + " AND ".join(conds) + ") AS BIGINT)")
+    return " AND ".join(conds)
 
 
 # -------------------------------------------------- count-min sketch

@@ -953,12 +953,15 @@ def collocations(df: DataFrame, text_col: str = "text",
 
     Scale shape: one tokenize scan → per-occurrence bigram frame →
     ONE corpus exchange (the (w1,w2) hash-agg, map-side combined,
-    vocabulary²-bounded output). Marginals and the corpus total are
-    derived from that vocabulary-sized frame: two windows + one
-    1-row broadcast cross join — nothing re-touches the corpus. The
-    final top-k is a global sort of ≤ vocab² candidate rows AFTER
-    the min_count cut (at web scale the cut is what keeps the sort
-    input small; raise it with corpus size)."""
+    vocabulary²-bounded output), MATERIALIZED once (localCheckpoint,
+    the graph-ops discipline) because two consumers need it — the
+    marginal windows and the corpus-total aggregate; without the
+    checkpoint the total's branch re-runs the whole tokenize scan
+    (verified in the physical plan). Marginals ride vocabulary-sized
+    windows; the total is a 1-row broadcast cross join. The final
+    top-k is rank-limit-pushed (TakeOrdered per partition feeds the
+    global window) over candidates surviving the min_count cut —
+    at web scale the cut is what keeps that input small."""
     from pyspark.sql import Window
     bg = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
           .where(F.size(TOKENS_COL) >= 2)
@@ -968,7 +971,8 @@ def collocations(df: DataFrame, text_col: str = "text",
                       f"{TOKENS_COL}[i+1] AS w2))")).alias("b"))
           .select("b.w1", "b.w2"))
     bgc = (bg.groupBy("w1", "w2")
-             .agg(F.count(F.lit(1)).cast("long").alias("n_xy")))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+             .localCheckpoint(eager=True))
     tot = bgc.agg(F.expr("CAST(sum(n_xy) AS BIGINT)").alias("n_bi"))
     stats = (bgc.withColumn("n_x", F.sum("n_xy")
                             .over(Window.partitionBy("w1")).cast("long"))
@@ -1028,3 +1032,121 @@ def mixture_weights(df: DataFrame, group_col: str = "source",
                     F.expr("CAST(quota + CASE WHEN seat_rank <= n_left "
                            "THEN 1 ELSE 0 END AS BIGINT)")
                      .alias("target_docs")))
+
+
+# ------------------------------------------- hashed linear classifier
+
+CLF_BUCKETS = 64
+CLF_BIAS = -1_500          # milli-units: threshold ≈ 1.5 mean weight
+
+
+def classifier_weights(n_buckets: int = CLF_BUCKETS,
+                       seed: int = 41) -> list[int]:
+    """Deterministic fixed-point weight table for the hashing-trick
+    classifier, in milli-units ∈ [-500, 500] via the same fixed LCG
+    as `functions.hash_family`. In production these weights come from
+    an offline trainer (fastText / logistic regression over hashed
+    token features); the table here is a deterministic placeholder so
+    the INFERENCE plan — the part that runs at 100 TB — is real and
+    hash-verifiable. Swapping in trained weights changes only this
+    list."""
+    w, x = [], seed
+    for _ in range(n_buckets):
+        x = (x * 1_103_515_245 + 12_345) % MERSENNE31
+        w.append(x % 1001 - 500)
+    return w
+
+
+def classifier_score(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     n_buckets: int = CLF_BUCKETS,
+                     bias: int = CLF_BIAS) -> DataFrame:
+    """Hashing-trick linear text-classifier INFERENCE (the fastText /
+    Vowpal-Wabbit shape): each token hashes to one of `n_buckets`
+    weight slots, logit = bias + Σ w[h(tok) mod B] in exact
+    fixed-point milli-units (BIGINT — floats would make the sum
+    order-sensitive), verdict = sign. This is the quality-classifier
+    gate of a pretraining pipeline (keep/drop per doc) with the model
+    reduced to its deterministic arithmetic.
+
+    Scale shape: pure map — the weight table is a plan LITERAL
+    (constant-folded array, the Bloom-bits discipline) indexed inside
+    one `aggregate` lambda over the token array; no explode, no
+    shuffle, no UDF. Per-doc cost is O(tokens); 100 TB runs as a
+    single scan."""
+    w = classifier_weights(n_buckets)
+    arr = "array(" + ", ".join(f"{v}L" for v in w) + ")"
+    h = f"(CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT) % {MERSENNE31})"
+    logit = (f"aggregate({TOKENS_COL}, CAST({bias} AS BIGINT), "
+             f"(acc, x) -> acc + element_at({arr}, "
+             f"CAST({h} % {n_buckets} AS INT) + 1))")
+    return (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+            .select(F.col(id_col),
+                    F.size(TOKENS_COL).cast("long").alias("n_tokens"),
+                    F.expr(logit).alias("logit_milli"))
+            .withColumn("verdict",
+                        F.expr("CASE WHEN logit_milli > 0 "
+                               "THEN 'keep' ELSE 'drop' END")))
+
+
+# --------------------------------------------- DSIR importance weights
+
+DSIR_BUCKETS = 128
+DSIR_SCALE = 1_000_000     # ppm fixed point; see overflow note below
+
+
+def dsir_bucket_scores(df: DataFrame, target_pred: str,
+                       text_col: str = "text",
+                       n_buckets: int = DSIR_BUCKETS) -> list[int]:
+    """Bucket→score table for hashed-feature importance sampling
+    (DSIR, Xie et al. 2023: weight raw-corpus docs by how target-like
+    their hashed n-gram profile is). score[b] = tcnt[b]·SCALE div
+    rcnt[b], both counts over ONE tokenize scan (tcnt = tokens from
+    docs matching `target_pred`, rcnt = all docs). Exact integer
+    ratio in ppm — the log-likelihood-ratio of real DSIR needs floats
+    whose per-doc sum would be order-sensitive; the plain ratio keeps
+    the same ranking signal hash-verifiable. The global
+    (R_total/T_total) normalizer scales every doc identically, so it
+    is dropped (rank-irrelevant).
+
+    Returns a B-entry list collected at plan build — the bounded plan
+    artifact discipline (IVF centroids, Bloom bits): B counters
+    however big the corpus. Overflow: tcnt·SCALE stays in int64 up to
+    ~9e12 target tokens per bucket; shrink SCALE past that."""
+    d = with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+    h = f"(CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT) % {MERSENNE31})"
+    cnt = (d.select(F.expr(f"CAST({target_pred} AS INT)").alias("is_t"),
+                    F.explode(F.expr(
+                        f"transform({TOKENS_COL}, x -> "
+                        f"CAST({h} % {n_buckets} AS INT))")).alias("bucket"))
+             .groupBy("bucket")
+             .agg(F.count(F.lit(1)).cast("long").alias("rcnt"),
+                  F.expr("CAST(sum(is_t) AS BIGINT)").alias("tcnt")))
+    rows = {r["bucket"]: (r["tcnt"], r["rcnt"]) for r in cnt.collect()}
+    return [int((rows[b][0] * DSIR_SCALE) // rows[b][1]) if b in rows else 0
+            for b in range(n_buckets)]
+
+
+def dsir_weights(df: DataFrame, scores: list[int],
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Per-doc DSIR importance weight: Σ score[h(tok) mod B] over the
+    doc's tokens (with repetition), exact BIGINT ppm. Docs with no
+    tokens carry no evidence and are excluded (matches the oracle's
+    unnest lineage).
+
+    Scale shape: the score table enters as a constant-folded literal
+    array probed inside one `aggregate` lambda — the weighting pass
+    is a pure map over the corpus (the counting pass behind `scores`
+    is one B-bounded hash-agg). Together: two scans, one tiny
+    exchange, zero joins at scoring time."""
+    arr = "array(" + ", ".join(f"{v}L" for v in scores) + ")"
+    h = f"(CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT) % {MERSENNE31})"
+    wexpr = (f"aggregate({TOKENS_COL}, CAST(0 AS BIGINT), "
+             f"(acc, x) -> acc + element_at({arr}, "
+             f"CAST({h} % {n_buckets} AS INT) + 1))")
+    return (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+            .where(F.size(TOKENS_COL) > 0)
+            .select(F.col(id_col),
+                    F.size(TOKENS_COL).cast("long").alias("n_tokens"),
+                    F.expr(wexpr).alias("dsir_weight_ppm")))

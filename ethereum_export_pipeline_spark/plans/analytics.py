@@ -1142,32 +1142,311 @@ def _fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(p, "id", "name", F.expr(_BLOCK), max_dist=2)
 
 
-_FUZZY_MATCH_SQL = f"""
-WITH p AS (
+#: shared CTE chain: dirty names → blocked base (with the hot-block
+#: cut mirroring fuzzy_pairs' max_block — Spark drops blocks larger
+#: than 10k members before the pair join, so the oracle must drop
+#: them too or the engines diverge the day a blocking key goes hot)
+#: → candidate pairs with Levenshtein residual
+_FUZZY_CTES = f"""p AS (
   SELECT p_partkey AS id, {_DIRTY_NAME} AS name FROM part
 ),
 base0 AS (
   SELECT id, name, {_BLOCK} AS blk
   FROM p WHERE name IS NOT NULL AND {_BLOCK} IS NOT NULL
 ),
--- mirror fuzzy_pairs' hot-block cut (operators/joins.py max_block):
--- Spark drops blocks larger than 10k members before the pair join, so
--- the oracle must drop them too or the engines diverge the day a
--- blocking key goes hot
 base AS (
   SELECT * FROM base0
   WHERE blk IN (SELECT blk FROM base0
                 GROUP BY blk HAVING count(*) <= 10000)
+),
+fpairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         a.name AS name_a, b.name AS name_b,
+         CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+  FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+  WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+)"""
+
+_FUZZY_MATCH_SQL = f"""
+WITH {_FUZZY_CTES}
+SELECT id_a, id_b, name_a, name_b, dist FROM fpairs
+"""
+
+
+def _entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution: blocking + fuzzy candidate pairs
+    (operators/joins.fuzzy_pairs) collapsed into entity clusters by
+    min-label connected components (operators/dedup.
+    connected_components), then every record — including singletons —
+    labelled with its canonical entity id (min member id). The full
+    Fellegi–Sunter-style pipeline as one composed plan: the step
+    after `q_fuzzy_match` that makes the pair list usable (a pair
+    list is not an entity table until transitively closed: A~B, B~C
+    must land A, B, C in ONE entity).
+
+    Scale shape: pairs are block-bounded (never all-pairs), CC
+    iterates only on the pair graph (tiny vs the table), the final
+    labelling is one left join of the full table against the
+    components frame — at scale that frame is orders of magnitude
+    smaller than the table (only records that matched something)."""
+    from ..operators.dedup import connected_components
+    from ..operators.joins import fuzzy_pairs
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.expr(_DIRTY_NAME).alias("name"))
+    pairs = fuzzy_pairs(p, "id", "name", F.expr(_BLOCK), max_dist=2)
+    clusters = connected_components(pairs, src="id_a", dst="id_b",
+                                    id_out="id")
+    return (p.join(clusters, "id", "left")
+             .select(F.col("id").cast("long").alias("id"),
+                     F.coalesce("cluster_id", F.col("id")).cast("long")
+                      .alias("entity_id"),
+                     "name"))
+
+
+_ENTITY_RESOLUTION_SQL = f"""
+WITH RECURSIVE {_FUZZY_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM fpairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM fpairs
+),
+reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+),
+cl AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+SELECT CAST(p.id AS BIGINT) AS id,
+       CAST(coalesce(cl.cluster_id, p.id) AS BIGINT) AS entity_id,
+       p.name
+FROM p LEFT JOIN cl ON cl.node = p.id
+"""
+
+
+
+# ------------------------------------- trend slopes / decayed activity
+
+def _trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend slope over daily event counts — the
+    drift-trend aggregate (is this source/event type growing or
+    dying?) as ONE exact-integer aggregation: with x = day − min(day)
+    (small ints) and y = daily count, slope = (n·Σxy − Σx·Σy) /
+    (n·Σxx − Σx²), the numerator/denominator computed as BIGINT sums
+    and divided in a SINGLE double expression (base.py discipline).
+    Types with a single active day carry no trend and are excluded.
+
+    Scale shape: one (type, day) hash-agg (map-side combined), the
+    min-day window rides the same type key, then a type-level agg —
+    two exchanges on the same small key."""
+    from ..sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.expr("ts_ns div 1000 div 86400000000")
+                        .alias("day"))
+               .groupBy("event_type", "day")
+               .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    w = Window.partitionBy("event_type")
+    stats = (daily.withColumn("x", F.col("day") - F.min("day").over(w))
+                  .groupBy("event_type")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                       F.expr("CAST(sum(x) AS BIGINT)").alias("sx"),
+                       F.expr("CAST(sum(y) AS BIGINT)").alias("sy"),
+                       F.expr("CAST(sum(x * y) AS BIGINT)").alias("sxy"),
+                       F.expr("CAST(sum(x * x) AS BIGINT)").alias("sxx")))
+    return (stats.where(F.col("n_days") >= 2)
+                 .select("event_type", "n_days", "sx", "sy", "sxy", "sxx",
+                         F.expr("CAST(n_days * sxy - sx * sy AS DOUBLE) / "
+                                "CAST(n_days * sxx - sx * sx AS DOUBLE)")
+                          .alias("slope")))
+
+
+_TREND_SLOPES_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+xs AS (
+  SELECT event_type, day - min(day) OVER (PARTITION BY event_type) AS x, y
+  FROM daily
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xs GROUP BY 1
 )
-SELECT a.id AS id_a, b.id AS id_b,
-       a.name AS name_a, b.name AS name_b,
-       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
-WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+SELECT event_type, n_days, sx, sy, sxy, sxx,
+       CAST(n_days * sxy - sx * sy AS DOUBLE) /
+         CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope
+FROM stats WHERE n_days >= 2
+"""
+
+
+def _decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed activity score with a
+    half-life of one day, EXACT integers: score = Σ cents(value) div
+    2^age_days relative to the corpus's newest day (ages ≥ 63 decay
+    to 0 — a shift past the int64 width would wrap). The recency-
+    weighted engagement metric (EWMA-style) that float decay
+    (pow(0.5, age)) could never hash-compare: truncating power-of-two
+    division on non-negative cents is bit-exact on both engines.
+
+    Scale shape: the global reference day is a 1-row broadcast cross
+    join (the scalar-subquery shape); the score is one per-user
+    hash-agg, map-side combined."""
+    from ..sources.tables import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id",
+                  F.expr("ts_ns div 1000 div 86400000000").alias("day"),
+                  F.expr(cents("value")).alias("v")))
+    ref = ev.agg(F.max("day").alias("ref_day"))
+    return (ev.crossJoin(F.broadcast(ref))
+              .withColumn("age", (F.col("ref_day") - F.col("day"))
+                           .cast("int"))
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                   F.expr("CAST(sum(CASE WHEN age >= 63 THEN 0 ELSE "
+                          "v div shiftleft(CAST(1 AS BIGINT), age) END) "
+                          "AS BIGINT)").alias("score_cents")))
+
+
+_DECAYED_ACTIVITY_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         {cents('value')} AS v
+  FROM events
+),
+ref AS (SELECT max(day) AS ref_day FROM ev)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN ref_day - day >= 63 THEN 0 ELSE
+                v // (CAST(1 AS BIGINT) << CAST(ref_day - day AS INTEGER))
+                END) AS BIGINT) AS score_cents
+FROM ev, ref GROUP BY user_id
+"""
+
+
+# --------------------------------------------- market-basket pair lift
+
+BASKET_MIN_SUPPORT = 2
+
+
+def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — frequent-pair mining
+    (the 2-itemset slice of Apriori/FP-growth) as pure DataFrame ops:
+    parts appearing in the same order pair up via a SELF EQUI-JOIN on
+    the order key, pair counts hash-agg with the min-support cut, and
+    lift comes from the pair count + per-part order counts + total
+    order count as ONE double expression over exact BIGINTs
+    (n_ab·N / (n_a·n_b)).
+
+    Scale shape: the self-join is co-partitioned on l_orderkey (both
+    sides the same frame → one exchange, ReusedExchange on the
+    probe); pair blowup is quadratic in BASKET SIZE (TPC-H ≤ 7 items,
+    retail ~tens), never in the table. The (pa, pb) agg combines
+    map-side; the support dims broadcast when small. The total-order
+    scalar is a 1-row broadcast cross join."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (a.join(b, "ok")
+              .where(F.col("pa") < F.col("pb"))
+              .groupBy("pa", "pb")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+              .where(F.col("n_ab") >= BASKET_MIN_SUPPORT))
+    sup = (li.groupBy("l_partkey")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = li.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    return (pairs
+            .join(sup.select(F.col("l_partkey").alias("pa"),
+                             F.col("n").alias("n_a")), "pa")
+            .join(sup.select(F.col("l_partkey").alias("pb"),
+                             F.col("n").alias("n_b")), "pb")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("pa").cast("long").alias("part_a"),
+                    F.col("pb").cast("long").alias("part_b"),
+                    "n_ab", "n_a", "n_b",
+                    F.expr("CAST(n_ab * n_orders AS DOUBLE) / "
+                           "CAST(n_a * n_b AS DOUBLE)").alias("lift")))
+
+
+_BASKET_PAIRS_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_SUPPORT}
+),
+sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li)
+SELECT pa AS part_a, pb AS part_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+       CAST(n_ab * n_orders AS DOUBLE) / CAST(sa.n * sb.n AS DOUBLE) AS lift
+FROM pairs JOIN sup sa ON sa.pk = pa JOIN sup sb ON sb.pk = pb, tot
+"""
+
+
+# ------------------------------------------------- k-anonymity audit
+
+K_ANON = 5
+
+
+def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit: k-anonymity group sizes over the
+    quasi-identifier tuple (event_type, day, $10 value band) — any
+    combination observed fewer than K times re-identifies its members
+    (Sweeney, IJUFKS'02). Returns the risky groups with k and a
+    severity label; the release gate a training-data pipeline runs
+    before shipping behavioral aggregates.
+
+    Scale shape: one hash-agg over the QI tuple (map-side combined)
+    + a selective filter — the same cost as any groupBy; no joins,
+    no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.select("event_type",
+                      F.expr("ts_ns div 1000 div 86400000000").alias("day"),
+                      F.expr(f"{cents('value')} div 1000").alias("value_band"))
+              .groupBy("event_type", "day", "value_band")
+              .agg(F.count(F.lit(1)).cast("long").alias("k"))
+              .where(F.col("k") < K_ANON)
+              .withColumn("severity",
+                          F.expr("CASE WHEN k = 1 THEN 'unique' "
+                                 "ELSE 'small_group' END")))
+
+
+_K_ANONYMITY_SQL = f"""
+SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       {cents('value')} // 1000 AS value_band,
+       CAST(count(*) AS BIGINT) AS k,
+       CASE WHEN count(*) = 1 THEN 'unique' ELSE 'small_group' END AS severity
+FROM events
+GROUP BY 1, 2, 3 HAVING count(*) < {K_ANON}
 """
 
 
 QUERIES: dict[str, Query] = {
+    "q_entity_resolution": Query(_entity_resolution,
+                                 _ENTITY_RESOLUTION_SQL,
+                                 "end-to-end entity resolution: "
+                                 "blocked fuzzy pairs → connected "
+                                 "components → canonical entity ids "
+                                 "for every record"),
+    "q_basket_pairs": Query(_basket_pairs, _BASKET_PAIRS_SQL,
+                            "market-basket pair mining with lift "
+                            "(co-partitioned self-join, min-support "
+                            "cut, exact-int lift)"),
+    "q_k_anonymity": Query(_k_anonymity, _K_ANONYMITY_SQL,
+                           "k-anonymity audit over quasi-identifier "
+                           "tuples (privacy release gate)"),
+    "q_trend_slopes": Query(_trend_slopes, _TREND_SLOPES_SQL,
+                            "per-key OLS trend slope over daily "
+                            "counts (exact-int sums, one double "
+                            "division)"),
+    "q_decayed_activity": Query(_decayed_activity, _DECAYED_ACTIVITY_SQL,
+                                "exponential time-decay scoring, "
+                                "power-of-two integer decay"),
     "q1_pricing_summary": Query(_pricing_summary, _PRICING_SUMMARY_SQL,
                                 "flagship scan→filter→agg"),
     "q_fuzzy_match": Query(_fuzzy_match, _FUZZY_MATCH_SQL,

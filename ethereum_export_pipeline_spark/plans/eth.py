@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 
 from ..partitioning import range_cols, volume_balanced_plan
 from ..sources.tables import load_table, register_views
-from ..util import scratch_dir
+from ..util import local_df, scratch_dir
 from .base import Query, cents
 
 # Volume-balanced plan over the o_orderkey domain — same ragged-tier
@@ -137,8 +137,8 @@ def _incremental_todo(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit_ranges(spark, mpath, "orders", committed)
     todo = filter_unprocessed(
         KEY_PLAN, processed_ranges(spark, mpath, "orders"))
-    todo_df = spark.createDataFrame(
-        [(pad8(s), pad8(e)) for s, e in todo],
+    todo_df = local_df(
+        spark, [(pad8(s), pad8(e)) for s, e in todo],
         "start_block string, end_block string")
     return (_partition_plan(spark, sf_dir)
             .join(F.broadcast(todo_df), ["start_block", "end_block"]))
@@ -426,7 +426,7 @@ def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     that survives 100 TB: the fact side never expands, the dim is
     broadcast, and the key derivation is codegen'd."""
     o = load_table(spark, sf_dir, "orders")
-    ranges = spark.createDataFrame(KEY_PLAN[:RANGE_JOIN_N], "lo long, hi long")
+    ranges = local_df(spark, KEY_PLAN[:RANGE_JOIN_N], "lo long, hi long")
     keyed = o.withColumn(
         "lo", F.expr(_bucket_start_sql("o_orderkey")).cast("long"))
     return (

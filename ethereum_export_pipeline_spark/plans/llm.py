@@ -2089,15 +2089,18 @@ def _phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.ahash_dup_groups(media)
 
 
-def _phash_dedup_sql() -> str:
+def _ahash_bits_ctes() -> str:
+    """CTE chain recomputing every aHash bit from the fixture's
+    deterministic text→pixel tiling, ending in
+    bits(doc_id, hash_hi, hash_lo) — shared by the exact-hash dedup
+    oracle and the banded near-dup oracle."""
     digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
     byte_at = (f"16 * ({digit.format(i='2*p+1')}) "
                f"+ ({digit.format(i='2*p+2')})")
     src = "(((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3"
     gray_k = (f"(vals[({src} + 0) % nb + 1] + vals[({src} + 1) % nb + 1]"
               f" + vals[({src} + 2) % nb + 1]) // 3")
-    return f"""
-WITH m AS (
+    return f"""m AS (
   SELECT doc_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS nb,
          CAST(8 + doc_id % 9 AS BIGINT) AS w,
@@ -2127,12 +2130,55 @@ bits AS (
            (CASE WHEN gray[k + 1] > mean THEN CAST(1 AS BIGINT)
                  ELSE 0 END) << k)) AS BIGINT) AS hash_lo
   FROM s
-)
+)"""
+
+
+def _phash_dedup_sql() -> str:
+    return f"""
+WITH {_ahash_bits_ctes()}
 SELECT doc_id AS media_id, hash_hi, hash_lo,
        CAST(count(*) OVER w AS BIGINT) AS n_copies,
        CAST(min(doc_id) OVER w AS BIGINT) AS keep_id
 FROM bits
 WINDOW w AS (PARTITION BY hash_hi, hash_lo)
+"""
+
+
+# ------------------------------------- banded image near-dup pairs
+
+IMG_MAX_HAMMING = 6
+
+
+def _image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup pairs (operators/multimodal.ahash_neardup_pairs):
+    8×1-byte banding over the 64-bit aHash, candidates on band
+    collision, popcount-hamming verify ≤ IMG_MAX_HAMMING — exact
+    recall at this radius by pigeonhole (7 flips can't touch all 8
+    bands). Every hash bit and the hamming verdict recomputed by the
+    oracle from the decoded fixture pixels."""
+    media = multimodal.documents_as_ppm_media(
+        load_table(spark, sf_dir, "documents"))
+    return multimodal.ahash_neardup_pairs(media,
+                                          max_hamming=IMG_MAX_HAMMING)
+
+
+def _image_neardup_sql() -> str:
+    key = ("CASE WHEN band < 4 THEN (hash_lo >> (8 * band)) & 255 "
+           "ELSE (hash_hi >> (8 * (band - 4))) & 255 END")
+    return f"""
+WITH {_ahash_bits_ctes()},
+melted AS (
+  SELECT doc_id, hash_hi, hash_lo, {key} AS key, band
+  FROM bits, UNNEST(range(8)) u(band)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+              + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming
+  FROM melted a JOIN melted b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {IMG_MAX_HAMMING}
 """
 
 
@@ -2991,7 +3037,153 @@ WITH {_BASE_CTES},
 """
 
 
+# ------------------------------------ hashed linear classifier gate
+
+def _classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier keep/drop gate (operators/text.
+    classifier_score): fastText-shape hashed linear inference with
+    the model reduced to its deterministic fixed-point arithmetic —
+    the weight table is a plan literal, the pass is a pure map."""
+    return text.classifier_score(load_table(spark, sf_dir, "documents"))
+
+
+def _classifier_score_sql() -> str:
+    w = text.classifier_weights()
+    arr = "[" + ", ".join(str(v) for v in w) + "]"
+    h = h32_sql("x")
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST({text.CLF_BIAS} + coalesce(list_sum(list_transform(t, x ->
+    ({arr})[CAST({h} % {text.CLF_BUCKETS} AS INT) + 1])), 0) AS BIGINT)
+    AS logit_milli
+  FROM toks)
+SELECT doc_id, n_tokens, logit_milli,
+       CASE WHEN logit_milli > 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM s
+"""
+
+
+# -------------------------------------- DSIR importance weights
+
+#: target predicate for the graded entry: English docs are the
+#: "target distribution", the whole corpus is "raw" — the standard
+#: DSIR setup (weight raw docs by target-likeness)
+DSIR_TARGET_PRED = "lang = 'en'"
+
+_DSIR_SCORES: dict[str, list[int]] = {}
+
+
+def _get_dsir_scores(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Bucket-score table memoized per corpus (the quantizer / BPE
+    discipline): one B-bounded counting scan per (session, sf_dir)."""
+    import os
+    key = os.path.abspath(sf_dir)
+    if key not in _DSIR_SCORES:
+        _DSIR_SCORES[key] = text.dsir_bucket_scores(
+            load_table(spark, sf_dir, "documents"), DSIR_TARGET_PRED)
+    return _DSIR_SCORES[key]
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature importance weights (DSIR, Xie et al. 2023) for
+    target-aware sampling of the raw corpus: counting pass collapses
+    to a B-entry literal score table; the weighting pass is a pure
+    map (operators/text.dsir_weights)."""
+    return text.dsir_weights(load_table(spark, sf_dir, "documents"),
+                             _get_dsir_scores(spark, sf_dir))
+
+
+def _dsir_weights_sql() -> str:
+    h = h32_sql("x")
+    B, S = text.DSIR_BUCKETS, text.DSIR_SCALE
+    return f"""
+WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t, lang
+              FROM documents WHERE text IS NOT NULL),
+tok AS (SELECT doc_id, CAST({DSIR_TARGET_PRED} AS INT) AS is_t,
+               CAST({h} % {B} AS INT) AS bucket
+        FROM (SELECT doc_id, lang, unnest(t) AS x FROM toks)),
+cnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rcnt,
+               CAST(sum(is_t) AS BIGINT) AS tcnt
+        FROM tok GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum((c.tcnt * {S}) // c.rcnt) AS BIGINT) AS dsir_weight_ppm
+FROM tok t JOIN cnt c USING (bucket)
+GROUP BY 1
+"""
+
+
+# ------------------------------------ kNN-graph link prediction
+
+def _knn_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-neighbor candidates the ANN graph MISSED:
+    common-neighbor / neighborhood-Jaccard link prediction
+    (operators/graph.link_prediction) over the undirected kNN pair
+    graph — non-adjacent vector pairs sharing kNN neighbors are
+    near-certain semantic neighbors the banded search didn't pair
+    directly (kNN is not symmetric or transitive, so the graph has
+    open wedges by construction). The graph-densification /
+    recall-repair pass of graph-based semantic dedup. (The MinHash
+    DUP graph is the wrong input here: LSH band collisions on
+    near-identical copies yield transitively-closed cliques — zero
+    open wedges, nothing to predict.)"""
+    g = similarity.knn_graph(load_table(spark, sf_dir, "embeddings"),
+                             k=TOPK_K, n_planes=LSH_PLANES,
+                             n_bands=MULTIBAND_BANDS)
+    e = (g.select(F.least("vec_id", "neighbor_id").alias("src"),
+                  F.greatest("vec_id", "neighbor_id").alias("dst"))
+          .distinct())
+    from ..operators.graph import link_prediction
+    return link_prediction(e)
+
+
+def _knn_linkpred_sql() -> str:
+    return f"""
+WITH knn AS (
+  {_knn_graph_sql()}
+),
+pairs AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS doc_a,
+         greatest(vec_id, neighbor_id) AS doc_b
+  FROM knn
+),
+adj AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+cand AS (
+  SELECT w1.v AS a, w2.v AS b, CAST(count(*) AS BIGINT) AS cn
+  FROM adj w1 JOIN adj w2 ON w1.u = w2.u AND w1.v < w2.v
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN pairs p ON p.doc_a = c.a AND p.doc_b = c.b
+  WHERE p.doc_a IS NULL
+)
+SELECT a AS node_a, b AS node_b, cn, da.deg AS deg_a, db.deg AS deg_b,
+       CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE) AS jaccard
+FROM nonedge JOIN deg da ON da.u = a JOIN deg db ON db.u = b
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "emb_knn_linkpred": Query(_knn_linkpred, _knn_linkpred_sql(),
+                              "common-neighbor link prediction over "
+                              "the kNN pair graph: ANN-missed "
+                              "semantic neighbors (recall repair)"),
+    "doc_classifier_score": Query(_classifier_score,
+                                  _classifier_score_sql(),
+                                  "hashed linear quality-classifier "
+                                  "inference (fastText shape, weight "
+                                  "table as plan literal, pure map)"),
+    "doc_dsir_weights": Query(_dsir_weights, _dsir_weights_sql(),
+                              "DSIR hashed-feature importance "
+                              "weights: B-bounded counting pass → "
+                              "literal score table → map-only "
+                              "weighting pass"),
     "emb_kmeans_assign": Query(_kmeans_assign, _kmeans_assign_sql(),
                                "distributed 3-round Lloyd k-means, "
                                "integer fixed point, unrolled-CTE "
@@ -3174,6 +3366,10 @@ QUERIES: dict[str, Query] = {
                             "perceptual audio fingerprint dedup "
                             "(decoded-sample envelope hash, every "
                             "bit oracle-recomputed)"),
+    "mm_image_neardup": Query(_image_neardup, _image_neardup_sql(),
+                              "banded aHash image near-dup pairs "
+                              "(8-band pigeonhole, popcount verify, "
+                              "exact recall at the cut radius)"),
     "mm_phash_dedup": Query(_phash_dedup, _phash_dedup_sql(),
                             "perceptual aHash image dedup groups "
                             "(resize-invariant multimodal near-dup "

@@ -5,7 +5,7 @@ must equal the batch answer over the same inputs)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..streaming import (WINDOW_US, stream_chain_counts,
                          stream_dedup_within_watermark,
@@ -295,7 +295,71 @@ FROM agg, m WHERE send <= wm
 """
 
 
+def _stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming Bloom decontamination (streaming.
+    stream_decontaminate): the benchmark set's ~512 B filter is built
+    batch-side at plan build (the benchmark is static; the corpus is
+    the stream) and probed per incoming doc as a literal-filter
+    lambda — zero state, scan-rate throughput."""
+    from ..operators.dedup import shingles
+    from ..operators.sketch import bloom_bits, bloom_build
+    from ..sources.tables import load_table
+    from ..streaming import stream_decontaminate
+    from .llm import BENCH_MOD
+    docs = load_table(spark, sf_dir, "documents")
+    bench_sh = (shingles(docs.where(F.col("doc_id") % BENCH_MOD == 0))
+                .select("shingle").distinct())
+    bits = bloom_bits(bloom_build(bench_sh, key_col="shingle"))
+    return stream_decontaminate(
+        spark, f"{sf_dir.rstrip('/')}/documents.parquet", bits,
+        bench_mod=BENCH_MOD)
+
+
+def _stream_decontaminate_sql() -> str:
+    from ..operators.sketch import bloom_positions_sql
+    from .llm import BENCH_MOD, SHINGLES_CTE, TOKS_CTE
+    pos = bloom_positions_sql("shingle")
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+sh AS ({SHINGLES_CTE}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+limbs AS (
+  SELECT p // 32 AS limb, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM (SELECT unnest({pos}) AS p FROM bench) GROUP BY 1
+),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+probe AS (
+  SELECT doc_id, shingle, p // 32 AS limb,
+         1::BIGINT << CAST(p % 32 AS INT) AS mask
+  FROM (SELECT doc_id, shingle, unnest({pos}) AS p FROM corpus)
+),
+verdict AS (
+  SELECT p.doc_id, p.shingle,
+         min(CASE WHEN (coalesce(l.bits, 0) & p.mask) = p.mask
+                  THEN 1 ELSE 0 END) AS hit
+  FROM probe p LEFT JOIN limbs l USING (limb)
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(hit) AS BIGINT) AS n_bloom_hits
+  FROM verdict GROUP BY 1
+)
+SELECT t.doc_id,
+       coalesce(a.n_shingles, 0) AS n_shingles,
+       coalesce(a.n_bloom_hits, 0) AS n_bloom_hits,
+       CAST(coalesce(a.n_bloom_hits, 0) > 0 AS BIGINT) AS contaminated
+FROM toks t LEFT JOIN agg a USING (doc_id)
+WHERE t.doc_id % {BENCH_MOD} <> 0
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "stream_decontaminate": Query(_stream_decontaminate,
+                                  _stream_decontaminate_sql(),
+                                  "stateless streaming Bloom "
+                                  "decontamination (benchmark filter "
+                                  "as plan literal, zero state)"),
     "stream_tumbling_counts": Query(_stream_tumbling, _STREAM_TUMBLING_SQL,
                                     "availableNow streaming window agg"),
     "stream_sessions": Query(_stream_sessions, _EVENTS_SESSIONS_SQL,

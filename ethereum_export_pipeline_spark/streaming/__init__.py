@@ -572,3 +572,43 @@ def incremental_rollup(spark: SparkSession, src_dir: str, dest_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def stream_decontaminate(spark: SparkSession, docs_path: str,
+                         bits: list[int], bench_mod: int = 97,
+                         n: int = 3) -> DataFrame:
+    """STATELESS streaming decontamination: documents stream in, each
+    doc's distinct word n-gram shingles are built map-side as an
+    ARRAY (no explode — the batch twin's exploded inverted index
+    would force a per-doc re-aggregation, i.e. state), and every
+    shingle is probed against the benchmark Bloom filter baked into
+    the plan as a literal (operators/sketch.bloom_hit_pred inside a
+    higher-order `filter` lambda). Output per doc: shingle count,
+    Bloom-hit count, contamination verdict.
+
+    This is the production shape for "check everything we ingest
+    against the eval suites, live": the filter is ~512 B however
+    large the benchmark set, the query keeps ZERO state between
+    micro-batches (pure projection — no watermark, no state store,
+    nothing to evict), and throughput is the file-source scan rate.
+    Benchmark docs themselves (doc_id % bench_mod == 0) are excluded
+    from the stream: they define the filter."""
+    from ..operators.sketch import bloom_hit_pred
+    sdf = read_stream(spark, docs_path)
+    joined = ", ".join(f"element_at(t, i + {k + 1})" for k in range(n))
+    sh = (f"CASE WHEN size(t) < {n} THEN array() "
+          f"ELSE array_distinct(transform(sequence(0, size(t) - {n}), "
+          f"i -> concat_ws(' ', {joined}))) END")
+    pred = bloom_hit_pred("s", bits)
+    out = (sdf.where(f"text IS NOT NULL AND doc_id % {bench_mod} != 0")
+              .selectExpr("doc_id",
+                          "regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t")
+              .selectExpr("doc_id", f"{sh} AS sh")
+              .selectExpr("doc_id",
+                          "CAST(size(sh) AS BIGINT) AS n_shingles",
+                          f"CAST(size(filter(sh, s -> {pred})) AS BIGINT) "
+                          "AS n_bloom_hits")
+              .withColumn("contaminated",
+                          F.expr("CAST(n_bloom_hits > 0 AS BIGINT)")))
+    return run_available_now(out, output_mode="append",
+                             width=bounded_stream_width(spark, docs_path))

@@ -368,6 +368,47 @@ def main() -> int:
 
     bench("phash_dedup", phash_dedup)
 
+    # the rest of the now-REAL mm tier: per-byte decode cost measured,
+    # not argued — all Arrow mapInPandas projections, no shuffle
+    def mm_resize():
+        from ethereum_export_pipeline_spark.operators import multimodal
+        media = multimodal.documents_as_ppm_media(big_docs)
+        resized = multimodal.resize_media(media, 64, 64)
+        return multimodal.extract_features(
+            resized.select("media_id", "payload"))
+
+    bench("mm_resize", mm_resize)
+
+    def mm_frame_sample():
+        from ethereum_export_pipeline_spark.operators import multimodal
+        media = multimodal.documents_as_video_media(big_docs)
+        return multimodal.sample_frames(media, n_frames=2)
+
+    bench("mm_frame_sample", mm_frame_sample)
+
+    def mm_audio_dedup():
+        from ethereum_export_pipeline_spark.operators import multimodal
+        media = multimodal.documents_as_wav_media(big_docs)
+        return multimodal.audio_fingerprint_groups(media)
+
+    bench("mm_audio_dedup", mm_audio_dedup)
+
+    def mm_image_neardup():
+        from ethereum_export_pipeline_spark.operators import multimodal
+        media = multimodal.documents_as_ppm_media(big_docs)
+        return multimodal.ahash_neardup_pairs(media)
+
+    bench("mm_image_neardup", mm_image_neardup)
+
+    # round-5 map-only text scorers: the "pure map at 100 TB" claim
+    bench("classifier_score", lambda: text.classifier_score(big_docs))
+
+    def dsir():
+        scores = text.dsir_bucket_scores(big_docs, "doc_id % 2 = 0")
+        return text.dsir_weights(big_docs, scores)
+
+    bench("dsir_weights", dsir)
+
     # BPE training: the "state is vocabulary-sized" claim measured —
     # corpus grows 100x, the per-round work shouldn't
     bench("bpe_train", lambda: text.bpe_train(big_docs, rounds=6))
