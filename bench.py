@@ -155,6 +155,10 @@ HEADLINE = [
     "q_k_anonymity",
     "q_trend_slopes",
     "q_decayed_activity",
+    "doc_incremental_neardup",
+    "q_asof_skew_bucketed",
+    "doc_winnow_census",
+    "mm_audio_resample",
 ]
 
 
@@ -183,17 +187,16 @@ def main() -> int:
         # transfer — measures the engine, not py4j serialization
         df.write.mode("overwrite").format("noop").save()
 
-    # one untimed pass first: whole-stage-codegen classes compile on a
-    # query's first execution (~5s for the widest DAGs) — the timed
-    # pass measures warm engine throughput, JMH-style
-    for name in HEADLINE:
-        consume(qs[name](spark, sf_dir))
-
+    # min-of-2 per query: the first run compiles the query's
+    # whole-stage-codegen classes (a separate corpus-wide warm pass
+    # became a third full execution once HEADLINE passed 130 queries
+    # — the min already measures the warm run), the second measures
+    # warm throughput; min damps scheduler/GC noise, JMH-style
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):  # min-of-2: damp scheduler/GC noise
+        for _ in range(2):
             t0 = time.time()
             consume(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)

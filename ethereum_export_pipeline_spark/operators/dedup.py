@@ -1,7 +1,13 @@
 """Deduplication operators over a document table (north-star
-extensions): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+extensions): exact, n-gram Jaccard, MinHash+LSH, SimHash — plus the
+detectors built on the same machinery: asymmetric containment
+(excerpt/superset), exact substring spans (every-gram), winnowing
+fingerprints (window-min sampled), cross-batch incremental near-dup
+(new batch vs the seen corpus's band index), connected-component dup
+clusters (two algorithms), benchmark decontamination, sentence-level
+boilerplate, and the MinHash estimator-quality report.
 
-All four are pure DataFrame compositions (no UDFs) built on the
+All are pure DataFrame compositions (no UDFs) built on the
 cross-engine md5 hashes in `functions`, so every one of them is
 verifiable against a DuckDB oracle running the same arithmetic.
 
@@ -26,7 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import affine_hash, h32, h60, hash_family, tokens
+from ..functions import (MERSENNE31, affine_hash, h32, h60, hash_family,
+                         tokens)
 
 NGRAM_N = 3          # words per shingle
 MINHASH_K = 16       # signature length
@@ -153,13 +160,10 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", threshold: float = 0.5,
-                      n: int = NGRAM_N) -> DataFrame:
-    """MinHash LSH near-dup pairs, verified with exact Jaccard.
-    Output: (doc_a, doc_b, n_common, jaccard) for candidates whose
-    verified Jaccard ≥ threshold."""
-    sig = minhash_signatures(df, id_col, text_col, n)
+def _banded_buckets(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, bucket) band postings from a K-column signature frame —
+    the LSH index rows: md5 over each band's signature slice, melted
+    to one posting per (doc, band)."""
     rows_per_band = MINHASH_K // MINHASH_BANDS
     band_cols = []
     for band in range(MINHASH_BANDS):
@@ -167,11 +171,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         band_cols.append(
             F.md5(F.concat_ws(",", F.lit(str(band)), *ms)).alias(f"band{band}"))
     banded = sig.select(id_col, *band_cols)
-
-    melted = banded.select(
+    return banded.select(
         id_col,
         F.explode(F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)]))
          .alias("bucket"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.5,
+                      n: int = NGRAM_N) -> DataFrame:
+    """MinHash LSH near-dup pairs, verified with exact Jaccard.
+    Output: (doc_a, doc_b, n_common, jaccard) for candidates whose
+    verified Jaccard ≥ threshold."""
+    sig = minhash_signatures(df, id_col, text_col, n)
+    melted = _banded_buckets(sig, id_col)
     l = melted.select(F.col(id_col).alias("doc_a"), "bucket")
     r = melted.select(F.col(id_col).alias("doc_b"), "bucket")
     cand = (l.join(r, "bucket").where(F.col("doc_a") < F.col("doc_b"))
@@ -193,6 +206,77 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
          .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return _jaccard_from_pairs(inter, threshold)
+
+
+def incremental_neardup(new_df: DataFrame, seen_df: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        threshold: float = 0.5,
+                        n: int = NGRAM_N) -> DataFrame:
+    """CROSS-BATCH near-dup gate — the operator an INCREMENTAL
+    ingest pipeline actually runs: today's batch (`new_df`) checked
+    against the already-ingested corpus (`seen_df`), per-new-doc
+    verdict (is_dup, best matched seen doc, exact Jaccard). In-batch
+    duplicates are `minhash_lsh_pairs`' job; this op only answers
+    "have we ingested this before?".
+
+    Candidates come from the same 8×2 MinHash band index
+    (`_banded_buckets`) — in production the seen side's postings are
+    PERSISTED (the LSH index is itself incremental: new docs' postings
+    append after the batch commits), so each run hashes only the new
+    batch and equi-joins |new postings| against the index; nothing
+    rescans the seen corpus except the Jaccard verify, which touches
+    only candidate seen docs (semi-join pushdown). Verification is
+    exact n-gram Jaccard on the (new × seen) candidate pairs,
+    never new × new or seen × seen.
+
+    Returns ONE row per new doc (NULL-text docs included, never dup):
+    (id, is_dup 0/1, matched_seen, n_common, jaccard) — match columns
+    NULL for clean docs; ties broken (jaccard desc, seen id asc)."""
+    mn = (_banded_buckets(minhash_signatures(new_df, id_col, text_col, n),
+                          id_col)
+          .select(F.col(id_col).alias("new_id"), "bucket"))
+    ms = (_banded_buckets(minhash_signatures(seen_df, id_col, text_col, n),
+                          id_col)
+          .select(F.col(id_col).alias("seen_id"), "bucket"))
+    cand = (mn.join(ms, "bucket")
+              .select("new_id", "seen_id").distinct())
+
+    sh_new = _sized_shingles(new_df, id_col, text_col, n,
+                             max_shingle_df=None)
+    sh_seen = _sized_shingles(seen_df, id_col, text_col, n,
+                              max_shingle_df=None)
+    a = (sh_new.select(F.col(id_col).alias("new_id"), "shingle",
+                       F.col("sz").alias("sz_a"))
+               .join(cand.select("new_id").distinct(), "new_id",
+                     "left_semi"))
+    b = (sh_seen.select(F.col(id_col).alias("seen_id"), "shingle",
+                        F.col("sz").alias("sz_b"))
+                .join(cand.select("seen_id").distinct(), "seen_id",
+                      "left_semi"))
+    inter = (a.join(b, "shingle")
+              .join(cand, ["new_id", "seen_id"], "left_semi")
+              .groupBy("new_id", "seen_id", "sz_a", "sz_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    jac = (inter.withColumn(
+        "jaccard",
+        (F.col("n_common")
+         / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")))
+        .cast("double"))
+        .where(F.col("jaccard") >= threshold))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("new_id")
+               .orderBy(F.col("jaccard").desc(), F.col("seen_id").asc()))
+    best = (jac.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1)
+               .select("new_id", F.col("seen_id").alias("matched_seen"),
+                       "n_common", "jaccard"))
+    return (new_df.select(F.col(id_col))
+            .join(best, F.col(id_col) == F.col("new_id"), "left")
+            .select(id_col,
+                    F.expr("CAST(matched_seen IS NOT NULL AS BIGINT)")
+                     .alias("is_dup"),
+                    F.col("matched_seen").cast("long").alias("matched_seen"),
+                    "n_common", "jaccard"))
 
 
 # ----------------------------------------------------------- simhash
@@ -613,6 +697,95 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
                      .alias("dup_chars"),
                     F.expr("coalesce(dup_chars, 0) * 1000000 div n_chars")
                      .alias("dup_frac_ppm")))
+
+
+WINNOW_K = 8    # char-gram length
+WINNOW_W = 16   # window (in grams): guaranteed detection ≥ w + k - 1
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every overlapping `k`-char
+    gram, slide a window of `w` hashes, select each window's MINIMUM
+    (rightmost on ties, the paper's rule); the selected (pos, hash)
+    set is the fingerprint. Guarantees: any exact substring match of
+    length ≥ w + k − 1 shares a fingerprint (local window minima
+    agree), and expected density is 2/(w+1) — the SAMPLED exact-match
+    detector between the two extremes already in the engine: hashing
+    EVERY gram (`substring_dup_spans` — exact spans, one posting per
+    corpus char) and one hash per doc (`dedup_exact`).
+
+    Scale shape: this is the op's reason to exist at 100 TB — the
+    gram hashing and window minima all happen INSIDE the scan
+    (nested higher-order transforms, whole-stage codegen, no explode
+    of the gram stream); only the ~2n/(w+1) selected fingerprints
+    leave as rows. vs substring_dup_spans' O(corpus chars) exchange
+    that's a ~(w+1)/2 ≈ 8× smaller shuffle, traded for gram-exact →
+    (w+k−1)-guaranteed granularity. The hash is the cross-engine md5
+    h32 so the oracle recomputes every selected fingerprint;
+    engine-internal runs can swap xxhash64 (the substring-spans
+    lesson) for pure-codegen hashing.
+
+    Returns one row per selected fingerprint: (id, pos, fp) — pos is
+    the 1-based gram position, fp the gram hash. Docs shorter than
+    `k` chars yield no rows; docs with fewer than `w` grams winnow a
+    single window over all their grams."""
+    hexpr = (f"(CAST(conv(substring(md5(CAST(substr({text_col}, "
+             f"CAST(p AS INT), {k}) AS STRING)), 1, 8), 16, 10) "
+             f"AS BIGINT) % {MERSENNE31})")
+    base = (df.where(F.col(text_col).isNotNull()
+                     & (F.length(text_col) >= k))
+              .select(F.col(id_col),
+                      F.expr(f"transform(sequence(1, char_length("
+                             f"{text_col}) - {k} + 1), p -> {hexpr})")
+                       .alias("hs")))
+    wins = (f"transform(sequence(1, greatest(size(hs) - {w} + 1, 1)), "
+            f"i -> named_struct('i', i, 's', slice(hs, CAST(i AS INT), "
+            f"CAST(least({w}, size(hs) - i + 1) AS INT))))")
+    fps = (f"array_distinct(transform({wins}, x -> named_struct("
+           f"'pos', x.i + size(x.s) "
+           f"- array_position(reverse(x.s), array_min(x.s)), "
+           f"'fp', array_min(x.s))))")
+    return (base.select(id_col, F.explode(F.expr(fps)).alias("f"))
+                .select(id_col,
+                        F.col("f.pos").cast("long").alias("pos"),
+                        F.col("f.fp").cast("long").alias("fp")))
+
+
+def winnow_shared_census(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = WINNOW_K,
+                         w: int = WINNOW_W) -> DataFrame:
+    """Per-doc cross-document fingerprint-sharing census over the
+    winnowed fingerprints: n_fp distinct fingerprint hashes per doc,
+    n_shared of them appearing in ≥ 2 DISTINCT docs (cross-doc reuse
+    — the plagiarism/boilerplate signal; self-repetition is
+    substring_dup_spans' axis), shared_ppm in truncating fixed point.
+    One (fp → distinct-doc) window over the fingerprint rows — the
+    same first_seen shape as shingle_novelty, on an 8×-sampled
+    stream."""
+    from pyspark.sql import Window
+    fp = (winnow_fingerprints(df, id_col, text_col, k, w)
+          .select(id_col, "fp").distinct())
+    w_fp = Window.partitionBy("fp")
+    flagged = fp.withColumn(
+        "shared", (F.count(F.lit(1)).over(w_fp) >= 2).cast("long"))
+    per_doc = (flagged.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_fp"),
+                    F.expr("CAST(sum(shared) AS BIGINT)")
+                     .alias("n_shared")))
+    all_docs = (df.where(F.col(text_col).isNotNull())
+                  .select(F.col(id_col)))
+    return (all_docs.join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_fp", F.lit(0)).cast("long")
+                     .alias("n_fp"),
+                    F.coalesce("n_shared", F.lit(0)).cast("long")
+                     .alias("n_shared"),
+                    F.expr("CASE WHEN coalesce(n_fp, 0) = 0 THEN 0 "
+                           "ELSE coalesce(n_shared, 0) * 1000000 "
+                           "div n_fp END").alias("shared_ppm")))
 
 
 CONTAINMENT_PPM = 800_000  # flag pairs where ≥80% of one side is shared

@@ -66,6 +66,86 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time: str,
     return out
 
 
+def asof_join_bucketed(left: DataFrame, right: DataFrame, key: str,
+                       time: str, payload: list[str], bucket_width: int,
+                       tiebreak: str | None = None,
+                       suffix: str = "_r") -> DataFrame:
+    """`asof_join` with HOT-KEY SKEW defused: identical semantics,
+    but the window partitions on (key, time div `bucket_width`)
+    instead of (key) alone — a key holding 50% of the corpus becomes
+    as many sort groups as time buckets it spans, so no single task
+    ever sorts the hot key's whole history (the plain path's failure
+    mode at scale: one reducer sorts |hot key| rows while the other
+    999 executors idle).
+
+    Two-level fill, the sequence-packing prefix-sum shape:
+
+      1. in-bucket: the union-window fill inside each (key, bucket) —
+         covers right rows in the SAME bucket at/before the left row;
+      2. boundary carry: per (key, bucket), the latest right payload
+         IN that bucket (one row per bucket — a frame |buckets| wide,
+         not |rows|) cascades forward via a rows-(-∞, -1) window over
+         the bucket sequence, then joins back ON THE SAME (key,
+         bucket) the stage-1 window partitioned on (no new exchange
+         of the big frame); the final value coalesces in-bucket over
+         carried.
+
+    Exchange: one shuffle of |L|+|R| on (key, bucket) + one
+    |key×bucket|-sized carry frame — vs the plain path's one shuffle
+    on (key) with an unbounded sort group. Pick `bucket_width` so a
+    hot key's densest bucket fits a task (time-uniform hot keys: span
+    / cores; bursty: smaller)."""
+    r = right.select(key, time, *payload)
+    if tiebreak is not None:
+        w_t = Window.partitionBy(key, time).orderBy(F.col(tiebreak).desc())
+        r = (right.select(key, time, tiebreak, *payload)
+                  .withColumn("__rn", F.row_number().over(w_t))
+                  .where(F.col("__rn") == 1).drop("__rn", tiebreak))
+    r = r.select(
+        F.col(key), F.col(time),
+        *[F.col(p).alias(f"{p}{suffix}") for p in payload],
+        F.lit(1).alias(_TAG))
+    l = left.withColumn(_TAG, F.lit(0))
+    u = (l.unionByName(r, allowMissingColumns=True)
+          .withColumn("__bkt", F.floor(F.col(time) / F.lit(bucket_width))
+                      .cast("long")))
+
+    w_in = (Window.partitionBy(key, "__bkt")
+                  .orderBy(F.col(time).asc(), F.col(_TAG).desc())
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+    filled = u.select(
+        "*",
+        *[F.last(F.when(F.col(_TAG) == 1, F.col(f"{p}{suffix}")),
+                 ignorenulls=True).over(w_in).alias(f"__in_{p}")
+          for p in payload])
+
+    # per-(key, bucket) last right payload: r is unique per (key,
+    # time) here, so max_by on time is deterministic
+    last_in_bucket = (
+        u.where(F.col(_TAG) == 1)
+         .groupBy(key, "__bkt")
+         .agg(*[F.expr(f"max_by({p}{suffix}, {time})")
+                 .alias(f"__last_{p}") for p in payload]))
+    universe = u.select(key, "__bkt").distinct()
+    w_carry = (Window.partitionBy(key).orderBy(F.col("__bkt").asc())
+                     .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (universe.join(last_in_bucket, [key, "__bkt"], "left")
+             .select(key, "__bkt",
+                     *[F.last(f"__last_{p}", ignorenulls=True)
+                        .over(w_carry).alias(f"__carry_{p}")
+                       for p in payload]))
+
+    out = (filled.join(carry, [key, "__bkt"], "left")
+                 .where(F.col(_TAG) == 0)
+                 .drop(_TAG, "__bkt"))
+    for p in payload:
+        out = (out.withColumn(f"{p}{suffix}",
+                              F.coalesce(f"__in_{p}", f"__carry_{p}"))
+                  .drop(f"__in_{p}", f"__carry_{p}"))
+    return out
+
+
 def fuzzy_pairs(df: DataFrame, id_col: str, name_col: str,
                 block_col, max_dist: int = 2,
                 max_block: int | None = 10_000) -> DataFrame:

@@ -7,12 +7,16 @@ fixed-layout format decodable with numpy alone, no codec libs), and
 `decode_image` actually parses the header (whitespace-separated
 tokens, `#` comments, per the netpbm spec) and reshapes the raw
 sample plane into an h×w×c pixel array; features come from DECODED
-PIXELS. The video path is real too: `sample_frames` demuxes a
+PIXELS. The audio path is real (`decode_wav` walks the RIFF chunk
+list, 8/16-bit PCM; `resample_audio` re-rates via a zero-order-hold
+gather and re-encodes), and so is video: `sample_frames` demuxes a
 concatenated-netpbm stream (frame boundaries found by re-parsing each
-header) and DECODES the evenly-spaced chosen frames. Compressed
-formats (JPEG/PNG/MP4) would slot into the same `mapInPandas` with
-PIL/decord in production — only the codec is swapped, never the
-Spark-side plumbing.
+header) and DECODES the evenly-spaced chosen frames. Dedup keys come
+from decoded content too: exact aHash groups (`ahash_dup_groups`),
+banded-hamming image NEAR-dups (`ahash_neardup_pairs`), and
+audio-envelope fingerprints. Compressed formats (JPEG/PNG/MP4) would
+slot into the same `mapInPandas` with PIL/decord in production —
+only the codec is swapped, never the Spark-side plumbing.
 
 Scale notes: binary payloads dominate row size, so feature extraction
 uses `mapInPandas` (Arrow batches, zero row-at-a-time serde) and
@@ -515,6 +519,45 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def resample_audio(media: DataFrame, target_rate: int = 8_000) -> DataFrame:
+    """REAL nearest-neighbor audio resample, Arrow-batched — the audio
+    twin of `resize_media`'s decode→gather→re-encode pipeline: decode
+    PCM (`decode_wav`), gather the mono track at the target rate with
+    a vectorized integer index (out[i] = mono[i·rate div target] —
+    the zero-order hold; n_out = n·target div rate), re-encode as
+    8/16-bit mono WAV at `target_rate`. NULL/undecodable payloads
+    yield NULL payload rows. A production pipeline swaps the gather
+    for a windowed-sinc filter; the plumbing — Arrow batches, binary
+    in/out, codec roundtrip — is identical.
+
+    Scale shape: one mapInPandas projection, no shuffle; per-byte
+    numpy cost, same as the image tier (measured in SCALE.md)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                dec = decode_wav(payload)
+                if dec is None:
+                    outs.append(None)
+                    continue
+                rate, _, bits, samples = dec
+                mono = samples[:, 0]
+                n_out = (mono.shape[0] * target_rate) // rate
+                idx = (np.arange(n_out) * rate) // target_rate
+                outs.append(encode_wav(mono[idx], target_rate))
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "payload": outs})
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]))
 
 
 def documents_as_wav_media(df: DataFrame, id_col: str = "doc_id",

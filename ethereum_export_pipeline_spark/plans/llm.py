@@ -127,6 +127,138 @@ inter AS (
 """
 
 
+# ----------------------------------------------- winnowing fingerprints
+
+def _winnow_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint sharing census (operators/dedup.
+    winnow_shared_census): MOSS window-minimum sampling inside the
+    scan, cross-doc fingerprint reuse per doc — the sampled
+    exact-match detector at ~1/8 of substring_dup_spans' exchange."""
+    return dedup.winnow_shared_census(load_table(spark, sf_dir,
+                                                 "documents"))
+
+
+def _winnow_census_sql() -> str:
+    k, w = dedup.WINNOW_K, dedup.WINNOW_W
+    h = h32_sql(f"substr(text, CAST(p AS INT), {k})")
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {k}
+),
+hl AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {k} + 2), p -> {h}) AS hs
+  FROM d
+),
+wins AS (
+  -- census needs the selected HASHES only; the rightmost-tie POSITION
+  -- rule (pinned by the operator's unit tests) is irrelevant to the
+  -- distinct-mh set, so the oracle skips it
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(hs) - {w} + 1, 1) + 1),
+           i -> list_min(list_slice(hs, i, least(i + {w} - 1, len(hs)))))
+           AS fps
+  FROM hl
+),
+fp AS (
+  SELECT DISTINCT doc_id, CAST(f AS BIGINT) AS fp
+  FROM (SELECT doc_id, unnest(fps) AS f FROM wins)
+),
+flagged AS (
+  SELECT doc_id, fp,
+         CAST(count(*) OVER (PARTITION BY fp) >= 2 AS BIGINT) AS shared
+  FROM fp
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         CAST(sum(shared) AS BIGINT) AS n_shared
+  FROM flagged GROUP BY 1
+)
+SELECT a.doc_id,
+       coalesce(p.n_fp, 0) AS n_fp,
+       coalesce(p.n_shared, 0) AS n_shared,
+       CASE WHEN coalesce(p.n_fp, 0) = 0 THEN 0
+            ELSE coalesce(p.n_shared, 0) * 1000000 // p.n_fp
+            END AS shared_ppm
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) a
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# ------------------------------------- incremental cross-batch near-dup
+
+#: the "new batch": every 5th doc stands in for today's crawl; the
+#: other 80% are the already-ingested corpus — a scale-free split
+NEW_BATCH_PRED = "doc_id % 5 = 4"
+
+
+def _incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch near-dup gate (operators/dedup.incremental_neardup):
+    the new batch checked against the seen corpus's MinHash band
+    index, exact-Jaccard verify only on (new × seen) candidates,
+    one verdict row per new doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_neardup(
+        docs.where(NEW_BATCH_PRED),
+        docs.where(f"NOT ({NEW_BATCH_PRED})"),
+        threshold=NGRAM_THRESHOLD)
+
+
+def _incremental_neardup_sql() -> str:
+    k, bands = dedup.MINHASH_K, dedup.MINHASH_BANDS
+    rows = k // bands
+    mins = ", ".join(
+        f"min({affine_hash_sql('h', a, b)}) AS m{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_FAMILY))
+    band_cols = ", ".join(
+        "md5(concat_ws(',', '%d', %s)) AS band%d"
+        % (band,
+           ", ".join(f"CAST(m{band * rows + r} AS VARCHAR)" for r in range(rows)),
+           band)
+        for band in range(bands))
+    band_list = ", ".join(f"band{b}" for b in range(bands))
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+sh AS ({SHINGLES_CTE}),
+hashed AS (SELECT doc_id, {h32_sql('shingle')} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY 1),
+banded AS (SELECT doc_id, {band_cols} FROM sig),
+melted AS (SELECT doc_id, unnest([{band_list}]) AS bucket FROM banded),
+cand AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS seen_id
+         FROM melted n JOIN melted s USING (bucket)
+         WHERE (n.doc_id % 5 = 4) AND NOT (s.doc_id % 5 = 4)),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS seen_id,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  JOIN cand ON cand.new_id = a.doc_id AND cand.seen_id = b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT new_id, seen_id, n_common,
+         n_common / (sa.sz + sb.sz - n_common) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = new_id
+  JOIN sz sb ON sb.doc_id = seen_id
+),
+best AS (
+  SELECT new_id, seen_id, n_common, jaccard,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY jaccard DESC, seen_id) AS rn
+  FROM jac WHERE jaccard >= {NGRAM_THRESHOLD}
+)
+SELECT d.doc_id,
+       CAST(b.new_id IS NOT NULL AS BIGINT) AS is_dup,
+       CAST(b.seen_id AS BIGINT) AS matched_seen,
+       b.n_common, b.jaccard
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+WHERE d.doc_id % 5 = 4
+"""
+
+
 # --------------------------------------------------------- simhash pairs
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,6 +1687,66 @@ FROM v
 """
 
 
+AUDIO_TARGET_RATE = 6_000   # non-divisor of the fixture's 16 kHz:
+#                             the gather is i·8 div 3, not a stride
+
+
+def _audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample pipeline, sample-verified (operators/
+    multimodal.resample_audio): WAV fixture → decode → zero-order-hold
+    gather to 6 kHz → re-ENCODE → re-DECODE → exact integer statistics
+    of the RESAMPLED samples. The oracle recomputes the same gather
+    (out[i] = text byte (i·16000) div 6000) from the text bytes, so a
+    wrong index map, a corrupted re-encode, or a header bug all flip
+    the hash — the audio twin of `mm_resize`."""
+    media = multimodal.documents_as_wav_media(
+        load_table(spark, sf_dir, "documents"))
+    resampled = multimodal.resample_audio(media, AUDIO_TARGET_RATE)
+    return multimodal.extract_audio_features(resampled)
+
+
+def _audio_resample_sql() -> str:
+    tgt, src = AUDIO_TARGET_RATE, 16_000
+    digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
+    byte_at = (f"16 * ({digit.format(i='2*p+1')}) + ({digit.format(i='2*p+2')})")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE hex(encode(text)) END AS hx,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE octet_length(encode(text)) END AS nb
+  FROM documents
+), v AS (
+  SELECT doc_id, nb, (nb * {tgt}) // {src} AS n_out,
+         CASE WHEN hx IS NULL THEN NULL
+              WHEN nb = 0 THEN []
+              ELSE list_transform(range(nb), p -> {byte_at}) END AS vals
+  FROM m
+), r AS (
+  SELECT doc_id, nb, n_out,
+         CASE WHEN vals IS NULL THEN NULL
+              ELSE list_transform(range(n_out),
+                                  i -> vals[(i * {src}) // {tgt} + 1])
+              END AS outv
+  FROM v
+)
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN nb IS NULL THEN 0 ELSE 44 + n_out END AS BIGINT)
+         AS n_bytes,
+       CASE WHEN nb IS NULL THEN NULL
+            ELSE CAST({tgt} AS INTEGER) END AS sample_rate,
+       CASE WHEN nb IS NULL THEN NULL ELSE CAST(n_out AS BIGINT) END
+         AS n_samples,
+       CASE WHEN nb IS NULL THEN NULL
+            ELSE CAST(coalesce(list_sum(outv), 0) AS BIGINT) END AS amp_sum,
+       CASE WHEN nb IS NULL THEN NULL WHEN n_out <= 1 THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(list_filter(range(n_out - 1),
+                 p -> (outv[p + 1] >= 128) != (outv[p + 2] >= 128)))
+                 AS BIGINT) END AS crossings
+FROM r
+"""
+
+
 # ---------------------------------------------------------- pagerank
 
 def _trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2089,34 +2281,55 @@ def _phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.ahash_dup_groups(media)
 
 
-def _ahash_bits_ctes() -> str:
+def _ahash_bits_ctes(neardup_mod: int | None = None,
+                     neardup_offset: int = 1_000_000) -> str:
     """CTE chain recomputing every aHash bit from the fixture's
     deterministic text→pixel tiling, ending in
     bits(doc_id, hash_hi, hash_lo) — shared by the exact-hash dedup
-    oracle and the banded near-dup oracle."""
+    oracle and the banded near-dup oracle.
+
+    `neardup_mod` mirrors `documents_as_ppm_media`'s injected
+    near-dup copies: for every doc with id % mod == 0, a copy at
+    doc_id + `neardup_offset` whose FIRST PIXEL is forced white.
+    Dimensions come from the ORIGINAL id (the fixture reuses them),
+    and pixel (0,0) feeds exactly aHash grid cell k = 0 (cell k
+    samples source pixel ((k div 8)·h div 8, (k mod 8)·w div 8),
+    which is (0,0) only at k = 0 for any w,h ≥ 8) — so the copy's
+    gray[0] is 255 and everything else, including the shifted mean,
+    recomputes from that."""
     digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
     byte_at = (f"16 * ({digit.format(i='2*p+1')}) "
                f"+ ({digit.format(i='2*p+2')})")
     src = "(((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3"
     gray_k = (f"(vals[({src} + 0) % nb + 1] + vals[({src} + 1) % nb + 1]"
               f" + vals[({src} + 2) % nb + 1]) // 3")
+    inj = "" if neardup_mod is None else f"""
+  UNION ALL
+  SELECT doc_id + {neardup_offset} AS doc_id, 1 AS inj,
+         hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
+         CAST(8 + doc_id % 9 AS BIGINT) AS w,
+         CAST(8 + doc_id % 7 AS BIGINT) AS h
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id % {neardup_mod} = 0"""
     return f"""m AS (
-  SELECT doc_id, hex(encode(text)) AS hx,
+  SELECT doc_id, 0 AS inj, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS nb,
          CAST(8 + doc_id % 9 AS BIGINT) AS w,
          CAST(8 + doc_id % 7 AS BIGINT) AS h
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL{inj}
 ),
 v AS (
-  SELECT doc_id, w, h, nb,
+  SELECT doc_id, inj, w, h, nb,
          CASE WHEN nb = 0 THEN []
               ELSE list_transform(range(nb), p -> {byte_at}) END AS vals
   FROM m
 ),
 g AS (
   SELECT doc_id,
-         CASE WHEN nb = 0 THEN list_transform(range(64), k -> 0)
-              ELSE list_transform(range(64), k -> {gray_k}) END AS gray
+         list_transform(range(64), k ->
+           CASE WHEN inj = 1 AND k = 0 THEN 255
+                WHEN nb = 0 THEN 0
+                ELSE {gray_k} END) AS gray
   FROM v
 ),
 s AS (SELECT doc_id, gray,
@@ -2147,6 +2360,7 @@ WINDOW w AS (PARTITION BY hash_hi, hash_lo)
 # ------------------------------------- banded image near-dup pairs
 
 IMG_MAX_HAMMING = 6
+IMG_NEARDUP_MOD = 10     # every 10th doc gets an injected near-dup copy
 
 
 def _image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2154,10 +2368,16 @@ def _image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8×1-byte banding over the 64-bit aHash, candidates on band
     collision, popcount-hamming verify ≤ IMG_MAX_HAMMING — exact
     recall at this radius by pigeonhole (7 flips can't touch all 8
-    bands). Every hash bit and the hamming verdict recomputed by the
-    oracle from the decoded fixture pixels."""
+    bands). The fixture injects a first-pixel-white near-dup copy for
+    every 10th doc (the dirty-name discipline: the corruption is
+    deterministic and part of the query), so the graded pair list is
+    ~corpus/10 rows, not whatever natural collisions the tiling
+    happens to produce. Every hash bit and the hamming verdict are
+    recomputed by the oracle from the decoded fixture pixels —
+    injected copies included."""
     media = multimodal.documents_as_ppm_media(
-        load_table(spark, sf_dir, "documents"))
+        load_table(spark, sf_dir, "documents"),
+        neardup_mod=IMG_NEARDUP_MOD)
     return multimodal.ahash_neardup_pairs(media,
                                           max_hamming=IMG_MAX_HAMMING)
 
@@ -2166,7 +2386,7 @@ def _image_neardup_sql() -> str:
     key = ("CASE WHEN band < 4 THEN (hash_lo >> (8 * band)) & 255 "
            "ELSE (hash_hi >> (8 * (band - 4))) & 255 END")
     return f"""
-WITH {_ahash_bits_ctes()},
+WITH {_ahash_bits_ctes(neardup_mod=IMG_NEARDUP_MOD)},
 melted AS (
   SELECT doc_id, hash_hi, hash_lo, {key} AS key, band
   FROM bits, UNNEST(range(8)) u(band)
@@ -3170,6 +3390,16 @@ FROM nonedge JOIN deg da ON da.u = a JOIN deg db ON db.u = b
 
 
 QUERIES: dict[str, Query] = {
+    "doc_winnow_census": Query(_winnow_census, _winnow_census_sql(),
+                               "winnowing (MOSS) fingerprint sharing "
+                               "census: in-scan window-min sampling, "
+                               "~1/8 the exact-substring exchange"),
+    "doc_incremental_neardup": Query(_incremental_neardup,
+                                     _incremental_neardup_sql(),
+                                     "cross-batch near-dup gate: new "
+                                     "batch vs the seen corpus's "
+                                     "MinHash band index, one verdict "
+                                     "row per new doc"),
     "emb_knn_linkpred": Query(_knn_linkpred, _knn_linkpred_sql(),
                               "common-neighbor link prediction over "
                               "the kNN pair graph: ANN-missed "
@@ -3366,6 +3596,11 @@ QUERIES: dict[str, Query] = {
                             "perceptual audio fingerprint dedup "
                             "(decoded-sample envelope hash, every "
                             "bit oracle-recomputed)"),
+    "mm_audio_resample": Query(_audio_resample, _audio_resample_sql(),
+                               "real audio resample: decode -> "
+                               "zero-order-hold gather to 6 kHz -> "
+                               "re-encode -> re-decode, exact stats "
+                               "of the resampled samples"),
     "mm_image_neardup": Query(_image_neardup, _image_neardup_sql(),
                               "banded aHash image near-dup pairs "
                               "(8-band pigeonhole, popcount verify, "

@@ -181,3 +181,129 @@ def test_stream_decontaminate_flags_mid_stream(spark, tmp_path):
     assert got[1]["n_bloom_hits"] >= 3  # the shared shingles all hit
     assert got[2]["contaminated"] == 0
     assert got[3]["contaminated"] == 0
+
+
+# ---------------------------------- cross-batch incremental near-dup
+
+def test_incremental_neardup_verdicts(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        incremental_neardup)
+    base = ("the quick brown fox jumps over the lazy dog "
+            "while the cat watches from the warm windowsill")
+    seen = spark.createDataFrame(
+        [Row(doc_id=1, text=base),
+         Row(doc_id=2, text="completely unrelated corpus text about "
+                            "spark shuffles and parquet footers")])
+    new = spark.createDataFrame(
+        [Row(doc_id=11, text=base + " today"),   # near-dup of seen 1
+         Row(doc_id=12, text="brand new words never ingested before "
+                             "in any earlier batch at all"),
+         Row(doc_id=13, text=None)])             # NULL text: never dup
+    got = {r["doc_id"]: r.asDict()
+           for r in incremental_neardup(new, seen).collect()}
+    assert set(got) == {11, 12, 13}    # one row per new doc
+    assert got[11]["is_dup"] == 1 and got[11]["matched_seen"] == 1
+    assert got[11]["jaccard"] > 0.5
+    assert got[12]["is_dup"] == 0 and got[12]["matched_seen"] is None
+    assert got[13]["is_dup"] == 0 and got[13]["jaccard"] is None
+
+
+def test_incremental_neardup_never_pairs_within_batch(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        incremental_neardup)
+    txt = ("in batch duplicate text repeated verbatim across two "
+           "new documents of the same ingest run")
+    seen = spark.createDataFrame([Row(doc_id=1, text="nothing alike "
+                                      "here just filler words only")])
+    new = spark.createDataFrame([Row(doc_id=11, text=txt),
+                                 Row(doc_id=12, text=txt)])
+    got = {r["doc_id"]: r["is_dup"]
+           for r in incremental_neardup(new, seen).collect()}
+    # identical in-batch twins are NOT each other's dups here
+    assert got == {11: 0, 12: 0}
+
+
+# ------------------------------------------- winnowing fingerprints
+
+def _winnow_py(text, k, w):
+    """Reference winnow: rightmost window minimum, distinct (pos, fp)."""
+    hs = [_h32(text[i:i + k]) for i in range(len(text) - k + 1)]
+    n = len(hs)
+    sel = set()
+    for i in range(max(n - w + 1, 1)):
+        s = hs[i:i + w]
+        m = min(s)
+        pos = i + max(j for j, v in enumerate(s) if v == m)
+        sel.add((pos + 1, m))          # operator positions are 1-based
+    return sel
+
+
+def test_winnow_matches_reference_including_ties(spark):
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        winnow_fingerprints)
+    texts = {1: "the winnowing algorithm selects local minima",
+             2: "ab" * 20,             # repeated grams force hash ties
+             3: "short str"}           # fewer grams than the window
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()])
+    got = {}
+    for r in winnow_fingerprints(df, k=4, w=5).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in texts.items():
+        assert got[i] == _winnow_py(t, 4, 5), f"doc {i}"
+
+
+def test_winnow_guarantee_shared_match_detected(spark):
+    # any common substring of length >= w + k - 1 must share a fp
+    from ethereum_export_pipeline_spark.operators.dedup import (
+        winnow_shared_census)
+    k, w = 4, 5
+    common = "zqxjvkwpfyhgbdmn"          # length 16 >= w + k - 1 = 8
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="prefix one " + common + " tail a"),
+         Row(doc_id=2, text="other start " + common + " end bb"),
+         Row(doc_id=3, text="entirely disjoint content here")])
+    got = {r["doc_id"]: r["n_shared"]
+           for r in winnow_shared_census(df, k=k, w=w).collect()}
+    assert got[1] >= 1 and got[2] >= 1
+    assert got[3] == 0
+
+
+# ------------------------------------------------ audio resample
+
+def test_resample_audio_gather_and_roundtrip(spark):
+    import numpy as np
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        decode_wav, encode_wav, resample_audio)
+    samples = np.arange(16, dtype=np.uint8) * 10
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=bytearray(encode_wav(samples, 16_000))),
+         Row(media_id=2, payload=None),
+         Row(media_id=3, payload=bytearray(b"not a wav at all......"
+                                           b"......................"))])
+    got = {r["media_id"]: r["payload"]
+           for r in resample_audio(media, 6_000).collect()}
+    assert got[2] is None and got[3] is None
+    rate, ch, bits, out = decode_wav(bytes(got[1]))
+    assert (rate, ch, bits) == (6_000, 1, 8)
+    n_out = 16 * 6_000 // 16_000
+    exp = samples[(np.arange(n_out) * 16_000) // 6_000]
+    assert out[:, 0].tolist() == exp.tolist()
+
+
+def test_resample_audio_16bit_and_empty(spark):
+    import numpy as np
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        decode_wav, encode_wav, resample_audio)
+    s16 = (np.arange(8, dtype=np.int16) - 4) * 1000
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=bytearray(encode_wav(s16, 16_000))),
+         Row(media_id=2, payload=bytearray(
+             encode_wav(np.zeros(0, np.uint8), 16_000)))])
+    got = {r["media_id"]: r["payload"]
+           for r in resample_audio(media, 8_000).collect()}
+    rate, _, bits, out = decode_wav(bytes(got[1]))
+    assert (rate, bits) == (8_000, 16)          # dtype preserved
+    assert out[:, 0].tolist() == s16[::2].tolist()
+    rate2, _, _, out2 = decode_wav(bytes(got[2]))
+    assert rate2 == 8_000 and out2.shape[0] == 0   # empty stays empty

@@ -74,16 +74,24 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
     sc = spark.sparkContext
 
-    out = tempfile.mkdtemp(prefix="spark_graft_scale_")
+    # SMOKE_KEEP_DIR: reuse one amplified corpus across per-op runs
+    # (a ×100 amplification costs minutes; per-op invocations then
+    # measure only the op). The marker file gates half-written dirs.
+    keep = os.environ.get("SMOKE_KEEP_DIR")
+    out = keep or tempfile.mkdtemp(prefix="spark_graft_scale_")
+    reuse = keep and os.path.exists(f"{out}/_amplified_{AMPLIFY}")
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
     copies = spark.range(AMPLIFY).select(F.col("id").alias("copy"))
-    big_docs = (docs.crossJoin(copies)
-                    .select((F.col("doc_id") + F.col("copy") * n_docs).alias("doc_id"),
-                            F.element_at(amplified_text_variants(AMPLIFY),
-                                         F.col("copy").cast("int") + 1).alias("text")))
-    big_docs.write.mode("overwrite").parquet(f"{out}/documents")
+    if not reuse:
+        big_docs = (docs.crossJoin(copies)
+                        .select((F.col("doc_id") + F.col("copy") * n_docs).alias("doc_id"),
+                                F.element_at(amplified_text_variants(AMPLIFY),
+                                             F.col("copy").cast("int") + 1).alias("text")))
+        big_docs.write.mode("overwrite").parquet(f"{out}/documents")
+        if keep:
+            open(f"{out}/_amplified_{AMPLIFY}", "w").close()
     big_docs = spark.read.parquet(f"{out}/documents")
 
     n_li = 0
@@ -408,6 +416,37 @@ def main() -> int:
         return text.dsir_weights(big_docs, scores)
 
     bench("dsir_weights", dsir)
+
+    # deliberately-skewed as-of: ONE key owns 50% of both sides —
+    # the plain path sorts that key in a single task; the bucketed
+    # path spreads it over its time buckets. Run both, same data.
+    def skewed_asof_frames():
+        n = 250_000 * (AMPLIFY // 10 or 1)
+        ids = spark.range(n)
+        hot = F.expr("CASE WHEN id % 2 = 0 THEN 0 ELSE id % 500 END")
+        left = ids.select(hot.alias("k"),
+                          F.expr("id * 37 % 10000000").alias("t"),
+                          F.col("id").alias("lid"))
+        right = (ids.where("id % 5 = 0")
+                 .select(hot.alias("k"),
+                         F.expr("id * 53 % 10000000").alias("t"))
+                 .groupBy("k", "t")
+                 .agg(F.expr("CAST(count(*) AS BIGINT)").alias("v")))
+        return left, right
+
+    from ethereum_export_pipeline_spark.operators import joins
+
+    def asof_skew_plain():
+        l, r = skewed_asof_frames()
+        return joins.asof_join(l, r, "k", "t", ["v"])
+
+    def asof_skew_bucketed():
+        l, r = skewed_asof_frames()
+        return joins.asof_join_bucketed(l, r, "k", "t", ["v"],
+                                        bucket_width=100_000)
+
+    bench("asof_skew_plain", asof_skew_plain)
+    bench("asof_skew_bucketed", asof_skew_bucketed)
 
     # BPE training: the "state is vocabulary-sized" claim measured —
     # corpus grows 100x, the per-round work shouldn't
