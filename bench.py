@@ -159,6 +159,19 @@ HEADLINE = [
     "q_asof_skew_bucketed",
     "doc_winnow_census",
     "mm_audio_resample",
+    "doc_hll_distinct",
+    "doc_phrase_search",
+    "doc_hybrid_rrf",
+    "doc_textrank",
+    "q_attribution",
+    "emb_density_sample",
+    "mm_scene_cuts",
+    "q_salted_agg",
+    "stream_trending",
+    "q_rolling_distinct",
+    "q_gap_fill",
+    "doc_dup_source_matrix",
+    "emb_cell_outliers",
 ]
 
 

@@ -653,13 +653,20 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
 def documents_as_video_media(df: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text",
-                             frame_w: int = 8, frame_h: int = 8) -> DataFrame:
+                             frame_w: int = 8, frame_h: int = 8,
+                             scene_at_half: bool = False) -> DataFrame:
     """The VIDEO media fixture: one concatenated-netpbm stream per
     document with 2 + id % 5 frames; frame f's pixel plane is the text
     bytes tiled with a start offset of f (byte j = text[(j + f) mod
     len]), so frames differ deterministically and an oracle can
     recompute any sampled frame's statistics. NULL text → NULL
-    payload; empty text → all-zero frames."""
+    payload; empty text → all-zero frames.
+
+    `scene_at_half=True` INVERTS (255−v) every frame from total//2 on
+    — a deterministic hard scene boundary mid-clip (consecutive
+    same-scene frames stay 1-byte rotations of each other; the
+    boundary pair jumps), the ground truth the scene-cut detector is
+    graded against."""
     import numpy as np
 
     id_out, txt = "media_id", "__txt"
@@ -682,6 +689,8 @@ def documents_as_video_media(df: DataFrame, id_col: str = "doc_id",
                         plane = np.resize(np.roll(raw, -f), n_px)
                     else:
                         plane = np.zeros(n_px, np.uint8)
+                    if scene_at_half and f >= total // 2:
+                        plane = (255 - plane).astype(np.uint8)
                     frames.append(encode_netpbm(
                         plane.reshape(frame_h, frame_w, 3)))
                 payloads.append(b"".join(frames))
@@ -869,3 +878,58 @@ def ahash_neardup_pairs(media: DataFrame, grid: int = 8,
                       .alias("hamming"))
              .distinct()
              .where(F.col("hamming") <= max_hamming))
+
+
+SCENE_CUT_SAD = 12_000   # SAD threshold over a 192-px frame pair
+
+CUT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("sad", T.LongType()),
+    T.StructField("is_cut", T.LongType()),
+])
+
+
+def scene_cuts(media: DataFrame,
+               threshold: int = SCENE_CUT_SAD) -> DataFrame:
+    """Scene-change detection over multi-frame payloads — the shot-
+    boundary pass of video curation (sample one keyframe per SCENE,
+    not per fixed stride; dedup near-static clips; cut-rate as a
+    quality signal): demux + decode EVERY frame, SAD (sum of absolute
+    pixel differences, exact ints) between consecutive frames, cut
+    where SAD exceeds `threshold`. Emits one row per consecutive
+    frame pair: (media_id, frame_idx — the LATER frame, sad, is_cut).
+    Single-frame/NULL/undecodable payloads emit nothing.
+
+    A production pipeline swaps the demuxer for pyav and SAD for a
+    histogram/SSIM delta; the Spark shape — one Arrow `mapInPandas`
+    projection, zero shuffle, per-clip cost linear in decoded bytes —
+    is identical (the `sample_frames` contract)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "media_id", "frame_idx", "sad", "is_cut")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = demux_netpbm_stream(payload)
+                if not frames or len(frames) < 2:
+                    continue
+                planes = [px.astype(np.int64) for (_, _, _, px) in frames]
+                for f in range(1, len(planes)):
+                    if planes[f].shape != planes[f - 1].shape:
+                        continue    # resolution change = trivial cut,
+                                    # not a SAD question; skip the pair
+                    sad = int(np.abs(planes[f] - planes[f - 1]).sum())
+                    cols["media_id"].append(mid)
+                    cols["frame_idx"].append(f)
+                    cols["sad"].append(sad)
+                    cols["is_cut"].append(int(sad > threshold))
+            yield pd.DataFrame({
+                "media_id": pd.Series(cols["media_id"], dtype="int64"),
+                "frame_idx": pd.Series(cols["frame_idx"], dtype="int64"),
+                "sad": pd.Series(cols["sad"], dtype="int64"),
+                "is_cut": pd.Series(cols["is_cut"], dtype="int64"),
+            })
+
+    return media.mapInPandas(run, CUT_SCHEMA)

@@ -1150,3 +1150,157 @@ def dsir_weights(df: DataFrame, scores: list[int],
             .select(F.col(id_col),
                     F.size(TOKENS_COL).cast("long").alias("n_tokens"),
                     F.expr(wexpr).alias("dsir_weight_ppm")))
+
+
+def phrase_hits(df: DataFrame, phrase: list[str],
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact phrase search — all occurrences of a consecutive-token
+    phrase, entirely INSIDE the scan (the Spark-first form: a
+    higher-order `filter` over candidate start offsets of the token
+    array, zero joins, zero shuffle — 100 TB runs at scan rate).
+
+    The classic alternative is a positional inverted index (posting
+    (doc, term, pos) rows, adjacency self-joins per phrase term).
+    That form wins only when MANY ad-hoc phrase queries amortize one
+    prebuilt index; for pipeline-style gates (known phrase list at
+    plan time — contamination strings, boilerplate markers) the
+    map-only form is strictly better: the index costs one posting
+    per corpus token up front (`substring_dup_spans`' exchange
+    class), this costs nothing but the scan it rides.
+
+    Returns (id_col, n_hits, first_pos) for documents with ≥1 hit;
+    `first_pos` is the 0-based token offset of the first occurrence.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    toks = tokens(text_col)
+    conds = " AND ".join(
+        f"_t[CAST(i + {j} AS INT)] = '{w}'" for j, w in enumerate(phrase))
+    starts = F.expr(
+        f"filter(sequence(0, size(_t) - {len(phrase)}), i -> {conds})")
+    return (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col), toks.alias("_t"))
+              .where(F.size("_t") >= len(phrase))
+              .select(id_col, starts.alias("_s"))
+              .where(F.size("_s") > 0)
+              .select(F.col(id_col),
+                      F.size("_s").cast("long").alias("n_hits"),
+                      F.expr("_s[0]").cast("long").alias("first_pos")))
+
+
+def phrase_hits_sql(phrase: list[str], table: str = "documents",
+                    id_expr: str = "doc_id",
+                    text_expr: str = "text") -> str:
+    """DuckDB twin of `phrase_hits` — same candidate-offset lambda,
+    1-based list indexing (i runs over 1-based starts; emitted
+    first_pos converts back to the 0-based contract)."""
+    from ..functions import tokens_sql
+    conds = " AND ".join(
+        f"_t[i + {j}] = '{w}'" for j, w in enumerate(phrase))
+    return f"""
+WITH toked AS (
+  SELECT {id_expr} AS doc_id, {tokens_sql(text_expr)} AS _t
+  FROM {table} WHERE {text_expr} IS NOT NULL
+),
+hits AS (
+  SELECT doc_id,
+         list_filter(range(1, len(_t) - {len(phrase)} + 2),
+                     i -> {conds}) AS _s
+  FROM toked WHERE len(_t) >= {len(phrase)}
+)
+SELECT doc_id AS {id_expr}, CAST(len(_s) AS BIGINT) AS n_hits,
+       CAST(_s[1] - 1 AS BIGINT) AS first_pos
+FROM hits WHERE len(_s) > 0
+"""
+
+
+RRF_C = 60                 # the standard Cormack/Clarke offset
+RRF_SCALE = 1_000_000      # integer RRF: contribution = SCALE div (C + rank)
+
+
+def rrf_fuse(sides: dict[str, DataFrame], id_col: str = "doc_id",
+             k: int = 20) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the hybrid-
+    retrieval combiner that merges a lexical ranking (BM25) with a
+    dense ranking (ANN cosine) without score calibration: each list
+    contributes SCALE div (C + rank) — EXACT integers, so the fused
+    score is an order-insensitive BIGINT sum (the float 1/(60+r) form
+    would sum in shuffle order and flap the cross-engine hash).
+
+    `sides` maps a side name to a ranked frame carrying (id_col,
+    rank); output is the fused top-k: (rank, id_col, rrf_score,
+    n_lists, <name>_rank per side — NULL where that side missed the
+    document).
+
+    Scale shape: the inputs are top-k lists (bounded — produced by
+    TakeOrdered plans), so fusion runs on Σ|list| rows however large
+    the corpus: one union, one id hash-agg, one TakeOrdered."""
+    from pyspark.sql import Window
+    names = list(sides)
+    tagged = [s.select(F.col(id_col), F.col("rank").alias("_r"),
+                       F.lit(n).alias("_side"))
+              for n, s in sides.items()]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    aggs = [F.expr(f"CAST(sum({RRF_SCALE} div ({RRF_C} + _r)) AS BIGINT)")
+             .alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_lists")]
+    aggs += [F.max(F.when(F.col("_side") == n, F.col("_r")))
+              .cast("long").alias(f"{n}_rank") for n in names]
+    fused = u.groupBy(id_col).agg(*aggs)
+    top = fused.orderBy(F.col("rrf_score").desc(),
+                        F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")) \
+              .select("rank", id_col, "rrf_score", "n_lists",
+                      *[f"{n}_rank" for n in names])
+
+
+def textrank_keywords(df: DataFrame, text_col: str = "text",
+                      iters: int = 4, min_count: int = 3,
+                      top_k: int = 30) -> DataFrame:
+    """Corpus-level TextRank keyword salience (Mihalcea & Tarau,
+    EMNLP'04): PageRank over the word co-occurrence graph — the
+    graph-centrality complement of tf-idf/collocations (a term is
+    salient when SALIENT terms co-occur with it, recursively, not
+    merely when it is frequent).
+
+    Graph: adjacent-token pairs (window 2), self-loops dropped, kept
+    when the adjacency occurs ≥ `min_count` times corpus-wide (the
+    hot-pair cut that bounds the graph at web scale), both directions
+    (TextRank's undirected form). Ranks via the exact fixed-point
+    integer `graph.pagerank_exact` recurrence, so the DuckDB
+    unrolled-round twin hash-matches bit-for-bit.
+
+    Output: (kw_rank, term, rank, rank_norm) for the top_k terms.
+
+    Scale shape: the corpus appears ONLY in the one bigram hash-agg
+    (map-side combined, vocabulary²-bounded output); every PageRank
+    round then exchanges the VOCABULARY-sized graph — |E|+|V| rows
+    per iteration regardless of corpus bytes."""
+    from pyspark.sql import Window
+    from .graph import pagerank_exact
+    bg = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+          .where(F.size(TOKENS_COL) >= 2)
+          .select(F.explode(F.expr(
+                      f"transform(sequence(0, size({TOKENS_COL}) - 2), "
+                      f"i -> struct({TOKENS_COL}[i] AS w1, "
+                      f"{TOKENS_COL}[i+1] AS w2))")).alias("b"))
+          .select("b.w1", "b.w2")
+          .where(F.col("w1") != F.col("w2"))
+          .groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .where(F.col("n") >= min_count))
+    edges = (bg.select(F.explode(F.array(
+                F.struct(F.col("w1").alias("src"), F.col("w2").alias("dst")),
+                F.struct(F.col("w2").alias("src"), F.col("w1").alias("dst"))))
+                .alias("e"))
+               .select("e.src", "e.dst"))
+    r = pagerank_exact(edges, iters=iters)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return (r.withColumn("kw_rank", F.row_number().over(w).cast("long"))
+             .where(F.col("kw_rank") <= top_k)
+             .select("kw_rank", F.col("node").alias("term"), "rank",
+                     (F.col("rank") / F.lit(1e9)).alias("rank_norm")))

@@ -1450,7 +1450,209 @@ GROUP BY 1, 2, 3 HAVING count(*) < {K_ANON}
 """
 
 
+ATTR_LOOKBACK_US = 3 * 86_400_000_000  # 3-day attribution window
+
+
+def _attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH marketing attribution (the funnel-adjacent revenue
+    question every event warehouse answers): each purchase credits
+    the user's most recent prior click — but only within a bounded
+    3-day lookback (an unbounded as-of would credit stale touches);
+    outside the window (or never clicked) lands in campaign -1.
+    Campaign = click's JSON props.k mod 5. Rides the graded as-of
+    machinery (union + window-fill), one extra codegen CASE for the
+    window bound; revenue in exact cents. Oracle: DuckDB NATIVE ASOF
+    + the same CASE."""
+    from ..operators.joins import asof_join
+    from ..sources.tables import load_table
+    e = (load_table(spark, sf_dir, "events")
+         .withColumn("ts_us", F.expr("ts_ns div 1000")))
+    purchases = (e.where(F.col("event_type") == "purchase")
+                  .select("user_id", "ts_us",
+                          F.expr(cents("value")).alias("v")))
+    clicks = (e.where(F.col("event_type") == "click")
+               .withColumn("k", F.get_json_object("props", "$.k")
+                                 .cast("long"))
+               .groupBy("user_id", "ts_us")
+               .agg(F.max("k").alias("k"))
+               .withColumn("cts", F.col("ts_us")))
+    j = asof_join(purchases, clicks, key="user_id", time="ts_us",
+                  payload=["k", "cts"])
+    campaign = F.expr(
+        f"CASE WHEN cts_r IS NULL OR k_r IS NULL "
+        f"OR ts_us - cts_r > {ATTR_LOOKBACK_US} "
+        f"THEN -1 ELSE k_r % 5 END")
+    return (j.groupBy(campaign.cast("long").alias("campaign"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                  F.expr("CAST(sum(v) AS BIGINT)").alias("revenue_cents")))
+
+
+_ATTRIBUTION_SQL = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, value,
+                   CAST(props->>'k' AS BIGINT) AS k
+            FROM events),
+purchases AS (SELECT user_id, ts_us, {cents('value')} AS v
+              FROM ev WHERE event_type = 'purchase'),
+clicks AS (SELECT user_id, ts_us, max(k) AS k, ts_us AS cts
+           FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+j AS (
+  SELECT p.ts_us, p.v, c.k, c.cts
+  FROM purchases p
+  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+)
+SELECT CAST(CASE WHEN cts IS NULL OR k IS NULL
+                 OR ts_us - cts > {ATTR_LOOKBACK_US}
+            THEN -1 ELSE k % 5 END AS BIGINT) AS campaign,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(v) AS BIGINT) AS revenue_cents
+FROM j GROUP BY 1
+"""
+
+
+def _salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type totals through the SKEW-SAFE two-phase salted
+    aggregate (operators/skew.salted_agg): 5 group keys over 10k rows
+    means EVERY key is a hot key — phase 1 spreads each over 16
+    (key, salt) reducers computing partials, phase 2 merges 80 partial
+    rows. Results are exactly the plain aggregate's (the oracle IS
+    the plain GROUP BY); what the salted plan buys at 1000 executors
+    is no single reducer ever owning a whole hot key."""
+    from ..operators.skew import salted_agg
+    from ..sources.tables import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type", "event_id",
+                  F.expr(cents("value")).alias("v")))
+    return salted_agg(
+        ev, key="event_type",
+        partials=[(F.count(F.lit(1)), "n_p"),
+                  (F.expr("CAST(sum(v) AS BIGINT)"), "s_p")],
+        finals=[(F.expr("CAST(sum(n_p) AS BIGINT)"), "n_events"),
+                (F.expr("CAST(sum(s_p) AS BIGINT)"), "value_cents")],
+        salt_src="event_id")
+
+
+_SALTED_AGG_SQL = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({cents('value')}) AS BIGINT) AS value_cents
+FROM events GROUP BY 1
+"""
+
+
+def _gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward fill — the time-series
+    completion every daily-rollup consumer assumes (a day with no
+    purchases must appear with the last known running total, or
+    downstream joins silently drop it). A deliberately sparsified
+    daily series (purchase events of users ≡ 0 mod 7 — ~1/7 of days
+    survive per the fixture's user striping) is completed over the
+    full min..max day spine per event_type: `sequence()` generates
+    the spine IN the scan (one row per (type, day), no driver loop),
+    `last(ignorenulls)` over an unbounded-preceding frame carries the
+    latest observed daily total forward; `is_observed` flags real vs
+    filled rows and `carried_from` pins the fill's provenance.
+
+    Scale shape: the spine explode is bounded by types×days (output-
+    sized, not corpus-sized); the fill is one window pass on the same
+    (type)-keyed exchange the daily rollup already made."""
+    from ..sources.tables import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .where("event_type = 'purchase' AND user_id % 7 = 0")
+          .select(F.expr("ts_ns div 1000 div 86400000000").alias("day"),
+                  "event_type",
+                  F.expr(cents("value")).alias("v")))
+    daily = (ev.groupBy("event_type", "day")
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.expr("CAST(sum(v) AS BIGINT)").alias("cents")))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (daily.select("event_type").distinct()
+                  .crossJoin(F.broadcast(bounds))
+                  .select("event_type",
+                          F.explode(F.expr("sequence(d0, d1)"))
+                           .alias("day")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("event_type").orderBy("day")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = (spine.join(daily, ["event_type", "day"], "left")
+              .withColumn("is_observed",
+                          F.col("n").isNotNull().cast("long"))
+              .withColumn("filled_n",
+                          F.coalesce(F.last("n", ignorenulls=True)
+                                      .over(w), F.lit(0)).cast("long"))
+              .withColumn("filled_cents",
+                          F.coalesce(F.last("cents", ignorenulls=True)
+                                      .over(w), F.lit(0)).cast("long"))
+              .withColumn("carried_from",
+                          F.last(F.when(F.col("n").isNotNull(),
+                                        F.col("day")),
+                                 ignorenulls=True).over(w).cast("long")))
+    return filled.select("event_type", "day", "is_observed",
+                         "filled_n", "filled_cents", "carried_from")
+
+
+_GAP_FILL_SQL = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         {cents('value')} AS v
+  FROM events WHERE event_type = 'purchase' AND user_id % 7 = 0
+),
+daily AS (
+  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS cents
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+spine AS (
+  SELECT t.event_type, d0 + u.k AS day
+  FROM (SELECT DISTINCT event_type FROM daily) t, bounds,
+       UNNEST(range(CAST(d1 - d0 + 1 AS BIGINT))) u(k)
+)
+SELECT s.event_type, s.day,
+       CAST(d.n IS NOT NULL AS BIGINT) AS is_observed,
+       CAST(COALESCE(last_value(d.n IGNORE NULLS) OVER w, 0) AS BIGINT)
+         AS filled_n,
+       CAST(COALESCE(last_value(d.cents IGNORE NULLS) OVER w, 0)
+            AS BIGINT) AS filled_cents,
+       CAST(last_value(CASE WHEN d.n IS NOT NULL THEN s.day END
+                       IGNORE NULLS) OVER w AS BIGINT) AS carried_from
+FROM spine s LEFT JOIN daily d USING (event_type, day)
+WINDOW w AS (PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users via HLL register algebra
+    (operators/sketch.hll_rolling_distinct): per-day registers merge
+    by a RANGE-frame window max — the sliding-window cardinality
+    exact COUNT(DISTINCT) cannot maintain incrementally (the exact
+    column rides along as the fixture-scale harness)."""
+    from ..operators import sketch
+    from ..sources.tables import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .select(F.expr("ts_ns div 1000 div 86400000000").alias("day"),
+                  "user_id"))
+    return sketch.hll_rolling_distinct(ev)
+
+
+from ..operators.sketch import hll_rolling_distinct_sql  # noqa: E402
+
 QUERIES: dict[str, Query] = {
+    "q_gap_fill": Query(_gap_fill, _GAP_FILL_SQL,
+                        "calendar densification + forward fill over "
+                        "a sparsified daily series (spine in the "
+                        "scan, provenance-pinned carry)"),
+    "q_rolling_distinct": Query(
+        _rolling_distinct, hll_rolling_distinct_sql(),
+        "7-day rolling distinct users: HLL registers merged by a "
+        "range-frame window max (+ exact harness column)"),
+    "q_salted_agg": Query(_salted_agg, _SALTED_AGG_SQL,
+                          "skew-safe two-phase salted aggregation "
+                          "(hot keys spread over 16 reducers; "
+                          "exact-equivalence oracle)"),
+    "q_attribution": Query(_attribution, _ATTRIBUTION_SQL,
+                           "last-touch revenue attribution: bounded-"
+                           "lookback as-of credit to the latest prior "
+                           "click, exact-cents rollup per campaign"),
     "q_entity_resolution": Query(_entity_resolution,
                                  _ENTITY_RESOLUTION_SQL,
                                  "end-to-end entity resolution: "

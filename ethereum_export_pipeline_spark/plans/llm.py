@@ -2154,12 +2154,304 @@ SKETCH_K = 32
 
 def _distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source + merged distinct-document cardinality via the
-    k-minimum-values sketch — the VERIFIABLE sketch (HLL registers are
-    engine-private; KMV is md5 order statistics, so DuckDB reproduces
-    the sketch AND the estimate bit-for-bit, float included)."""
+    k-minimum-values sketch: md5 order statistics, so DuckDB
+    reproduces the sketch AND the estimate bit-for-bit, float
+    included. (KMV is exact below k — the right tool in this
+    small-distinct regime; `doc_hll_distinct` is the register-form
+    counterpart on the larger token universe.)"""
     return sketch.kmv_sketch(load_table(spark, sf_dir, "documents"),
                              group_col="source", key_col="text",
                              k=SKETCH_K)
+
+
+def _scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the video fixture WITH a real
+    scene boundary (frames from total//2 on are inverted —
+    `documents_as_video_media(scene_at_half=True)`): demux + decode
+    every frame, exact-integer SAD between consecutive frames, cut
+    verdict at the fixed threshold. The hash pins every SAD value
+    and every verdict; within-scene pairs (1-byte rotations) stay
+    far below threshold, the boundary pair far above."""
+    media = multimodal.documents_as_video_media(
+        load_table(spark, sf_dir, "documents"), scene_at_half=True)
+    return multimodal.scene_cuts(media)
+
+
+def _scene_cuts_sql() -> str:
+    """DuckDB twin: frame g's plane byte j = text byte (j+g) mod nb
+    (empty text → 0 via the [0] sentinel list), inverted for
+    g >= total//2; SAD over the 192-px pair, threshold verdict."""
+    digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
+    byte_at = (f"16 * ({digit.format(i='2*p+1')}) + "
+               f"({digit.format(i='2*p+2')})")
+    bcur = ("CASE WHEN f >= half THEN 255 - vals[((j + f) % nbe) + 1] "
+            "ELSE vals[((j + f) % nbe) + 1] END")
+    bprv = ("CASE WHEN f - 1 >= half THEN 255 - vals[((j + f - 1) % nbe) + 1] "
+            "ELSE vals[((j + f - 1) % nbe) + 1] END")
+    thr = multimodal.SCENE_CUT_SAD
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb,
+         CAST(2 + doc_id % 5 AS BIGINT) AS total
+  FROM documents WHERE text IS NOT NULL
+), v AS (
+  SELECT doc_id, total, total // 2 AS half,
+         CASE WHEN nb = 0 THEN 1 ELSE nb END AS nbe,
+         CASE WHEN nb = 0 THEN [0]
+              ELSE list_transform(range(nb), p -> {byte_at}) END AS vals
+  FROM m
+), pairs AS (
+  SELECT doc_id, half, nbe, vals, f
+  FROM v, UNNEST(range(1, CAST(total AS INT))) u(f)
+), sads AS (
+  SELECT doc_id, f,
+         CAST(list_sum(list_transform(range(192),
+              j -> abs(({bcur}) - ({bprv})))) AS BIGINT) AS sad
+  FROM pairs
+)
+SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx, sad,
+       CAST(sad > {thr} AS BIGINT) AS is_cut
+FROM sads
+"""
+
+
+def _dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH sources duplicate WHICH — the provenance matrix over the
+    graded MinHash near-dup pairs (mirror-site detection, license-
+    laundering audit, per-feed dedup ROI): every verified pair joined
+    to both endpoints' sources, rolled up per unordered source pair.
+    Aggregates stay hash-safe: counts and Σn_common are exact BIGINTs;
+    max_jaccard is a MAX over bit-identical doubles (order-free) —
+    never a float sum. Complements `doc_source_overlap` (KMV overlap
+    of EXACT content) with the near-dup relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=NGRAM_THRESHOLD)
+    src = docs.select("doc_id", "source")
+    j = (pairs
+         .join(src.select(F.col("doc_id").alias("doc_a"),
+                          F.col("source").alias("sa")), "doc_a")
+         .join(src.select(F.col("doc_id").alias("doc_b"),
+                          F.col("source").alias("sb")), "doc_b"))
+    return (j.groupBy(F.least("sa", "sb").alias("src_a"),
+                      F.greatest("sa", "sb").alias("src_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                  F.expr("CAST(sum(n_common) AS BIGINT)")
+                   .alias("n_common_total"),
+                  F.max("jaccard").alias("max_jaccard")))
+
+
+def _dup_source_matrix_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_pairs_sql()}),
+srcs AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS src_a,
+       greatest(sa.source, sb.source) AS src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(n_common) AS BIGINT) AS n_common_total,
+       max(jaccard) AS max_jaccard
+FROM pairs p
+JOIN srcs sa ON sa.doc_id = p.doc_a
+JOIN srcs sb ON sb.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+
+
+def _density_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-inverse diversity sampling (operators/similarity.
+    density_sample): per-vector keep/drop verdicts with inclusion
+    probability inversely proportional to local kNN-cosine density —
+    redundant embedding regions thin out, isolated points survive.
+    Rides the graded kNN graph (banded LSH + exact integer rerank)."""
+    return similarity.density_sample(
+        load_table(spark, sf_dir, "embeddings"),
+        k=TOPK_K, n_planes=LSH_PLANES, n_bands=MULTIBAND_BANDS)
+
+
+def _density_sample_sql() -> str:
+    coin = h60_sql(f"'{similarity.DENSITY_SALT}:' || "
+                   f"CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH {_BASE_CTES},
+melted AS (SELECT vec_id, q, n2,
+           unnest({_banded_bucket_list_sql(MULTIBAND_BANDS)}) AS bucket
+           FROM wn),
+qs AS (SELECT vec_id AS query_id, bucket FROM melted),
+c AS (SELECT vec_id AS neighbor_id, bucket FROM melted),
+cand AS (SELECT DISTINCT query_id, neighbor_id FROM qs JOIN c USING (bucket)
+         WHERE neighbor_id <> query_id),
+wnp AS (SELECT cand.query_id, cand.neighbor_id,
+               wq.q AS qv, wq.n2 AS qn2, wc.q AS cv, wc.n2 AS cn2
+        FROM cand JOIN wn wq ON wq.vec_id = cand.query_id
+                  JOIN wn wc ON wc.vec_id = cand.neighbor_id),
+scored AS (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2 FROM wnp),
+cos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM scored),
+knn AS (
+  SELECT query_id AS vec_id, cosine FROM (
+    SELECT query_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM cos) WHERE rk <= {TOPK_K}
+),
+dens AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+         CAST(sum(1000000 + CAST(round(cosine * 1000000) AS BIGINT))
+              // count(*) - 1000000 AS BIGINT) AS dens_ppm
+  FROM knn GROUP BY 1
+),
+dbase AS (
+  SELECT wn.vec_id, COALESCE(n_nbrs, 0) AS n_nbrs,
+         COALESCE(dens_ppm, 0) AS dens_ppm,
+         greatest(CAST(1 AS BIGINT),
+                  1000000 - COALESCE(dens_ppm, 0)) AS w
+  FROM wn LEFT JOIN dens USING (vec_id)
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+               CAST(count(*) AS BIGINT) AS n FROM dbase),
+scoredv AS (
+  SELECT vec_id, n_nbrs, dens_ppm, CAST(w AS BIGINT) AS w,
+         CAST(least(1000000000, w * {similarity.DENSITY_TARGET_PPB}
+                    // (tw // n)) AS BIGINT) AS p_ppb
+  FROM dbase, tot
+)
+SELECT vec_id, n_nbrs, dens_ppm, w, p_ppb,
+       CAST(({coin}) % 1000000000 < p_ppb AS BIGINT) AS keep
+FROM scoredv
+"""
+
+
+def _textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 corpus keywords by TextRank (operators/text.
+    textrank_keywords): exact fixed-point PageRank over the
+    adjacency-bigram word graph (min_count=3 edge cut, both
+    directions), so the unrolled-round DuckDB twin hash-matches the
+    4-iteration ranks bit-for-bit."""
+    return text.textrank_keywords(load_table(spark, sf_dir, "documents"))
+
+
+def _textrank_sql() -> str:
+    edges_cte = f"""toked AS (
+  SELECT {tokens_sql('text')} AS t FROM documents WHERE text IS NOT NULL
+),
+bgr AS (
+  SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS b
+    FROM toked WHERE len(t) >= 2)
+  WHERE b.w1 <> b.w2
+),
+bg AS (SELECT w1, w2 FROM bgr GROUP BY 1, 2 HAVING count(*) >= 3),
+e AS (SELECT w1 AS src, w2 AS dst FROM bg
+      UNION SELECT w2, w1 FROM bg)"""
+    inner = _pagerank_sql(edges_cte, iters=4)
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY rank DESC, node) AS BIGINT)
+         AS kw_rank,
+       node AS term, rank, rank_norm
+FROM ({inner})
+ORDER BY rank DESC, node LIMIT 30
+"""
+
+
+RRF_ANN_K = 20   # dense-side list length fed into the fusion
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the graded BM25 lexical top-20 fused with the
+    dense LSH-ANN top-20 for query vector 0 by integer reciprocal-rank
+    fusion (operators/text.rrf_fuse) — the score-calibration-free
+    combiner of a production retrieval stack. Both sides are the
+    catalog's own graded plans; fusion itself runs on ≤40 rows however
+    large the corpus (top-k lists in, top-k list out)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm25 = text.bm25_topk(docs).select("doc_id", "rank")
+    ann = (similarity.lsh_topk(emb, k=RRF_ANN_K, n_planes=LSH_PLANES,
+                               n_bands=LSH_TOPK_BANDS,
+                               query_pred="vec_id = 0")
+           .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+    return text.rrf_fuse({"bm25": bm25, "ann": ann})
+
+
+def _hybrid_rrf_sql() -> str:
+    """Both graded twins inlined (the `_ann_recall_sql` pattern): the
+    BM25 SELECT nests as a sub-WITH CTE; the dense side re-derives the
+    banded-candidate cosine ranking for query 0; fusion is the exact
+    integer SCALE div (C + rank) sum."""
+    return f"""
+WITH bm AS ({_BM25_SQL}),
+{_BASE_CTES},
+melted AS (SELECT vec_id, q, n2,
+           unnest({_banded_bucket_list_sql(LSH_TOPK_BANDS)}) AS bucket
+           FROM wn),
+hq AS (SELECT vec_id AS query_id, bucket FROM melted WHERE vec_id = 0),
+hc AS (SELECT vec_id AS neighbor_id, bucket FROM melted),
+cand AS (SELECT DISTINCT query_id, neighbor_id
+         FROM hq JOIN hc USING (bucket) WHERE neighbor_id <> query_id),
+wnp AS (SELECT cand.query_id, cand.neighbor_id,
+               wq.q AS qv, wq.n2 AS qn2, wc.q AS cv, wc.n2 AS cn2
+        FROM cand JOIN wn wq ON wq.vec_id = cand.query_id
+                  JOIN wn wc ON wc.vec_id = cand.neighbor_id),
+hscored AS (SELECT neighbor_id, {_DOT} AS dot, qn2, cn2 FROM wnp),
+hcos AS (SELECT neighbor_id, {_COS} AS cosine FROM hscored),
+ann AS (SELECT neighbor_id AS doc_id,
+               row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS r
+        FROM hcos ORDER BY cosine DESC, neighbor_id LIMIT {RRF_ANN_K}),
+u AS (
+  SELECT doc_id, rank AS r, 'bm25' AS side FROM bm
+  UNION ALL
+  SELECT doc_id, r, 'ann' AS side FROM ann
+),
+fused AS (
+  SELECT doc_id,
+         CAST(sum({text.RRF_SCALE} // ({text.RRF_C} + r)) AS BIGINT)
+           AS rrf_score,
+         CAST(count(*) AS BIGINT) AS n_lists,
+         CAST(max(CASE WHEN side = 'bm25' THEN r END) AS BIGINT)
+           AS bm25_rank,
+         CAST(max(CASE WHEN side = 'ann' THEN r END) AS BIGINT)
+           AS ann_rank
+  FROM u GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, rrf_score, n_lists, bm25_rank, ann_rank
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
+#: The graded phrase — two high-df fixture tokens, so the query
+#: exercises real multi-hit documents (random token soup makes any
+#: fixed bigram appear ~1/|vocab|^2 per position).
+PHRASE = ["hash", "join"]
+
+
+def _phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase occurrences of "hash join" across the corpus —
+    the map-only higher-order-filter form (operators/text.phrase_hits):
+    candidate start offsets of the token array filtered INSIDE the
+    scan, no postings, no joins — the contamination-string /
+    boilerplate-marker gate shape at 100 TB."""
+    return text.phrase_hits(load_table(spark, sf_dir, "documents"),
+                            PHRASE)
+
+
+def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source + merged distinct-VOCABULARY cardinality via the
+    deterministic HyperLogLog (operators/sketch.hll_sketch): md5
+    bucket/rho arithmetic, integer registers, exact fixed-point
+    harmonic sum, ONE double division for the raw estimate — the
+    fourth sketch, next to KMV (order statistics), Bloom (membership),
+    and CMS (frequency). Token-level so the per-group regime is out of
+    HLL's small-range zone (distinct tokens per source ≫ 2.5·m); the
+    merged row is built from per-group registers alone (bucket-wise
+    max — HLL's merge), never a rescan."""
+    from ..functions import tokens
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (docs.where(F.col("text").isNotNull()
+                      & F.col("source").isNotNull())
+               .select("source", F.explode(tokens("text")).alias("tok")))
+    return sketch.hll_sketch(occ, group_col="source", key_col="tok")
 
 
 # --------------------------------------------------- dup-graph triangles
@@ -3257,6 +3549,62 @@ WITH {_BASE_CTES},
 """
 
 
+OUTLIER_MULT = 4  # flag dist2 > 4 x cell lower-median
+
+
+def _cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anomaly census — vectors far from their own
+    k-means cell (mislabeled/noise/out-of-distribution points; the
+    drop-or-review gate after corpus clustering): the graded 3-round
+    Lloyd assignment's exact integer dist2 compared against the
+    cell's EXACT lower-median dist2 (`robust_outlier_census`'s order-
+    statistic convention — no float quantiles), outlier iff dist2 >
+    OUTLIER_MULT × median. A zero median (≥half the cell identical
+    to its centroid) flags every non-coincident member — documented
+    degeneracy, same as the MAD census.
+
+    Scale shape: rides `kmeans_assign`'s own exchanges; the median
+    is one window pass on the (cell)-keyed assignment frame, the
+    verdict a broadcast k-row join."""
+    from pyspark.sql import Window
+    a = similarity.kmeans_assign(load_table(spark, sf_dir, "embeddings"),
+                                 k=KMEANS_K, rounds=KMEANS_ROUNDS)
+    wc = Window.partitionBy("cell")
+    wr = Window.partitionBy("cell").orderBy("dist2", "vec_id")
+    stats = (a.withColumn("rn", F.row_number().over(wr))
+              .withColumn("n", F.count(F.lit(1)).over(wc)))
+    med = (stats.withColumn("is_med",
+                            F.col("rn") == F.expr("(n + 1) div 2"))
+                .where("is_med")
+                .select("cell", F.col("dist2").alias("cell_med")))
+    return (a.join(F.broadcast(med), "cell")
+             .select("vec_id", "cell", "dist2", "cell_med",
+                     (F.col("dist2") > OUTLIER_MULT * F.col("cell_med"))
+                     .cast("long").alias("is_outlier")))
+
+
+def _cell_outliers_sql() -> str:
+    return f"""
+WITH ka AS ({_kmeans_assign_sql()}),
+stats AS (
+  SELECT vec_id, cell, dist2,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY dist2, vec_id) AS rn,
+         count(*) OVER (PARTITION BY cell) AS n
+  FROM ka
+),
+med AS (
+  SELECT cell, max(CASE WHEN rn = (n + 1) // 2 THEN dist2 END)
+           AS cell_med
+  FROM stats GROUP BY 1
+)
+SELECT s.vec_id, s.cell, s.dist2, m.cell_med,
+       CAST(s.dist2 > {OUTLIER_MULT} * m.cell_med AS BIGINT)
+         AS is_outlier
+FROM stats s JOIN med m USING (cell)
+"""
+
+
 # ------------------------------------ hashed linear classifier gate
 
 def _classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3566,6 +3914,43 @@ QUERIES: dict[str, Query] = {
                                  "KMV distinct-count sketch per source "
                                  "+ merged — the cross-engine-"
                                  "verifiable cardinality sketch"),
+    "emb_cell_outliers": Query(_cell_outliers, _cell_outliers_sql,
+                               "embedding-space anomaly census: "
+                               "dist2 vs exact cell lower-median "
+                               "over the graded k-means assignment"),
+    "doc_dup_source_matrix": Query(_dup_source_matrix,
+                                   _dup_source_matrix_sql(),
+                                   "cross-source near-dup provenance "
+                                   "matrix (which feeds mirror which) "
+                                   "over the graded MinHash pairs"),
+    "mm_scene_cuts": Query(_scene_cuts, _scene_cuts_sql(),
+                           "video shot-boundary detection: per-"
+                           "consecutive-frame-pair exact SAD + cut "
+                           "verdicts over decoded frames"),
+    "emb_density_sample": Query(_density_sample, _density_sample_sql,
+                                "density-inverse diversity sampling: "
+                                "per-vector keep verdicts ∝ 1/local "
+                                "kNN density (redundancy thins, rare "
+                                "points survive)"),
+    "doc_textrank": Query(_textrank, _textrank_sql(),
+                          "TextRank keyword salience: exact integer "
+                          "PageRank over the adjacency-bigram word "
+                          "graph (vocabulary-sized iterations)"),
+    "doc_hybrid_rrf": Query(_hybrid_rrf, _hybrid_rrf_sql(),
+                            "hybrid retrieval: BM25 top-20 + "
+                            "LSH-ANN top-20 fused by integer "
+                            "reciprocal-rank fusion"),
+    "doc_phrase_search": Query(_phrase_search,
+                               text.phrase_hits_sql(PHRASE),
+                               "exact phrase search (map-only "
+                               "higher-order offset filter — the "
+                               "contamination-string gate shape, "
+                               "zero shuffle)"),
+    "doc_hll_distinct": Query(_hll_distinct, sketch.hll_sketch_sql(),
+                              "deterministic HyperLogLog vocabulary "
+                              "cardinality per source + register-"
+                              "merged global (integer registers, "
+                              "fixed-point harmonic sum)"),
     "doc_dup_triangles": Query(_dup_triangles, _dup_triangles_sql(),
                                "per-doc triangle support on the "
                                "near-dup graph (degree-oriented wedge "

@@ -12,7 +12,8 @@ from ..streaming import (WINDOW_US, stream_chain_counts,
                          stream_exact_dedup, stream_hopping_counts,
                          stream_interval_join,
                          stream_session_window_counts,
-                         stream_static_enrich, stream_tumbling_counts,
+                         stream_static_enrich, stream_trending,
+                        stream_tumbling_counts,
                          stream_watermark_counts)
 from .analytics import _EVENTS_SESSIONS_SQL
 from .base import Query
@@ -354,7 +355,31 @@ WHERE t.doc_id % {BENCH_MOD} <> 0
 """
 
 
+def _stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed trending top-k: the streamed (window, type) count
+    aggregate + the serving-layer per-window rank (streaming/
+    __init__.stream_trending) — ranking runs post-stream on the
+    windows x types-sized materialized result by design (append mode
+    cannot retract an already-emitted rank)."""
+    return stream_trending(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+
+
+_STREAM_TRENDING_SQL = f"""
+SELECT win, event_type, n, rnk FROM (
+  SELECT win, event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(row_number() OVER (PARTITION BY win
+              ORDER BY count(*) DESC, event_type ASC) AS BIGINT) AS rnk
+  FROM (SELECT epoch_us(ts) // {WINDOW_US} AS win, event_type FROM events)
+  GROUP BY 1, 2)
+WHERE rnk <= 2
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "stream_trending": Query(_stream_trending, _STREAM_TRENDING_SQL,
+                             "trending top-k per tumbling window: "
+                             "streamed (win,type) counts + serving-"
+                             "layer rank"),
     "stream_decontaminate": Query(_stream_decontaminate,
                                   _stream_decontaminate_sql(),
                                   "stateless streaming Bloom "

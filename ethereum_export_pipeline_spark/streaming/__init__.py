@@ -612,3 +612,36 @@ def stream_decontaminate(spark: SparkSession, docs_path: str,
                           F.expr("CAST(n_bloom_hits > 0 AS BIGINT)")))
     return run_available_now(out, output_mode="append",
                              width=bounded_stream_width(spark, docs_path))
+
+
+def stream_trending(spark: SparkSession, events_path: str,
+                    window_us: int = WINDOW_US, k: int = 2) -> DataFrame:
+    """TRENDING detector — per tumbling window, the top-k event types
+    by count (the "trending hashtags" product shape). Two layers, as
+    production runs it:
+
+      * STREAMED: the (window, type) count aggregate — state bounded
+        by windows × types; the engine computes it incrementally
+        across micro-batches.
+      * SERVING: the per-window top-k rank over the MATERIALIZED
+        aggregate — ranking is not incrementally maintainable in
+        append mode (a late row can demote an already-emitted rank),
+        so it belongs in the post-stream/foreachBatch layer, on the
+        windows×types-sized result, never the event stream.
+
+    Complete-mode output equals the batch answer (the oracle)."""
+    from pyspark.sql import Window
+    from ..sources.tables import with_event_time
+    sdf = with_event_time(read_stream(spark, events_path))
+    agg = (sdf.groupBy(
+              F.expr(f"(ts_ns div 1000) div {window_us}").alias("win"),
+              F.col("event_type"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    out = run_available_now(agg,
+                            width=bounded_stream_width(spark, events_path))
+    w = Window.partitionBy("win").orderBy(F.col("n").desc(),
+                                          F.col("event_type").asc())
+    return (out.withColumn("rnk", F.row_number().over(w).cast("long"))
+               .where(F.col("rnk") <= k)
+               .select("win", "event_type",
+                       F.col("n").cast("long").alias("n"), "rnk"))

@@ -280,3 +280,25 @@ def test_heavy_hitters_sketch_probe_is_broadcast(spark, catalog):
     plan = plan_of(catalog["doc_heavy_hitters"].fn(spark, SF_DIR),
                    execute=True)
     assert "BroadcastHashJoin" in plan            # ≤ d·w-row sketch side
+
+
+def test_phrase_search_is_map_only(spark, catalog):
+    """The zero-shuffle claim, pinned: phrase search is scan →
+    project → filter, no Exchange anywhere."""
+    plan = plan_of(catalog["doc_phrase_search"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_scene_cuts_no_shuffle(spark, catalog):
+    """Video demux + decode + SAD is one Arrow projection chain —
+    no Exchange."""
+    plan = plan_of(catalog["mm_scene_cuts"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_salted_agg_is_two_phase(spark, catalog):
+    """Phase 1 groups (key, salt), phase 2 merges per key — two
+    hash-partitioned exchanges, partials map-side combined."""
+    plan = plan_of(catalog["q_salted_agg"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") >= 2
+    assert "__salt" in plan

@@ -307,3 +307,161 @@ def test_resample_audio_16bit_and_empty(spark):
     assert out[:, 0].tolist() == s16[::2].tolist()
     rate2, _, _, out2 = decode_wav(bytes(got[2]))
     assert rate2 == 8_000 and out2.shape[0] == 0   # empty stays empty
+
+
+# ---------------------------------------------------- phrase search
+
+def test_phrase_hits_known_positions(spark):
+    rows = [
+        Row(doc_id=1, text="hash join beats sort merge hash join"),
+        Row(doc_id=2, text="no match here hash only join hash"),
+        Row(doc_id=3, text="HASH  Join!! uppercase and punctuation"),
+        Row(doc_id=4, text=None),
+        Row(doc_id=5, text="hash"),           # shorter than phrase
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r for r in
+           T.phrase_hits(df, ["hash", "join"]).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_hits"] == 2 and out[1]["first_pos"] == 0
+    # tokenization lowercases and strips punctuation
+    assert out[3]["n_hits"] == 1 and out[3]["first_pos"] == 0
+
+
+def test_phrase_hits_overlapping_and_triple(spark):
+    """Overlapping starts all count ('a a a' has two 'a a' starts);
+    a 3-token phrase matches only full consecutive runs."""
+    df = spark.createDataFrame([Row(doc_id=1, text="a a a b c a b c")])
+    out2 = T.phrase_hits(df, ["a", "a"]).collect()[0]
+    assert out2["n_hits"] == 2 and out2["first_pos"] == 0
+    out3 = T.phrase_hits(df, ["a", "b", "c"]).collect()
+    assert out3[0]["n_hits"] == 2 and out3[0]["first_pos"] == 2
+
+
+# ------------------------------------------------------- RRF fusion
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two 3-item lists with one shared doc: the shared doc's exact
+    integer score 1e6//61 + 1e6//63 beats both rank-1 singles."""
+    from ethereum_export_pipeline_spark.operators.text import (
+        RRF_C, RRF_SCALE, rrf_fuse)
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)],
+                              "doc_id long, rank long")
+    b = spark.createDataFrame([(20, 1), (11, 2), (21, 3)],
+                              "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in
+           rrf_fuse({"bm25": a, "ann": b}, k=10).collect()}
+    assert out[11]["rrf_score"] == RRF_SCALE // (RRF_C + 2) * 2
+    assert out[11]["n_lists"] == 2
+    assert out[11]["bm25_rank"] == 2 and out[11]["ann_rank"] == 2
+    assert out[11]["rank"] == 1          # fused winner
+    assert out[10]["rrf_score"] == RRF_SCALE // (RRF_C + 1)
+    assert out[10]["ann_rank"] is None
+    # deterministic tie-break between the two rank-1 singles
+    assert out[10]["rank"] == 2 and out[20]["rank"] == 3
+
+
+def test_rrf_fuse_respects_k(spark):
+    from ethereum_export_pipeline_spark.operators.text import rrf_fuse
+    a = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                              "doc_id long, rank long")
+    out = rrf_fuse({"only": a}, k=5).collect()
+    assert len(out) == 5
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------- TextRank keywords
+
+def test_textrank_hub_outranks_leaf(spark):
+    """A hub word adjacent to many distinct words accumulates rank
+    above any single leaf; ranks are positive exact ints."""
+    rows = []
+    for w in ("alpha", "beta", "gamma", "delta"):
+        rows += [Row(text=f"hub {w} hub {w} hub {w}")]
+    df = spark.createDataFrame(rows)
+    out = T.textrank_keywords(df, min_count=2, iters=3, top_k=10).collect()
+    by_rank = sorted(out, key=lambda r: r["kw_rank"])
+    assert by_rank[0]["term"] == "hub"
+    assert all(r["rank"] > 0 for r in out)
+    assert by_rank[0]["rank_norm"] == by_rank[0]["rank"] / 1e9
+
+
+def test_textrank_min_count_cuts_rare_edges(spark):
+    """A pair seen once never enters the graph at min_count=2."""
+    df = spark.createDataFrame(
+        [Row(text="a b a b a b"), Row(text="rare pair")])
+    terms = {r["term"] for r in
+             T.textrank_keywords(df, min_count=2, iters=2).collect()}
+    assert terms == {"a", "b"}
+
+
+# ---------------------------------------------- density-inverse sampling
+
+def test_density_sample_isolated_point_favored(spark):
+    """A tight cluster's members see high kNN cosine density → low
+    weight; an isolated orthogonal point gets density ≤ cluster's and
+    weight ≥ — and every vector gets exactly one verdict row."""
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        density_sample)
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    rows = []
+    for i in range(6):                      # near-identical cluster
+        v = list(base)
+        v[1] = 0.01 * i
+        rows.append((i, v))
+    iso = [0.0] * dim
+    iso[dim - 1] = 1.0                      # orthogonal singleton
+    rows.append((99, iso))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           density_sample(df, k=3, dim=dim, n_planes=4,
+                          n_bands=2).collect()}
+    assert len(out) == 7
+    clus_d = out[0]["dens_ppm"]
+    assert clus_d > 900_000                 # ~cos 1.0 neighbors
+    assert out[99]["dens_ppm"] < clus_d
+    assert out[99]["w"] > out[0]["w"]
+    assert all(r["keep"] in (0, 1) for r in out.values())
+
+
+# ----------------------------------------------------- video scene cuts
+
+def test_scene_cuts_boundary_detected(spark):
+    """doc_id=2 → 4 frames, scenes [0,1] / [2,3] (inverted): only the
+    boundary pair crosses the SAD threshold; SAD matches a numpy
+    reference computed from the documented tiling."""
+    import numpy as np
+    from ethereum_export_pipeline_spark.operators import multimodal as MM
+    text = "hello world this is a clip"
+    df = spark.createDataFrame([Row(doc_id=2, text=text)])
+    media = MM.documents_as_video_media(df, scene_at_half=True)
+    out = sorted(MM.scene_cuts(media).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [1, 2, 3]
+    raw = np.frombuffer(text.encode(), np.uint8)
+
+    def plane(f, total=4):
+        p = np.resize(np.roll(raw, -f), 192).astype(np.int64)
+        return 255 - p if f >= total // 2 else p
+
+    for r in out:
+        f = r["frame_idx"]
+        assert r["sad"] == int(np.abs(plane(f) - plane(f - 1)).sum())
+    assert [r["is_cut"] for r in out] == [0, 1, 0]
+
+
+def test_scene_cuts_no_scene_no_cuts(spark):
+    """Without the injected boundary every pair is a 1-byte rotation
+    — SAD far below threshold, zero cuts; single-frame clips are
+    silent."""
+    from ethereum_export_pipeline_spark.operators import multimodal as MM
+    df = spark.createDataFrame(
+        [Row(doc_id=3, text="steady clip with no scene change"),
+         Row(doc_id=0, text="two frames only"),
+         Row(doc_id=7, text=None)])
+    media = MM.documents_as_video_media(df, scene_at_half=False)
+    out = MM.scene_cuts(media).collect()
+    assert out and all(r["is_cut"] == 0 for r in out)
+    assert {r["media_id"] for r in out} == {0, 3}

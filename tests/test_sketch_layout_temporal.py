@@ -462,3 +462,86 @@ def test_equidepth_histogram_decile_mass(spark):
     df2 = spark.createDataFrame(rows2, "src string, v long")
     out2 = equidepth_histogram(df2, "src", "v", n_bins=2).collect()
     assert sum(r.n for r in out2) == 60
+
+
+# ------------------------------------------------------ HLL sketch
+
+def _py_hll_parts(key: str):
+    """Python reference for one key's (bucket, rho) under the pinned
+    h60 -> bucket/suffix arithmetic."""
+    import hashlib
+    from ethereum_export_pipeline_spark.operators.sketch import HLL_M
+    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    suffix = h // HLL_M
+    rho = 57 if suffix == 0 else 57 - len(bin(suffix)[2:])
+    return h % HLL_M, rho
+
+
+def test_hll_register_matches_python_reference(spark):
+    """Register for a singleton group = hand-computed rho of its one
+    key; exact column counts the keys."""
+    from ethereum_export_pipeline_spark.operators.sketch import (
+        HLL_M, HLL_RCAP, hll_sketch)
+    df = spark.createDataFrame([("g", "hello")], "grp string, k string")
+    row = {r["grp"]: r for r in
+           hll_sketch(df, group_col="grp", key_col="k").collect()}
+    _, rho = _py_hll_parts("hello")
+    reg = min(rho, HLL_RCAP)
+    expect = (HLL_M - 1) * (1 << HLL_RCAP) + (1 << (HLL_RCAP - reg))
+    assert row["g"]["sum_fp"] == expect
+    assert row["g"]["n_zero"] == HLL_M - 1
+    assert row["g"]["exact_distinct"] == 1
+    assert row["__ALL__"]["sum_fp"] == expect
+
+
+def test_hll_estimate_tracks_truth(spark):
+    """n >> m regime: the raw estimator lands inside a generous
+    m=16 error band (sigma ~ 1.04/4 = 26%; allow 3 sigma)."""
+    from ethereum_export_pipeline_spark.operators.sketch import hll_sketch
+    n = 5000
+    df = spark.createDataFrame([("g", f"key-{i}") for i in range(n)],
+                               "grp string, k string")
+    row = {r["grp"]: r for r in
+           hll_sketch(df, group_col="grp", key_col="k").collect()}
+    est = row["g"]["est_hll"]
+    assert abs(est - n) / n < 0.78, est
+    assert row["g"]["exact_distinct"] == n
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """Bucket-wise register max over group sketches == the sketch of
+    the union of keys — HLL's merge, no rescan."""
+    from ethereum_export_pipeline_spark.operators.sketch import hll_sketch
+    rows = ([("a", f"x{i}") for i in range(300)]
+            + [("b", f"x{i}") for i in range(150, 450)])
+    df = spark.createDataFrame(rows, "grp string, k string")
+    merged = {r["grp"]: r for r in
+              hll_sketch(df, group_col="grp", key_col="k").collect()}
+    union = spark.createDataFrame([("u", k) for _, k in rows],
+                                  "grp string, k string")
+    direct = {r["grp"]: r for r in
+              hll_sketch(union, group_col="grp", key_col="k").collect()}
+    assert merged["__ALL__"]["sum_fp"] == direct["u"]["sum_fp"]
+    assert merged["__ALL__"]["est_hll"] == direct["u"]["est_hll"]
+    assert merged["__ALL__"]["exact_distinct"] == 450
+
+
+def test_hll_rolling_window_carries_and_expires(spark):
+    """A user seen on day 0 raises days 0-6's windowed registers (and
+    estimates match a single-day sketch exactly), then falls out on
+    day 7; the exact harness column counts the true trailing
+    distinct."""
+    from ethereum_export_pipeline_spark.operators.sketch import (
+        hll_rolling_distinct)
+    rows = ([(0, 1), (0, 2), (0, 3)]        # 3 users on day 0
+            + [(6, 1)]                      # day 6: user 1 again
+            + [(7, 9)])                     # day 7: only user 9
+    df = spark.createDataFrame(rows, "day long, user_id long")
+    out = {r["day"]: r for r in hll_rolling_distinct(df).collect()}
+    assert out[0]["exact_distinct"] == 3
+    # day 6 window covers days 0-6 -> all 4 user-days, 3 distinct
+    assert out[6]["exact_distinct"] == 3
+    assert out[6]["sum_fp"] == out[0]["sum_fp"]  # same register set
+    # day 7 window covers days 1-7 -> users {1, 9}
+    assert out[7]["exact_distinct"] == 2
+    assert out[7]["sum_fp"] != out[0]["sum_fp"]  # day-0-only users gone

@@ -160,7 +160,7 @@ def main() -> int:
     from ethereum_export_pipeline_spark.operators import similarity
 
     EMB_OPS = {"semantic_dedup", "lsh_topk", "ivf_topk", "ivfpq_topk",
-               "neardup_multiband"}
+               "neardup_multiband", "density_sample"}
     big_emb = None
     if ONLY is None or (ONLY & EMB_OPS):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -455,6 +455,34 @@ def main() -> int:
     # asymmetric containment: same sized-shingle lineage as
     # ngram_pairs, thresholded on max directional containment
     bench("containment", lambda: dedup.containment_pairs(big_docs))
+
+    # late round-5 additions: the vocabulary-iteration claim
+    # (textrank), the m-register exchange bound (hll), the
+    # stay-in-the-scan claim (phrase), the all-frames decode cost
+    # (scene cuts), and the knn-dominated sampling pass (density)
+    bench("textrank", lambda: text.textrank_keywords(big_docs))
+
+    def hll_sketch():
+        from ethereum_export_pipeline_spark.operators import sketch as sk
+        from ethereum_export_pipeline_spark.functions import tokens
+        occ = (big_docs.where(F.col("text").isNotNull())
+               .select((F.col("doc_id") % 20).cast("string").alias("source"),
+                       F.explode(tokens("text")).alias("tok")))
+        return sk.hll_sketch(occ)
+
+    bench("hll_sketch", hll_sketch)
+    bench("phrase_hits",
+          lambda: text.phrase_hits(big_docs, ["hash", "join"]))
+
+    def scene_cuts():
+        from ethereum_export_pipeline_spark.operators import multimodal
+        media = multimodal.documents_as_video_media(big_docs,
+                                                    scene_at_half=True)
+        return multimodal.scene_cuts(media)
+
+    bench("scene_cuts", scene_cuts)
+    bench("density_sample",
+          lambda: similarity.density_sample(big_emb, n_bands=3))
 
     BULK_PRED = "vec_id < 200"
     bench_no_broadcast(
