@@ -172,6 +172,11 @@ HEADLINE = [
     "q_gap_fill",
     "doc_dup_source_matrix",
     "emb_cell_outliers",
+    "doc_global_rank",
+    "q_l_diversity",
+    "doc_blocklist_tag",
+    "emb_hard_negatives",
+    "emb_semantic_decontaminate",
 ]
 
 

@@ -126,3 +126,48 @@ def write_zordered(df: DataFrame, path: str, x: str, y: str,
           .sortWithinPartitions("__z")
           .drop("__z")
           .write.mode("overwrite").parquet(path))
+
+
+def global_rank(df: DataFrame, order_cols: list[Column],
+                rank_col: str = "global_rank",
+                n_parts: int | None = None) -> DataFrame:
+    """EXACT global ranking at scale — the distributed form of
+    ``row_number() OVER (ORDER BY …)``, which Spark plans as an
+    `Exchange SinglePartition` + one task sorting the WORLD (the
+    global-sort anti-pattern; fine for top-k via TakeOrdered, fatal
+    for ranking a full 100 TB corpus, e.g. curriculum ordering or
+    score-percentile assignment).
+
+    Three-step two-level prefix sum (the `pack_sequences` /
+    `compaction_plan` discipline applied to ranking):
+      1. range-repartition on the order key — each partition owns a
+         contiguous key range;
+      2. rank WITHIN each partition in parallel (a window partitioned
+         by `spark_partition_id()` never merges partitions);
+      3. add per-partition offsets — a cumulative count over the
+         n_partitions-row histogram, broadcast back.
+
+    `order_cols` must be a TOTAL order (include an id tie-break) or
+    ranks are nondeterministic. The ranks produced are independent of
+    partition boundaries; the frame is eagerly checkpointed so the
+    histogram and the ranking window see the SAME physical
+    partitioning (re-evaluated range sampling is not contractually
+    stable across subtree recomputations)."""
+    from pyspark.sql import Window
+    spark = df.sparkSession
+    n = n_parts or spark.sparkContext.defaultParallelism
+    keyed = (df.repartitionByRange(n, *order_cols)
+               .withColumn("_pid", F.spark_partition_id())
+               .localCheckpoint(eager=True))
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    w_off = (Window.orderBy("_pid")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (keyed.groupBy("_pid")
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .withColumn("_off", F.coalesce(F.sum("_n").over(w_off),
+                                                F.lit(0))))
+    return (keyed.withColumn("_rn", F.row_number().over(w_in))
+                 .join(F.broadcast(offs.select("_pid", "_off")), "_pid")
+                 .withColumn(rank_col,
+                             (F.col("_off") + F.col("_rn")).cast("long"))
+                 .drop("_pid", "_rn", "_off"))

@@ -239,6 +239,110 @@ def knn_graph(df: DataFrame, id_col: str = "vec_id",
     return out.withColumnRenamed("query_id", id_col)
 
 
+def hard_negatives(df: DataFrame, id_col: str = "vec_id",
+                   emb_col: str = "embedding", label_col: str = "label",
+                   k: int = 5, dim: int = EMB_DIM,
+                   n_planes: int = N_PLANES,
+                   n_bands: int = 3) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    every labeled vector, the single most-similar neighbor carrying a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss (random negatives are trivially separable; the hard ones sit
+    just across the decision boundary). Output: (vec_id, label,
+    neg_id, neg_label, cosine), one row per anchor whose kNN list
+    contains at least one cross-label neighbor.
+
+    Scale shape: rides `knn_graph` (banded LSH candidates, exact
+    integer rerank), so the pair space is Σ_buckets |b|², never N².
+    On top of the N·k-row graph: two id-equi shuffle joins to attach
+    both endpoints' labels (label table = the corpus, NOT broadcast)
+    and one per-anchor top-1 window partitioned on the same anchor
+    key the graph already carries. Widening `k` is the recall knob —
+    an anchor whose entire k-list shares its label yields no row."""
+    from pyspark.sql import Window
+    g = knn_graph(df, id_col, emb_col, k=k, dim=dim,
+                  n_planes=n_planes, n_bands=n_bands)
+    lab = df.select(F.col(id_col), F.col(label_col).cast("long"))
+    anchored = (
+        g.join(lab.select(F.col(id_col),
+                          F.col(label_col).alias("_lab_a")), id_col)
+         .join(lab.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(label_col).alias("_lab_n")), "neighbor_id")
+         .where(F.col("_lab_a") != F.col("_lab_n")))
+    w = (Window.partitionBy(id_col)
+               .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc()))
+    return (anchored.withColumn("_rk", F.row_number().over(w))
+                    .where(F.col("_rk") == 1)
+                    .select(F.col(id_col),
+                            F.col("_lab_a").alias(label_col),
+                            F.col("neighbor_id").alias("neg_id"),
+                            F.col("_lab_n").alias("neg_label"),
+                            "cosine"))
+
+
+def semantic_decontaminate(df: DataFrame, id_col: str = "vec_id",
+                           emb_col: str = "embedding",
+                           bench_mod: int = 97, threshold: float = 0.3,
+                           dim: int = EMB_DIM, n_planes: int = N_PLANES,
+                           n_bands: int = 3) -> DataFrame:
+    """EMBEDDING-space train/eval decontamination — the leak the
+    n-gram pass (`dedup.decontaminate`) cannot see: a paraphrased or
+    re-worded benchmark item shares no 5-gram with its source but
+    sits right next to it in embedding space. Rows with
+    `{id_col} % bench_mod == 0` stand in for the eval suite (the
+    `BENCH_MOD` convention of the n-gram twin); every OTHER vector is
+    audited: contaminated iff some benchmark vector in a shared LSH
+    band bucket has cosine ≥ threshold. Output: one row per corpus
+    vector — (vec_id, contaminated 0/1, n_matches, top_bench_id,
+    max_cosine); misses carry (0, 0, -1, 0.0).
+
+    Scale shape: both sides melt through the SAME banded projection;
+    candidates exist only on bucket collision (equi-shuffle on the
+    band:bucket key), and the benchmark side is eval-suite-sized, so
+    the join output is bounded by bench-bucket occupancy — never
+    corpus × bench. The verdict re-attaches to the corpus with one
+    left join on id."""
+    from pyspark.sql import Window
+    base = banded_buckets(
+        with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+        .select(id_col, "qvec", "n2"), dim, n_planes, n_bands)
+    bench = base.where(F.col(id_col) % bench_mod == 0).select(
+        F.col(id_col).alias("bench_id"), F.col("qvec").alias("cv"),
+        F.col("n2").alias("cn2"), "bucket")
+    corp = base.where(F.col(id_col) % bench_mod != 0).select(
+        id_col, F.col("qvec").alias("qv"), F.col("n2").alias("qn2"),
+        "bucket")
+    cand = (corp.join(bench, "bucket")
+                .dropDuplicates([id_col, "bench_id"]))
+    hits = (cand.withColumn("dot", F.expr(dot_expr("qv", "cv")))
+                .withColumn("cosine", _cosine(F.col("dot"), F.col("qn2"),
+                                              F.col("cn2")))
+                .where(F.col("cosine") >= threshold))
+    w = (Window.partitionBy(id_col)
+               .orderBy(F.col("cosine").desc(), F.col("bench_id").asc()))
+    per = (hits.withColumn("_rk", F.row_number().over(w))
+               .withColumn("n_matches",
+                           F.count(F.lit(1)).over(Window.partitionBy(id_col))
+                            .cast("long"))
+               .where(F.col("_rk") == 1)
+               .select(id_col, "n_matches",
+                       F.col("bench_id").alias("top_bench_id"),
+                       F.col("cosine").alias("max_cosine")))
+    corpus_ids = (df.where(F.size(F.col(emb_col)) == dim)
+                    .where(F.col(id_col) % bench_mod != 0)
+                    .select(id_col))
+    return (corpus_ids.join(per, id_col, "left")
+            .select(F.col(id_col),
+                    F.when(F.col("n_matches").isNotNull(), F.lit(1))
+                     .otherwise(F.lit(0)).cast("long").alias("contaminated"),
+                    F.coalesce(F.col("n_matches"), F.lit(0)).cast("long")
+                     .alias("n_matches"),
+                    F.coalesce(F.col("top_bench_id"), F.lit(-1)).cast("long")
+                     .alias("top_bench_id"),
+                    F.coalesce(F.col("max_cosine"), F.lit(0.0).cast("double"))
+                     .alias("max_cosine")))
+
+
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             emb_col: str = "embedding",
                             threshold: float = 0.9,

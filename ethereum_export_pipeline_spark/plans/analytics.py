@@ -1450,6 +1450,47 @@ GROUP BY 1, 2, 3 HAVING count(*) < {K_ANON}
 """
 
 
+L_DIVERSE = 3  # a QI group needs >= 3 distinct sensitive values
+
+
+def _l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second privacy gate (Machanavajjhala TKDD'07): k-anonymity
+    alone fails when a large-enough group is HOMOGENEOUS in the
+    sensitive attribute (everyone in the group shares the value, so
+    membership alone discloses it). Audit: over the QI tuple
+    (event_type, hour), count distinct sensitive values (the $10
+    value band) — groups with < L distinct bands are flagged even
+    when their k is comfortable. Complements `q_k_anonymity` (size)
+    with homogeneity. Hourly QI chosen so the fixture exercises both
+    severities (daily groups are never homogeneous at any SF).
+
+    Scale shape: one distinct-agg over (QI, sensitive) then one
+    count over QI — two map-side-combined exchanges, no joins."""
+    from ..sources.tables import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr("ts_ns div 1000 div 3600000000").alias("hour"),
+                  F.expr(f"{cents('value')} div 1000").alias("band")))
+    return (ev.groupBy("event_type", "hour")
+              .agg(F.count(F.lit(1)).cast("long").alias("k"),
+                   F.count_distinct("band").cast("long").alias("l"))
+              .where(F.col("l") < L_DIVERSE)
+              .withColumn("severity",
+                          F.expr("CASE WHEN l = 1 THEN 'homogeneous' "
+                                 "ELSE 'low_diversity' END")))
+
+
+_L_DIVERSITY_SQL = f"""
+SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(count(DISTINCT {cents('value')} // 1000) AS BIGINT) AS l,
+       CASE WHEN count(DISTINCT {cents('value')} // 1000) = 1
+            THEN 'homogeneous' ELSE 'low_diversity' END AS severity
+FROM events
+GROUP BY 1, 2 HAVING count(DISTINCT {cents('value')} // 1000) < {L_DIVERSE}
+"""
+
+
 ATTR_LOOKBACK_US = 3 * 86_400_000_000  # 3-day attribution window
 
 
@@ -1666,6 +1707,10 @@ QUERIES: dict[str, Query] = {
     "q_k_anonymity": Query(_k_anonymity, _K_ANONYMITY_SQL,
                            "k-anonymity audit over quasi-identifier "
                            "tuples (privacy release gate)"),
+    "q_l_diversity": Query(_l_diversity, _L_DIVERSITY_SQL,
+                           "l-diversity audit: QI groups homogeneous "
+                           "in the sensitive attribute (k-anonymity's "
+                           "blind spot)"),
     "q_asof_skew_bucketed": Query(_asof_join_bucketed, _ASOF_JOIN_SQL,
                                   "skew-safe bucketed as-of join "
                                   "(per-(key, day) sort groups + "

@@ -2436,6 +2436,20 @@ def _phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                             PHRASE)
 
 
+#: 4 phrases present in the fixture corpus + 1 absent (the miss path)
+BLOCKLIST = ["table hash", "customer join", "slow key",
+             "merge group", "quantum leap"]
+
+
+def _blocklist_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-policy blocklist gate (operators/text.blocklist_hits):
+    which of K plan-time banned phrases each doc contains as a
+    whole-token run — map-only, the padded token join LET-BOUND so
+    tokenize runs once per doc however many phrases probe it."""
+    return text.blocklist_hits(load_table(spark, sf_dir, "documents"),
+                               BLOCKLIST)
+
+
 def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source + merged distinct-VOCABULARY cardinality via the
     deterministic HyperLogLog (operators/sketch.hll_sketch): md5
@@ -3549,6 +3563,27 @@ WITH {_BASE_CTES},
 """
 
 
+def _global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact ranking by (n_chars DESC, doc_id) through
+    the DISTRIBUTED two-level-prefix-sum ranker (operators/layout.
+    global_rank) — curriculum-ordering / percentile-assignment shape;
+    the single-partition window the naive plan would use is pinned
+    ABSENT by test_plans."""
+    from ..operators.layout import global_rank
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    return global_rank(docs, [F.col("n_chars").desc(),
+                              F.col("doc_id").asc()])
+
+
+_GLOBAL_RANK_SQL = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+            AS BIGINT) AS global_rank
+FROM documents
+"""
+
+
 OUTLIER_MULT = 4  # flag dist2 > 4 x cell lower-median
 
 
@@ -3737,6 +3772,89 @@ FROM nonedge JOIN deg da ON da.u = a JOIN deg db ON db.u = b
 """
 
 
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negatives):
+    per labeled vector, the most-similar CROSS-label neighbor from
+    the banded kNN graph — the negatives a contrastive loss actually
+    learns from."""
+    return similarity.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"),
+        k=TOPK_K, n_planes=LSH_PLANES, n_bands=MULTIBAND_BANDS)
+
+
+def _hard_negatives_sql() -> str:
+    return f"""
+WITH knn AS (
+  {_knn_graph_sql()}
+),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+x AS (
+  SELECT k.vec_id, la.label, k.neighbor_id, lb.label AS neg_label, k.cosine
+  FROM knn k JOIN lab la ON la.vec_id = k.vec_id
+             JOIN lab lb ON lb.vec_id = k.neighbor_id
+  WHERE la.label <> lb.label
+)
+SELECT vec_id, label, neighbor_id AS neg_id, neg_label, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM x)
+WHERE rk = 1
+"""
+
+
+SEMDECON_COS = 0.15  # corpus max pairwise ~0.51; 0.15 yields a dozen
+                     # flagged docs at sf0.01 (both verdict paths live)
+
+
+def _semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-leak audit
+    (operators/similarity.semantic_decontaminate): corpus vectors
+    near (cosine ≥ τ within shared LSH band buckets) any benchmark
+    vector (vec_id % {BENCH_MOD} — the n-gram twin's convention) —
+    catches the paraphrase leak `doc_decontaminate`'s 5-grams miss."""
+    return similarity.semantic_decontaminate(
+        load_table(spark, sf_dir, "embeddings"),
+        bench_mod=BENCH_MOD, threshold=SEMDECON_COS,
+        n_planes=LSH_PLANES, n_bands=MULTIBAND_BANDS)
+
+
+def _semantic_decontaminate_sql() -> str:
+    return f"""
+WITH {_BASE_CTES},
+melted AS (SELECT vec_id, q, n2,
+           unnest({_banded_bucket_list_sql(MULTIBAND_BANDS)}) AS bucket FROM wn),
+bench AS (SELECT vec_id AS bench_id, bucket FROM melted
+          WHERE vec_id % {BENCH_MOD} = 0),
+corp AS (SELECT vec_id, bucket FROM melted WHERE vec_id % {BENCH_MOD} <> 0),
+cand AS (SELECT DISTINCT c.vec_id, b.bench_id
+         FROM corp c JOIN bench b USING (bucket)),
+wnp AS (SELECT cand.vec_id, cand.bench_id,
+               wq.q AS qv, wq.n2 AS qn2, wc.q AS cv, wc.n2 AS cn2
+        FROM cand JOIN wn wq ON wq.vec_id = cand.vec_id
+                  JOIN wn wc ON wc.vec_id = cand.bench_id),
+scored AS (SELECT vec_id, bench_id, {_DOT} AS dot, qn2, cn2 FROM wnp),
+cos AS (SELECT vec_id, bench_id, {_COS} AS cosine FROM scored),
+hit AS (SELECT vec_id, bench_id, cosine FROM cos
+        WHERE cosine >= {SEMDECON_COS}),
+per AS (SELECT vec_id,
+               CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT)
+                 AS n_matches,
+               bench_id, cosine,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, bench_id ASC) AS rk
+        FROM hit),
+top AS (SELECT vec_id, n_matches, bench_id AS top_bench_id,
+               cosine AS max_cosine FROM per WHERE rk = 1)
+SELECT w.vec_id,
+       CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS contaminated,
+       CAST(coalesce(t.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(coalesce(t.top_bench_id, -1) AS BIGINT) AS top_bench_id,
+       coalesce(t.max_cosine, CAST(0 AS DOUBLE)) AS max_cosine
+FROM wn w LEFT JOIN top t USING (vec_id)
+WHERE w.vec_id % {BENCH_MOD} <> 0
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_winnow_census": Query(_winnow_census, _winnow_census_sql(),
                                "winnowing (MOSS) fingerprint sharing "
@@ -3914,6 +4032,11 @@ QUERIES: dict[str, Query] = {
                                  "KMV distinct-count sketch per source "
                                  "+ merged — the cross-engine-"
                                  "verifiable cardinality sketch"),
+    "doc_global_rank": Query(_global_rank, _GLOBAL_RANK_SQL,
+                             "exact corpus-wide ranking without a "
+                             "single-task sort (range partitions + "
+                             "parallel in-partition rank + offset "
+                             "prefix sum)"),
     "emb_cell_outliers": Query(_cell_outliers, _cell_outliers_sql,
                                "embedding-space anomaly census: "
                                "dist2 vs exact cell lower-median "
@@ -3946,6 +4069,22 @@ QUERIES: dict[str, Query] = {
                                "higher-order offset filter — the "
                                "contamination-string gate shape, "
                                "zero shuffle)"),
+    "doc_blocklist_tag": Query(_blocklist_tag,
+                               text.blocklist_hits_sql(BLOCKLIST),
+                               "multi-phrase blocklist tagging "
+                               "(content-policy gate: K banned "
+                               "phrases as whole-token runs, "
+                               "map-only, let-bound tokenize)"),
+    "emb_hard_negatives": Query(_hard_negatives, _hard_negatives_sql(),
+                                "hard-negative mining: most-similar "
+                                "cross-label neighbor per anchor "
+                                "from the banded kNN graph"),
+    "emb_semantic_decontaminate": Query(_semantic_decontaminate,
+                                        _semantic_decontaminate_sql(),
+                                        "embedding-space eval-leak "
+                                        "audit (paraphrase leaks the "
+                                        "n-gram pass misses; banded "
+                                        "candidates, exact verify)"),
     "doc_hll_distinct": Query(_hll_distinct, sketch.hll_sketch_sql(),
                               "deterministic HyperLogLog vocabulary "
                               "cardinality per source + register-"

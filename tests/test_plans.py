@@ -302,3 +302,23 @@ def test_salted_agg_is_two_phase(spark, catalog):
     plan = plan_of(catalog["q_salted_agg"].fn(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") >= 2
     assert "__salt" in plan
+
+
+def test_global_rank_no_single_partition_corpus_sort(spark, catalog):
+    """The distributed ranker must never funnel the CORPUS through the
+    naive global window's Exchange SinglePartition. The only allowed
+    single-partition subtree is the n_partitions-row histogram (the
+    cumulative-offset window): every SinglePartition exchange must sit
+    directly above the _pid count aggregate, and the corpus-side rank
+    window must partition by _pid over the range exchange."""
+    plan = plan_of(catalog["doc_global_rank"].fn(spark, SF_DIR))
+    # the range exchange is materialized INSIDE the eager checkpoint
+    # (lineage shows as Scan ExistingRDD); _pid's presence in that scan
+    # is the checkpointed range partitioning's footprint
+    assert "Scan ExistingRDD" in plan and "_pid" in plan
+    chunks = plan.split("Exchange SinglePartition")
+    for after in chunks[1:]:
+        # the subtree fed into the exchange is the tiny _pid histogram
+        first_agg = after[:400]
+        assert "HashAggregate(keys=[_pid" in first_agg, first_agg
+    assert "Window [row_number()" in plan and "windowspecdefinition(_pid" in plan

@@ -465,3 +465,91 @@ def test_scene_cuts_no_scene_no_cuts(spark):
     out = MM.scene_cuts(media).collect()
     assert out and all(r["is_cut"] == 0 for r in out)
     assert {r["media_id"] for r in out} == {0, 3}
+
+
+# ------------------------------------------------- distributed ranking
+
+def test_global_rank_matches_reference_with_ties(spark):
+    from pyspark.sql import functions as F2
+    from ethereum_export_pipeline_spark.operators.layout import global_rank
+    rows = [(i, (i * 7) % 5) for i in range(200)]   # heavy ties
+    df = spark.createDataFrame(rows, "id long, score long")
+    out = global_rank(df, [F2.col("score").desc(), F2.col("id").asc()],
+                      n_parts=8)
+    got = {r["id"]: r["global_rank"] for r in out.collect()}
+    ref = sorted(rows, key=lambda t: (-t[1], t[0]))
+    assert got == {id_: i + 1 for i, (id_, _) in enumerate(ref)}
+    # dense, exact, no gaps
+    assert sorted(got.values()) == list(range(1, 201))
+
+
+# ------------------------------------------------ blocklist tagging
+
+def test_blocklist_hits_whole_token_runs_only(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="the TABLE hash is big"),
+         Row(doc_id=2, text="nothing to see"),
+         Row(doc_id=3, text="customer join then table hash"),
+         Row(doc_id=4, text="tablet hashes"),       # substring trap
+         Row(doc_id=5, text=None)])
+    got = {r["doc_id"]: r.asDict() for r in T.blocklist_hits(
+        docs, ["table hash", "customer join", "zzz qqq"]).collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["hits"] == "table hash" and got[1]["n_hits"] == 1
+    # hits reported in BLOCKLIST order, not document order
+    assert got[3]["hits"] == "table hash|customer join"
+    assert got[3]["n_hits"] == 2
+
+
+def test_blocklist_hits_rejects_bad_input(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError):
+        T.blocklist_hits(docs, [])
+    with pytest.raises(ValueError):
+        T.blocklist_hits(docs, ["o'brien rule"])
+
+
+# ------------------------------------------- hard-negative mining
+
+def test_hard_negatives_top_cross_label_from_knn(spark):
+    from ethereum_export_pipeline_spark.operators import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    g = S.knn_graph(emb, k=5, n_planes=8, n_bands=3).toPandas()
+    labels = {r["vec_id"]: r["label"]
+              for r in emb.select("vec_id", "label").collect()}
+    # expected: per anchor, best (cosine desc, neighbor asc) neighbor
+    # whose label differs
+    exp = {}
+    for row in g.sort_values(
+            ["vec_id", "cosine", "neighbor_id"],
+            ascending=[True, False, True]).itertuples():
+        a, n = row.vec_id, row.neighbor_id
+        if a not in exp and labels[n] != labels[a]:
+            exp[a] = (n, labels[a], labels[n])
+    out = S.hard_negatives(emb, k=5, n_planes=8, n_bands=3).collect()
+    got = {r["vec_id"]: (r["neg_id"], r["label"], r["neg_label"])
+           for r in out}
+    assert got == exp
+    assert all(r["label"] != r["neg_label"] for r in out)
+
+
+# -------------------------------------- semantic decontamination
+
+def test_semantic_decontaminate_verdict_contract(spark):
+    from ethereum_export_pipeline_spark.operators import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.semantic_decontaminate(emb, bench_mod=97, threshold=0.15,
+                                   n_planes=8, n_bands=3).collect()
+    n_corpus = emb.where("vec_id % 97 != 0").count()
+    assert len(out) == n_corpus            # one verdict per corpus vec
+    assert {r["vec_id"] % 97 for r in out} != {0}
+    hits = [r for r in out if r["contaminated"] == 1]
+    misses = [r for r in out if r["contaminated"] == 0]
+    assert hits and misses                  # both paths exercised
+    for r in hits:
+        assert r["n_matches"] >= 1
+        assert r["top_bench_id"] % 97 == 0  # the match IS a bench vec
+        assert r["max_cosine"] >= 0.15
+    for r in misses:
+        assert (r["n_matches"], r["top_bench_id"]) == (0, -1)
+        assert r["max_cosine"] == 0.0

@@ -484,6 +484,29 @@ def main() -> int:
     bench("density_sample",
           lambda: similarity.density_sample(big_emb, n_bands=3))
 
+    def global_rank():
+        from ethereum_export_pipeline_spark.operators.layout import (
+            global_rank as gr)
+        return gr(big_docs.select("doc_id",
+                                  F.length("text").alias("n")),
+                  [F.col("n").desc(), F.col("doc_id").asc()])
+
+    bench("global_rank", global_rank)
+
+    # winnow: O(corpus chars) CPU inside the scan, ~n/8 selected
+    # fingerprints as rows — claimed ~1/8 of substring_spans' wire
+    bench("winnow_census",
+          lambda: dedup.winnow_shared_census(big_docs))
+
+    def incremental_neardup():
+        # daily-ingest shape: 1% of the corpus as the new batch vs
+        # the other 99% as the seen side
+        new = big_docs.where("doc_id % 100 = 0")
+        seen = big_docs.where("doc_id % 100 != 0")
+        return dedup.incremental_neardup(new, seen)
+
+    bench("incremental_neardup", incremental_neardup)
+
     BULK_PRED = "vec_id < 200"
     bench_no_broadcast(
         "ivf_topk_bulk",
