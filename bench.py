@@ -177,6 +177,10 @@ HEADLINE = [
     "doc_blocklist_tag",
     "emb_hard_negatives",
     "emb_semantic_decontaminate",
+    "emb_cluster_labels",
+    "doc_vocab_coverage",
+    "q_sketch_percentiles",
+    "q_t_closeness",
 ]
 
 

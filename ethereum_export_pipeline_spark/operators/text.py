@@ -1189,12 +1189,18 @@ def phrase_hits(df: DataFrame, phrase: list[str],
               f"CASE WHEN size(_t) < {len(phrase)} THEN array() "
               f"ELSE filter(sequence(0, size(_t) - {len(phrase)}), "
               f"i -> {conds}) END)[0]")
+    # filter-fusion via explode — see blocklist_hits: a post-`where`
+    # on the computed array duplicates the tokenize+filter expression
+    # into the pushed-down Filter; the 0-or-1-element explode
+    # evaluates it once and drops misses in the same Generate.
+    row = (f"explode(transform(array({starts}), _s -> "
+           f"CASE WHEN size(_s) > 0 THEN array(named_struct("
+           f"'n_hits', CAST(size(_s) AS BIGINT), "
+           f"'first_pos', CAST(_s[0] AS BIGINT))) "
+           f"ELSE array() END)[0])")
     return (df.where(F.col(text_col).isNotNull())
-              .select(F.col(id_col), F.expr(starts).alias("_s"))
-              .where(F.size("_s") > 0)
-              .select(F.col(id_col),
-                      F.size("_s").cast("long").alias("n_hits"),
-                      F.expr("_s[0]").cast("long").alias("first_pos")))
+              .select(F.col(id_col), F.expr(row).alias("_r"))
+              .select(id_col, "_r.n_hits", "_r.first_pos"))
 
 
 def phrase_hits_sql(phrase: list[str], table: str = "documents",
@@ -1259,13 +1265,91 @@ def blocklist_hits(df: DataFrame, phrases: list[str],
               f" ' '), ' ')")
     hits = (f"transform(array({padded}), _pad -> "
             f"filter(array({lits}), p -> contains(_pad, p)))[0]")
+    # FILTER-FUSION via explode: a plain `.where(size(_h) > 0)` after
+    # the projection gets pushed through it, duplicating the whole
+    # tokenize+probe expression into the Filter (it runs twice per
+    # row). Wrapping the conditional output in explode(0-or-1-element
+    # array) evaluates the expression ONCE inside the Generate and
+    # drops the misses in the same pass (plan test pins single
+    # regexp_extract_all, zero Exchange).
+    row = (f"explode(transform(array({hits}), _h -> "
+           f"CASE WHEN size(_h) > 0 THEN array(named_struct("
+           f"'n_hits', CAST(size(_h) AS BIGINT), "
+           f"'hits', array_join(transform(_h, p -> trim(p)), '|'))) "
+           f"ELSE array() END)[0])")
     return (df.where(F.col(text_col).isNotNull())
-              .select(F.col(id_col), F.expr(hits).alias("_h"))
-              .where(F.size("_h") > 0)
-              .select(F.col(id_col),
-                      F.size("_h").cast("long").alias("n_hits"),
-                      F.expr("array_join(transform(_h, p -> trim(p)), '|')")
-                       .alias("hits")))
+              .select(F.col(id_col), F.expr(row).alias("_r"))
+              .select(id_col, "_r.n_hits", "_r.hits"))
+
+
+def vocab_coverage(df: DataFrame, vocab_size: int = 16,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Vocabulary-coverage / OOV-rate audit — the pre-tokenizer-
+    training question "how much of each document does a top-V
+    vocabulary actually cover?" (high OOV docs are the ones a
+    whitespace/BPE vocab will shred into bytes — surfacing them
+    drives vocab-size choice and flags encoding rot / wrong-language
+    residue the langid pass scored borderline). Vocabulary = the V
+    corpus-wide most frequent tokens (ties broken by term asc, the
+    deterministic convention). Output per non-empty doc: (id_col,
+    n_tokens, n_oov, oov_ppm) — all exact BIGINTs (ppm via integer
+    div; no float rates to flap the cross-engine hash).
+
+    Scale shape: ONE tokenize scan feeding a (doc, term) count agg
+    that serves BOTH sides — the corpus vocabulary (term-keyed agg,
+    vocabulary-sized, then a vocabulary-sized top-V sort) and the
+    per-doc coverage (join against the V-row vocab — broadcast — and
+    one doc-keyed agg). The corpus is never scanned twice and never
+    joined to anything corpus-sized."""
+    from pyspark.sql import Window
+    from ..functions import tokens
+    tc = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col),
+                    F.explode(tokens(text_col)).alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    vc = tc.groupBy("term").agg(F.sum("n").cast("long").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    vocab = (vc.withColumn("_rk", F.row_number().over(w))
+               .where(F.col("_rk") <= vocab_size)
+               .select("term", F.lit(1).alias("_in_vocab")))
+    return (tc.join(F.broadcast(vocab), "term", "left")
+              .groupBy(id_col)
+              .agg(F.sum("n").cast("long").alias("n_tokens"),
+                   F.sum(F.when(F.col("_in_vocab").isNull(), F.col("n"))
+                          .otherwise(F.lit(0))).cast("long").alias("n_oov"))
+              .select(F.col(id_col), "n_tokens", "n_oov",
+                      F.expr("n_oov * 1000000L div n_tokens")
+                       .alias("oov_ppm")))
+
+
+def vocab_coverage_sql(vocab_size: int = 16, table: str = "documents",
+                       id_expr: str = "doc_id",
+                       text_expr: str = "text") -> str:
+    """DuckDB twin of `vocab_coverage` — same top-V convention."""
+    from ..functions import tokens_sql
+    return f"""
+WITH toked AS (
+  SELECT {id_expr} AS doc_id, {tokens_sql(text_expr)} AS _t
+  FROM {table} WHERE {text_expr} IS NOT NULL
+),
+tc AS (SELECT doc_id, unnest(_t) AS term FROM toked),
+tcc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n
+        FROM tc GROUP BY 1, 2),
+vc AS (SELECT term, CAST(sum(n) AS BIGINT) AS cnt FROM tcc GROUP BY 1),
+vocab AS (SELECT term FROM (
+  SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk
+  FROM vc) WHERE rk <= {vocab_size}),
+agg AS (
+  SELECT tcc.doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.term IS NULL THEN n ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM tcc LEFT JOIN vocab v USING (term) GROUP BY 1)
+SELECT doc_id AS {id_expr}, n_tokens, n_oov,
+       n_oov * 1000000 // n_tokens AS oov_ppm
+FROM agg
+"""
 
 
 def blocklist_hits_sql(phrases: list[str], table: str = "documents",

@@ -103,8 +103,11 @@ _WINDOW_R5 = (
     # (round-6 pool: q6/q8/q10/q19/q20 TPC-H shapes + the late
     # round-5 additions — doc_hll_distinct, doc_phrase_search,
     # doc_hybrid_rrf, doc_textrank, emb_density_sample, mm_scene_cuts,
-    # q_attribution, q_salted_agg, stream_trending — all locally
-    # ALL-GREEN via tools/oracle_check.py this round)
+    # q_attribution, q_salted_agg, stream_trending, doc_global_rank,
+    # q_l_diversity, doc_blocklist_tag, emb_hard_negatives,
+    # emb_semantic_decontaminate, emb_cluster_labels,
+    # doc_vocab_coverage, q_sketch_percentiles, q_t_closeness —
+    # all locally ALL-GREEN via tools/oracle_check.py this round)
 )
 
 ALL_QUERIES: dict[str, Query] = {n: _MERGED[n] for n in _WINDOW_R5}

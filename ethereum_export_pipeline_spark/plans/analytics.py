@@ -1491,6 +1491,177 @@ GROUP BY 1, 2 HAVING count(DISTINCT {cents('value')} // 1000) < {L_DIVERSE}
 """
 
 
+def _sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles WITHOUT sorting raw values — the 100 TB form of
+    `q_percentiles` (whose `percentile_disc` must materialize and
+    order every group's values): values collapse into log2 buckets
+    (bucket = bit length of the cents amount — pure integer, no
+    float log to disagree at bucket boundaries) IN the scan, so the
+    only exchange is the (group, ≤64-bucket) histogram — map-side
+    combined, mergeable (it IS a sketch: histograms from different
+    partitions/days add), percentile read off the cumulative counts.
+    Answer is the bucket LOWER BOUND (a ≤2× bracket), the classic
+    latency-histogram trade: exactness of `q_percentiles` vs an
+    exchange ~6 orders smaller here.
+
+    All-BIGINT output; thresholds use ceil(P·n/100) via integer
+    arithmetic — no doubles anywhere."""
+    from pyspark.sql import Window
+    from ..sources.tables import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_type",
+                  F.length(F.expr(f"bin({cents('value')})"))
+                   .cast("long").alias("b")))
+    hist = (ev.groupBy("event_type", "b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    wcum = (Window.partitionBy("event_type").orderBy("b")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    wtot = Window.partitionBy("event_type")
+    c = (hist.withColumn("cum", F.sum("n").over(wcum).cast("long"))
+             .withColumn("total", F.sum("n").over(wtot).cast("long")))
+
+    def pick(p: int, name: str):
+        thr = F.expr(f"(total * {p} + 99) div 100")
+        return F.min(F.when(F.col("cum") >= thr, F.col("b"))).alias(name)
+
+    def lo(b: str):
+        return F.expr(f"CAST(CASE WHEN {b} = 1 THEN 0 "
+                      f"ELSE shiftleft(1L, CAST({b} - 1 AS INT)) END "
+                      f"AS BIGINT)")
+
+    p = (c.groupBy("event_type")
+          .agg(F.max("total").cast("long").alias("n_events"),
+               pick(50, "b50"), pick(90, "b90"), pick(99, "b99")))
+    return p.select("event_type", "n_events",
+                    lo("b50").alias("p50_lo_cents"),
+                    lo("b90").alias("p90_lo_cents"),
+                    lo("b99").alias("p99_lo_cents"))
+
+
+_SKETCH_PERCENTILES_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(length(format('{{:b}}', {cents('value')})) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+c AS (SELECT event_type, b, n,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY b)
+                  AS BIGINT) AS cum,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM h),
+p AS (SELECT event_type, max(total) AS n_events,
+             min(CASE WHEN cum >= (total * 50 + 99) // 100 THEN b END) AS b50,
+             min(CASE WHEN cum >= (total * 90 + 99) // 100 THEN b END) AS b90,
+             min(CASE WHEN cum >= (total * 99 + 99) // 100 THEN b END) AS b99
+      FROM c GROUP BY 1)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(CASE WHEN b50 = 1 THEN 0 ELSE 1 << (b50 - 1) END AS BIGINT)
+         AS p50_lo_cents,
+       CAST(CASE WHEN b90 = 1 THEN 0 ELSE 1 << (b90 - 1) END AS BIGINT)
+         AS p90_lo_cents,
+       CAST(CASE WHEN b99 = 1 THEN 0 ELSE 1 << (b99 - 1) END AS BIGINT)
+         AS p99_lo_cents
+FROM p
+"""
+
+
+T_CLOSE_PPM = 300_000  # flag groups with EMD > 0.30 vs the global dist
+
+
+def _t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third privacy gate (Li et al., ICDE'07), completing the
+    trilogy with `q_k_anonymity` (group size) and `q_l_diversity`
+    (value count): a group can be large AND diverse yet still leak if
+    its sensitive-value DISTRIBUTION diverges from the global one
+    (membership shifts the adversary's posterior). t = earth-mover's
+    distance between the group's and the corpus's $10-band
+    distributions over the ordered band domain = mean |ΔCDF|.
+
+    Integer discipline: per-band CDF values are scaled to ppm by
+    integer division BEFORE differencing (cum·10⁶ div n ≤ 10⁶, so the
+    band sum is ≤ m·10⁶ — no int64 overflow at any corpus size, where
+    the exact cross-multiplied form cum_k·N would overflow by sf10);
+    the rounding convention is deterministic and identical on both
+    engines, which is the contract that matters. Output: violating
+    QI groups (t_ppm > {T_CLOSE_PPM}) with their k and t_ppm.
+
+    Scale shape: the corpus collapses to (QI, band) counts in one
+    map-side-combined exchange; everything after runs on bounded
+    frames — the m-row global CDF (broadcast), the groups×m dense
+    spine (output-sized, the `q_gap_fill` argument), one window per
+    group over ≤m rows."""
+    from pyspark.sql import Window
+    from ..sources.tables import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr("ts_ns div 1000 div 3600000000").alias("hour"),
+                  F.expr(f"{cents('value')} div 1000").alias("band")))
+    gl = ev.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    wb = (Window.orderBy("band")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    glob = gl.withColumn("cum_g", F.sum("n_g").over(wb).cast("long"))
+    tot = glob.agg(F.count(F.lit(1)).cast("long").alias("m"),
+                   F.max("cum_g").cast("long").alias("n_all"))
+    grp = (ev.groupBy("event_type", "hour", "band")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    keys = (ev.groupBy("event_type", "hour")
+              .agg(F.count(F.lit(1)).cast("long").alias("k")))
+    dense = (keys.crossJoin(F.broadcast(glob.select("band", "cum_g")))
+                 .join(grp, ["event_type", "hour", "band"], "left")
+                 .withColumn("n0", F.coalesce(F.col("n"), F.lit(0))))
+    wg = (Window.partitionBy("event_type", "hour").orderBy("band")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    dcum = dense.withColumn("cum_k", F.sum("n0").over(wg).cast("long"))
+    per = (dcum.crossJoin(F.broadcast(tot))
+               .withColumn("d_ppm",
+                           F.expr("abs(cum_k * 1000000L div k "
+                                  "- cum_g * 1000000L div n_all)"))
+               .groupBy("event_type", "hour", "k", "m")
+               .agg(F.sum("d_ppm").cast("long").alias("s")))
+    return (per.withColumn("t_ppm",
+                           F.expr("s div (m - 1)").cast("long"))
+               .where(F.col("t_ppm") > T_CLOSE_PPM)
+               .select("event_type", "hour", "k", "t_ppm"))
+
+
+_T_CLOSENESS_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         {cents('value')} // 1000 AS band
+  FROM events),
+gl AS (SELECT band, CAST(count(*) AS BIGINT) AS n_g FROM ev GROUP BY 1),
+gcdf AS (SELECT band,
+                CAST(sum(n_g) OVER (ORDER BY band) AS BIGINT) AS cum_g
+         FROM gl),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(max(cum_g) AS BIGINT) AS n_all FROM gcdf),
+grp AS (SELECT event_type, hour, band, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2, 3),
+keyz AS (SELECT event_type, hour, CAST(count(*) AS BIGINT) AS k
+         FROM ev GROUP BY 1, 2),
+dense AS (
+  SELECT keyz.event_type, keyz.hour, keyz.k, g.band, g.cum_g,
+         coalesce(grp.n, 0) AS n0
+  FROM keyz CROSS JOIN gcdf g
+  LEFT JOIN grp ON grp.event_type = keyz.event_type
+               AND grp.hour = keyz.hour AND grp.band = g.band),
+dcum AS (
+  SELECT event_type, hour, k, band, cum_g,
+         CAST(sum(n0) OVER (PARTITION BY event_type, hour
+                            ORDER BY band) AS BIGINT) AS cum_k
+  FROM dense),
+per AS (
+  SELECT event_type, hour, k,
+         CAST(sum(abs(cum_k * 1000000 // k
+                      - cum_g * 1000000 // n_all)) AS BIGINT) AS s,
+         max(m) AS m
+  FROM dcum, tot GROUP BY 1, 2, 3)
+SELECT event_type, hour, k, CAST(s // (m - 1) AS BIGINT) AS t_ppm
+FROM per WHERE s // (m - 1) > {T_CLOSE_PPM}
+"""
+
+
 ATTR_LOOKBACK_US = 3 * 86_400_000_000  # 3-day attribution window
 
 
@@ -1707,10 +1878,21 @@ QUERIES: dict[str, Query] = {
     "q_k_anonymity": Query(_k_anonymity, _K_ANONYMITY_SQL,
                            "k-anonymity audit over quasi-identifier "
                            "tuples (privacy release gate)"),
+    "q_sketch_percentiles": Query(_sketch_percentiles,
+                                  _SKETCH_PERCENTILES_SQL,
+                                  "percentiles from a mergeable log2 "
+                                  "histogram sketch — no per-group "
+                                  "sort, exchange = (group, <=64 "
+                                  "buckets)"),
     "q_l_diversity": Query(_l_diversity, _L_DIVERSITY_SQL,
                            "l-diversity audit: QI groups homogeneous "
                            "in the sensitive attribute (k-anonymity's "
                            "blind spot)"),
+    "q_t_closeness": Query(_t_closeness, _T_CLOSENESS_SQL,
+                           "t-closeness audit: QI groups whose "
+                           "sensitive-value distribution diverges "
+                           "from the global (integer-ppm EMD over "
+                           "ordered bands)"),
     "q_asof_skew_bucketed": Query(_asof_join_bucketed, _ASOF_JOIN_SQL,
                                   "skew-safe bucketed as-of join "
                                   "(per-(key, day) sort groups + "

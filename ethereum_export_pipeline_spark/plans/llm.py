@@ -3584,6 +3584,92 @@ FROM documents
 """
 
 
+CLUSTER_LABEL_TOPK = 5   # terms per cell
+CLUSTER_LABEL_MIN_CT = 5  # lift floor: ignore sub-5-count cell terms
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling — the corpus-map step after k-means (BERTopic-
+    style class-based TF-IDF): per cell, the top-k terms most OVER-
+    represented in that cell's documents vs the corpus, scored by PMI
+    lift (n_ct·T)/(n_c·n_t) — the `doc_collocations` statistic lifted
+    from bigrams to (cell, term). Joins the graded Lloyd assignment to
+    the tokenized corpus on doc id (the fixture's vec_id↔doc_id
+    correspondence, same as `doc_crossmodal_agreement`).
+
+    Scale shape: one tokenize scan → (cell, term) hash-agg (map-side
+    combined, vocabulary×k-sized output); the three marginals are a
+    k-row broadcast, a vocabulary-row equi-join, and a 1-row broadcast
+    cross join; the top-k window partitions on cell over the already-
+    (cell)-keyed frame. The corpus crosses the wire once — the id join
+    attaching cells to tokens."""
+    from pyspark.sql import Window
+    from ..functions import tokens
+    a = (similarity.kmeans_assign(load_table(spark, sf_dir, "embeddings"),
+                                  k=KMEANS_K, rounds=KMEANS_ROUNDS)
+         .select(F.col("vec_id").alias("doc_id"), "cell"))
+    tok = (load_table(spark, sf_dir, "documents")
+           .where(F.col("text").isNotNull())
+           .select("doc_id", F.explode(tokens("text")).alias("term")))
+    ct = (tok.join(a, "doc_id")
+             .groupBy("cell", "term")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ct")))
+    nc = ct.groupBy("cell").agg(F.sum("n_ct").cast("long").alias("n_c"))
+    nt = ct.groupBy("term").agg(F.sum("n_ct").cast("long").alias("n_t"))
+    tot = ct.agg(F.sum("n_ct").cast("long").alias("t_all"))
+    lifted = (ct.where(F.col("n_ct") >= CLUSTER_LABEL_MIN_CT)
+                .join(F.broadcast(nc), "cell")
+                .join(nt, "term")
+                .crossJoin(F.broadcast(tot))
+                .withColumn("lift",
+                            (F.col("n_ct").cast("double")
+                             * F.col("t_all").cast("double"))
+                            / (F.col("n_c").cast("double")
+                               * F.col("n_t").cast("double"))))
+    w = (Window.partitionBy("cell")
+               .orderBy(F.col("lift").desc(), F.col("term").asc()))
+    return (lifted.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= CLUSTER_LABEL_TOPK)
+                  .select("cell", "rank", "term", "n_ct", "n_c", "n_t",
+                          "lift"))
+
+
+def _cluster_labels_sql() -> str:
+    return f"""
+WITH ka AS ({_kmeans_assign_sql()}),
+toks AS ({TOKS_CTE}),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+ct AS (SELECT ka.cell, tok.term, CAST(count(*) AS BIGINT) AS n_ct
+       FROM tok JOIN ka ON ka.vec_id = tok.doc_id GROUP BY 1, 2),
+nc AS (SELECT cell, CAST(sum(n_ct) AS BIGINT) AS n_c FROM ct GROUP BY 1),
+nt AS (SELECT term, CAST(sum(n_ct) AS BIGINT) AS n_t FROM ct GROUP BY 1),
+tot AS (SELECT CAST(sum(n_ct) AS BIGINT) AS t_all FROM ct),
+lifted AS (
+  SELECT ct.cell, ct.term, ct.n_ct, nc.n_c, nt.n_t,
+         CAST(ct.n_ct AS DOUBLE) * CAST(t_all AS DOUBLE) /
+           (CAST(nc.n_c AS DOUBLE) * CAST(nt.n_t AS DOUBLE)) AS lift
+  FROM ct JOIN nc USING (cell) JOIN nt USING (term), tot
+  WHERE ct.n_ct >= {CLUSTER_LABEL_MIN_CT})
+SELECT cell, "rank", term, n_ct, n_c, n_t, lift FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY cell
+            ORDER BY lift DESC, term ASC) AS BIGINT) AS "rank"
+  FROM lifted)
+WHERE "rank" <= {CLUSTER_LABEL_TOPK}
+"""
+
+
+VOCAB_SIZE = 16  # fixture vocabulary is 31 terms; V=16 keeps OOV live
+
+
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV-rate audit vs the top-{VOCAB_SIZE} corpus vocabulary
+    (operators/text.vocab_coverage) — the pre-tokenizer-training
+    coverage question; all-BIGINT output (ppm via integer div)."""
+    return text.vocab_coverage(load_table(spark, sf_dir, "documents"),
+                               vocab_size=VOCAB_SIZE)
+
+
 OUTLIER_MULT = 4  # flag dist2 > 4 x cell lower-median
 
 
@@ -4037,6 +4123,15 @@ QUERIES: dict[str, Query] = {
                              "single-task sort (range partitions + "
                              "parallel in-partition rank + offset "
                              "prefix sum)"),
+    "emb_cluster_labels": Query(_cluster_labels, _cluster_labels_sql(),
+                                "cluster labeling: top PMI-lift terms "
+                                "per k-means cell (BERTopic-style "
+                                "class-based TF-IDF corpus map)"),
+    "doc_vocab_coverage": Query(_vocab_coverage,
+                                text.vocab_coverage_sql(VOCAB_SIZE),
+                                "OOV-rate audit vs the top-V corpus "
+                                "vocabulary (single tokenize scan, "
+                                "all-BIGINT ppm output)"),
     "emb_cell_outliers": Query(_cell_outliers, _cell_outliers_sql,
                                "embedding-space anomaly census: "
                                "dist2 vs exact cell lower-median "

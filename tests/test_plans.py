@@ -322,3 +322,38 @@ def test_global_rank_no_single_partition_corpus_sort(spark, catalog):
         first_agg = after[:400]
         assert "HashAggregate(keys=[_pid" in first_agg, first_agg
     assert "Window [row_number()" in plan and "windowspecdefinition(_pid" in plan
+
+
+def test_blocklist_tag_is_map_only(spark, catalog):
+    """The content-policy gate must run at scan rate: no Exchange of
+    any kind in the plan (one projection + filter over the scan), and
+    the tokenize appears ONCE (let-bound, not inlined per phrase)."""
+    plan = plan_of(catalog["doc_blocklist_tag"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("regexp_extract_all") == 1
+    assert "Generate explode" in plan   # the filter-fused form
+
+
+def test_sketch_percentiles_exchanges_histogram_only(spark, catalog):
+    """Percentiles without sorting raw values: the raw cents column
+    must collapse to (group, bucket) counts BEFORE any exchange —
+    every hash-agg keyed on the bucketed histogram, no sort of the
+    corpus, no single-partition funnel."""
+    plan = plan_of(catalog["q_sketch_percentiles"].fn(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    # partial (map-side) agg below the first exchange
+    first_ex = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_ex:]
+    below = plan[first_ex:]
+    assert "partial_count" in below or "count(1)" in below
+
+
+def test_vocab_coverage_single_tokenize_and_broadcast_vocab(spark, catalog):
+    """ONE tokenize scan serves both the vocabulary and the per-doc
+    coverage: the shared (doc, term) agg's exchange is REUSED by the
+    vocab side at runtime (AQE), and the V-row vocab re-attaches via
+    broadcast."""
+    plan = plan_of(catalog["doc_vocab_coverage"].fn(spark, SF_DIR),
+                   execute=True)
+    assert "ReusedExchange" in plan
+    assert "BroadcastHashJoin" in plan

@@ -553,3 +553,93 @@ def test_semantic_decontaminate_verdict_contract(spark):
     for r in misses:
         assert (r["n_matches"], r["top_bench_id"]) == (0, -1)
         assert r["max_cosine"] == 0.0
+
+
+# ------------------------------------------- vocabulary coverage
+
+def test_vocab_coverage_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b c"),
+         Row(doc_id=2, text="a b"),
+         Row(doc_id=3, text="zz"),
+         Row(doc_id=4, text=None)])
+    got = {r["doc_id"]: r.asDict()
+           for r in T.vocab_coverage(docs, vocab_size=2).collect()}
+    assert set(got) == {1, 2, 3}   # NULL text excluded
+    # vocab = top-2 by count: a(3), b(2); c and zz are OOV
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (4, 1)
+    assert got[1]["oov_ppm"] == 250_000
+    assert (got[2]["n_oov"], got[2]["oov_ppm"]) == (0, 0)
+    assert (got[3]["n_oov"], got[3]["oov_ppm"]) == (1, 1_000_000)
+
+
+def test_vocab_coverage_tie_break_on_term(spark):
+    # b and c tie at 1; V=2 keeps a + b (term asc), so c is OOV
+    docs = spark.createDataFrame([Row(doc_id=1, text="a a b c")])
+    got = T.vocab_coverage(docs, vocab_size=2).collect()[0]
+    assert (got["n_tokens"], got["n_oov"]) == (4, 1)
+
+
+# --------------------------------------------- cluster labeling
+
+def test_cluster_labels_contract(spark):
+    from ethereum_export_pipeline_spark.plans import ALL_QUERIES
+    out = ALL_QUERIES["emb_cluster_labels"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert out
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+        assert r["lift"] > 0 and r["n_ct"] >= 5
+        assert r["n_ct"] <= r["n_c"] and r["n_ct"] <= r["n_t"]
+    for cell, rows in by_cell.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))  # contiguous
+        assert len({r["term"] for r in rows}) == len(rows)
+
+
+# -------------------------------------- histogram-sketch percentiles
+
+def test_sketch_percentiles_bracket_contains_exact(spark):
+    """The log2-bucket answer must bracket the exact percentile:
+    lo <= percentile_disc <= 2*lo - 1 (bucket b covers
+    [2^(b-1), 2^b - 1]; b=1 covers {0, 1})."""
+    from ethereum_export_pipeline_spark.plans import ALL_QUERIES
+    from ethereum_export_pipeline_spark.sources.tables import load_table
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r.asDict() for r in
+           ALL_QUERIES["q_sketch_percentiles"].fn(spark, sf).collect()}
+    assert got
+    ev = load_table(spark, sf, "events").where("value IS NOT NULL")
+    exact = {r["event_type"]: r.asDict() for r in ev.groupBy("event_type")
+             .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY "
+                         "CAST(round(value*100) AS BIGINT))").alias("p50"),
+                  F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY "
+                         "CAST(round(value*100) AS BIGINT))").alias("p99"))
+             .collect()}
+    for t, row in got.items():
+        for lo_key, ex_key in (("p50_lo_cents", "p50"),
+                               ("p99_lo_cents", "p99")):
+            lo = row[lo_key]
+            hi = 1 if lo == 0 else 2 * lo - 1
+            assert lo <= exact[t][ex_key] <= hi, (t, lo_key, lo,
+                                                  exact[t][ex_key])
+
+
+# -------------------------------------------------- t-closeness
+
+def test_t_closeness_flags_are_valid_groups(spark):
+    from ethereum_export_pipeline_spark.plans import ALL_QUERIES
+    from ethereum_export_pipeline_spark.sources.tables import (
+        load_table, with_event_time)
+    sf = "/root/testdata/sf0.001"
+    out = ALL_QUERIES["q_t_closeness"].fn(spark, sf).collect()
+    ev = (load_table(spark, sf, "events")
+          .select("event_type",
+                  F.expr("ts_ns div 1000 div 3600000000").alias("hour")))
+    sizes = {(r["event_type"], r["hour"]): r["k"] for r in
+             ev.groupBy("event_type", "hour")
+               .agg(F.count(F.lit(1)).cast("long").alias("k")).collect()}
+    for r in out:
+        assert 300_000 < r["t_ppm"] <= 1_000_000   # EMD is a [0,1] ppm
+        assert sizes[(r["event_type"], r["hour"])] == r["k"]

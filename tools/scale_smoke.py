@@ -160,7 +160,8 @@ def main() -> int:
     from ethereum_export_pipeline_spark.operators import similarity
 
     EMB_OPS = {"semantic_dedup", "lsh_topk", "ivf_topk", "ivfpq_topk",
-               "neardup_multiband", "density_sample"}
+               "neardup_multiband", "density_sample", "hard_negatives",
+               "semantic_decon"}
     big_emb = None
     if ONLY is None or (ONLY & EMB_OPS):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -506,6 +507,30 @@ def main() -> int:
         return dedup.incremental_neardup(new, seen)
 
     bench("incremental_neardup", incremental_neardup)
+
+    # map-only gate: cost = the scan + K contains() per doc; phrases
+    # survive only in the unshifted copy so the output stays small
+    bench("blocklist_tag",
+          lambda: text.blocklist_hits(
+              big_docs, ["table hash", "customer join", "slow key",
+                         "merge group", "quantum leap"]))
+
+    def hard_negatives():
+        # amplified vectors carry no label column; vec_id % 10
+        # mirrors the fixture's 10-label universe
+        labeled = big_emb.withColumn(
+            "label", (F.col("vec_id") % 10).cast("int"))
+        return similarity.hard_negatives(labeled, n_bands=3)
+
+    bench("hard_negatives", hard_negatives)
+
+    bench("semantic_decon",
+          lambda: similarity.semantic_decontaminate(
+              big_emb, threshold=0.15, n_bands=3))
+
+    # one tokenize scan, (doc, term) agg exchange (tfidf's class),
+    # V-row broadcast back
+    bench("vocab_coverage", lambda: text.vocab_coverage(big_docs))
 
     BULK_PRED = "vec_id < 200"
     bench_no_broadcast(
