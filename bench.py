@@ -181,6 +181,13 @@ HEADLINE = [
     "doc_vocab_coverage",
     "q_sketch_percentiles",
     "q_t_closeness",
+    "doc_cluster_split",
+    "doc_curriculum",
+    "emb_snapshot_drift",
+    "stream_histogram",
+    "doc_gate_agreement",
+    "doc_score_calibration",
+    "doc_fertility",
 ]
 
 

@@ -425,6 +425,46 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def leakage_split(df: DataFrame, clusters: DataFrame,
+                  id_col: str = "doc_id",
+                  salt: str = "gsplit-v1",
+                  train_pct: int = 90) -> DataFrame:
+    """LEAKAGE-SAFE train/val split — the correctness upgrade over
+    `hash_split` that eval-set hygiene actually requires: hashing raw
+    doc ids puts two near-duplicates on opposite sides of the split
+    ~2·p·(1−p) of the time, so the model is evaluated on paraphrases
+    of its own training data (the classic inflated-eval bug near-dup
+    detection exists to prevent). Here the unit of assignment is the
+    DUPLICATE CLUSTER: every member of a connected component lands on
+    the same side, because the salted hash is taken over the cluster's
+    canonical id (min doc id = the CC label convention), not the
+    member's. Singletons (docs in no cluster) fall back to their own
+    id — for them the group IS the doc.
+
+    `clusters` is any (id_col, cluster_id) frame — typically
+    `connected_components` over MinHash-LSH pairs, but anything
+    group-shaped works (URL-normalized dup groups, exact-hash groups).
+    Output: (id_col, group_id, split).
+
+    Scale shape: one left equi-join corpus ⋈ clusters on the id key —
+    the cluster frame is dup-graph-sized (usually ≪ corpus; AQE picks
+    broadcast vs shuffle), then the same pure-projection salted-hash
+    bucketing as `hash_split`. No extra exchange beyond the join."""
+    from ..functions import h32
+    joined = (df.select(F.col(id_col))
+                .join(clusters.select(F.col(id_col),
+                                      F.col("cluster_id")),
+                      id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce(F.col("cluster_id"), F.col(id_col))
+                         .cast("long").alias("group_id")))
+    h = h32(F.concat(F.lit(salt + ":"), F.col("group_id").cast("string")))
+    return joined.select(
+        id_col, "group_id",
+        F.when(h % 100 < train_pct, "train").otherwise("val").alias("split"),
+    )
+
+
 def token_rarity(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Corpus-relative rarity signal per document (the cheap stand-in

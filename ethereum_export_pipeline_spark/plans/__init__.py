@@ -106,8 +106,11 @@ _WINDOW_R5 = (
     # q_attribution, q_salted_agg, stream_trending, doc_global_rank,
     # q_l_diversity, doc_blocklist_tag, emb_hard_negatives,
     # emb_semantic_decontaminate, emb_cluster_labels,
-    # doc_vocab_coverage, q_sketch_percentiles, q_t_closeness —
-    # all locally ALL-GREEN via tools/oracle_check.py this round)
+    # doc_vocab_coverage, q_sketch_percentiles, q_t_closeness,
+    # doc_cluster_split, doc_curriculum, emb_snapshot_drift,
+    # stream_histogram, doc_gate_agreement, doc_score_calibration,
+    # doc_fertility — all locally ALL-GREEN via
+    # tools/oracle_check.py this round)
 )
 
 ALL_QUERIES: dict[str, Query] = {n: _MERGED[n] for n in _WINDOW_R5}

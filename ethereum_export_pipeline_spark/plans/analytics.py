@@ -1159,11 +1159,33 @@ def _fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking (survives the injected char-drop typo), candidate
     equi-join within blocks, Levenshtein 1..2 residual. Exact matches
     are excluded by contract (dedup_exact's job)."""
-    from ..operators.joins import fuzzy_pairs
-    p = load_table(spark, sf_dir, "part").select(
+    return _fuzzy_candidate_pairs(spark, sf_dir)
+
+
+_FUZZY_PAIRS_MEMO: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _dirty_parts(spark: SparkSession, sf_dir: str):
+    return load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("id"),
         F.expr(_DIRTY_NAME).alias("name"))
-    return fuzzy_pairs(p, "id", "name", F.expr(_BLOCK), max_dist=2)
+
+
+def _fuzzy_candidate_pairs(spark: SparkSession, sf_dir: str):
+    """The blocked+Levenshtein pair list, memoized per (session,
+    corpus) and eagerly localCheckpointed — `q_fuzzy_match` and
+    `q_entity_resolution` consume the SAME pair computation (the
+    plans/llm.py shared-artifact discipline); the computation is a
+    pure function of the corpus, so a cold single-query session
+    produces identical hashes."""
+    import os
+    from ..operators.joins import fuzzy_pairs
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _FUZZY_PAIRS_MEMO:
+        _FUZZY_PAIRS_MEMO[key] = fuzzy_pairs(
+            _dirty_parts(spark, sf_dir), "id", "name",
+            F.expr(_BLOCK), max_dist=2).localCheckpoint(eager=True)
+    return _FUZZY_PAIRS_MEMO[key]
 
 
 #: shared CTE chain: dirty names → blocked base (with the hot-block
@@ -1214,11 +1236,8 @@ def _entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     components frame — at scale that frame is orders of magnitude
     smaller than the table (only records that matched something)."""
     from ..operators.dedup import connected_components
-    from ..operators.joins import fuzzy_pairs
-    p = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("id"),
-        F.expr(_DIRTY_NAME).alias("name"))
-    pairs = fuzzy_pairs(p, "id", "name", F.expr(_BLOCK), max_dist=2)
+    p = _dirty_parts(spark, sf_dir)
+    pairs = _fuzzy_candidate_pairs(spark, sf_dir)
     clusters = connected_components(pairs, src="id_a", dst="id_b",
                                     id_out="id")
     return (p.join(clusters, "id", "left")

@@ -89,9 +89,66 @@ inter AS (
 
 # --------------------------------------------------------- minhash pairs
 
+# Shared corpus artifacts, memoized per (session, corpus) — the
+# quantizer/BPE-merge discipline (`get_quantizers`, `_get_bpe_merges`)
+# extended to the two DATA-SIZED intermediates the catalog reuses most:
+# the MinHash-LSH candidate pair graph (11 consumers: pairs, clusters
+# x2 algorithms, canonical, triangles, k-core, LPA, source matrix,
+# crossmodal, manifest, leakage split) and the k-means assignment
+# (4 consumers). Production materializes the dup graph once and runs
+# every downstream analytic off it; the memo mirrors that. Frames are
+# eagerly localCheckpointed (the catalog's iteration discipline), so
+# each artifact is computed once per session+corpus and every consumer
+# plans over the same physical rows. Determinism makes this safe: the
+# computation is a pure function of the corpus, so grading a query in
+# a fresh session produces identical results with or without a warm
+# memo.
+
+_PAIR_GRAPH: dict[tuple[str, str], DataFrame] = {}
+_CC_LABELS: dict[tuple[str, str], DataFrame] = {}
+_KMEANS_CELLS: dict[tuple[str, str], DataFrame] = {}
+
+
+def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import os
+    return (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _memo_key(spark, sf_dir)
+    if key not in _PAIR_GRAPH:
+        _PAIR_GRAPH[key] = (
+            dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
+                                    threshold=NGRAM_THRESHOLD)
+            .localCheckpoint(eager=True))
+    return _PAIR_GRAPH[key]
+
+
+def _cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label connected components over the memoized pair graph
+    (clusters / canonical / manifest / leakage split all consume the
+    SAME labels; `doc_dedup_clusters_star` deliberately recomputes via
+    star contraction — two algorithms, one oracle)."""
+    key = _memo_key(spark, sf_dir)
+    if key not in _CC_LABELS:
+        _CC_LABELS[key] = (dedup.connected_components(
+            _lsh_pairs(spark, sf_dir)).localCheckpoint(eager=True))
+    return _CC_LABELS[key]
+
+
+def _kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graded 3-round Lloyd assignment, shared by the cluster-
+    labeling / outlier / drift consumers."""
+    key = _memo_key(spark, sf_dir)
+    if key not in _KMEANS_CELLS:
+        _KMEANS_CELLS[key] = (similarity.kmeans_assign(
+            load_table(spark, sf_dir, "embeddings"),
+            k=KMEANS_K, rounds=KMEANS_ROUNDS).localCheckpoint(eager=True))
+    return _KMEANS_CELLS[key]
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
-                                   threshold=NGRAM_THRESHOLD)
+    return _lsh_pairs(spark, sf_dir)
 
 
 def _minhash_pairs_sql() -> str:
@@ -1010,9 +1067,7 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup pairs collapsed into duplicate clusters via
     iterative min-label connected components (the genuinely iterative
     operator of the catalog — each round is a join + min-agg)."""
-    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
-                                    threshold=NGRAM_THRESHOLD)
-    return dedup.connected_components(pairs)
+    return _cc(spark, sf_dir)
 
 
 def _dedup_clusters_sql() -> str:
@@ -1042,18 +1097,14 @@ def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash pair graph, graded against the SAME recursive-CTE oracle
     as `doc_dedup_clusters` — two independent implementations must
     hash-agree with the SQL fixpoint."""
-    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
-                                    threshold=NGRAM_THRESHOLD)
-    return dedup.connected_components_star(pairs)
+    return dedup.connected_components_star(_lsh_pairs(spark, sf_dir))
 
 
 def _dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pairs → clusters → keep min-id survivor per cluster: the
     deduped-corpus materialization, reported as kept doc_ids."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=NGRAM_THRESHOLD)
-    clusters = dedup.connected_components(pairs)
-    return (dedup.keep_canonical(docs, clusters)
+    return (dedup.keep_canonical(docs, _cc(spark, sf_dir))
             .select(F.col("doc_id").cast("long").alias("doc_id")))
 
 
@@ -1253,9 +1304,8 @@ def _training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", "n_tokens"))
     keep_exact = (dedup.dedup_exact(docs)
                   .select(F.col("keep_doc_id").alias("doc_id")))
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=NGRAM_THRESHOLD)
     canon = dedup.keep_canonical(docs.select("doc_id"),
-                                 dedup.connected_components(pairs))
+                                 _cc(spark, sf_dir))
     sampled = text.mix_sample(docs)
     split = text.hash_split(docs)
     n_chunks = F.expr(
@@ -1557,8 +1607,8 @@ def _crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents and embeddings are row-aligned: doc_id == vec_id)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=NGRAM_THRESHOLD)
-    return similarity.crossmodal_agreement(pairs, emb, NEARDUP_COS)
+    return similarity.crossmodal_agreement(_lsh_pairs(spark, sf_dir),
+                                           emb, NEARDUP_COS)
 
 
 def _crossmodal_sql() -> str:
@@ -2226,7 +2276,7 @@ def _dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a float sum. Complements `doc_source_overlap` (KMV overlap
     of EXACT content) with the near-dup relation."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=NGRAM_THRESHOLD)
+    pairs = _lsh_pairs(spark, sf_dir)
     src = docs.select("doc_id", "source")
     j = (pairs
          .join(src.select(F.col("doc_id").alias("doc_a"),
@@ -2478,8 +2528,7 @@ def _dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration (operators/graph.triangle_counts) bounds fan-out by
     graph degeneracy, not hub degree."""
     from ..operators.graph import triangle_counts
-    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
-                                    threshold=NGRAM_THRESHOLD)
+    pairs = _lsh_pairs(spark, sf_dir)
     return triangle_counts(
         pairs.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst")))
@@ -3086,8 +3135,7 @@ def _dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     borderline pairs do not — the cohesion diagnostic between raw
     degree and triangle support."""
     from ..operators.graph import kcore_peel
-    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
-                                    threshold=NGRAM_THRESHOLD)
+    pairs = _lsh_pairs(spark, sf_dir)
     return kcore_peel(
         pairs.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst")),
@@ -3262,8 +3310,7 @@ def _dup_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.lpa_communities): separates loosely-bridged dup
     communities that connected components would fuse."""
     from ..operators.graph import lpa_communities
-    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
-                                    threshold=NGRAM_THRESHOLD)
+    pairs = _lsh_pairs(spark, sf_dir)
     return lpa_communities(
         pairs.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst")), rounds=LPA_ROUNDS)
@@ -3517,8 +3564,7 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed 3-round Lloyd k-means over the full embeddings
     table (operators/similarity.kmeans_assign) — the clustering-as-
     the-product path next to the sample-trained IVF quantizer."""
-    return similarity.kmeans_assign(load_table(spark, sf_dir, "embeddings"),
-                                    k=KMEANS_K, rounds=KMEANS_ROUNDS)
+    return _kmeans_cells(spark, sf_dir)
 
 
 def _kmeans_assign_sql() -> str:
@@ -3605,9 +3651,8 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     attaching cells to tokens."""
     from pyspark.sql import Window
     from ..functions import tokens
-    a = (similarity.kmeans_assign(load_table(spark, sf_dir, "embeddings"),
-                                  k=KMEANS_K, rounds=KMEANS_ROUNDS)
-         .select(F.col("vec_id").alias("doc_id"), "cell"))
+    a = _kmeans_cells(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cell")
     tok = (load_table(spark, sf_dir, "documents")
            .where(F.col("text").isNotNull())
            .select("doc_id", F.explode(tokens("text")).alias("term")))
@@ -3670,6 +3715,309 @@ def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                                vocab_size=VOCAB_SIZE)
 
 
+def _cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split (operators/text.leakage_split):
+    the assignment unit is the MinHash-LSH duplicate CLUSTER, so a
+    near-duplicate can never land in train while its paraphrase sits
+    in val — the eval-hygiene composition of the dedup tier
+    (pairs → connected components) with the salted hash split.
+    Output: (doc_id, group_id, split), group = CC label or self."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.leakage_split(
+        docs, _cc(spark, sf_dir).select("doc_id", "cluster_id"))
+
+
+def _cluster_split_sql() -> str:
+    h = h32_sql("'gsplit-v1:' || CAST(group_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_pairs_sql()}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+), clusters AS (
+  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1
+), grouped AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS group_id
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node)
+SELECT doc_id, group_id,
+       CASE WHEN {h} % 100 < 90 THEN 'train' ELSE 'val' END AS split
+FROM grouped
+"""
+
+
+CURRICULUM_STAGES = 4
+
+
+def _curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering — quality-first training-data scheduling
+    (easy/clean examples before noisy ones): the corpus ranked by the
+    graded quality heuristic (`doc_quality`'s score, ties broken by
+    doc_id — a total order), then cut into {CURRICULUM_STAGES} equal
+    stages by EXACT rank, stage = (rank−1)·S div N. Ranking runs
+    through the distributed two-level prefix-sum ranker
+    (operators/layout.global_rank) — the naive `row_number() OVER
+    (ORDER BY score)` plan funnels 100 TB through one task; pinned
+    absent by the plan test. N attaches as a 1-row broadcast.
+    All-BIGINT output: (doc_id, curriculum_rank, stage)."""
+    from ..operators.layout import global_rank
+    q = (text.quality_score(load_table(spark, sf_dir, "documents"))
+         .select("doc_id", "quality_score"))
+    r = global_rank(q, [F.col("quality_score").desc(),
+                        F.col("doc_id").asc()],
+                    rank_col="curriculum_rank")
+    n = q.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (r.crossJoin(F.broadcast(n))
+             .select("doc_id",
+                     F.col("curriculum_rank").cast("long")
+                      .alias("curriculum_rank"),
+                     F.expr(f"(curriculum_rank - 1) * {CURRICULUM_STAGES}"
+                            " div _n").alias("stage")))
+
+
+def _curriculum_sql() -> str:
+    return f"""
+WITH q AS ({_quality_sql()}),
+r AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+                  AS BIGINT) AS curriculum_rank
+      FROM q),
+n AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM q)
+SELECT doc_id, curriculum_rank,
+       (curriculum_rank - 1) * {CURRICULUM_STAGES} // _n AS stage
+FROM r, n
+"""
+
+
+def _snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between corpus snapshots — the
+    production monitoring question "did the new crawl land in the
+    same region of embedding space as the old one?" (a silent encoder
+    version bump or a topic shift both show up here before they show
+    up in eval): cell-occupancy comparison over the graded k-means
+    partition, old/new = vec_id parity (the fixture's snapshot proxy,
+    same family as `emb_semantic_decontaminate`'s % 97 convention).
+    Per cell: counts and occupancy ppm on each side plus |Δppm|; half
+    the sum of delta_ppm over cells IS the total-variation distance
+    between the two occupancy distributions, in ppm — exact integer
+    arithmetic end to end, no KL/ln to disagree cross-engine.
+
+    Scale shape: rides `kmeans_assign`'s exchanges, then one k-row
+    hash-agg and a 1-row broadcast of the side totals — the drift
+    audit itself moves k rows regardless of corpus size, and the
+    per-cell histograms are MERGEABLE across days/partitions."""
+    a = _kmeans_cells(spark, sf_dir).select("vec_id", "cell")
+    cc = (a.groupBy("cell")
+           .agg(F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+                 .cast("long").alias("n_old"),
+                F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+                 .cast("long").alias("n_new")))
+    tot = cc.agg(F.sum("n_old").cast("long").alias("_t_old"),
+                 F.sum("n_new").cast("long").alias("_t_new"))
+    return (cc.crossJoin(F.broadcast(tot))
+              .select("cell", "n_old", "n_new",
+                      F.expr("n_old * 1000000 div _t_old").alias("ppm_old"),
+                      F.expr("n_new * 1000000 div _t_new").alias("ppm_new"),
+                      F.expr("abs(n_old * 1000000 div _t_old - "
+                             "n_new * 1000000 div _t_new)")
+                       .alias("delta_ppm")))
+
+
+def _snapshot_drift_sql() -> str:
+    return f"""
+WITH ka AS ({_kmeans_assign_sql()}),
+cc AS (SELECT cell,
+              CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_old,
+              CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_new
+       FROM ka GROUP BY 1),
+tot AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+               CAST(sum(n_new) AS BIGINT) AS t_new FROM cc)
+SELECT cell, n_old, n_new,
+       n_old * 1000000 // t_old AS ppm_old,
+       n_new * 1000000 // t_new AS ppm_new,
+       abs(n_old * 1000000 // t_old - n_new * 1000000 // t_new)
+         AS delta_ppm
+FROM cc, tot
+"""
+
+
+#: Cohen's kappa over the 2x2 gate confusion — the expression TEXT is
+#: shared verbatim by both engines (the `cents` discipline). Products
+#: and squares are taken in DOUBLE after the exact-int marginals, so
+#: nothing overflows int64 at any corpus size (N^2 would at N > 3e9);
+#: the tree is fixed, so IEEE 754 makes both engines bit-identical.
+_KAPPA_EXPR = """CASE WHEN
+  CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+    - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+       + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) = 0.0
+  THEN 0.0
+  ELSE (CAST(n AS DOUBLE) * CAST(n11 + n00 AS DOUBLE)
+        - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+           + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)))
+       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+          - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+             + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)))
+  END"""
+
+
+def _gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-agreement audit — Cohen's kappa between the two
+    independent quality gates the catalog runs (the hashed linear
+    classifier's keep/drop and the heuristic quality threshold): the
+    standard before-you-trust-a-cheaper-gate question. kappa near 1 →
+    the cheap heuristic can pre-filter for the classifier; kappa near
+    0 → the gates measure different things and must BOTH run. Output:
+    one row of exact confusion counts (n11 keep/keep, n10 classifier-
+    only, n01 heuristic-only, n00 drop/drop) + kappa (chance-corrected
+    agreement), computed by the shared fixed DOUBLE expression — no
+    int64 overflow at any corpus size.
+
+    Scale shape: two map-only corpus projections joined on the id key
+    (one co-partitioned exchange each), then a map-side-combined
+    global agg to FOUR counters — the audit's reduce is 4 numbers."""
+    docs = load_table(spark, sf_dir, "documents")
+    clf = (text.classifier_score(docs)
+           .select("doc_id", (F.col("verdict") == "keep").alias("c")))
+    qg = (text.quality_score(docs)
+          .select("doc_id",
+                  (F.col("quality_score") >= FUNNEL_MIN_QUALITY)
+                   .alias("q")))
+    j = clf.join(qg, "doc_id")
+    agg = j.agg(
+        F.sum(F.when(F.col("c") & F.col("q"), 1).otherwise(0))
+         .cast("long").alias("n11"),
+        F.sum(F.when(F.col("c") & ~F.col("q"), 1).otherwise(0))
+         .cast("long").alias("n10"),
+        F.sum(F.when(~F.col("c") & F.col("q"), 1).otherwise(0))
+         .cast("long").alias("n01"),
+        F.sum(F.when(~F.col("c") & ~F.col("q"), 1).otherwise(0))
+         .cast("long").alias("n00"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    return agg.select("n11", "n10", "n01", "n00", "n",
+                      F.expr(_KAPPA_EXPR).alias("kappa"))
+
+
+def _gate_agreement_sql() -> str:
+    return f"""
+WITH clf AS ({_classifier_score_sql()}),
+q AS ({_quality_sql()}),
+conf AS (
+  SELECT CAST(sum(CASE WHEN c.verdict = 'keep'
+                        AND q.quality_score >= {FUNNEL_MIN_QUALITY}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN c.verdict = 'keep'
+                        AND q.quality_score < {FUNNEL_MIN_QUALITY}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN c.verdict = 'drop'
+                        AND q.quality_score >= {FUNNEL_MIN_QUALITY}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN c.verdict = 'drop'
+                        AND q.quality_score < {FUNNEL_MIN_QUALITY}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         CAST(count(*) AS BIGINT) AS n
+  FROM clf c JOIN q USING (doc_id))
+SELECT n11, n10, n01, n00, n, {_KAPPA_EXPR} AS kappa
+FROM conf
+"""
+
+
+def _score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source score calibration — quantile-normalize the quality
+    score WITHIN each source so cross-source comparisons are fair
+    (sources have incomparable score scales: a 0.6 on curated wiki and
+    a 0.6 on raw crawl mean different things; mixing on raw scores
+    over-samples whichever source's scorer runs hot). Per doc:
+    src_rank (1 = best in its source, ties → doc_id) and
+    pct_ppm = src_rank·10⁶ div n_source — the within-source percentile
+    as an exact BIGINT, directly comparable across sources.
+
+    Scale shape: one exchange on the source key + a per-source rank
+    window — rank truncation never happens (full output), and the
+    window partition is a source, not the corpus. A pathologically hot
+    source is the `global_rank` shape applied per key (range-partition
+    the hot source's rows, rank, add offsets); at normal source
+    cardinalities the plain window is the right plan."""
+    from pyspark.sql import Window
+    docs = load_table(spark, sf_dir, "documents")
+    q = (text.quality_score(docs).select("doc_id", "quality_score")
+         .join(docs.select("doc_id", "source"), "doc_id"))
+    w = (Window.partitionBy("source")
+               .orderBy(F.col("quality_score").desc(),
+                        F.col("doc_id").asc()))
+    wn = Window.partitionBy("source")
+    return (q.withColumn("src_rank", F.row_number().over(w).cast("long"))
+             .withColumn("_n", F.count(F.lit(1)).over(wn).cast("long"))
+             .select("doc_id", "source", "src_rank",
+                     F.expr("src_rank * 1000000 div _n").alias("pct_ppm")))
+
+
+def _score_calibration_sql() -> str:
+    return f"""
+WITH q AS ({_quality_sql()}),
+j AS (SELECT q.doc_id, d.source, q.quality_score
+      FROM q JOIN documents d ON q.doc_id = d.doc_id)
+SELECT doc_id, source,
+       CAST(row_number() OVER (PARTITION BY source
+            ORDER BY quality_score DESC, doc_id) AS BIGINT) AS src_rank,
+       CAST(row_number() OVER (PARTITION BY source
+            ORDER BY quality_score DESC, doc_id) AS BIGINT) * 1000000
+         // CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS pct_ppm
+FROM j
+"""
+
+
+def _fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — BPE tokens per word, the
+    standard "is our tokenizer fair to this language" metric (high-
+    fertility languages pay more compute per word and fit less context
+    per document; the number that drives vocab rebalancing): the
+    corpus re-encoded with its OWN learned merges (`doc_bpe_encode`'s
+    memoized training run) joined to the langid verdict, aggregated
+    per predicted language. fertility = Σ bpe_tokens / Σ words — the
+    single double division over exact BIGINT sums.
+
+    Scale shape: both sides are per-doc map/agg frames; the id join
+    co-partitions once; the language agg reduces to a languages-sized
+    frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = text.bpe_encode_counts(docs,
+                                 merges=_get_bpe_merges(spark, sf_dir))
+    lang = text.language_id(docs).select("doc_id", "pred_lang")
+    return (enc.join(lang, "doc_id")
+               .groupBy("pred_lang")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("n_words").cast("long").alias("n_words"),
+                    F.sum("n_bpe_tokens").cast("long")
+                     .alias("n_bpe_tokens"))
+               .select("pred_lang", "n_docs", "n_words", "n_bpe_tokens",
+                       F.expr("CAST(n_bpe_tokens AS DOUBLE) / "
+                              "CAST(n_words AS DOUBLE)")
+                        .alias("fertility")))
+
+
+def _fertility_sql() -> str:
+    return f"""
+WITH enc AS ({_bpe_encode_sql()}),
+lang AS ({_language_id_sql()}),
+agg AS (
+  SELECT lang.pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+         CAST(sum(enc.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens
+  FROM enc JOIN lang USING (doc_id) GROUP BY 1)
+SELECT pred_lang, n_docs, n_words, n_bpe_tokens,
+       CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+FROM agg
+"""
+
+
 OUTLIER_MULT = 4  # flag dist2 > 4 x cell lower-median
 
 
@@ -3688,8 +4036,7 @@ def _cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one window pass on the (cell)-keyed assignment frame, the
     verdict a broadcast k-row join."""
     from pyspark.sql import Window
-    a = similarity.kmeans_assign(load_table(spark, sf_dir, "embeddings"),
-                                 k=KMEANS_K, rounds=KMEANS_ROUNDS)
+    a = _kmeans_cells(spark, sf_dir)
     wc = Window.partitionBy("cell")
     wr = Window.partitionBy("cell").orderBy("dist2", "vec_id")
     stats = (a.withColumn("rn", F.row_number().over(wr))
@@ -4136,6 +4483,34 @@ QUERIES: dict[str, Query] = {
                                "embedding-space anomaly census: "
                                "dist2 vs exact cell lower-median "
                                "over the graded k-means assignment"),
+    "doc_cluster_split": Query(_cluster_split, _cluster_split_sql,
+                               "leakage-safe train/val split: the "
+                               "assignment unit is the dup CLUSTER "
+                               "(CC label), near-dups never straddle "
+                               "the split"),
+    "doc_curriculum": Query(_curriculum, _curriculum_sql,
+                            "curriculum ordering: exact quality rank "
+                            "via distributed two-level prefix sum, "
+                            "equal stages by integer rank cut"),
+    "emb_snapshot_drift": Query(_snapshot_drift, _snapshot_drift_sql,
+                                "embedding-distribution drift between "
+                                "snapshots: cell-occupancy ppm deltas "
+                                "(total-variation in ppm), mergeable "
+                                "k-row audit"),
+    "doc_gate_agreement": Query(_gate_agreement, _gate_agreement_sql,
+                                "Cohen's kappa between the classifier "
+                                "and heuristic quality gates (shared "
+                                "fixed-double expression, overflow-"
+                                "free confusion marginals)"),
+    "doc_score_calibration": Query(_score_calibration,
+                                   _score_calibration_sql,
+                                   "per-source quantile normalization "
+                                   "of the quality score (within-"
+                                   "source percentile as exact ppm)"),
+    "doc_fertility": Query(_fertility, _fertility_sql,
+                           "tokenizer fertility by language: BPE "
+                           "tokens per word from the memoized merge "
+                           "list x langid verdict"),
     "doc_dup_source_matrix": Query(_dup_source_matrix,
                                    _dup_source_matrix_sql(),
                                    "cross-source near-dup provenance "

@@ -13,7 +13,8 @@ from ..streaming import (WINDOW_US, stream_chain_counts,
                          stream_interval_join,
                          stream_session_window_counts,
                          stream_static_enrich, stream_trending,
-                        stream_tumbling_counts,
+                         stream_tumbling_counts,
+                         stream_value_histogram,
                          stream_watermark_counts)
 from .analytics import _EVENTS_SESSIONS_SQL
 from .base import Query
@@ -375,7 +376,30 @@ WHERE rnk <= 2
 """
 
 
+def _stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming log2-bucket value histogram per tumbling window
+    (streaming/__init__.stream_value_histogram) — the streaming form
+    of `q_sketch_percentiles`: bounded (windows x <=64) counter state,
+    mergeable, percentiles read off cumulative counts downstream."""
+    return stream_value_histogram(spark,
+                                  f"{sf_dir.rstrip('/')}/events.parquet")
+
+
+_STREAM_HISTOGRAM_SQL = f"""
+SELECT epoch_us(ts) // {WINDOW_US} AS win,
+       CAST(length(format('{{:b}}', CAST(round(value * 100) AS BIGINT)))
+            AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "stream_histogram": Query(_stream_histogram, _STREAM_HISTOGRAM_SQL,
+                              "streaming log2-bucket value histogram "
+                              "(mergeable percentile sketch held as "
+                              "windowed counter state)"),
     "stream_trending": Query(_stream_trending, _STREAM_TRENDING_SQL,
                              "trending top-k per tumbling window: "
                              "streamed (win,type) counts + serving-"

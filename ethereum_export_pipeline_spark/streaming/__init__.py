@@ -614,6 +614,30 @@ def stream_decontaminate(spark: SparkSession, docs_path: str,
                              width=bounded_stream_width(spark, docs_path))
 
 
+def stream_value_histogram(spark: SparkSession, events_path: str,
+                           window_us: int = WINDOW_US) -> DataFrame:
+    """Streaming histogram SKETCH — the streaming form of
+    `q_sketch_percentiles`: per tumbling window, the log2-bucket
+    histogram of the event's cents amount (bucket = bit length of the
+    exact integer — no float log to disagree at boundaries), computed
+    incrementally BY the streaming engine. The state the engine holds
+    is (windows × ≤64 buckets) counters — bounded and MERGEABLE, which
+    is the whole point: the serving layer reads any percentile off the
+    cumulative counts of the latest window without the stream ever
+    sorting or retaining raw values (the p99-latency-dashboard shape).
+    Complete-mode output equals the batch answer (the oracle)."""
+    from ..sources.tables import with_event_time
+    sdf = (with_event_time(read_stream(spark, events_path))
+           .where(F.col("value").isNotNull()))
+    agg = (sdf.groupBy(
+              F.expr(f"(ts_ns div 1000) div {window_us}").alias("win"),
+              F.length(F.expr("bin(CAST(round(value * 100) AS BIGINT))"))
+               .cast("long").alias("b"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return run_available_now(agg,
+                             width=bounded_stream_width(spark, events_path))
+
+
 def stream_trending(spark: SparkSession, events_path: str,
                     window_us: int = WINDOW_US, k: int = 2) -> DataFrame:
     """TRENDING detector — per tumbling window, the top-k event types

@@ -254,8 +254,16 @@ def test_kmv_sketch_merged_rides_kept_exchange(spark, catalog):
 
 def test_fuzzy_match_is_equi_join_on_block_key(spark, catalog):
     # blocking makes candidate generation an equi-join; the Levenshtein
-    # residual must NOT degrade the join to a nested loop / cartesian
-    plan = plan_of(catalog["q_fuzzy_match"].fn(spark, SF_DIR))
+    # residual must NOT degrade the join to a nested loop / cartesian.
+    # The catalog entry serves a memoized localCheckpoint (its plan is
+    # a Scan ExistingRDD), so pin the shape on the UNDERLYING pair
+    # computation — the plan the checkpoint materializes.
+    from pyspark.sql import functions as F
+    from ethereum_export_pipeline_spark.operators.joins import fuzzy_pairs
+    from ethereum_export_pipeline_spark.plans.analytics import (
+        _BLOCK, _dirty_parts)
+    plan = plan_of(fuzzy_pairs(_dirty_parts(spark, SF_DIR), "id", "name",
+                               F.expr(_BLOCK), max_dist=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan.lower()
@@ -357,3 +365,34 @@ def test_vocab_coverage_single_tokenize_and_broadcast_vocab(spark, catalog):
                    execute=True)
     assert "ReusedExchange" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_curriculum_rank_is_distributed(spark, catalog):
+    """Curriculum ordering must inherit global_rank's shape: the only
+    SinglePartition subtree is the _pid histogram; the corpus ranks
+    under a _pid-partitioned window over the checkpointed range
+    exchange; N attaches by broadcast, not a corpus-wide sort."""
+    plan = plan_of(catalog["doc_curriculum"].fn(spark, SF_DIR))
+    assert "Scan ExistingRDD" in plan and "_pid" in plan
+    for after in plan.split("Exchange SinglePartition")[1:]:
+        first_agg = after[:400]
+        assert ("HashAggregate(keys=[_pid" in first_agg
+                or "HashAggregate(keys=[], functions=[partial_count"
+                in first_agg), first_agg
+    assert "windowspecdefinition(_pid" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N attach
+
+
+def test_cluster_split_no_cartesian(spark, catalog):
+    """The leakage split is CC + one corpus-side left equi-join + a
+    pure-projection hash bucket — no cartesian product anywhere."""
+    plan = plan_of(catalog["doc_cluster_split"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_score_calibration_no_global_sort(spark, catalog):
+    """The calibration window partitions by SOURCE — a corpus-wide
+    SinglePartition sort must never appear."""
+    plan = plan_of(catalog["doc_score_calibration"].fn(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(source" in plan

@@ -643,3 +643,215 @@ def test_t_closeness_flags_are_valid_groups(spark):
     for r in out:
         assert 300_000 < r["t_ppm"] <= 1_000_000   # EMD is a [0,1] ppm
         assert sizes[(r["event_type"], r["hour"])] == r["k"]
+
+
+# ------------------------------------------- leakage-safe split
+
+def test_leakage_split_cluster_members_share_side(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(1, 7)])
+    clusters = spark.createDataFrame(
+        [Row(doc_id=1, cluster_id=1), Row(doc_id=2, cluster_id=1),
+         Row(doc_id=3, cluster_id=1), Row(doc_id=5, cluster_id=5),
+         Row(doc_id=6, cluster_id=5)])
+    got = {r["doc_id"]: r.asDict()
+           for r in T.leakage_split(docs, clusters).collect()}
+    assert set(got) == set(range(1, 7))
+    # cluster members inherit the canonical id and the SAME side
+    assert {got[i]["group_id"] for i in (1, 2, 3)} == {1}
+    assert len({got[i]["split"] for i in (1, 2, 3)}) == 1
+    assert {got[i]["group_id"] for i in (5, 6)} == {5}
+    assert len({got[i]["split"] for i in (5, 6)}) == 1
+    # singleton falls back to its own id
+    assert got[4]["group_id"] == 4
+    # the split is the salted h32 bucketing, reproducible by hand
+    for i, r in got.items():
+        h = int(hashlib.md5(f"gsplit-v1:{r['group_id']}".encode())
+                .hexdigest()[:8], 16) % MERSENNE31
+        assert r["split"] == ("train" if h % 100 < 90 else "val")
+
+
+def test_cluster_split_never_splits_a_minhash_cluster(spark):
+    from ethereum_export_pipeline_spark.plans import ALL_QUERIES
+    from ethereum_export_pipeline_spark.operators import dedup
+    from ethereum_export_pipeline_spark.plans.llm import NGRAM_THRESHOLD
+    from ethereum_export_pipeline_spark.sources.tables import load_table
+    sf = "/root/testdata/sf0.001"
+    out = ALL_QUERIES["doc_cluster_split"].fn(spark, sf).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=NGRAM_THRESHOLD)
+    linked = pairs.collect()
+    assert linked  # fixture must exercise the non-singleton path
+    for p in linked:
+        assert split_of[p["doc_a"]] == split_of[p["doc_b"]], p
+
+
+# ------------------------------------------------ curriculum stages
+
+def test_curriculum_stage_cuts_and_order(spark):
+    from ethereum_export_pipeline_spark.plans import ALL_QUERIES
+    from ethereum_export_pipeline_spark.plans.llm import CURRICULUM_STAGES
+    rows = ALL_QUERIES["doc_curriculum"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert n > 0
+    ranks = sorted(r["curriculum_rank"] for r in rows)
+    assert ranks == list(range(1, n + 1))  # exact, gapless, 1-based
+    # stage = (rank-1)*S div N: equal cuts, monotone in rank
+    for r in rows:
+        assert r["stage"] == (r["curriculum_rank"] - 1) * \
+            CURRICULUM_STAGES // n
+    sizes = {}
+    for r in rows:
+        sizes[r["stage"]] = sizes.get(r["stage"], 0) + 1
+    assert set(sizes) == set(range(CURRICULUM_STAGES))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_curriculum_rank_follows_quality(spark):
+    from ethereum_export_pipeline_spark.plans import ALL_QUERIES
+    from ethereum_export_pipeline_spark.sources.tables import load_table
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r["curriculum_rank"] for r in
+           ALL_QUERIES["doc_curriculum"].fn(spark, sf).collect()}
+    q = {r["doc_id"]: r["quality_score"] for r in
+         T.quality_score(load_table(spark, sf, "documents")).collect()}
+    by_rank = sorted(got, key=got.get)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (q[a] > q[b]) or (q[a] == q[b] and a < b)
+
+
+# -------------------------------------------- embedding snapshot drift
+
+def test_snapshot_drift_counts_and_tv_bounds(spark):
+    from ethereum_export_pipeline_spark.plans import ALL_QUERIES
+    from ethereum_export_pipeline_spark.plans.llm import (KMEANS_K,
+                                                          KMEANS_ROUNDS)
+    from ethereum_export_pipeline_spark.operators import similarity
+    from ethereum_export_pipeline_spark.sources.tables import load_table
+    sf = "/root/testdata/sf0.001"
+    rows = ALL_QUERIES["emb_snapshot_drift"].fn(spark, sf).collect()
+    assert rows
+    cells = {r["cell"]: r for r in rows}
+    a = similarity.kmeans_assign(load_table(spark, sf, "embeddings"),
+                                 k=KMEANS_K, rounds=KMEANS_ROUNDS)
+    sizes = {r["cell"]: r["n"] for r in
+             a.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(cells) == set(sizes)
+    for c, r in cells.items():
+        assert r["n_old"] + r["n_new"] == sizes[c]
+        assert 0 <= r["ppm_old"] <= 1_000_000
+        assert 0 <= r["ppm_new"] <= 1_000_000
+        assert r["delta_ppm"] == abs(r["ppm_old"] - r["ppm_new"])
+    # floor-division residue keeps each side's ppm total just under 1e6
+    for side in ("ppm_old", "ppm_new"):
+        s = sum(r[side] for r in rows)
+        assert 1_000_000 - len(rows) <= s <= 1_000_000
+    tv_ppm = sum(r["delta_ppm"] for r in rows) // 2
+    assert 0 <= tv_ppm <= 1_000_000
+
+
+# -------------------------------------------- streaming histogram
+
+def test_stream_histogram_equals_batch(spark):
+    from ethereum_export_pipeline_spark.streaming import (
+        stream_value_histogram)
+    from ethereum_export_pipeline_spark.sources.tables import (
+        load_table)
+    sf = "/root/testdata/sf0.001"
+    got = {(r["win"], r["b"]): r["n"] for r in
+           stream_value_histogram(spark,
+                                  f"{sf}/events.parquet").collect()}
+    WINDOW_US = 600_000_000
+    exp = {(r["win"], r["b"]): r["n"] for r in
+           (load_table(spark, sf, "events")
+            .where(F.col("value").isNotNull())
+            .groupBy(F.expr(f"(ts_ns div 1000) div {WINDOW_US}")
+                      .alias("win"),
+                     F.length(F.expr(
+                         "bin(CAST(round(value * 100) AS BIGINT))"))
+                      .cast("long").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))).collect()}
+    assert got == exp and got
+
+
+# ------------------------------------------------ gate agreement
+
+def test_gate_agreement_kappa_matches_counts(spark):
+    from ethereum_export_pipeline_spark.plans import ALL_QUERIES
+    row = ALL_QUERIES["doc_gate_agreement"].fn(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    n11, n10, n01, n00, n = (row["n11"], row["n10"], row["n01"],
+                             row["n00"], row["n"])
+    assert n11 + n10 + n01 + n00 == n and n > 0
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    exp = 0.0 if pe == 1.0 else (po - pe) / (1.0 - pe)
+    assert abs(row["kappa"] - exp) < 1e-9
+    assert -1.0 <= row["kappa"] <= 1.0
+
+
+# --------------------------------------------- score calibration
+
+def test_score_calibration_ranks_and_ppm(spark):
+    from ethereum_export_pipeline_spark.plans import ALL_QUERIES
+    rows = ALL_QUERIES["doc_score_calibration"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src) > 1
+    for src, rs in by_src.items():
+        n = len(rs)
+        ranks = sorted(r["src_rank"] for r in rs)
+        assert ranks == list(range(1, n + 1))   # gapless per source
+        for r in rs:
+            assert r["pct_ppm"] == r["src_rank"] * 1_000_000 // n
+        assert max(r["pct_ppm"] for r in rs) == 1_000_000
+
+
+# ------------------------------------------------- fertility
+
+def test_fertility_bounds_and_reconciliation(spark):
+    from ethereum_export_pipeline_spark.plans import ALL_QUERIES
+    from ethereum_export_pipeline_spark.plans.llm import _get_bpe_merges
+    from ethereum_export_pipeline_spark.sources.tables import load_table
+    sf = "/root/testdata/sf0.001"
+    rows = ALL_QUERIES["doc_fertility"].fn(spark, sf).collect()
+    assert rows
+    docs = load_table(spark, sf, "documents")
+    enc = T.bpe_encode_counts(docs, merges=_get_bpe_merges(spark, sf))
+    tot = enc.agg(F.sum("n_words").alias("w"),
+                  F.sum("n_bpe_tokens").alias("b"),
+                  F.count(F.lit(1)).alias("d")).collect()[0]
+    assert sum(r["n_words"] for r in rows) == tot["w"]
+    assert sum(r["n_bpe_tokens"] for r in rows) == tot["b"]
+    assert sum(r["n_docs"] for r in rows) == tot["d"]
+    for r in rows:
+        # every word is at least one BPE symbol
+        assert r["fertility"] >= 1.0
+        assert r["fertility"] == r["n_bpe_tokens"] / r["n_words"]
+
+
+# ------------------------------------------- shared-artifact memos
+
+def test_shared_artifact_memos_are_per_session_and_corpus(spark):
+    from ethereum_export_pipeline_spark.plans import llm
+    sf = "/root/testdata/sf0.001"
+    p1 = llm._lsh_pairs(spark, sf)
+    p2 = llm._lsh_pairs(spark, sf)
+    assert p1 is p2                      # one computation per corpus
+    c1 = llm._cc(spark, sf)
+    assert c1 is llm._cc(spark, sf)
+    k1 = llm._kmeans_cells(spark, sf)
+    assert k1 is llm._kmeans_cells(spark, sf)
+    # the key normalizes path spelling: same corpus -> same artifact
+    assert llm._lsh_pairs(spark, "/root/testdata/sf0.001/") is p1
+    # and the memoized frames ARE the graded results
+    from ethereum_export_pipeline_spark.operators import dedup
+    from ethereum_export_pipeline_spark.sources.tables import load_table
+    fresh = dedup.minhash_lsh_pairs(
+        load_table(spark, sf, "documents"),
+        threshold=llm.NGRAM_THRESHOLD)
+    assert sorted(map(tuple, p1.collect())) == \
+        sorted(map(tuple, fresh.collect()))

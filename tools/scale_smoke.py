@@ -532,6 +532,50 @@ def main() -> int:
     # V-row broadcast back
     bench("vocab_coverage", lambda: text.vocab_coverage(big_docs))
 
+    def leakage_split():
+        # the dedup pipeline's exchanges + one corpus-side left join
+        pairs = dedup.minhash_lsh_pairs(big_docs)
+        cc = dedup.connected_components(pairs)
+        return text.leakage_split(big_docs, cc)
+
+    bench("leakage_split", leakage_split)
+
+    def score_calibration():
+        # per-source rank window: one source-key exchange, no global sort
+        from pyspark.sql import Window
+        q = text.quality_score(big_docs).select("doc_id", "quality_score")
+        j = q.join(big_docs.select("doc_id", "source"), "doc_id")
+        w = Window.partitionBy("source").orderBy(
+            F.col("quality_score").desc(), F.col("doc_id").asc())
+        wn = Window.partitionBy("source")
+        return (j.withColumn("src_rank",
+                             F.row_number().over(w).cast("long"))
+                 .withColumn("_n", F.count(F.lit(1)).over(wn).cast("long"))
+                 .select("doc_id", "source", "src_rank",
+                         F.expr("src_rank * 1000000 div _n")
+                          .alias("pct_ppm")))
+
+    bench("score_calibration", score_calibration)
+
+    def gate_agreement():
+        # two map-only projections, one id join, 4-counter global agg
+        clf = (text.classifier_score(big_docs)
+               .select("doc_id", (F.col("verdict") == "keep").alias("c")))
+        qg = (text.quality_score(big_docs)
+              .select("doc_id",
+                      (F.col("quality_score") >= 0.55).alias("q")))
+        return clf.join(qg, "doc_id").agg(
+            F.sum(F.when(F.col("c") & F.col("q"), 1).otherwise(0))
+             .cast("long").alias("n11"),
+            F.sum(F.when(F.col("c") & ~F.col("q"), 1).otherwise(0))
+             .cast("long").alias("n10"),
+            F.sum(F.when(~F.col("c") & F.col("q"), 1).otherwise(0))
+             .cast("long").alias("n01"),
+            F.sum(F.when(~F.col("c") & ~F.col("q"), 1).otherwise(0))
+             .cast("long").alias("n00"))
+
+    bench("gate_agreement", gate_agreement)
+
     BULK_PRED = "vec_id < 200"
     bench_no_broadcast(
         "ivf_topk_bulk",
