@@ -188,6 +188,7 @@ HEADLINE = [
     "doc_gate_agreement",
     "doc_score_calibration",
     "doc_fertility",
+    "mm_audio_vad",
 ]
 
 

@@ -842,7 +842,8 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
 def minhash_estimator_quality(df: DataFrame, id_col: str = "doc_id",
                               text_col: str = "text",
                               threshold: float = 0.5,
-                              n: int = NGRAM_N) -> DataFrame:
+                              n: int = NGRAM_N,
+                              pairs: DataFrame | None = None) -> DataFrame:
     """MinHash estimator-quality report — `emb_ann_recall`'s text-side
     twin: for every verified near-dup pair, the Jaccard ESTIMATE the
     signatures imply (matching components / K — the statistic whose
@@ -859,8 +860,10 @@ def minhash_estimator_quality(df: DataFrame, id_col: str = "doc_id",
     banded candidates, semi-join-restricted exact verify) and adds
     two broadcast-ish joins of the K-column signature frame onto the
     (small) verified pair list — the pair list never re-scans the
-    corpus."""
-    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, n)
+    corpus. Pass `pairs` (e.g. the catalog's memoized pair graph) to
+    reuse an already-materialized candidate list."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, n)
     sz = (shingles(df, id_col, text_col, n)
           .groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")))
     pairs = (pairs

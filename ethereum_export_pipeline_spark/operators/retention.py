@@ -117,15 +117,13 @@ def delete_ids(spark: SparkSession, corpus_dir: str, ids: DataFrame,
     survivors = {r[0] for r in
                  remaining.select(partition_col).distinct().collect()}
     emptied = {p for p in affected if p not in survivors}
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                              "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        if n_after > 0:
-            (remaining.write.mode("overwrite")
-                      .partitionBy(partition_col).parquet(corpus_dir))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    # per-write scoping via the DataFrameWriter option — no session
+    # conf mutation, so a concurrent writer on the same session never
+    # sees a flipped global overwrite mode
+    if n_after > 0:
+        (remaining.write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy(partition_col).parquet(corpus_dir))
     # emptied partitions contribute no rows to the dynamic overwrite,
     # so their directories must go explicitly — resolved from the real
     # listing (NULL and escaped values don't round-trip through

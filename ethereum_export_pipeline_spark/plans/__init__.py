@@ -109,7 +109,7 @@ _WINDOW_R5 = (
     # doc_vocab_coverage, q_sketch_percentiles, q_t_closeness,
     # doc_cluster_split, doc_curriculum, emb_snapshot_drift,
     # stream_histogram, doc_gate_agreement, doc_score_calibration,
-    # doc_fertility — all locally ALL-GREEN via
+    # doc_fertility, mm_audio_vad — all locally ALL-GREEN via
     # tools/oracle_check.py this round)
 )
 

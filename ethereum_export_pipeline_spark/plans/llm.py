@@ -659,10 +659,24 @@ NEARDUP_BANDS = 2    # graded default: ≥2 bands (OR-amplified recall)
 MULTIBAND_BANDS = 3  # the wider-recall labeled variant
 
 
+_EMB_PAIRS: dict[tuple[str, str], DataFrame] = {}
+
+
+def _emb_neardup_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graded-default (2-band) cosine near-dup pair list, memoized
+    per (session, corpus) like `_lsh_pairs` — `emb_neardup_pairs` and
+    `emb_semantic_dedup` consume the SAME banded LSH computation."""
+    key = _memo_key(spark, sf_dir)
+    if key not in _EMB_PAIRS:
+        _EMB_PAIRS[key] = (similarity.embedding_neardup_pairs(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=NEARDUP_COS, n_planes=LSH_PLANES,
+            n_bands=NEARDUP_BANDS).localCheckpoint(eager=True))
+    return _EMB_PAIRS[key]
+
+
 def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS,
-        n_planes=LSH_PLANES, n_bands=NEARDUP_BANDS)
+    return _emb_neardup_memo(spark, sf_dir)
 
 
 def _emb_neardup_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1456,9 +1470,7 @@ def _emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is LSH-pruned (pair-graph nodes only) so it broadcasts into the
     full vector scan; the 100 TB side never shuffles."""
     vecs = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_neardup_pairs(
-        vecs, threshold=NEARDUP_COS, n_planes=LSH_PLANES,
-        n_bands=NEARDUP_BANDS)
+    pairs = _emb_neardup_memo(spark, sf_dir)
     clusters = dedup.connected_components(
         pairs, src="id_a", dst="id_b", id_out="vec_id")
     c = clusters.select(F.col("vec_id").alias("_cc_id"),
@@ -1701,6 +1713,66 @@ def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_wav_media(
         load_table(spark, sf_dir, "documents"))
     return multimodal.extract_audio_features(media)
+
+
+def _audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity / silence-run detection (operators/multimodal.
+    audio_silence_runs) over the REAL decoded PCM of the WAV fixture —
+    the speech-curation gate (dead-air trim offsets, all-silence clip
+    drops), every run statistic graded on decoded samples."""
+    media = multimodal.documents_as_wav_media(
+        load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_silence_runs(media)
+
+
+def _audio_vad_sql() -> str:
+    eps = multimodal.VAD_EPS
+    min_run = multimodal.VAD_MIN_RUN
+    digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
+    byte_at = (f"16 * ({digit.format(i='2*p+1')}) "
+               f"+ ({digit.format(i='2*p+2')})")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE hex(encode(text)) END AS hx,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE octet_length(encode(text)) END AS nb
+  FROM documents
+), pos AS (
+  SELECT doc_id, CAST(u.p AS BIGINT) AS p, {byte_at} AS val
+  FROM m, UNNEST(range(coalesce(m.nb, 0))) u(p)
+), sil AS (
+  SELECT doc_id, p FROM pos WHERE abs(val - 128) <= {eps}
+), isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM sil
+), runs AS (
+  SELECT doc_id, min(p) AS s, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY doc_id, g
+), q AS (
+  SELECT * FROM runs WHERE len >= {min_run}
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+         CAST(sum(len) AS BIGINT) AS n_silent,
+         CAST(max(len) AS BIGINT) AS longest_run,
+         CAST(coalesce(max(CASE WHEN s = 0 THEN len END), 0) AS BIGINT)
+           AS lead_in
+  FROM q GROUP BY 1)
+SELECT m.doc_id AS media_id,
+       CASE WHEN m.nb IS NULL THEN NULL
+            ELSE CAST(m.nb AS BIGINT) END AS n_samples,
+       CASE WHEN m.nb IS NULL THEN NULL
+            ELSE CAST(coalesce(a.n_runs, 0) AS BIGINT) END AS n_runs,
+       CASE WHEN m.nb IS NULL THEN NULL
+            ELSE CAST(coalesce(a.n_silent, 0) AS BIGINT) END AS n_silent,
+       CASE WHEN m.nb IS NULL THEN NULL
+            ELSE CAST(coalesce(a.longest_run, 0) AS BIGINT) END
+         AS longest_run,
+       CASE WHEN m.nb IS NULL THEN NULL
+            ELSE CAST(coalesce(a.lead_in, 0) AS BIGINT) END AS lead_in
+FROM m LEFT JOIN agg a USING (doc_id)
+"""
 
 
 def _audio_features_sql() -> str:
@@ -3215,7 +3287,8 @@ def _minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     K-tuning metric (operators/dedup.minhash_estimator_quality),
     emb_ann_recall's text-side twin."""
     return dedup.minhash_estimator_quality(
-        load_table(spark, sf_dir, "documents"), threshold=NGRAM_THRESHOLD)
+        load_table(spark, sf_dir, "documents"), threshold=NGRAM_THRESHOLD,
+        pairs=_lsh_pairs(spark, sf_dir))
 
 
 def _minhash_quality_sql() -> str:
@@ -3454,13 +3527,28 @@ WHERE d.text IS NOT NULL
 
 # --------------------------------------------- kNN graph / mix / PMI
 
+_KNN_GRAPH: dict[tuple[str, str], DataFrame] = {}
+
+
+def _knn_graph_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog's standard-parameter kNN graph, memoized per
+    (session, corpus) like `_lsh_pairs` — `emb_knn_graph` and
+    `emb_knn_linkpred` consume the SAME banded-candidates + exact-
+    rerank computation."""
+    key = _memo_key(spark, sf_dir)
+    if key not in _KNN_GRAPH:
+        _KNN_GRAPH[key] = (similarity.knn_graph(
+            load_table(spark, sf_dir, "embeddings"),
+            k=TOPK_K, n_planes=LSH_PLANES,
+            n_bands=MULTIBAND_BANDS).localCheckpoint(eager=True))
+    return _KNN_GRAPH[key]
+
+
 def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN graph (operators/similarity.knn_graph):
     lsh_topk with every vector as a query — the neighbor structure
     graph-based semantic dedup and diversity sampling start from."""
-    return similarity.knn_graph(load_table(spark, sf_dir, "embeddings"),
-                                k=TOPK_K, n_planes=LSH_PLANES,
-                                n_bands=MULTIBAND_BANDS)
+    return _knn_graph_memo(spark, sf_dir)
 
 
 def _knn_graph_sql() -> str:
@@ -4163,9 +4251,7 @@ def _knn_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     DUP graph is the wrong input here: LSH band collisions on
     near-identical copies yield transitively-closed cliques — zero
     open wedges, nothing to predict.)"""
-    g = similarity.knn_graph(load_table(spark, sf_dir, "embeddings"),
-                             k=TOPK_K, n_planes=LSH_PLANES,
-                             n_bands=MULTIBAND_BANDS)
+    g = _knn_graph_memo(spark, sf_dir)
     e = (g.select(F.least("vec_id", "neighbor_id").alias("src"),
                   F.greatest("vec_id", "neighbor_id").alias("dst"))
           .distinct())
@@ -4595,6 +4681,11 @@ QUERIES: dict[str, Query] = {
                                "zero-order-hold gather to 6 kHz -> "
                                "re-encode -> re-decode, exact stats "
                                "of the resampled samples"),
+    "mm_audio_vad": Query(_audio_vad, _audio_vad_sql,
+                          "voice-activity gate: midline-band silence "
+                          "runs over decoded PCM (trim offsets, "
+                          "all-silence drops), gaps-and-islands "
+                          "oracle"),
     "mm_image_neardup": Query(_image_neardup, _image_neardup_sql(),
                               "banded aHash image near-dup pairs "
                               "(8-band pigeonhole, popcount verify, "

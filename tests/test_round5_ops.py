@@ -855,3 +855,29 @@ def test_shared_artifact_memos_are_per_session_and_corpus(spark):
         threshold=llm.NGRAM_THRESHOLD)
     assert sorted(map(tuple, p1.collect())) == \
         sorted(map(tuple, fresh.collect()))
+
+
+# ------------------------------------------------- audio VAD
+
+def test_audio_vad_hand_computed_runs(spark):
+    from ethereum_export_pipeline_spark.operators import multimodal as M
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="aaaaaaaaaaaa"),          # one 12-run at 0
+         Row(doc_id=2, text="AAAA bbbbbbbbbb"),       # 10-run at 5
+         Row(doc_id=3, text="abc"),                   # sub-min run
+         Row(doc_id=4, text=None),                    # NULL payload
+         Row(doc_id=5, text=""),                      # data-less WAV
+         Row(doc_id=6, text="aaaaaaaa0aaaaaaaaa")])   # 8-run + 9-run
+    media = M.documents_as_wav_media(docs)
+    got = {r["media_id"]: r.asDict()
+           for r in M.audio_silence_runs(media).collect()}
+    assert (got[1]["n_runs"], got[1]["n_silent"],
+            got[1]["longest_run"], got[1]["lead_in"]) == (1, 12, 12, 12)
+    assert (got[2]["n_runs"], got[2]["n_silent"],
+            got[2]["longest_run"], got[2]["lead_in"]) == (1, 10, 10, 0)
+    assert (got[3]["n_samples"], got[3]["n_runs"],
+            got[3]["lead_in"]) == (3, 0, 0)
+    assert got[4]["n_samples"] is None and got[4]["n_runs"] is None
+    assert (got[5]["n_samples"], got[5]["n_runs"]) == (0, 0)
+    assert (got[6]["n_runs"], got[6]["n_silent"],
+            got[6]["longest_run"], got[6]["lead_in"]) == (2, 17, 9, 8)

@@ -541,10 +541,16 @@ def main() -> int:
     bench("leakage_split", leakage_split)
 
     def score_calibration():
-        # per-source rank window: one source-key exchange, no global sort
+        # per-source rank window: one source-key exchange, no global
+        # sort (amplified docs carry no source column; derive a
+        # 20-source partition from the id — same key cardinality class)
         from pyspark.sql import Window
         q = text.quality_score(big_docs).select("doc_id", "quality_score")
-        j = q.join(big_docs.select("doc_id", "source"), "doc_id")
+        src = big_docs.select(
+            "doc_id",
+            F.concat(F.lit("src"), (F.col("doc_id") % 20))
+             .alias("source"))
+        j = q.join(src, "doc_id")
         w = Window.partitionBy("source").orderBy(
             F.col("quality_score").desc(), F.col("doc_id").asc())
         wn = Window.partitionBy("source")
