@@ -1182,9 +1182,10 @@ def _fuzzy_candidate_pairs(spark: SparkSession, sf_dir: str):
     from ..operators.joins import fuzzy_pairs
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key not in _FUZZY_PAIRS_MEMO:
-        _FUZZY_PAIRS_MEMO[key] = fuzzy_pairs(
+        from .llm import _memo_put
+        _memo_put(_FUZZY_PAIRS_MEMO, key, fuzzy_pairs(
             _dirty_parts(spark, sf_dir), "id", "name",
-            F.expr(_BLOCK), max_dist=2).localCheckpoint(eager=True)
+            F.expr(_BLOCK), max_dist=2).localCheckpoint(eager=True))
     return _FUZZY_PAIRS_MEMO[key]
 
 
@@ -1487,6 +1488,7 @@ def _l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     count over QI — two map-side-combined exchanges, no joins."""
     from ..sources.tables import load_table
     ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
           .select("event_type",
                   F.expr("ts_ns div 1000 div 3600000000").alias("hour"),
                   F.expr(f"{cents('value')} div 1000").alias("band")))
@@ -1530,7 +1532,7 @@ def _sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .where(F.col("value").isNotNull())
           .select("event_type",
-                  F.length(F.expr(f"bin({cents('value')})"))
+                  F.length(F.expr(f"bin(greatest({cents('value')}, 0L))"))
                    .cast("long").alias("b")))
     hist = (ev.groupBy("event_type", "b")
               .agg(F.count(F.lit(1)).cast("long").alias("n")))
@@ -1561,7 +1563,8 @@ def _sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKETCH_PERCENTILES_SQL = f"""
 WITH h AS (
   SELECT event_type,
-         CAST(length(format('{{:b}}', {cents('value')})) AS BIGINT) AS b,
+         CAST(length(format('{{:b}}', greatest({cents('value')}, 0)))
+              AS BIGINT) AS b,
          CAST(count(*) AS BIGINT) AS n
   FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
 c AS (SELECT event_type, b, n,
@@ -1613,6 +1616,7 @@ def _t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from ..sources.tables import load_table
     ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
           .select("event_type",
                   F.expr("ts_ns div 1000 div 3600000000").alias("hour"),
                   F.expr(f"{cents('value')} div 1000").alias("band")))
@@ -1648,7 +1652,7 @@ _T_CLOSENESS_SQL = f"""
 WITH ev AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
          {cents('value')} // 1000 AS band
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 gl AS (SELECT band, CAST(count(*) AS BIGINT) AS n_g FROM ev GROUP BY 1),
 gcdf AS (SELECT band,
                 CAST(sum(n_g) OVER (ORDER BY band) AS BIGINT) AS cum_g

@@ -108,6 +108,20 @@ _PAIR_GRAPH: dict[tuple[str, str], DataFrame] = {}
 _CC_LABELS: dict[tuple[str, str], DataFrame] = {}
 _KMEANS_CELLS: dict[tuple[str, str], DataFrame] = {}
 
+#: per-artifact memo bound: a long-lived process that walks many
+#: (session, corpus) pairs must not pin checkpointed frames forever —
+#: beyond this many entries the OLDEST insertion is dropped (dict
+#: preserves insertion order), releasing the frame to GC / the
+#: ContextCleaner. 8 covers every harness in this repo (one session x
+#: three corpora) with room; production pipelines touch one corpus.
+_MEMO_MAX = 8
+
+
+def _memo_put(d: dict, key: tuple[str, str], value: DataFrame) -> None:
+    if len(d) >= _MEMO_MAX:
+        d.pop(next(iter(d)))
+    d[key] = value
+
 
 def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
@@ -117,10 +131,10 @@ def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _memo_key(spark, sf_dir)
     if key not in _PAIR_GRAPH:
-        _PAIR_GRAPH[key] = (
+        _memo_put(_PAIR_GRAPH, key, (
             dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
                                     threshold=NGRAM_THRESHOLD)
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=True)))
     return _PAIR_GRAPH[key]
 
 
@@ -131,7 +145,7 @@ def _cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     star contraction — two algorithms, one oracle)."""
     key = _memo_key(spark, sf_dir)
     if key not in _CC_LABELS:
-        _CC_LABELS[key] = (dedup.connected_components(
+        _memo_put(_CC_LABELS, key, dedup.connected_components(
             _lsh_pairs(spark, sf_dir)).localCheckpoint(eager=True))
     return _CC_LABELS[key]
 
@@ -141,7 +155,7 @@ def _kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeling / outlier / drift consumers."""
     key = _memo_key(spark, sf_dir)
     if key not in _KMEANS_CELLS:
-        _KMEANS_CELLS[key] = (similarity.kmeans_assign(
+        _memo_put(_KMEANS_CELLS, key, similarity.kmeans_assign(
             load_table(spark, sf_dir, "embeddings"),
             k=KMEANS_K, rounds=KMEANS_ROUNDS).localCheckpoint(eager=True))
     return _KMEANS_CELLS[key]
@@ -668,7 +682,7 @@ def _emb_neardup_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     `emb_semantic_dedup` consume the SAME banded LSH computation."""
     key = _memo_key(spark, sf_dir)
     if key not in _EMB_PAIRS:
-        _EMB_PAIRS[key] = (similarity.embedding_neardup_pairs(
+        _memo_put(_EMB_PAIRS, key, similarity.embedding_neardup_pairs(
             load_table(spark, sf_dir, "embeddings"),
             threshold=NEARDUP_COS, n_planes=LSH_PLANES,
             n_bands=NEARDUP_BANDS).localCheckpoint(eager=True))
@@ -3537,7 +3551,7 @@ def _knn_graph_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank computation."""
     key = _memo_key(spark, sf_dir)
     if key not in _KNN_GRAPH:
-        _KNN_GRAPH[key] = (similarity.knn_graph(
+        _memo_put(_KNN_GRAPH, key, similarity.knn_graph(
             load_table(spark, sf_dir, "embeddings"),
             k=TOPK_K, n_planes=LSH_PLANES,
             n_bands=MULTIBAND_BANDS).localCheckpoint(eager=True))
@@ -3908,12 +3922,18 @@ def _snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("n_new")))
     tot = cc.agg(F.sum("n_old").cast("long").alias("_t_old"),
                  F.sum("n_new").cast("long").alias("_t_new"))
+    # nullif pins the degenerate single-snapshot corpus explicitly:
+    # both engines yield NULL on integer division by zero (verified on
+    # the pinned duckdb 1.0), and the nullif makes that contract
+    # visible in the expression instead of implicit engine behavior
     return (cc.crossJoin(F.broadcast(tot))
               .select("cell", "n_old", "n_new",
-                      F.expr("n_old * 1000000 div _t_old").alias("ppm_old"),
-                      F.expr("n_new * 1000000 div _t_new").alias("ppm_new"),
-                      F.expr("abs(n_old * 1000000 div _t_old - "
-                             "n_new * 1000000 div _t_new)")
+                      F.expr("n_old * 1000000 div nullif(_t_old, 0)")
+                       .alias("ppm_old"),
+                      F.expr("n_new * 1000000 div nullif(_t_new, 0)")
+                       .alias("ppm_new"),
+                      F.expr("abs(n_old * 1000000 div nullif(_t_old, 0) - "
+                             "n_new * 1000000 div nullif(_t_new, 0))")
                        .alias("delta_ppm")))
 
 
@@ -3929,10 +3949,10 @@ cc AS (SELECT cell,
 tot AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
                CAST(sum(n_new) AS BIGINT) AS t_new FROM cc)
 SELECT cell, n_old, n_new,
-       n_old * 1000000 // t_old AS ppm_old,
-       n_new * 1000000 // t_new AS ppm_new,
-       abs(n_old * 1000000 // t_old - n_new * 1000000 // t_new)
-         AS delta_ppm
+       n_old * 1000000 // nullif(t_old, 0) AS ppm_old,
+       n_new * 1000000 // nullif(t_new, 0) AS ppm_new,
+       abs(n_old * 1000000 // nullif(t_old, 0)
+           - n_new * 1000000 // nullif(t_new, 0)) AS delta_ppm
 FROM cc, tot
 """
 

@@ -387,7 +387,8 @@ def _stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_HISTOGRAM_SQL = f"""
 SELECT epoch_us(ts) // {WINDOW_US} AS win,
-       CAST(length(format('{{:b}}', CAST(round(value * 100) AS BIGINT)))
+       CAST(length(format('{{:b}}',
+                          greatest(CAST(round(value * 100) AS BIGINT), 0)))
             AS BIGINT) AS b,
        CAST(count(*) AS BIGINT) AS n
 FROM events WHERE value IS NOT NULL

@@ -631,7 +631,8 @@ def stream_value_histogram(spark: SparkSession, events_path: str,
            .where(F.col("value").isNotNull()))
     agg = (sdf.groupBy(
               F.expr(f"(ts_ns div 1000) div {window_us}").alias("win"),
-              F.length(F.expr("bin(CAST(round(value * 100) AS BIGINT))"))
+              F.length(F.expr("bin(greatest("
+                              "CAST(round(value * 100) AS BIGINT), 0L))"))
                .cast("long").alias("b"))
               .agg(F.count(F.lit(1)).cast("long").alias("n")))
     return run_available_now(agg,

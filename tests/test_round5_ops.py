@@ -769,7 +769,8 @@ def test_stream_histogram_equals_batch(spark):
             .groupBy(F.expr(f"(ts_ns div 1000) div {WINDOW_US}")
                       .alias("win"),
                      F.length(F.expr(
-                         "bin(CAST(round(value * 100) AS BIGINT))"))
+                         "bin(greatest("
+                         "CAST(round(value * 100) AS BIGINT), 0L))"))
                       .cast("long").alias("b"))
             .agg(F.count(F.lit(1)).cast("long").alias("n"))).collect()}
     assert got == exp and got

@@ -565,11 +565,15 @@ def main() -> int:
 
     def gate_agreement():
         # two map-only projections, one id join, 4-counter global agg
+        # (threshold imported so the smoke measures the SHIPPED gate)
+        from ethereum_export_pipeline_spark.plans.llm import (
+            FUNNEL_MIN_QUALITY)
         clf = (text.classifier_score(big_docs)
                .select("doc_id", (F.col("verdict") == "keep").alias("c")))
         qg = (text.quality_score(big_docs)
               .select("doc_id",
-                      (F.col("quality_score") >= 0.55).alias("q")))
+                      (F.col("quality_score") >= FUNNEL_MIN_QUALITY)
+                       .alias("q")))
         return clf.join(qg, "doc_id").agg(
             F.sum(F.when(F.col("c") & F.col("q"), 1).otherwise(0))
              .cast("long").alias("n11"),
