@@ -189,6 +189,7 @@ HEADLINE = [
     "doc_score_calibration",
     "doc_fertility",
     "mm_audio_vad",
+    "q_props_keys",
 ]
 
 

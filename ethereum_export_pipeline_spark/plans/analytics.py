@@ -417,6 +417,52 @@ GROUP BY 1
 """
 
 
+def _props_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema inventory over the JSON `props` column —
+    the schema-drift audit a pipeline ingesting loosely-typed event
+    payloads runs before anything else ("which keys exist, how common
+    is each, and over what time span did it live?"): per JSON key, the
+    carrying-event count, its corpus share in exact ppm, and the
+    first/last event time (µs) it appears at — a key that stops
+    appearing IS the upstream producer change you want flagged.
+    Key enumeration stays in codegen (`json_object_keys`, no UDF
+    JSON parsing); values are never parsed, so there is no cross-
+    engine value-representation surface at all. Fixture `props` is
+    well-formed JSON by construction (malformed rows yield NULL keys
+    in Spark but error in DuckDB's `json_keys` — a try_cast front
+    would reconcile them on a dirty corpus).
+
+    Scale shape: one scan, explode bounded by keys-per-event (small),
+    one (key) hash-agg — vocabulary-sized output — plus a 1-row
+    broadcast of the event total for the share."""
+    e = load_table(spark, sf_dir, "events")
+    k = e.select(F.explode(F.expr("json_object_keys(props)")).alias("key"),
+                 F.expr("ts_ns div 1000").alias("us"))
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("_n_events"))
+    return (k.groupBy("key")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.min("us").cast("long").alias("first_us"),
+                  F.max("us").cast("long").alias("last_us"))
+             .crossJoin(F.broadcast(tot))
+             .select("key", "n",
+                     F.expr("n * 1000000 div _n_events").alias("share_ppm"),
+                     "first_us", "last_us"))
+
+
+_PROPS_KEYS_SQL = """
+WITH k AS (
+  SELECT unnest(json_keys(props)) AS key, epoch_us(ts) AS us
+  FROM events WHERE props IS NOT NULL),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM events)
+SELECT key, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) * 1000000 // (SELECT n_events FROM tot)
+         AS share_ppm,
+       CAST(min(us) AS BIGINT) AS first_us,
+       CAST(max(us) AS BIGINT) AS last_us
+FROM k GROUP BY 1
+"""
+
+
 def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order statistics + distinct counts per group. percentile_disc
     picks an actual data value (engine-identical on exact ints, unlike
@@ -1988,6 +2034,11 @@ QUERIES: dict[str, Query] = {
                          "as-of join vs native DuckDB ASOF"),
     "q_events_json": Query(_events_json, _EVENTS_JSON_SQL,
                            "JSON prop extraction + agg"),
+    "q_props_keys": Query(_props_keys, _PROPS_KEYS_SQL,
+                          "semi-structured schema inventory: per JSON "
+                          "key, carrying-count, ppm share, first/last "
+                          "event time (schema-drift audit, codegen "
+                          "key enumeration)"),
     "q_events_multirollup": Query(_events_multirollup, _EVENTS_MULTIROLLUP_SQL,
                                   "hypertable rollup, 3 tiers, one pass"),
     "q_grouping_sets": Query(_grouping_sets, _GROUPING_SETS_SQL,

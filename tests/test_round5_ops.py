@@ -1,6 +1,11 @@
 """Round-5 operator tests: hashed classifier inference, DSIR
 importance weights, kNN link prediction, banded image near-dup,
-Bloom predicate in a lambda, and stateless streaming decontamination."""
+Bloom predicate in a lambda, stateless streaming decontamination,
+vocabulary coverage, cluster labels, histogram-sketch percentiles,
+t-closeness, leakage-safe cluster split, curriculum ordering,
+embedding snapshot drift, streaming histogram, gate-agreement kappa,
+per-source score calibration, tokenizer fertility, shared-artifact
+memos, audio VAD silence runs, and the JSON props schema inventory."""
 
 from __future__ import annotations
 
@@ -882,3 +887,29 @@ def test_audio_vad_hand_computed_runs(spark):
     assert (got[5]["n_samples"], got[5]["n_runs"]) == (0, 0)
     assert (got[6]["n_runs"], got[6]["n_silent"],
             got[6]["longest_run"], got[6]["lead_in"]) == (2, 17, 9, 8)
+
+
+# ------------------------------------------- props schema inventory
+
+def test_props_keys_inventory(spark, tmp_path):
+    import datetime as dt
+    from ethereum_export_pipeline_spark.plans import ALL_QUERIES
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1, "click", 1.0, '{"a": 1, "b": "x"}'),
+        (2, t0 + dt.timedelta(hours=1), 2, "click", 2.0, '{"a": 2}'),
+        (3, t0 + dt.timedelta(hours=2), 3, "buy", 3.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["key"]: r.asDict() for r in
+           ALL_QUERIES["q_props_keys"].fn(spark, str(tmp_path)).collect()}
+    assert set(got) == {"a", "b"}
+    us0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert (got["a"]["n"], got["a"]["share_ppm"]) == (2, 666_666)
+    assert (got["a"]["first_us"], got["a"]["last_us"]) == (
+        us0, us0 + 3_600_000_000)
+    assert (got["b"]["n"], got["b"]["share_ppm"]) == (1, 333_333)
+    assert got["b"]["first_us"] == got["b"]["last_us"] == us0

@@ -402,6 +402,13 @@ def main() -> int:
 
     bench("mm_audio_dedup", mm_audio_dedup)
 
+    def mm_audio_vad():
+        from ethereum_export_pipeline_spark.operators import multimodal
+        media = multimodal.documents_as_wav_media(big_docs)
+        return multimodal.audio_silence_runs(media)
+
+    bench("mm_audio_vad", mm_audio_vad)
+
     def mm_image_neardup():
         from ethereum_export_pipeline_spark.operators import multimodal
         media = multimodal.documents_as_ppm_media(big_docs)
