@@ -190,6 +190,7 @@ HEADLINE = [
     "doc_fertility",
     "mm_audio_vad",
     "q_props_keys",
+    "q_event_transitions",
 ]
 
 

@@ -109,8 +109,9 @@ _WINDOW_R5 = (
     # doc_vocab_coverage, q_sketch_percentiles, q_t_closeness,
     # doc_cluster_split, doc_curriculum, emb_snapshot_drift,
     # stream_histogram, doc_gate_agreement, doc_score_calibration,
-    # doc_fertility, mm_audio_vad, q_props_keys — all locally
-    # ALL-GREEN via tools/oracle_check.py this round)
+    # doc_fertility, mm_audio_vad, q_props_keys,
+    # q_event_transitions — all locally ALL-GREEN via
+    # tools/oracle_check.py this round)
 )
 
 ALL_QUERIES: dict[str, Query] = {n: _MERGED[n] for n in _WINDOW_R5}

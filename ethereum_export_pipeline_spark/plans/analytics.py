@@ -463,6 +463,51 @@ FROM k GROUP BY 1
 """
 
 
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-flow transition matrix (first-order Markov over
+    the event stream — the funnels-you-didn't-design-for discovery
+    tool next to `q_events_funnel`'s fixed sequence): each user's
+    events in time order (event_id tiebreak → a total order), paired
+    with the NEXT event via one lead window, aggregated to (src, dst)
+    counts plus the row-normalized transition share in exact ppm.
+    p_ppm rows of one src sum to ≤10⁶ (truncating div) — the
+    transition-probability row the product/session-flow dashboard
+    renders as a Sankey.
+
+    Scale shape: one user-key exchange for the lead window (the same
+    key every sessionizer pays), then a (src, dst) hash-agg whose
+    output is event-type²-sized; the src marginal attaches via a
+    window over that tiny frame. No join touches the corpus."""
+    from pyspark.sql import Window
+    e = (load_table(spark, sf_dir, "events")
+         .select("user_id", "event_type",
+                 F.expr("ts_ns div 1000").alias("us"), "event_id"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (e.withColumn("dst", F.lead("event_type").over(w))
+              .where(F.col("dst").isNotNull())
+              .groupBy(F.col("event_type").alias("src"), "dst")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    wsrc = Window.partitionBy("src")
+    return (pairs.withColumn("_row", F.sum("n").over(wsrc).cast("long"))
+                 .select("src", "dst", "n",
+                         F.expr("n * 1000000 div _row").alias("p_ppm")))
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS dst
+  FROM events),
+c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE dst IS NOT NULL GROUP BY 1, 2)
+SELECT src, dst, n,
+       n * 1000000 // CAST(sum(n) OVER (PARTITION BY src) AS BIGINT)
+         AS p_ppm
+FROM c
+"""
+
+
 def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order statistics + distinct counts per group. percentile_disc
     picks an actual data value (engine-identical on exact ints, unlike
@@ -2034,6 +2079,11 @@ QUERIES: dict[str, Query] = {
                          "as-of join vs native DuckDB ASOF"),
     "q_events_json": Query(_events_json, _EVENTS_JSON_SQL,
                            "JSON prop extraction + agg"),
+    "q_event_transitions": Query(_event_transitions,
+                                 _EVENT_TRANSITIONS_SQL,
+                                 "per-user event-flow transition "
+                                 "matrix: lead window + (src,dst) agg "
+                                 "+ row-normalized ppm shares"),
     "q_props_keys": Query(_props_keys, _PROPS_KEYS_SQL,
                           "semi-structured schema inventory: per JSON "
                           "key, carrying-count, ppm share, first/last "

@@ -913,3 +913,28 @@ def test_props_keys_inventory(spark, tmp_path):
         us0, us0 + 3_600_000_000)
     assert (got["b"]["n"], got["b"]["share_ppm"]) == (1, 333_333)
     assert got["b"]["first_us"] == got["b"]["last_us"] == us0
+
+
+# -------------------------------------------- event transitions
+
+def test_event_transitions_conservation_and_ppm(spark):
+    from ethereum_export_pipeline_spark.plans import ALL_QUERIES
+    from ethereum_export_pipeline_spark.sources.tables import load_table
+    sf = "/root/testdata/sf0.001"
+    rows = ALL_QUERIES["q_event_transitions"].fn(spark, sf).collect()
+    assert rows
+    ev = load_table(spark, sf, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every user contributes (its event count - 1) transitions
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+        assert 0 < r["p_ppm"] <= 1_000_000
+    for src, rs in by_src.items():
+        tot = sum(r["n"] for r in rs)
+        s = sum(r["p_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) <= s <= 1_000_000  # truncating div
+        for r in rs:
+            assert r["p_ppm"] == r["n"] * 1_000_000 // tot
