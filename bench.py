@@ -42,6 +42,9 @@ HEADLINE = [
     "q8_market_share",
     "q10_returned_items",
     "q19_bracket_revenue",
+    "q5_local_supplier",
+    "q9_product_profit",
+    "q16_supplier_counts",
     "q_events_tumbling",
     "q_events_sessions",
     "q_events_json",
@@ -50,8 +53,15 @@ HEADLINE = [
     "emb_label_centroids",
     "emb_knn_graph",
     "emb_kmeans_assign",
+    "emb_pca_scores",
+    "emb_mmr_rerank",
     "doc_collocations",
     "doc_mixture_weights",
+    "doc_rake_keywords",
+    "doc_trigram_fluency",
+    "q_skew_profile",
+    "q_mad_outliers",
+    "q_bitmap_coactivity",
     "eth_incremental_todo",
     "eth_typed_projection",
     "eth_partition_plan",

@@ -968,3 +968,169 @@ def density_sample(df: DataFrame, id_col: str = "vec_id",
                              .cast("long"))
                 .select(id_col, "n_nbrs", "dens_ppm", "w", "p_ppb",
                         "keep"))
+
+
+# ------------------------------------------------------------------ PCA
+
+PCA_SCALE = 1_000_000   # component quantization (1e-6 resolution)
+PCA_ITERS = 32          # fixed power-iteration count (deterministic)
+
+
+def train_pca_component(vectors: "list[list[float]]",
+                        iters: int = PCA_ITERS
+                        ) -> tuple[list[int], list[int]]:
+    """Plan-time top principal component via power iteration on the
+    centered sample (numpy float64, deterministic: fixed e₁ start,
+    fixed iteration count, sign canonicalized so the first
+    non-negligible loading is positive). Returns (mean at QUANT_SCALE,
+    component at PCA_SCALE) as ints, so the projection over the full
+    table is exact integer arithmetic on both engines — the same
+    sample-train → literal-inject discipline as the IVF centroids.
+
+    At 100 TB the sample stays driver-sized (PCA of a corpus is
+    always estimated from a sample); the distributed part is the
+    projection scan, one codegen'd pass with no shuffle."""
+    import numpy as np
+    x = np.asarray(vectors, dtype=np.float64)
+    mu = x.mean(axis=0)
+    xc = x - mu
+    v = np.zeros(x.shape[1], dtype=np.float64)
+    v[0] = 1.0
+    for _ in range(iters):
+        w = xc.T @ (xc @ v)
+        n = float(np.linalg.norm(w))
+        if n == 0.0:
+            break
+        v = w / n
+    for c in v:
+        if abs(c) > 1e-9:
+            if c < 0:
+                v = -v
+            break
+    mean_q = np.rint(mu * QUANT_SCALE).astype(np.int64)
+    comp_q = np.rint(v * PCA_SCALE).astype(np.int64)
+    return ([int(a) for a in mean_q], [int(a) for a in comp_q])
+
+
+def pca_scores(df: DataFrame, mean_q: list[int], comp_q: list[int],
+               id_col: str = "vec_id", emb_col: str = "embedding",
+               dim: int = EMB_DIM) -> DataFrame:
+    """Project every embedding onto the trained top component:
+    score_e10 = Σᵢ (qᵢ − meanᵢ)·compᵢ, exact int64 (|q−mean| ≤ 2·10⁴,
+    |comp| ≤ 10⁶, dim 64 → ≤ 1.3·10¹² per row). The double `pc1` is
+    the single final division by QUANT_SCALE·PCA_SCALE.
+
+    Scale: one narrow projection scan, zero shuffles — whole-stage
+    codegen over two plan literals."""
+    m, c = matrix_lit(mean_q), matrix_lit(comp_q)
+    base = (with_quantized(
+                df.where(F.size(emb_col) == dim), emb_col)
+            .select(id_col, "qvec"))
+    diff = F.zip_with(F.col("qvec"), m, lambda x, y: x - y)
+    score = F.aggregate(F.zip_with(diff, c, lambda x, y: x * y),
+                        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    denom = float(QUANT_SCALE) * float(PCA_SCALE)
+    return (base.withColumn("pc1_e10", score)
+                .select(id_col, "pc1_e10",
+                        (F.col("pc1_e10").cast("double") / F.lit(denom))
+                        .alias("pc1")))
+
+
+# ------------------------------------------------------------------ MMR
+
+MMR_POOL = 20   # stage-1 candidate pool per query (top-`pool` cosine)
+
+
+def mmr_rerank(df: DataFrame, id_col: str = "vec_id",
+               emb_col: str = "embedding", k: int = 5,
+               pool: int = MMR_POOL, query_pred: str | None = None,
+               dim: int = EMB_DIM) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998), λ = 0.5: greedily pick k results per query trading
+    relevance against redundancy — step 1 takes the top-cosine
+    candidate, step i maximizes 0.5·(cos(q,c) − max over picked p of
+    cos(c,p)). Output: (query_id, step, neighbor_id, cosine, mmr).
+
+    The greedy loop is UNROLLED into k−1 static stages (no driver
+    iteration on data): each stage is a bounded join — candidates ×
+    picked within a query, both ≤ `pool` rows per query — followed by
+    a row_number pick. All cosines derive from exact int dots, so the
+    double comparisons are bit-identical cross-engine; ties break on
+    neighbor_id.
+
+    Scale: the pairwise-similarity frame is |Q|·pool² rows built once
+    and reused by every stage; per-query state is O(pool), so the op
+    scales linearly in the number of queries with no wide shuffle —
+    the stage-1 pool bound is what keeps MMR's quadratic term local."""
+    query_pred = query_pred or f"{id_col} < 10"
+    from pyspark.sql import Window
+    base = (with_quantized(df.where(F.size(emb_col) == dim), emb_col)
+            .select(id_col, "qvec", "n2"))
+    q = (base.where(query_pred)
+             .select(F.col(id_col).alias("query_id"),
+                     F.col("qvec").alias("qv"), F.col("n2").alias("qn2")))
+    c = (base.select(F.col(id_col).alias("cand_id"),
+                     F.col("qvec").alias("cv"), F.col("n2").alias("cn2")))
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("cos_q").desc(), F.col("cand_id").asc()))
+    pool_df = (
+        F.broadcast(q).crossJoin(c)
+         .where(F.col("cand_id") != F.col("query_id"))
+         .withColumn("dot", F.expr(dot_expr("qv", "cv")))
+         .withColumn("cos_q", _cosine(F.col("dot"), F.col("qn2"),
+                                      F.col("cn2")))
+         .withColumn("rk", F.row_number().over(w))
+         .where(F.col("rk") <= pool)
+         .select("query_id", "cand_id", "cv", "cn2", "cos_q")
+         # |Q|·pool rows, re-read by every unrolled stage: without the
+         # cut, stage i re-evaluates the pool subtree 2i+1 times and
+         # the plan grows combinatorially (19 s → ~2 s at sf0.01)
+         .localCheckpoint(eager=True))
+    a = pool_df.select("query_id", "cand_id", "cv", "cn2")
+    b = pool_df.select(F.col("query_id").alias("query_id_b"),
+                       F.col("cand_id").alias("other_id"),
+                       F.col("cv").alias("ov"), F.col("cn2").alias("on2"))
+    pairs = (a.join(b, (a.query_id == b.query_id_b)
+                       & (a.cand_id != b.other_id))
+              .withColumn("pdot", F.expr(dot_expr("cv", "ov")))
+              .withColumn("cos_ab", _cosine(F.col("pdot"), F.col("cn2"),
+                                            F.col("on2")))
+              .select("query_id", "cand_id", "other_id", "cos_ab")
+              .localCheckpoint(eager=True))   # |Q|·pool² rows, reused k−1×
+    cands = pool_df.select("query_id", "cand_id", "cos_q")
+    wp = (Window.partitionBy("query_id")
+                .orderBy(F.col("mmr").desc(), F.col("cand_id").asc()))
+    picked = (cands.withColumn("mmr", F.lit(0.5) * F.col("cos_q"))
+                   .withColumn("rk", F.row_number().over(wp))
+                   .where(F.col("rk") == 1)
+                   .select("query_id", "cand_id", "cos_q", "mmr",
+                           F.lit(1).cast("long").alias("step")))
+    steps = [picked]
+    for step in range(2, k + 1):
+        chosen = steps[0]
+        for s in steps[1:]:
+            chosen = chosen.unionByName(s)
+        chosen_ids = chosen.select("query_id",
+                                   F.col("cand_id").alias("other_id"))
+        remaining = cands.join(
+            chosen.select("query_id", "cand_id"),
+            ["query_id", "cand_id"], "left_anti")
+        msim = (pairs.join(chosen_ids, ["query_id", "other_id"])
+                     .groupBy("query_id", "cand_id")
+                     .agg(F.max("cos_ab").alias("max_sim")))
+        nxt = (remaining.join(msim, ["query_id", "cand_id"])
+               .withColumn("mmr", F.lit(0.5) * (F.col("cos_q")
+                                                - F.col("max_sim")))
+               .withColumn("rk", F.row_number().over(wp))
+               .where(F.col("rk") == 1)
+               .select("query_id", "cand_id", "cos_q", "mmr",
+                       F.lit(step).cast("long").alias("step"))
+               # |Q| rows; later stages re-read every earlier pick
+               .localCheckpoint(eager=True))
+        steps.append(nxt)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.select("query_id", "step",
+                      F.col("cand_id").alias("neighbor_id"),
+                      "cos_q", "mmr")

@@ -1505,3 +1505,202 @@ def textrank_keywords(df: DataFrame, text_col: str = "text",
              .where(F.col("kw_rank") <= top_k)
              .select("kw_rank", F.col("node").alias("term"), "rank",
                      (F.col("rank") / F.lit(1e9)).alias("rank_norm")))
+
+
+# ----------------------------------------------------------------- RAKE
+
+RAKE_MAX_PHRASE = 4   # candidate cap (standard RAKE practice)
+RAKE_TOPK = 50
+
+
+def rake_keywords(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  max_phrase: int = RAKE_MAX_PHRASE,
+                  k: int = RAKE_TOPK) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (gaps-and-islands over the
+    token stream), word score = degree/frequency where degree sums
+    the lengths of the phrases a word appears in, phrase score = sum
+    of member word scores. Top-k corpus keywords by score.
+
+    Fixed point: word_score_e6 = deg·10⁶ div freq (truncating int),
+    phrase score = Σ word_score_e6 — exact int64 end to end, so the
+    ranking is engine-identical (a float deg/freq would flap ties).
+
+    Scale shape: ONE tokenize scan → per-doc island window (doc-key
+    exchange, the sessionize shape) → three vocabulary/phrase-bounded
+    hash aggs. The stopword filter happens before the window, so hot
+    tokens never enter an exchange; candidate length is capped at
+    `max_phrase` so no degenerate unbroken document becomes a
+    mega-phrase."""
+    from pyspark.sql import Window
+    stop = STOPWORDS["en"]
+    u = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+         .select(id_col, F.posexplode(TOKENS_COL).alias("pos", "w")))
+    ns = u.where(~F.col("w").isin(*stop))
+    wi = Window.partitionBy(id_col).orderBy("pos")
+    isl = ns.withColumn("grp",
+                        F.col("pos") - F.row_number().over(wi))
+    ph = (isl.groupBy(id_col, "grp")
+          .agg(F.count(F.lit(1)).cast("long").alias("plen"),
+               F.expr("array_join(transform(array_sort("
+                      "collect_list(struct(pos, w))), s -> s.w), ' ')")
+                .alias("phrase"))
+          .where(F.col("plen") <= max_phrase))
+    occ = isl.join(ph, [id_col, "grp"])
+    ws = (occ.groupBy("w")
+             .agg(F.count(F.lit(1)).cast("long").alias("freq"),
+                  F.expr("CAST(sum(plen) AS BIGINT)").alias("deg")))
+    wsc = ws.select("w", F.expr("deg * 1000000 div freq")
+                          .alias("wscore_e6"))
+    po = (occ.join(wsc, "w")
+             .groupBy(id_col, "grp", "phrase", "plen")
+             .agg(F.expr("CAST(sum(wscore_e6) AS BIGINT)")
+                   .alias("pscore")))
+    return (po.groupBy("phrase")
+              .agg(F.expr("CAST(max(plen) AS BIGINT)").alias("n_words"),
+                   F.count(F.lit(1)).cast("long").alias("occurrences"),
+                   F.expr("CAST(max(pscore) AS BIGINT)").alias("score_e6"))
+              .orderBy(F.desc("score_e6"), F.asc("phrase"))
+              .limit(k))
+
+
+def rake_keywords_sql(max_phrase: int = RAKE_MAX_PHRASE,
+                      k: int = RAKE_TOPK) -> str:
+    """DuckDB twin of rake_keywords (same stoplist, same fixed point)."""
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE text IS NOT NULL),
+u AS (
+  SELECT doc_id, unnest(toks) AS w,
+         unnest(range(len(toks))) AS pos
+  FROM t),
+ns AS (SELECT doc_id, pos, w FROM u WHERE w NOT IN ({stoplist})),
+isl AS (
+  SELECT doc_id, pos, w,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM ns),
+ph AS (
+  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen,
+         string_agg(w, ' ' ORDER BY pos) AS phrase
+  FROM isl GROUP BY 1, 2
+  HAVING count(*) <= {max_phrase}),
+occ AS (SELECT isl.doc_id, isl.grp, isl.w, ph.plen, ph.phrase
+        FROM isl JOIN ph USING (doc_id, grp)),
+ws AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM occ GROUP BY 1),
+wsc AS (SELECT w, deg * 1000000 // freq AS wscore_e6 FROM ws),
+po AS (
+  SELECT occ.doc_id, occ.grp, occ.phrase, occ.plen,
+         CAST(sum(wsc.wscore_e6) AS BIGINT) AS pscore
+  FROM occ JOIN wsc USING (w)
+  GROUP BY 1, 2, 3, 4)
+SELECT phrase, CAST(max(plen) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS occurrences,
+       CAST(max(pscore) AS BIGINT) AS score_e6
+FROM po
+GROUP BY 1
+ORDER BY score_e6 DESC, phrase ASC
+LIMIT {k}
+"""
+
+
+# ------------------------------------------------- trigram fluency
+
+TRIGRAM_W3, TRIGRAM_W2, TRIGRAM_W1 = 70, 25, 5  # interpolation ×100
+
+
+def trigram_fluency(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Interpolated trigram LM typicality per document — the backoff
+    step up from `bigram_fluency` (Jelinek-Mercer interpolation, the
+    mechanism KenLM-style scorers rely on, in corpus-self-trained
+    miniature): per trigram position,
+        p_ppb = (70·P₃ + 25·P₂ + 5·P₁) div 100
+    with P₃ = c(w₁w₂w₃)/c(w₁w₂·), P₂ = c(·w₂w₃)/c(·w₂·), P₁ =
+    c(··w₃)/N, every count taken over the corpus trigram stream so
+    the three backoff tiers are self-consistent. All fixed-point
+    int64 (probability in ppb, conditionals via truncating div) —
+    the same no-libm-in-aggregates discipline as bigram_fluency:
+    a log-perplexity would sum floats in shuffle order and flap the
+    cross-engine hash; the mean interpolated probability ranks
+    documents identically for the gate use.
+
+    Scale shape: ONE tokenize scan into the trigram stream, four
+    count windows (w₁w₂w₃ / w₁w₂ / w₂w₃ / w₂) keyed by token tuples
+    plus one 1-row total broadcast, then the per-doc hash agg — the
+    bigram op's shape with one extra vocabulary-keyed exchange."""
+    from pyspark.sql import Window
+    tg = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+          .where(F.size(TOKENS_COL) >= 3)
+          .select(F.col(id_col),
+                  F.explode(F.expr(
+                      f"transform(sequence(0, size({TOKENS_COL}) - 3), "
+                      f"i -> struct({TOKENS_COL}[i] AS w1, "
+                      f"{TOKENS_COL}[i+1] AS w2, "
+                      f"{TOKENS_COL}[i+2] AS w3))")).alias("t"))
+          .select(id_col, "t.w1", "t.w2", "t.w3"))
+    stats = (tg.withColumn("c123", F.count(F.lit(1)).over(
+                   Window.partitionBy("w1", "w2", "w3")).cast("long"))
+               .withColumn("c12", F.count(F.lit(1)).over(
+                   Window.partitionBy("w1", "w2")).cast("long"))
+               .withColumn("c23", F.count(F.lit(1)).over(
+                   Window.partitionBy("w2", "w3")).cast("long"))
+               .withColumn("c2", F.count(F.lit(1)).over(
+                   Window.partitionBy("w2")).cast("long")))
+    total = stats.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    interp = (f"({TRIGRAM_W3} * (c123 * {PPB} div c12) + "
+              f"{TRIGRAM_W2} * (c23 * {PPB} div c2) + "
+              f"{TRIGRAM_W1} * (c3 * {PPB} div n_total)) div 100")
+    c3w = (stats.withColumn("c3", F.count(F.lit(1)).over(
+               Window.partitionBy("w3")).cast("long"))
+                .crossJoin(F.broadcast(total)))
+    return (c3w.withColumn("p_ppb", F.expr(interp))
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+                    F.expr("CAST(sum(p_ppb) AS BIGINT)")
+                     .alias("sum_prob_ppb"))
+               .select(id_col, "n_trigrams", "sum_prob_ppb",
+                       F.expr("sum_prob_ppb div n_trigrams")
+                        .alias("fluency_ppb")))
+
+
+def trigram_fluency_sql() -> str:
+    """DuckDB twin of trigram_fluency (same windows, same fixed
+    point; `//` is DuckDB's truncating div twin of Spark `div`)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE text IS NOT NULL),
+tg AS (
+  SELECT doc_id,
+         toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+  FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+  WHERE len(toks) >= 3),
+st AS (
+  SELECT doc_id,
+         CAST(count(*) OVER (PARTITION BY w1, w2, w3) AS BIGINT) AS c123,
+         CAST(count(*) OVER (PARTITION BY w1, w2) AS BIGINT) AS c12,
+         CAST(count(*) OVER (PARTITION BY w2, w3) AS BIGINT) AS c23,
+         CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS c2,
+         CAST(count(*) OVER (PARTITION BY w3) AS BIGINT) AS c3,
+         CAST(count(*) OVER () AS BIGINT) AS n_total
+  FROM tg),
+p AS (
+  SELECT doc_id,
+         ({TRIGRAM_W3} * (c123 * {PPB} // c12) +
+          {TRIGRAM_W2} * (c23 * {PPB} // c2) +
+          {TRIGRAM_W1} * (c3 * {PPB} // n_total)) // 100 AS p_ppb
+  FROM st)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(p_ppb) AS BIGINT) AS sum_prob_ppb,
+       CAST(sum(p_ppb) AS BIGINT) // CAST(count(*) AS BIGINT)
+         AS fluency_ppb
+FROM p
+GROUP BY 1
+"""

@@ -1962,6 +1962,220 @@ def _rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..operators.sketch import hll_rolling_distinct_sql  # noqa: E402
 
+
+# ------------------------------------------------- key-skew profile
+
+def _skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type key-distribution skew report — the profiling
+    pass that decides WHICH keys need salting before a groupBy/join
+    at scale (the repo's salted/AQE mitigations assume someone
+    measured the skew; this is that measurement): per type, the
+    number of distinct users, total events, the single hottest key's
+    share in ppm, and the Gini coefficient of the per-user counts
+    (0 = uniform, →1 = one user dominates).
+
+    Gini from the standard rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx)
+    / (n·Σx) with x ascending: Σᵢ i·xᵢ is exact int64 (rank ties on
+    equal x contribute the same sum under any tie order, so the
+    user_id tiebreak is only for a deterministic plan), and the final
+    Gini is ONE fixed double expression over three exact ints.
+
+    Scale shape: per-(type,user) hash-agg with map-side combine, then
+    a rank window partitioned by type over the already-reduced
+    per-user frame (users·types rows, not events), then a types-sized
+    hash-agg. Nothing re-scans the corpus."""
+    from pyspark.sql import Window
+    per_user = (load_table(spark, sf_dir, "events")
+                .groupBy("event_type", "user_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    w = (Window.partitionBy("event_type")
+               .orderBy(F.col("x").asc(), F.col("user_id").asc()))
+    ranked = per_user.withColumn("i", F.row_number().over(w).cast("long"))
+    return (ranked.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.expr("CAST(sum(x) AS BIGINT)").alias("total"),
+                 F.expr("CAST(max(x) AS BIGINT)").alias("max_x"),
+                 F.expr("CAST(sum(i * x) AS BIGINT)").alias("six"))
+            .select("event_type", "n_users", "total",
+                    F.expr("max_x * 1000000 div total").alias("top1_ppm"),
+                    F.expr("CAST(2 * six - (n_users + 1) * total AS DOUBLE)"
+                           " / CAST(n_users * total AS DOUBLE)")
+                     .alias("gini")))
+
+
+_SKEW_PROFILE_SQL = """
+WITH pu AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+rk AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY x ASC, user_id ASC) AS BIGINT) AS i
+  FROM pu),
+ag AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS total,
+         CAST(max(x) AS BIGINT) AS max_x,
+         CAST(sum(i * x) AS BIGINT) AS six
+  FROM rk GROUP BY 1)
+SELECT event_type, n_users, total,
+       max_x * 1000000 // total AS top1_ppm,
+       CAST(2 * six - (n_users + 1) * total AS DOUBLE)
+         / CAST(n_users * total AS DOUBLE) AS gini
+FROM ag
+"""
+
+
+# -------------------------------------------- median/MAD outliers
+
+def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type — median/MAD instead of
+    mean/stddev (one fat-finger amount does not move the fence, the
+    property that makes this the production data-quality gate):
+    median and MAD computed as EXACT lower medians over integer cents
+    (row_number = (n+1)/2 — percentile interpolation differs between
+    engines, the order statistic cannot), outliers = values beyond
+    median ± 5·MAD, all in exact int64.
+
+    Scale shape: two rank windows partitioned by type (the second
+    over |x − med|) and one broadcast join of the 5-row median frame
+    back onto the typed stream; no global sort — each window sorts
+    within its type partition only."""
+    from pyspark.sql import Window
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type", "event_id",
+                  F.expr(f"{cents('value')}").alias("v")))
+    wv = (Window.partitionBy("event_type")
+                .orderBy(F.col("v").asc(), F.col("event_id").asc()))
+    wn = Window.partitionBy("event_type")
+    med = (ev.withColumn("rn", F.row_number().over(wv).cast("long"))
+             .withColumn("n", F.count(F.lit(1)).over(wn).cast("long"))
+             .where(F.col("rn") == F.expr("(n + 1) div 2"))
+             .select("event_type", F.col("v").alias("med"),
+                     F.col("n").alias("n")))
+    dev = (ev.join(F.broadcast(med), "event_type")
+             .withColumn("d", F.abs(F.col("v") - F.col("med"))))
+    wd = (Window.partitionBy("event_type")
+                .orderBy(F.col("d").asc(), F.col("event_id").asc()))
+    mad = (dev.withColumn("rn", F.row_number().over(wd).cast("long"))
+              .where(F.col("rn") == F.expr("(n + 1) div 2"))
+              .select("event_type", F.col("d").alias("mad")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.expr("CAST(max(n) AS BIGINT)").alias("n"),
+                 F.expr("CAST(max(med) AS BIGINT)").alias("med_cents"),
+                 F.expr("CAST(max(mad) AS BIGINT)").alias("mad_cents"),
+                 F.expr("CAST(sum(CASE WHEN d > 5 * mad THEN 1 ELSE 0 END) "
+                        "AS BIGINT)").alias("n_outliers"))
+            .orderBy("event_type"))
+
+
+_MAD_OUTLIERS_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id, {cents('value')} AS v FROM events),
+rk AS (
+  SELECT event_type, v,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY v ASC, event_id ASC) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM ev),
+med AS (SELECT event_type, v AS med, n FROM rk WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT ev.event_type, ev.event_id, abs(ev.v - med.med) AS d,
+         med.med, med.n
+  FROM ev JOIN med USING (event_type)),
+dr AS (
+  SELECT event_type, d,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY d ASC, event_id ASC) AS BIGINT) AS rn,
+         n
+  FROM dev),
+mad AS (SELECT event_type, d AS mad FROM dr WHERE rn = (n + 1) // 2)
+SELECT dev.event_type,
+       CAST(max(dev.n) AS BIGINT) AS n,
+       CAST(max(dev.med) AS BIGINT) AS med_cents,
+       CAST(max(mad.mad) AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN dev.d > 5 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------- bitmap co-activity
+
+BITMAP_SLOTS = 63  # 0..62 — stays off the int64 sign bit, so
+                   # bit_count/AND/OR semantics are engine-identical
+
+
+def _bitmap_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index audience overlap — the roaring-bitmap pattern in
+    64-bit miniature: per (event_type, day) a presence bitmap of
+    user-hash slots built with bit_or(1 << user_id % 63), then
+    pairwise AND/OR popcounts between event types per day, summed
+    into a per-pair co-activity report with exact-ppm Jaccard.
+
+    This is how engagement overlap is computed at 100 TB: the corpus
+    collapses to types×days bitmap rows in ONE hash-agg (map-side
+    combinable — bit_or is associative), and the pairwise stage works
+    entirely on that tiny frame; a production version swaps the int64
+    for a roaring blob with the same algebra.
+
+    Scale shape: one corpus scan → (types·days) bitmap rows →
+    (types²·days) joined rows → types² output. No per-user state
+    leaves the first aggregate."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr("ts_ns div 1000 div 86400000000").alias("day"),
+                  F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                         f"CAST(user_id % {BITMAP_SLOTS} AS INT))")
+                   .alias("bit")))
+    bm = (ev.groupBy("event_type", "day")
+            .agg(F.expr("bit_or(bit)").alias("bm")))
+    a = bm.select(F.col("event_type").alias("type_a"), "day",
+                  F.col("bm").alias("bm_a"))
+    b = bm.select(F.col("event_type").alias("type_b"),
+                  F.col("day").alias("day_b"), F.col("bm").alias("bm_b"))
+    pair = (a.join(b, (a.day == b.day_b) & (a.type_a < b.type_b))
+            .select("type_a", "type_b",
+                    F.expr("CAST(bit_count(bm_a & bm_b) AS BIGINT)")
+                     .alias("n_both"),
+                    F.expr("CAST(bit_count(bm_a | bm_b) AS BIGINT)")
+                     .alias("n_either")))
+    return (pair.groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("days"),
+                 F.expr("CAST(sum(n_both) AS BIGINT)").alias("sum_both"),
+                 F.expr("CAST(sum(n_either) AS BIGINT)").alias("sum_either"))
+            .select("type_a", "type_b", "days", "sum_both", "sum_either",
+                    F.expr("sum_both * 1000000 div sum_either")
+                     .alias("jaccard_ppm"))
+            .orderBy("type_a", "type_b"))
+
+
+_BITMAP_COACTIVITY_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         (CAST(1 AS BIGINT) << CAST(user_id % {BITMAP_SLOTS} AS INT)) AS bit
+  FROM events),
+bm AS (
+  SELECT event_type, day, bit_or(bit) AS bm FROM ev GROUP BY 1, 2),
+pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(bit_count(a.bm & b.bm) AS BIGINT) AS n_both,
+         CAST(bit_count(a.bm | b.bm) AS BIGINT) AS n_either
+  FROM bm a JOIN bm b ON a.day = b.day AND a.event_type < b.event_type)
+SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS days,
+       CAST(sum(n_both) AS BIGINT) AS sum_both,
+       CAST(sum(n_either) AS BIGINT) AS sum_either,
+       CAST(sum(n_both) AS BIGINT) * 1000000
+         // CAST(sum(n_either) AS BIGINT) AS jaccard_ppm
+FROM pair
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_gap_fill": Query(_gap_fill, _GAP_FILL_SQL,
                         "calendar densification + forward fill over "
@@ -2105,4 +2319,16 @@ QUERIES: dict[str, Query] = {
                             "LIKE predicate + broadcast join"),
     "q16_not_exists": Query(_not_in_anti, _NOT_IN_ANTI_SQL,
                             "NOT EXISTS anti-subquery"),
+    "q_skew_profile": Query(_skew_profile, _SKEW_PROFILE_SQL,
+                            "key-skew report: top-key ppm share + "
+                            "Gini per event type (the measurement "
+                            "behind every salting decision)"),
+    "q_mad_outliers": Query(_mad_outliers, _MAD_OUTLIERS_SQL,
+                            "median/MAD robust outlier census, "
+                            "exact order statistics"),
+    "q_bitmap_coactivity": Query(_bitmap_coactivity,
+                                 _BITMAP_COACTIVITY_SQL,
+                                 "bitmap-index audience overlap: "
+                                 "bit_or presence maps, popcount "
+                                 "AND/OR Jaccard"),
 }

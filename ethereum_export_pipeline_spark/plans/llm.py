@@ -4394,6 +4394,155 @@ WHERE w.vec_id % {BENCH_MOD} <> 0
 """
 
 
+# ----------------------------------------------------------------- RAKE
+
+def _rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyword extraction via RAKE (operators/text.rake_keywords):
+    stopword-gap candidate phrases, degree/frequency word scores in
+    exact fixed point, top-50 phrases."""
+    return text.rake_keywords(load_table(spark, sf_dir, "documents"))
+
+
+def _trigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer-interpolated trigram LM typicality per document
+    (operators/text.trigram_fluency) — the backoff step up from
+    doc_bigram_fluency, same exact-fixed-point discipline."""
+    return text.trigram_fluency(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------ PCA
+
+_PCA_PARAMS: tuple[list[int], list[int]] | None = None
+
+
+def get_pca() -> tuple[list[int], list[int]]:
+    """(quantized mean, quantized top principal component), trained
+    LAZILY on the same conventioned sample as the IVF quantizers and
+    memoized for the process lifetime, so the Spark plan and the
+    DuckDB oracle inline identical literals. Falls back to md5
+    pseudo-params when the sample is absent (engine-identical)."""
+    global _PCA_PARAMS
+    if _PCA_PARAMS is None:
+        import sys
+        vecs = _sample_vectors()
+        if vecs is not None:
+            print(f"# pca: power iteration on {len(vecs)} sample vectors "
+                  f"from {_training_sample_path()}", file=sys.stderr)
+            _PCA_PARAMS = similarity.train_pca_component(vecs)
+        else:
+            print("# pca: sample unavailable — md5 pseudo-component",
+                  file=sys.stderr)
+            _PCA_PARAMS = (
+                [0] * similarity.EMB_DIM,
+                [(similarity.py_h32(f"pca:{d}") % 2001) - 1000
+                 for d in range(similarity.EMB_DIM)])
+    return _PCA_PARAMS
+
+
+def _pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection per embedding
+    (operators/similarity.pca_scores): the sample-train →
+    literal-inject → exact-int-project discipline of the IVF tier
+    applied to PCA — the whitening/decorrelation primitive of
+    embedding pipelines (outlier pruning, drift axes, SVD-lite)."""
+    mean_q, comp_q = get_pca()
+    return similarity.pca_scores(load_table(spark, sf_dir, "embeddings"),
+                                 mean_q, comp_q)
+
+
+def _pca_scores_sql() -> str:
+    mean_q, comp_q = get_pca()
+    m = "[" + ", ".join(str(v) for v in mean_q) + "]"
+    c = "[" + ", ".join(str(v) for v in comp_q) + "]"
+    score = (f"CAST(list_sum(list_transform(list_zip(q, {m}, {c}), "
+             f"s -> (s[1] - s[2]) * s[3])) AS BIGINT)")
+    denom = float(similarity.QUANT_SCALE) * float(similarity.PCA_SCALE)
+    return f"""
+WITH base AS (SELECT vec_id, {_QUANT} AS q FROM embeddings
+              WHERE len(embedding) = {similarity.EMB_DIM}),
+s AS (SELECT vec_id, {score} AS pc1_e10 FROM base)
+SELECT vec_id, pc1_e10, CAST(pc1_e10 AS DOUBLE) / {denom} AS pc1 FROM s
+"""
+
+
+# ------------------------------------------------------------------ MMR
+
+MMR_K = 5
+
+
+def _mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking
+    (operators/similarity.mmr_rerank): greedy λ=0.5 pick-k unrolled
+    into static join+window stages over a bounded per-query pool —
+    the diversity-aware second stage retrieval pipelines put behind
+    ANN candidates."""
+    return similarity.mmr_rerank(load_table(spark, sf_dir, "embeddings"),
+                                 k=MMR_K)
+
+
+def _mmr_rerank_sql() -> str:
+    pool = similarity.MMR_POOL
+    dotp = "CAST(list_sum(list_transform(a.cv, (x, i) -> x * b.cv[i])) AS BIGINT)"
+    ctes = [f"""
+qs AS (SELECT vec_id AS query_id, q AS qv, n2 AS qn2 FROM wn
+       WHERE vec_id < 10),
+cs AS (SELECT vec_id AS cand_id, q AS cv, n2 AS cn2 FROM wn),
+pool AS (
+  SELECT query_id, cand_id, cv, cn2, cos_q FROM (
+    SELECT query_id, cand_id, cv, cn2, cos_q,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_q DESC, cand_id ASC) AS rk
+    FROM (SELECT query_id, cand_id, cv, cn2,
+                 CAST(dot AS DOUBLE) /
+                 sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cos_q
+          FROM (SELECT query_id, cand_id, cv, cn2, qn2,
+                       CAST(list_sum(list_transform(qv, (x, i) -> x * cv[i]))
+                            AS BIGINT) AS dot
+                FROM qs CROSS JOIN cs WHERE cand_id <> query_id)))
+  WHERE rk <= {pool}),
+pairc AS (
+  SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
+         CAST({dotp} AS DOUBLE) /
+         sqrt(CAST(a.cn2 AS DOUBLE) * CAST(b.cn2 AS DOUBLE)) AS cos_ab
+  FROM pool a JOIN pool b
+    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+cands AS (SELECT query_id, cand_id, cos_q FROM pool),
+p1 AS (
+  SELECT query_id, cand_id, cos_q, mmr, CAST(1 AS BIGINT) AS step FROM (
+    SELECT query_id, cand_id, cos_q, 0.5 * cos_q AS mmr,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY 0.5 * cos_q DESC, cand_id ASC) AS rk
+    FROM cands) WHERE rk = 1),
+chosen1 AS (SELECT * FROM p1)"""]
+    for i in range(2, MMR_K + 1):
+        prev = f"chosen{i - 1}"
+        ctes.append(f"""
+p{i} AS (
+  SELECT query_id, cand_id, cos_q, mmr, CAST({i} AS BIGINT) AS step FROM (
+    SELECT query_id, cand_id, cos_q, mmr,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY mmr DESC, cand_id ASC) AS rk
+    FROM (
+      SELECT c.query_id, c.cand_id, c.cos_q,
+             0.5 * (c.cos_q - m.max_sim) AS mmr
+      FROM cands c
+      JOIN (SELECT p.query_id, p.cand_id, max(p.cos_ab) AS max_sim
+            FROM pairc p
+            JOIN {prev} ch ON p.query_id = ch.query_id
+                          AND p.other_id = ch.cand_id
+            GROUP BY p.query_id, p.cand_id) m
+        ON c.query_id = m.query_id AND c.cand_id = m.cand_id
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} ch2
+                        WHERE ch2.query_id = c.query_id
+                          AND ch2.cand_id = c.cand_id))) WHERE rk = 1),
+chosen{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{i})""")
+    return (f"WITH {_BASE_CTES}," + ",".join(ctes)
+            + f"""
+SELECT query_id, step, cand_id AS neighbor_id, cos_q, mmr
+FROM chosen{MMR_K}
+""")
+
+
 QUERIES: dict[str, Query] = {
     "doc_winnow_census": Query(_winnow_census, _winnow_census_sql(),
                                "winnowing (MOSS) fingerprint sharing "
@@ -4772,6 +4921,15 @@ QUERIES: dict[str, Query] = {
                                 "bigram-LM fluency score (CCNet-style "
                                 "n-gram quality gate, fixed-point mean "
                                 "conditional probability)"),
+    "doc_trigram_fluency": Query(_trigram_fluency,
+                                 text.trigram_fluency_sql(),
+                                 "interpolated trigram-LM typicality "
+                                 "(Jelinek-Mercer backoff, fixed "
+                                 "point)"),
+    "doc_rake_keywords": Query(_rake_keywords, text.rake_keywords_sql(),
+                               "RAKE keyword extraction: stopword-gap "
+                               "phrases, degree/frequency scores, "
+                               "top-50"),
     "doc_heavy_hitters": Query(_heavy_hitters,
                                sketch.cms_heavy_hitters_sql(),
                                "count-min sketch heavy hitters: exact "
@@ -4785,4 +4943,12 @@ QUERIES: dict[str, Query] = {
                            "two-stage retrieval: JL-projection "
                            "candidates + exact rerank (coarse-then-"
                            "rerank ANN pattern)"),
+    "emb_pca_scores": Query(_pca_scores, _pca_scores_sql,
+                            "top-principal-component projection: "
+                            "sample-trained power iteration, exact-"
+                            "int literal-injected transform"),
+    "emb_mmr_rerank": Query(_mmr_rerank, _mmr_rerank_sql,
+                            "Maximal Marginal Relevance diversity "
+                            "re-rank: greedy λ=0.5 pick-5, unrolled "
+                            "static stages over a bounded pool"),
 }
