@@ -980,8 +980,8 @@ def train_pca_component(vectors: "list[list[float]]",
                         iters: int = PCA_ITERS
                         ) -> tuple[list[int], list[int]]:
     """Plan-time top principal component via power iteration on the
-    centered sample (numpy float64, deterministic: fixed e₁ start,
-    fixed iteration count, sign canonicalized so the first
+    centered sample (numpy float64, deterministic: max-energy-axis
+    start, fixed iteration count, sign canonicalized so the first
     non-negligible loading is positive). Returns (mean at QUANT_SCALE,
     component at PCA_SCALE) as ints, so the projection over the full
     table is exact integer arithmetic on both engines — the same
@@ -994,8 +994,10 @@ def train_pca_component(vectors: "list[list[float]]",
     x = np.asarray(vectors, dtype=np.float64)
     mu = x.mean(axis=0)
     xc = x - mu
+    # start on the max-energy coordinate axis (ties → first): a fixed
+    # e₀ start can be exactly orthogonal to the data and never leave
     v = np.zeros(x.shape[1], dtype=np.float64)
-    v[0] = 1.0
+    v[int((xc * xc).sum(axis=0).argmax())] = 1.0
     for _ in range(iters):
         w = xc.T @ (xc @ v)
         n = float(np.linalg.norm(w))
