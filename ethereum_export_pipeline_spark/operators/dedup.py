@@ -608,7 +608,8 @@ SUBSTR_GRAM_LEN = 20  # chars per gram (the "min duplicated length")
 
 def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
-                        gram_len: int = SUBSTR_GRAM_LEN) -> DataFrame:
+                        gram_len: int = SUBSTR_GRAM_LEN,
+                        scan_parallelism: int | None = None) -> DataFrame:
     """EXACT duplicated-substring census — per document, the merged
     character spans covered by any length-`gram_len` substring that
     occurs at least twice anywhere in the corpus (including twice in
@@ -656,7 +657,11 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
     longest document, not the corpus.
     """
     from pyspark.sql import Window
+    from .similarity import _ensure_scan_width
     L = gram_len
+    # the posting explosion (one row per corpus char) happens in the
+    # scan stage — a one-file fixture would serialize it on one task
+    df = _ensure_scan_width(df, scan_parallelism)
     base = df.where(F.col(text_col).isNotNull()
                     & (F.length(text_col) >= L))
     pos = base.select(
@@ -701,11 +706,18 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
 
 WINNOW_K = 8    # char-gram length
 WINNOW_W = 16   # window (in grams): guaranteed detection ≥ w + k - 1
+KR_BASE = 131           # Karp-Rabin polynomial base (> max char code
+                        # of interest; any base works, 131 is classic)
+KR_MOD = 1_000_000_007  # 31-bit prime modulus: keeps every Horner
+                        # step < 1.4e11 (no int64 overflow even for
+                        # astral-plane codepoints), same collision
+                        # regime as MERSENNE31-reduced h32
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = WINNOW_K,
-                        w: int = WINNOW_W) -> DataFrame:
+                        w: int = WINNOW_W,
+                        scan_parallelism: int | None = None) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every overlapping `k`-char
     gram, slide a window of `w` hashes, select each window's MINIMUM
@@ -723,23 +735,37 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     of the gram stream); only the ~2n/(w+1) selected fingerprints
     leave as rows. vs substring_dup_spans' O(corpus chars) exchange
     that's a ~(w+1)/2 ≈ 8× smaller shuffle, traded for gram-exact →
-    (w+k−1)-guaranteed granularity. The hash is the cross-engine md5
-    h32 so the oracle recomputes every selected fingerprint;
-    engine-internal runs can swap xxhash64 (the substring-spans
-    lesson) for pure-codegen hashing.
+    (w+k−1)-guaranteed granularity. The gram hash is a Karp-Rabin
+    polynomial over the char codes, Horner form (…(c₁·B+c₂)·B+…) mod
+    M with B=131, M=10⁹+7 — pure codegen'd integer arithmetic both
+    engines compute bit-identically (the round-5 md5+conv version
+    spent most of the query's CPU inside md5, one digest per corpus
+    char; this is the substring-spans xxhash64 lesson, kept
+    oracle-recomputable). Same 31-bit collision regime as the
+    md5-derived h32 it replaces — a collision only ever merges a
+    window minimum, never breaks the ≥(w+k−1) shared-match
+    guarantee.
 
     Returns one row per selected fingerprint: (id, pos, fp) — pos is
     the 1-based gram position, fp the gram hash. Docs shorter than
     `k` chars yield no rows; docs with fewer than `w` grams winnow a
     single window over all their grams."""
-    hexpr = (f"(CAST(conv(substring(md5(CAST(substr({text_col}, "
-             f"CAST(p AS INT), {k}) AS STRING)), 1, 8), 16, 10) "
-             f"AS BIGINT) % {MERSENNE31})")
+    from .similarity import _ensure_scan_width
+    hexpr = (f"aggregate(slice(cs, CAST(p AS INT), {k}), "
+             f"CAST(0 AS BIGINT), "
+             f"(a, c) -> (a * {KR_BASE} + c) % {KR_MOD})")
+    # the whole op is compute-bound INSIDE the scan — a one-file
+    # fixture would pin it to a single task (same knob as ivf_topk)
+    df = _ensure_scan_width(df, scan_parallelism)
     base = (df.where(F.col(text_col).isNotNull()
                      & (F.length(text_col) >= k))
               .select(F.col(id_col),
-                      F.expr(f"transform(sequence(1, char_length("
-                             f"{text_col}) - {k} + 1), p -> {hexpr})")
+                      F.expr(f"transform(split({text_col}, ''), "
+                             f"c -> CAST(ascii(c) AS BIGINT))")
+                       .alias("cs"))
+              .select(F.col(id_col),
+                      F.expr(f"transform(sequence(1, size(cs) "
+                             f"- {k} + 1), p -> {hexpr})")
                        .alias("hs")))
     wins = (f"transform(sequence(1, greatest(size(hs) - {w} + 1, 1)), "
             f"i -> named_struct('i', i, 's', slice(hs, CAST(i AS INT), "
@@ -756,7 +782,8 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
 
 def winnow_shared_census(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", k: int = WINNOW_K,
-                         w: int = WINNOW_W) -> DataFrame:
+                         w: int = WINNOW_W,
+                         scan_parallelism: int | None = None) -> DataFrame:
     """Per-doc cross-document fingerprint-sharing census over the
     winnowed fingerprints: n_fp distinct fingerprint hashes per doc,
     n_shared of them appearing in ≥ 2 DISTINCT docs (cross-doc reuse
@@ -766,7 +793,8 @@ def winnow_shared_census(df: DataFrame, id_col: str = "doc_id",
     same first_seen shape as shingle_novelty, on an 8×-sampled
     stream."""
     from pyspark.sql import Window
-    fp = (winnow_fingerprints(df, id_col, text_col, k, w)
+    fp = (winnow_fingerprints(df, id_col, text_col, k, w,
+                              scan_parallelism=scan_parallelism)
           .select(id_col, "fp").distinct())
     w_fp = Window.partitionBy("fp")
     flagged = fp.withColumn(

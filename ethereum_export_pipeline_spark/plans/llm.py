@@ -205,21 +205,26 @@ def _winnow_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnow_shared_census): MOSS window-minimum sampling inside the
     scan, cross-doc fingerprint reuse per doc — the sampled
     exact-match detector at ~1/8 of substring_dup_spans' exchange."""
-    return dedup.winnow_shared_census(load_table(spark, sf_dir,
-                                                 "documents"))
+    return dedup.winnow_shared_census(
+        load_table(spark, sf_dir, "documents"),
+        scan_parallelism=spark.sparkContext.defaultParallelism)
 
 
 def _winnow_census_sql() -> str:
     k, w = dedup.WINNOW_K, dedup.WINNOW_W
-    h = h32_sql(f"substr(text, CAST(p AS INT), {k})")
+    h = (f"list_reduce(list_slice(cs, p, p + {k} - 1), "
+         f"(a, c) -> (a * {dedup.KR_BASE} + c) % {dedup.KR_MOD})")
     return f"""
 WITH d AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id,
+         list_transform(string_split(text, ''),
+                        c -> CAST(ascii(c) AS BIGINT)) AS cs
+  FROM documents
   WHERE text IS NOT NULL AND length(text) >= {k}
 ),
 hl AS (
   SELECT doc_id,
-         list_transform(range(1, length(text) - {k} + 2), p -> {h}) AS hs
+         list_transform(range(1, len(cs) - {k} + 2), p -> {h}) AS hs
   FROM d
 ),
 wins AS (
@@ -3481,7 +3486,9 @@ def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged char spans covered by any 20-char gram occurring >= 2
     times corpus-wide (operators/dedup.substring_dup_spans). One
     posting per corpus character shuffles; span merge is per-doc."""
-    return dedup.substring_dup_spans(load_table(spark, sf_dir, "documents"))
+    return dedup.substring_dup_spans(
+        load_table(spark, sf_dir, "documents"),
+        scan_parallelism=spark.sparkContext.defaultParallelism)
 
 
 _SUBSTR_L = dedup.SUBSTR_GRAM_LEN

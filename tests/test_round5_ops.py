@@ -230,9 +230,16 @@ def test_incremental_neardup_never_pairs_within_batch(spark):
 
 # ------------------------------------------- winnowing fingerprints
 
+def _kr(gram: str) -> int:
+    h = 0
+    for ch in gram:
+        h = (h * 131 + ord(ch)) % 1_000_000_007
+    return h
+
+
 def _winnow_py(text, k, w):
     """Reference winnow: rightmost window minimum, distinct (pos, fp)."""
-    hs = [_h32(text[i:i + k]) for i in range(len(text) - k + 1)]
+    hs = [_kr(text[i:i + k]) for i in range(len(text) - k + 1)]
     n = len(hs)
     sel = set()
     for i in range(max(n - w + 1, 1)):
