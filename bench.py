@@ -62,6 +62,7 @@ HEADLINE = [
     "q_skew_profile",
     "q_mad_outliers",
     "q_bitmap_coactivity",
+    "stream_ooo_census",
     "eth_incremental_todo",
     "eth_typed_projection",
     "eth_partition_plan",

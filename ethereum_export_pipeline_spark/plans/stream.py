@@ -396,7 +396,61 @@ GROUP BY 1, 2
 """
 
 
+def _stream_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness census per event type
+    (streaming/sessions.stream_ooo_census): lateness vs the running
+    max of event time in arrival order — the measurement every
+    watermark delay in this catalog is tuned against."""
+    from ..streaming.sessions import stream_ooo_census
+    return stream_ooo_census(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+
+
+def _stream_ooo_sql() -> str:
+    from ..functions import h32_sql
+    from ..streaming.sessions import OOO_JITTER_US
+    key = "'ooo:' || CAST(event_id AS VARCHAR)"
+    jitter = f"({h32_sql(key)} % {OOO_JITTER_US})"
+    return f"""
+WITH a AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) + {jitter} AS arrival_us
+  FROM events),
+o AS (
+  SELECT event_type, ts_us,
+         max(ts_us) OVER (PARTITION BY event_type
+              ORDER BY arrival_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM a),
+l AS (
+  SELECT event_type,
+         CASE WHEN prev_max IS NULL OR prev_max <= ts_us THEN 0
+              ELSE prev_max - ts_us END AS late
+  FROM o)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (late > 0) AS BIGINT) AS n_late,
+       CAST(max(late) AS BIGINT) AS max_late_us,
+       CAST(count(*) FILTER (late > 0 AND late <= 1000000) AS BIGINT)
+         AS late_le_1s,
+       CAST(count(*) FILTER (late > 1000000 AND late <= 10000000)
+            AS BIGINT) AS late_le_10s,
+       CAST(count(*) FILTER (late > 10000000 AND late <= 60000000)
+            AS BIGINT) AS late_le_60s,
+       CAST(count(*) FILTER (late > 60000000 AND late <= 600000000)
+            AS BIGINT) AS late_le_600s,
+       CAST(count(*) FILTER (late > 600000000) AS BIGINT) AS late_gt_600s
+FROM l
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "stream_ooo_census": Query(_stream_ooo, _stream_ooo_sql,
+                               "out-of-orderness census: lateness vs "
+                               "arrival-order running max — the "
+                               "watermark-delay tuning measurement "
+                               "(custom stateful op, full oracle)"),
     "stream_histogram": Query(_stream_histogram, _STREAM_HISTOGRAM_SQL,
                               "streaming log2-bucket value histogram "
                               "(mergeable percentile sketch held as "

@@ -20,9 +20,10 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (LongType, StructField, StructType)
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
 
 from . import read_stream, run_available_now
 
@@ -158,6 +159,128 @@ def stream_cusum_alerts(spark: SparkSession, events_path: str) -> DataFrame:
                 .groupBy("user_id"))
     agg = keyed.applyInPandasWithState(
         _cusum_key, ALERT_SCHEMA, CUSUM_STATE,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+    return run_available_now(agg, output_mode="update",
+                             width=bounded_stream_width(spark, events_path))
+
+
+# ------------------------------------- out-of-orderness census (OOO)
+
+#: late-bucket edges in µs: ≤1 s, ≤10 s, ≤60 s, ≤600 s, > 600 s
+OOO_EDGES_US = (1_000_000, 10_000_000, 60_000_000, 600_000_000)
+
+OOO_SCHEMA = StructType([
+    StructField("event_type", StringType()),
+    StructField("n_events", LongType()),
+    StructField("n_late", LongType()),
+    StructField("max_late_us", LongType()),
+    StructField("late_le_1s", LongType()),
+    StructField("late_le_10s", LongType()),
+    StructField("late_le_60s", LongType()),
+    StructField("late_le_600s", LongType()),
+    StructField("late_gt_600s", LongType()),
+])
+
+OOO_STATE = StructType([
+    StructField("run_max", LongType()),
+    StructField("n_events", LongType()),
+    StructField("n_late", LongType()),
+    StructField("max_late_us", LongType()),
+    StructField("b1", LongType()),
+    StructField("b2", LongType()),
+    StructField("b3", LongType()),
+    StructField("b4", LongType()),
+    StructField("b5", LongType()),
+])
+
+
+def _ooo_key(key, pdfs: "Iterator[pd.DataFrame]",
+             state: GroupState) -> "Iterator[pd.DataFrame]":
+    (etype,) = key
+    batch = pd.concat(list(pdfs))
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["arrival_us", "event_id"])  # arrival order
+    if state.exists:
+        run_max, n, n_late, max_late, b1, b2, b3, b4, b5 = state.get
+    else:
+        run_max, n, n_late, max_late, b1, b2, b3, b4, b5 = (
+            -1, 0, 0, 0, 0, 0, 0, 0, 0)
+    e1, e2, e3, e4 = OOO_EDGES_US
+    for t in batch["ts_us"]:
+        t = int(t)
+        late = run_max - t if run_max > t else 0
+        n += 1
+        if late > 0:
+            n_late += 1
+            if late > max_late:
+                max_late = late
+            if late <= e1:
+                b1 += 1
+            elif late <= e2:
+                b2 += 1
+            elif late <= e3:
+                b3 += 1
+            elif late <= e4:
+                b4 += 1
+            else:
+                b5 += 1
+        if t > run_max:
+            run_max = t
+    state.update((run_max, n, n_late, max_late, b1, b2, b3, b4, b5))
+    yield pd.DataFrame(
+        [(etype, n, n_late, max_late, b1, b2, b3, b4, b5)],
+        columns=[f.name for f in OOO_SCHEMA.fields])
+
+
+#: deterministic replay jitter: each event "arrives" 0-10 min after
+#: its event time, delay = h32('ooo:' || event_id) mod 600 s. The fixture
+#: stream is PERFECTLY time-ordered (census would be all zeros); a
+#: production deployment drops the jitter column and uses raw ingest
+#: order — the operator body is identical either way.
+OOO_JITTER_US = 600_000_000
+
+
+def stream_ooo_census(spark: SparkSession, events_path: str) -> DataFrame:
+    """Out-of-orderness census — the stream-monitoring operator that
+    TUNES every watermark in this engine: per event type, how late do
+    events arrive relative to the running max of event time in
+    ARRIVAL order (the exact quantity a watermark of delay d would
+    compare against; `n_late` in buckets > d = rows that watermark
+    would drop). Emitted per type: event count, late count, max
+    lateness, and a fixed lateness histogram (≤1 s/≤10 s/≤60 s/
+    ≤600 s/>600 s).
+
+    Arrival order is the jitter replay described at `OOO_JITTER_US`
+    (the standard way to regression-test a watermark config against
+    synthetic disorder when the fixture is ordered). The running max
+    over arrival order is inherently sequential state, the
+    applyInPandasWithState shape (same contract as
+    `stream_cusum_alerts`). Every output is an exact integer, so the
+    DuckDB oracle — a ROWS-window running max over the same
+    (arrival_us, event_id) order — matches bit-for-bit: a custom
+    stateful stream with a full value oracle.
+
+    Scale shape: one shuffle on event_type into per-key state (nine
+    ints), per-key work linear in the batch. Types are few → keys are
+    coarse; a hot type is one task's linear scan, the unavoidable
+    cost of a per-type sequential statistic (production would shard
+    by (type, source-partition) and merge, trading exactness of the
+    cross-shard running max)."""
+    from ..functions import h32
+    from ..sources.tables import with_event_time
+    from . import bounded_stream_width
+    sdf = with_event_time(read_stream(spark, events_path))
+    keyed = (sdf.selectExpr("event_type", "(ts_ns div 1000) AS ts_us",
+                            "event_id")
+                .withColumn("arrival_us", F.col("ts_us")
+                            + h32(F.concat(F.lit("ooo:"),
+                                           F.col("event_id")
+                                            .cast("string")))
+                            % OOO_JITTER_US)
+                .groupBy("event_type"))
+    agg = keyed.applyInPandasWithState(
+        _ooo_key, OOO_SCHEMA, OOO_STATE,
         outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
     return run_available_now(agg, output_mode="update",
                              width=bounded_stream_width(spark, events_path))

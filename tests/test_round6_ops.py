@@ -220,3 +220,52 @@ def test_bitmap_coactivity_matches_python_reference(spark):
             assert g["days"] == len(days)
             assert (g["sum_both"], g["sum_either"]) == (sb, se)
             assert g["jaccard_ppm"] == sb * 1_000_000 // se
+
+
+# ------------------------------------ out-of-orderness census (OOO)
+
+def test_stream_ooo_census_matches_python_reference(spark):
+    """The stateful streaming census equals an arrival-order python
+    replay of the same jitter (independent of the DuckDB oracle)."""
+    import hashlib
+
+    from ethereum_export_pipeline_spark.functions import MERSENNE31
+    from ethereum_export_pipeline_spark.streaming.sessions import (
+        OOO_EDGES_US, OOO_JITTER_US, stream_ooo_census)
+
+    got = {r["event_type"]: r.asDict()
+           for r in stream_ooo_census(
+               spark, f"{SF}/events.parquet").collect()}
+
+    ev = _events_pd()
+    ns = ev["ts"].astype("datetime64[ns]").astype("int64")
+    ev = ev.assign(ts_us=ns // 1_000)
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8],
+                   16) % MERSENNE31
+
+    for et, grp in ev.groupby("event_type"):
+        rows = sorted(
+            (int(t) + h32(f"ooo:{i}") % OOO_JITTER_US, int(i), int(t))
+            for i, t in zip(grp["event_id"], grp["ts_us"]))
+        run_max, n_late, max_late = -1, 0, 0
+        buckets = [0] * (len(OOO_EDGES_US) + 1)
+        for _, _, t in rows:
+            late = run_max - t if run_max > t else 0
+            if late > 0:
+                n_late += 1
+                max_late = max(max_late, late)
+                for bi, edge in enumerate(OOO_EDGES_US):
+                    if late <= edge:
+                        buckets[bi] += 1
+                        break
+                else:
+                    buckets[-1] += 1
+            run_max = max(run_max, t)
+        g = got[et]
+        assert g["n_events"] == len(rows)
+        assert g["n_late"] == n_late
+        assert g["max_late_us"] == max_late
+        assert [g["late_le_1s"], g["late_le_10s"], g["late_le_60s"],
+                g["late_le_600s"], g["late_gt_600s"]] == buckets
