@@ -76,6 +76,7 @@ HEADLINE = [
     "eth_table_profile",
     "eth_reorg_resolve",
     "eth_gap_audit",
+    "eth_schema_evolution",
     "q_scd2_versions",
     "q_scd2_asof",
     "q_interval_overlap",

@@ -819,7 +819,72 @@ FROM hs WHERE h % 7 = 3 AND h > {REORG_H - REORG_DEPTH}
 """
 
 
+def _schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution graded END-TO-END: write two parquet
+    generations of the documents corpus to a scratch table — gen 1
+    with the ORIGINAL narrow schema (no n_chars), gen 2 with the
+    original columns PLUS a new derived `quality_tier` — read the
+    whole table back with mergeSchema, and report per-generation row
+    and null counts over the unified schema. Old rows must surface
+    NULL for columns added later (and narrow rows NULL for dropped
+    ones); the oracle recomputes the same arithmetic from the source
+    corpus, so a mis-merged schema or lost column flips the hash.
+
+    This is how a 100 TB lake actually evolves: producers roll
+    forward one partition at a time, readers always see the merged
+    width. Scale shape: mergeSchema costs one footer read per FILE at
+    planning (production pins the merged schema in a catalog after
+    one such audit); the audit itself is one scan + a 2-group agg."""
+    import os
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(scratch_dir("spark_graft_schevo_"), "corpus")
+    (docs.where("doc_id % 2 = 0")
+         .select("doc_id", "text", "lang", "source")
+         .write.parquet(os.path.join(root, "gen=1")))
+    (docs.where("doc_id % 2 = 1")
+         .withColumn("quality_tier",
+                     F.expr("n_chars div 1000").cast("long"))
+         .write.parquet(os.path.join(root, "gen=2")))
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    n_cols = len(merged.columns)
+    return (merged.groupBy(F.col("gen").cast("bigint").alias("gen"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.expr("CAST(sum(CASE WHEN n_chars IS NULL THEN 1 "
+                        "ELSE 0 END) AS BIGINT)").alias("null_n_chars"),
+                 F.expr("CAST(sum(CASE WHEN quality_tier IS NULL THEN 1 "
+                        "ELSE 0 END) AS BIGINT)")
+                  .alias("null_quality_tier"))
+            .withColumn("n_merged_cols", F.lit(n_cols).cast("long"))
+            .orderBy("gen"))
+
+
+# 7 = doc_id, text, lang, source, n_chars, quality_tier + the gen
+# partition column itself
+_SCHEMA_EVOLUTION_SQL = """
+SELECT CAST(1 AS BIGINT) AS gen,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS null_n_chars,
+       CAST(count(*) AS BIGINT) AS null_quality_tier,
+       CAST(7 AS BIGINT) AS n_merged_cols
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(7 AS BIGINT)
+FROM documents WHERE doc_id % 2 = 1
+ORDER BY gen
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "eth_schema_evolution": Query(_schema_evolution,
+                                  _SCHEMA_EVOLUTION_SQL,
+                                  "two-generation parquet schema "
+                                  "evolution: mergeSchema read-back "
+                                  "audit (null surfacing, merged "
+                                  "width)"),
     "eth_gap_audit": Query(_gap_audit, _GAP_AUDIT_SQL,
                            "export-completeness audit: gap runs in "
                            "the exported key space"),
