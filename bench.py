@@ -63,6 +63,7 @@ HEADLINE = [
     "q_mad_outliers",
     "q_bitmap_coactivity",
     "stream_ooo_census",
+    "q_hierarchy_rollup",
     "eth_incremental_todo",
     "eth_typed_projection",
     "eth_partition_plan",

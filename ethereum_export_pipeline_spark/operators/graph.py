@@ -364,3 +364,40 @@ def link_prediction(edges: DataFrame, src: str = "src",
                     F.expr("CAST(cn AS DOUBLE) / "
                            "CAST(deg_a + deg_b - cn AS DOUBLE)")
                      .alias("jaccard")))
+
+
+# ------------------------------------------------- ancestor closure
+
+def ancestor_closure(parents: DataFrame, child: str = "child",
+                     parent: str = "parent", rounds: int = 4,
+                     checkpoint_dir: str | None = None) -> DataFrame:
+    """Transitive ancestor closure of a parent-pointer forest by
+    POINTER-JUMPING doubling — the distributed answer to the
+    recursive-CTE hierarchy traversal (org charts, BOM explosions,
+    category trees) that SQL engines express with WITH RECURSIVE and
+    Spark has no native form for: after round i the reach set holds
+    every ancestor within distance 2^i, so a depth-D hierarchy needs
+    ⌈log₂ D⌉ rounds, not D — the reason this beats naive
+    frontier-following at 100 TB, where a deep corporate hierarchy or
+    category tree would otherwise serialize into D sequential joins.
+
+    Per round: one self equi-join of the reach set on (a.anc =
+    b.node) + a distinct — both exchanges bounded by the CLOSURE size
+    (Σ_n depth(n) ≤ n·D rows), never the corpus; eager-checkpoint
+    iteration discipline (`_ckpt_fn`). Input must be acyclic (a
+    parent cycle never terminates logically; the fixed round count
+    bounds the damage to reach ≤ 2^rounds regardless).
+
+    Returns (node, anc) — every PROPER ancestor within 2^rounds
+    hops."""
+    ck = _ckpt_fn(parents, checkpoint_dir)
+    reach = ck(parents.select(F.col(child).alias("node"),
+                              F.col(parent).alias("anc")))
+    for _ in range(rounds):
+        a = reach.select(F.col("node"), F.col("anc").alias("mid"))
+        b = reach.select(F.col("node").alias("mid"),
+                         F.col("anc").alias("anc2"))
+        hop = a.join(b, "mid").select("node",
+                                      F.col("anc2").alias("anc"))
+        reach = ck(reach.unionByName(hop).distinct())
+    return reach

@@ -2176,6 +2176,76 @@ ORDER BY 1, 2
 """
 
 
+# --------------------------------------------- hierarchy rollup
+
+def _hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy traversal, Spark-first
+    (operators/graph.ancestor_closure): customers form a
+    parent-pointer forest (parent = c_custkey div 10 — deterministic,
+    ≤6 levels at any sf), the transitive ancestor closure is built by
+    pointer-jumping doubling (⌈log₂ depth⌉ rounds, not depth), then
+    per node: depth (ancestor count), proper-descendant count, and
+    the SUBTREE balance rollup in exact cents — the org-chart /
+    BOM-explosion / category-tree aggregation shape SQL engines write
+    with WITH RECURSIVE (the oracle does exactly that).
+
+    Scale shape: both per-round exchanges are closure-sized
+    (Σ depth(n) rows), never corpus-sized; the final rollup is one
+    hash-agg on the closure plus two broadcast-sized left joins back
+    onto the node table."""
+    from ..operators.graph import ancestor_closure
+    bal = (load_table(spark, sf_dir, "customer")
+           .select("c_custkey",
+                   F.expr(cents("c_acctbal")).alias("bal_cents")))
+    edges = (bal.where("c_custkey >= 10")
+                .select(F.col("c_custkey").alias("child"),
+                        F.expr("c_custkey div 10").alias("parent")))
+    closure = ancestor_closure(edges, rounds=3)
+    depth = (closure.groupBy("node")
+                    .agg(F.count(F.lit(1)).cast("long").alias("depth")))
+    desc = (closure.join(bal.select(F.col("c_custkey").alias("node"),
+                                    "bal_cents"), "node")
+                   .groupBy("anc")
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_desc"),
+                        F.expr("CAST(sum(bal_cents) AS BIGINT)")
+                         .alias("desc_cents")))
+    return (bal.join(depth, bal.c_custkey == depth.node, "left")
+               .join(desc, bal.c_custkey == desc.anc, "left")
+               .select("c_custkey",
+                       F.coalesce("depth", F.lit(0)).cast("long")
+                        .alias("depth"),
+                       F.coalesce("n_desc", F.lit(0)).cast("long")
+                        .alias("n_desc"),
+                       (F.col("bal_cents")
+                        + F.coalesce("desc_cents", F.lit(0)))
+                       .cast("long").alias("subtree_cents")))
+
+
+_HIERARCHY_ROLLUP_SQL = f"""
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey // 10 AS anc
+  FROM customer WHERE c_custkey >= 10
+  UNION
+  SELECT node, anc // 10 FROM anc WHERE anc >= 10
+),
+bal AS (SELECT c_custkey, {cents('c_acctbal')} AS bal_cents
+        FROM customer),
+d AS (SELECT node, CAST(count(*) AS BIGINT) AS depth FROM anc
+      GROUP BY 1),
+s AS (SELECT a.anc AS k, CAST(count(*) AS BIGINT) AS n_desc,
+             CAST(sum(b.bal_cents) AS BIGINT) AS desc_cents
+      FROM anc a JOIN bal b ON a.node = b.c_custkey GROUP BY 1)
+SELECT bal.c_custkey,
+       CAST(coalesce(d.depth, 0) AS BIGINT) AS depth,
+       CAST(coalesce(s.n_desc, 0) AS BIGINT) AS n_desc,
+       CAST(bal.bal_cents + coalesce(s.desc_cents, 0) AS BIGINT)
+         AS subtree_cents
+FROM bal
+LEFT JOIN d ON bal.c_custkey = d.node
+LEFT JOIN s ON bal.c_custkey = s.k
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_gap_fill": Query(_gap_fill, _GAP_FILL_SQL,
                         "calendar densification + forward fill over "
@@ -2331,4 +2401,9 @@ QUERIES: dict[str, Query] = {
                                  "bitmap-index audience overlap: "
                                  "bit_or presence maps, popcount "
                                  "AND/OR Jaccard"),
+    "q_hierarchy_rollup": Query(_hierarchy_rollup,
+                                _HIERARCHY_ROLLUP_SQL,
+                                "recursive-CTE hierarchy traversal "
+                                "via pointer-jumping closure: depth, "
+                                "descendants, subtree rollup"),
 }

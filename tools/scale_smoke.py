@@ -161,7 +161,7 @@ def main() -> int:
 
     EMB_OPS = {"semantic_dedup", "lsh_topk", "ivf_topk", "ivfpq_topk",
                "neardup_multiband", "density_sample", "hard_negatives",
-               "semantic_decon"}
+               "semantic_decon", "pca_scores", "mmr_rerank"}
     big_emb = None
     if ONLY is None or (ONLY & EMB_OPS):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -345,7 +345,9 @@ def main() -> int:
     # round-4 late additions: exact substring spans (one posting per
     # corpus char — the heaviest text op by design), CMS heavy
     # hitters, bigram fluency, k-core peel over the dup graph
-    bench("substring_spans", lambda: dedup.substring_dup_spans(big_docs))
+    bench("substring_spans",
+          lambda: dedup.substring_dup_spans(big_docs,
+                                            scan_parallelism=cpus))
     bench("heavy_hitters", lambda: sk.cms_heavy_hitters(big_docs))
     bench("bigram_fluency", lambda: text.bigram_fluency(big_docs))
 
@@ -504,7 +506,8 @@ def main() -> int:
     # winnow: O(corpus chars) CPU inside the scan, ~n/8 selected
     # fingerprints as rows — claimed ~1/8 of substring_spans' wire
     bench("winnow_census",
-          lambda: dedup.winnow_shared_census(big_docs))
+          lambda: dedup.winnow_shared_census(big_docs,
+                                             scan_parallelism=cpus))
 
     def incremental_neardup():
         # daily-ingest shape: 1% of the corpus as the new batch vs
@@ -592,6 +595,20 @@ def main() -> int:
              .cast("long").alias("n00"))
 
     bench("gate_agreement", gate_agreement)
+
+    # round-6 additions: RAKE (island window + vocab-bounded aggs),
+    # trigram LM (the 4-window bigram shape, one tier deeper), PCA
+    # projection (zero-shuffle literal transform), MMR (|Q|·pool²
+    # bounded state — should be ~flat in corpus size)
+    bench("rake_keywords", lambda: text.rake_keywords(big_docs))
+    bench("trigram_fluency", lambda: text.trigram_fluency(big_docs))
+
+    def pca_scores():
+        from ethereum_export_pipeline_spark.plans.llm import get_pca
+        return similarity.pca_scores(big_emb, *get_pca())
+
+    bench("pca_scores", pca_scores)
+    bench("mmr_rerank", lambda: similarity.mmr_rerank(big_emb))
 
     BULK_PRED = "vec_id < 200"
     bench_no_broadcast(
