@@ -85,18 +85,22 @@ def pagerank_exact(edges: DataFrame, iters: int = 5,
     # wall-clock delta vs a shuffle.partitions clamp), so no
     # session-global conf mutation — a concurrent query on the
     # shared session must never plan under a clamped width.
-    deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-            .transform(ckpt))
+    # out-degree attaches to the edge list ONCE — inside the loop it
+    # would re-join per round (edge-sized exchange × iters for a
+    # value that never changes)
+    from pyspark.sql import Window
+    ed = (e.withColumn("deg", F.count(F.lit(1)).over(
+              Window.partitionBy("src")).cast("long"))
+           .transform(ckpt))
     base = scale // n
     teleport = ((100 - damping_pct) * base) // 100
     r = nodes.withColumn("r", F.lit(base).cast("long"))
     for k in range(iters):
-        contrib = (e.join(r, e.src == r.node)
-                    .join(deg, "src")
-                    .select(F.col("dst").alias("node"),
-                            F.expr("r div deg").alias("c"))
-                    .groupBy("node")
-                    .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("c")))
+        contrib = (ed.join(r, ed.src == r.node)
+                     .select(F.col("dst").alias("node"),
+                             F.expr("r div deg").alias("c"))
+                     .groupBy("node")
+                     .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("c")))
         r = (nodes.join(contrib, "node", "left")
                   .select("node",
                           F.expr(f"CAST({teleport} + ({damping_pct} * "
