@@ -64,6 +64,9 @@ HEADLINE = [
     "q_bitmap_coactivity",
     "stream_ooo_census",
     "q_hierarchy_rollup",
+    "q_seasonality",
+    "q_cohort_ltv",
+    "emb_ivf_recall",
     "eth_incremental_todo",
     "eth_typed_projection",
     "eth_partition_plan",

@@ -1136,3 +1136,35 @@ def mmr_rerank(df: DataFrame, id_col: str = "vec_id",
     return out.select("query_id", "step",
                       F.col("cand_id").alias("neighbor_id"),
                       "cos_q", "mmr")
+
+
+def ivf_recall_report(df: DataFrame, centroids: list[list[int]],
+                      k: int = 5, id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      query_pred: str | None = None,
+                      dim: int = EMB_DIM,
+                      scan_parallelism: int | None = None) -> DataFrame:
+    """`ann_recall_report`'s IVF sibling — recall@k of the nprobe=1
+    IVF path against the exact top-k, the measurement that tunes the
+    CELL COUNT / nprobe trade the way the LSH report tunes bands and
+    planes (IVF loses exactly the neighbors whose nearest centroid
+    differs from the query's; this counts them). Same evaluation
+    contract: bounded query sample, set membership not rank
+    agreement, recall_ppm = n_hits·10⁶ div k, exact integers."""
+    query_pred = query_pred or f"{id_col} < 10"
+    exact = brute_force_topk(df, id_col, emb_col, k=k,
+                             query_pred=query_pred)
+    approx = ivf_topk(df, centroids, id_col, emb_col, k=k,
+                      query_pred=query_pred, dim=dim,
+                      scan_parallelism=scan_parallelism)
+    hits = (approx.join(exact.select("query_id", "neighbor_id"),
+                        ["query_id", "neighbor_id"], "left_semi")
+                  .groupBy("query_id")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    qs = exact.select("query_id").distinct()
+    return (qs.join(hits, "query_id", "left")
+              .select("query_id",
+                      F.coalesce("n_hits", F.lit(0)).cast("long")
+                       .alias("n_hits"),
+                      F.expr(f"coalesce(n_hits, 0) * 1000000 div {k}")
+                       .alias("recall_ppm")))

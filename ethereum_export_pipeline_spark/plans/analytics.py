@@ -2176,6 +2176,143 @@ ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------- dow seasonality
+
+def _seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type — the capacity-
+    planning / anomaly-baseline profile ("is Tuesday always 2× the
+    Sunday volume, or is today broken?"): per (type, dow), event
+    count and exact-cents amount plus their seasonal indices vs the
+    type's own weekly mean, in truncating ppm.
+
+    dow from pure epoch-day arithmetic ((day + 3) % 7, 0 = Monday —
+    engine date functions DISAGREE on week-start conventions, ints
+    cannot). Index = mean_dow·10⁶ div mean_total over truncating
+    integer means (documented precision trade, deterministic).
+
+    Scale shape: one scan → (types×7)-group hash agg with map-side
+    combine; the per-type totals ride a window over the 35-row
+    aggregate. Nothing else touches the corpus."""
+    from pyspark.sql import Window
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr("(ts_ns div 1000 div 86400000000 + 3) % 7")
+                   .alias("dow"),
+                  F.expr(f"{cents('value')}").alias("v")))
+    g = (ev.groupBy("event_type", "dow")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.expr("CAST(sum(v) AS BIGINT)").alias("sum_cents")))
+    w = Window.partitionBy("event_type")
+    return (g.withColumn("n_tot", F.sum("n_events").over(w).cast("long"))
+             .withColumn("c_tot", F.sum("sum_cents").over(w).cast("long"))
+             .select("event_type", "dow", "n_events", "sum_cents",
+                     F.expr("n_events * 7 * 1000000 div n_tot")
+                      .alias("cnt_idx_ppm"),
+                     F.expr("CASE WHEN c_tot div n_tot = 0 THEN 0 "
+                            "ELSE (sum_cents div n_events) * 1000000 "
+                            "div (c_tot div n_tot) END")
+                      .alias("amt_idx_ppm"))
+             .orderBy("event_type", "dow"))
+
+
+_SEASONALITY_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+         {cents('value')} AS v
+  FROM events),
+g AS (
+  SELECT event_type, dow,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(v) AS BIGINT) AS sum_cents
+  FROM ev GROUP BY 1, 2),
+t AS (
+  SELECT event_type, dow, n_events, sum_cents,
+         CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+           AS n_tot,
+         CAST(sum(sum_cents) OVER (PARTITION BY event_type) AS BIGINT)
+           AS c_tot
+  FROM g)
+SELECT event_type, dow, n_events, sum_cents,
+       n_events * 7 * 1000000 // n_tot AS cnt_idx_ppm,
+       CASE WHEN c_tot // n_tot = 0 THEN 0
+            ELSE (sum_cents // n_events) * 1000000 // (c_tot // n_tot)
+            END AS amt_idx_ppm
+FROM t
+ORDER BY event_type, dow
+"""
+
+
+# --------------------------------------------------- cohort LTV
+
+def _cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve (the revenue sibling of
+    `q_events_retention`'s activity matrix): users cohorted by first-
+    seen week, per (cohort, age-in-weeks) the exact-cents revenue and
+    its RUNNING cumulative — the LTV curve — plus cumulative value
+    per cohort user.
+
+    Scale shape: one user-key window for first-seen (the sessionizer
+    exchange), one (cohort, age) hash-agg, then the cumsum window
+    runs over the cohorts×ages aggregate, never the event stream."""
+    from pyspark.sql import Window
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id",
+                  F.expr("ts_ns div 1000 div 604800000000").alias("wk"),
+                  F.expr(f"{cents('value')}").alias("v")))
+    wu = Window.partitionBy("user_id")
+    co = ev.withColumn("cohort_wk", F.min("wk").over(wu).cast("long"))
+    g = (co.groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk"))
+                    .cast("long").alias("age_wk"))
+           .agg(F.expr("CAST(sum(v) AS BIGINT)").alias("week_cents"),
+                F.countDistinct("user_id").cast("long").alias("n_active")))
+    users = (co.groupBy("cohort_wk")
+               .agg(F.countDistinct("user_id").cast("long")
+                     .alias("n_users")))
+    wc = (Window.partitionBy("cohort_wk").orderBy("age_wk")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    return (g.join(F.broadcast(users), "cohort_wk")
+             .withColumn("cum_cents",
+                         F.sum("week_cents").over(wc).cast("long"))
+             .select("cohort_wk", "age_wk", "n_users", "n_active",
+                     "week_cents", "cum_cents",
+                     F.expr("cum_cents div n_users")
+                      .alias("cum_per_user_cents"))
+             .orderBy("cohort_wk", "age_wk"))
+
+
+_COHORT_LTV_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+         {cents('value')} AS v
+  FROM events),
+co AS (
+  SELECT user_id, wk, v,
+         CAST(min(wk) OVER (PARTITION BY user_id) AS BIGINT)
+           AS cohort_wk
+  FROM ev),
+g AS (
+  SELECT cohort_wk, CAST(wk - cohort_wk AS BIGINT) AS age_wk,
+         CAST(sum(v) AS BIGINT) AS week_cents,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM co GROUP BY 1, 2),
+u AS (
+  SELECT cohort_wk, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM co GROUP BY 1),
+c AS (
+  SELECT g.cohort_wk, g.age_wk, u.n_users, g.n_active, g.week_cents,
+         CAST(sum(g.week_cents) OVER (PARTITION BY g.cohort_wk
+              ORDER BY g.age_wk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cents
+  FROM g JOIN u USING (cohort_wk))
+SELECT cohort_wk, age_wk, n_users, n_active, week_cents, cum_cents,
+       cum_cents // n_users AS cum_per_user_cents
+FROM c
+ORDER BY cohort_wk, age_wk
+"""
+
+
 # --------------------------------------------- hierarchy rollup
 
 def _hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2406,4 +2543,10 @@ QUERIES: dict[str, Query] = {
                                 "recursive-CTE hierarchy traversal "
                                 "via pointer-jumping closure: depth, "
                                 "descendants, subtree rollup"),
+    "q_seasonality": Query(_seasonality, _SEASONALITY_SQL,
+                           "day-of-week seasonal indices per event "
+                           "type (epoch-day dow, exact ppm)"),
+    "q_cohort_ltv": Query(_cohort_ltv, _COHORT_LTV_SQL,
+                          "cohort LTV curve: first-seen-week cohorts, "
+                          "running cumulative revenue per age"),
 }

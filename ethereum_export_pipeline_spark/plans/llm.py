@@ -4417,6 +4417,60 @@ def _trigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.trigram_fluency(load_table(spark, sf_dir, "documents"))
 
 
+def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the nprobe=1 IVF path vs the exact top-k
+    (operators/similarity.ivf_recall_report) — the cell-count/nprobe
+    tuning measurement next to `emb_ann_recall`'s band/plane one."""
+    return similarity.ivf_recall_report(
+        load_table(spark, sf_dir, "embeddings"), get_quantizers()[0],
+        k=TOPK_K,
+        scan_parallelism=spark.sparkContext.defaultParallelism)
+
+
+def _ivf_recall_sql() -> str:
+    return f"""
+WITH {_BASE_CTES},
+bq AS (SELECT vec_id AS query_id, q AS qv, n2 AS qn2 FROM wn
+       WHERE vec_id < 10),
+bc AS (SELECT vec_id AS neighbor_id, q AS cv, n2 AS cn2 FROM wn),
+bscored AS (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2
+            FROM bq CROSS JOIN bc WHERE neighbor_id <> query_id),
+bcos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM bscored),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM bcos) WHERE rk <= {TOPK_K}
+),
+cells AS (SELECT vec_id, q, n2, {_ivf_cell_sql()} AS cell FROM wn),
+iq AS (SELECT vec_id AS query_id, q AS qv, n2 AS qn2, cell FROM cells
+       WHERE vec_id < 10),
+ic AS (SELECT vec_id AS neighbor_id, q AS cv, n2 AS cn2, cell
+       FROM cells),
+iscored AS (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2
+            FROM iq JOIN ic USING (cell) WHERE neighbor_id <> query_id),
+icos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM iscored),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM icos) WHERE rk <= {TOPK_K}
+),
+hits AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) * 1000000 // {TOPK_K} AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
 # ------------------------------------------------------------------ PCA
 
 _PCA_PARAMS: tuple[list[int], list[int]] | None = None
@@ -4950,6 +5004,9 @@ QUERIES: dict[str, Query] = {
                            "two-stage retrieval: JL-projection "
                            "candidates + exact rerank (coarse-then-"
                            "rerank ANN pattern)"),
+    "emb_ivf_recall": Query(_ivf_recall, _ivf_recall_sql,
+                            "recall@k of the IVF (nprobe=1) path vs "
+                            "exact — the cell-count tuning metric"),
     "emb_pca_scores": Query(_pca_scores, _pca_scores_sql,
                             "top-principal-component projection: "
                             "sample-trained power iteration, exact-"
