@@ -53,16 +53,10 @@ _WINDOW_R6 = (
     "doc_dsir_weights",
     "doc_global_rank",
     "doc_vocab_coverage",
-    "doc_cluster_split",
-    "doc_curriculum",
-    "doc_gate_agreement",
-    "doc_score_calibration",
-    "doc_fertility",
     "doc_textrank",
     "doc_hybrid_rrf",
     "doc_phrase_search",
     "doc_blocklist_tag",
-    "doc_hll_distinct",
     # round-6 additions (new this round, graded immediately)
     "doc_rake_keywords",
     "doc_trigram_fluency",
@@ -74,6 +68,12 @@ _WINDOW_R6 = (
     "q5_local_supplier",
     "q9_product_profit",
     "q16_supplier_counts",
+    "stream_ooo_census",
+    "eth_schema_evolution",
+    "q_hierarchy_rollup",
+    "q_seasonality",
+    "q_cohort_ltv",
+    "emb_ivf_recall",
     # ANN / embedding tier
     "emb_knn_linkpred",
     "emb_cluster_labels",
@@ -100,7 +100,9 @@ _WINDOW_R6 = (
     "q_l_diversity",
     "q_t_closeness",
     "q_asof_skew_bucketed",
-    # (round-7 pool: q20_dominant_suppliers, q6_forecast_revenue,
+    # (round-7 pool: doc_gate_agreement, doc_score_calibration,
+    # doc_fertility, doc_cluster_split, doc_curriculum,
+    # doc_hll_distinct, q20_dominant_suppliers, q6_forecast_revenue,
     # q8_market_share, q10_returned_items, q19_bracket_revenue,
     # q_event_transitions, q_props_keys, doc_dup_source_matrix,
     # doc_sentence_dedup, doc_length_stats, doc_crossmodal_agreement,
