@@ -67,6 +67,9 @@ HEADLINE = [
     "q_seasonality",
     "q_cohort_ltv",
     "emb_ivf_recall",
+    "stream_pattern_match",
+    "doc_script_census",
+    "q_abtest_readout",
     "eth_incremental_todo",
     "eth_typed_projection",
     "eth_partition_plan",

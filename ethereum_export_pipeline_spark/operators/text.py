@@ -1704,3 +1704,72 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
 FROM p
 GROUP BY 1
 """
+
+
+# -------------------------------------------------- script census
+
+SCRIPT_OTHER_MAX_PPM = 100_000   # >10% outside ASCII classes → suspect
+
+_WS_CLS = "[ \\t\\r\\n]"   # whitespace class, shared literal
+
+
+def script_census(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Character-class / script census per document — the
+    encoding-rot and wrong-script detector that runs BEFORE language
+    ID can be trusted (mojibake, binary-pasted-as-text, and
+    unsupported scripts all surface as a high share of characters
+    outside the ASCII letter/digit/whitespace classes): exact counts
+    per class by length-difference against a replace-all, other_ppm
+    in truncating fixed point, suspect flag at >10%.
+
+    Scale shape: a pure map — three regexp projections inside the
+    scan, zero joins, zero shuffle; the gate runs at scan rate at
+    100 TB like the classifier/blocklist tier."""
+    n = "char_length(text0)"
+
+    def cnt(cls):
+        return f"({n} - char_length(regexp_replace(text0, '{cls}', '')))"
+
+    alpha, digit, space = cnt("[A-Za-z]"), cnt("[0-9]"), cnt(_WS_CLS)
+    return (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col), F.col(text_col).alias("text0"))
+              .select(
+                  id_col,
+                  F.expr(f"CAST({n} AS BIGINT)").alias("n_chars"),
+                  F.expr(f"CAST({alpha} AS BIGINT)").alias("n_alpha"),
+                  F.expr(f"CAST({digit} AS BIGINT)").alias("n_digit"),
+                  F.expr(f"CAST({space} AS BIGINT)").alias("n_space"))
+              .withColumn("n_other",
+                          F.expr("n_chars - n_alpha - n_digit - n_space")
+                           .cast("long"))
+              .withColumn("other_ppm",
+                          F.expr("CASE WHEN n_chars = 0 THEN 0 "
+                                 "ELSE n_other * 1000000 div n_chars END"))
+              .withColumn("suspect",
+                          F.expr(f"CAST(other_ppm > {SCRIPT_OTHER_MAX_PPM} "
+                                 f"AS BIGINT)")))
+
+
+def script_census_sql() -> str:
+    """DuckDB twin (regexp_replace needs the 'g' flag for
+    replace-all; Spark replaces all by default)."""
+    n = "length(text)"
+
+    def cnt(cls):
+        return f"({n} - length(regexp_replace(text, '{cls}', '', 'g')))"
+
+    alpha, digit, space = cnt("[A-Za-z]"), cnt("[0-9]"), cnt(_WS_CLS)
+    other = f"({n} - {alpha} - {digit} - {space})"
+    ppm = f"(CASE WHEN {n} = 0 THEN 0 ELSE {other} * 1000000 // {n} END)"
+    return f"""
+SELECT doc_id,
+       CAST({n} AS BIGINT) AS n_chars,
+       CAST({alpha} AS BIGINT) AS n_alpha,
+       CAST({digit} AS BIGINT) AS n_digit,
+       CAST({space} AS BIGINT) AS n_space,
+       CAST({other} AS BIGINT) AS n_other,
+       {ppm} AS other_ppm,
+       CAST({ppm} > {SCRIPT_OTHER_MAX_PPM} AS BIGINT) AS suspect
+FROM documents WHERE text IS NOT NULL
+"""

@@ -2313,6 +2313,112 @@ ORDER BY cohort_wk, age_wk
 """
 
 
+# --------------------------------------------------- A/B readout
+
+def _abtest_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout — assignment by the
+    cross-engine user hash (h32('exp1:'||user) % 2, the salted-split
+    machinery as an experimentation system); the success metric is
+    "per-user purchase spend above the GLOBAL lower-median spend"
+    (an always-true metric like made-any-purchase gives pooled p = 1
+    and an undefined z — the median split is ~50% by construction,
+    so the statistic is live at any corpus size). Per-variant user /
+    converter counts, conversion ppm, lift, and the two-proportion z
+    as ONE fixed double expression over the four exact counts, with
+    a CASE guard for the degenerate pooled p ∈ {0, 1}.
+
+    Scale shape: one per-user aggregate (map-side combined), one
+    rank window over the per-user frame for the exact median, a
+    1-row broadcast, then a 2-row pivot via conditional sums."""
+    from pyspark.sql import Window
+    from ..functions import h32
+    ev = load_table(spark, sf_dir, "events")
+    pu = (ev.groupBy("user_id")
+            .agg(F.expr(f"CAST(sum(CASE WHEN event_type = 'purchase' "
+                        f"THEN {cents('value')} ELSE 0 END) AS BIGINT)")
+                  .alias("spend")))
+    wv = Window.orderBy(F.col("spend").asc(), F.col("user_id").asc())
+    med = (pu.withColumn("rn", F.row_number().over(wv).cast("long"))
+             .withColumn("n", F.count(F.lit(1)).over(
+                 Window.partitionBy()).cast("long"))
+             .where(F.col("rn") == F.expr("(n + 1) div 2"))
+             .select(F.col("spend").alias("med_spend")))
+    assigned = (pu.crossJoin(F.broadcast(med))
+                  .withColumn("converted",
+                              (F.col("spend") > F.col("med_spend"))
+                              .cast("long"))
+                  .withColumn("variant",
+                              (h32(F.concat(F.lit("exp1:"),
+                                            F.col("user_id")
+                                             .cast("string"))) % 2)
+                              .cast("long")))
+    g = assigned.agg(
+        F.expr("CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) "
+               "AS BIGINT)").alias("n0"),
+        F.expr("CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) "
+               "AS BIGINT)").alias("n1"),
+        F.expr("CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 "
+               "END) AS BIGINT)").alias("c0"),
+        F.expr("CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 "
+               "END) AS BIGINT)").alias("c1"))
+    z = ("CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN CAST(0 AS DOUBLE) "
+         "ELSE (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) / "
+         "sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * "
+         "(1.0E0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * "
+         "(1.0E0 / n0 + 1.0E0 / n1)) END")
+    return g.select(
+        "n0", "n1", "c0", "c1",
+        F.expr("c0 * 1000000 div n0").alias("conv0_ppm"),
+        F.expr("c1 * 1000000 div n1").alias("conv1_ppm"),
+        F.expr("c1 * 1000000 div n1 - c0 * 1000000 div n0")
+         .alias("lift_ppm"),
+        F.expr(z).alias("z_score"))
+
+
+def _abtest_readout_sql() -> str:
+    from ..functions import h32_sql
+    assign = f"({h32_sql(chr(39) + 'exp1:' + chr(39) + ' || CAST(user_id AS VARCHAR)')} % 2)"
+    return f"""
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN {cents('value')} ELSE 0 END) AS BIGINT) AS spend
+  FROM events GROUP BY user_id),
+rk AS (
+  SELECT spend,
+         CAST(row_number() OVER (ORDER BY spend ASC, user_id ASC)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM pu),
+med AS (SELECT spend AS med_spend FROM rk WHERE rn = (n + 1) // 2),
+a AS (
+  SELECT pu.user_id,
+         CAST(pu.spend > med.med_spend AS BIGINT) AS converted,
+         {assign} AS variant
+  FROM pu CROSS JOIN med),
+g AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+              AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+              AS BIGINT) AS c1
+  FROM a)
+SELECT n0, n1, c0, c1,
+       c0 * 1000000 // n0 AS conv0_ppm,
+       c1 * 1000000 // n1 AS conv1_ppm,
+       c1 * 1000000 // n1 - c0 * 1000000 // n0 AS lift_ppm,
+       CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN CAST(0 AS DOUBLE)
+            ELSE (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+                 sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+                      (1.0E0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+                      (1.0E0 / n0 + 1.0E0 / n1)) END AS z_score
+FROM g
+"""
+
+
 # --------------------------------------------- hierarchy rollup
 
 def _hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2549,4 +2655,8 @@ QUERIES: dict[str, Query] = {
     "q_cohort_ltv": Query(_cohort_ltv, _COHORT_LTV_SQL,
                           "cohort LTV curve: first-seen-week cohorts, "
                           "running cumulative revenue per age"),
+    "q_abtest_readout": Query(_abtest_readout, _abtest_readout_sql,
+                              "deterministic A/B readout: hash "
+                              "assignment, conversion ppm, lift, "
+                              "two-proportion z"),
 }

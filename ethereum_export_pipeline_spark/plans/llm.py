@@ -4401,6 +4401,13 @@ WHERE w.vec_id % {BENCH_MOD} <> 0
 """
 
 
+def _script_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class / encoding-rot census
+    (operators/text.script_census): exact per-class counts + the
+    outside-ASCII share gate, a pure map at scan rate."""
+    return text.script_census(load_table(spark, sf_dir, "documents"))
+
+
 # ----------------------------------------------------------------- RAKE
 
 def _rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4982,6 +4989,9 @@ QUERIES: dict[str, Query] = {
                                 "bigram-LM fluency score (CCNet-style "
                                 "n-gram quality gate, fixed-point mean "
                                 "conditional probability)"),
+    "doc_script_census": Query(_script_census, text.script_census_sql(),
+                               "character-class / encoding-rot census "
+                               "(map-only, outside-ASCII ppm gate)"),
     "doc_trigram_fluency": Query(_trigram_fluency,
                                  text.trigram_fluency_sql(),
                                  "interpolated trigram-LM typicality "

@@ -396,6 +396,31 @@ GROUP BY 1, 2
 """
 
 
+def _stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→purchase-within-30-min CEP matching
+    (streaming/sessions.stream_pattern_match): the MATCH_RECOGNIZE /
+    funnel-on-the-stream shape with one-int-per-user state."""
+    from ..streaming.sessions import stream_pattern_match
+    return stream_pattern_match(spark,
+                                f"{sf_dir.rstrip('/')}/events.parquet")
+
+
+_STREAM_PATTERN_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view
+  FROM events)
+SELECT user_id, event_id,
+       CAST(ts_us - last_view AS BIGINT) AS latency_us
+FROM o
+WHERE event_type = 'purchase' AND last_view IS NOT NULL
+  AND ts_us - last_view <= 1800000000
+"""
+
+
 def _stream_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-orderness census per event type
     (streaming/sessions.stream_ooo_census): lateness vs the running
@@ -446,6 +471,11 @@ GROUP BY 1
 
 
 QUERIES: dict[str, Query] = {
+    "stream_pattern_match": Query(_stream_pattern, _STREAM_PATTERN_SQL,
+                                  "CEP view→purchase-within-30-min "
+                                  "matcher: 4th custom stateful op, "
+                                  "one-int-per-user state, full "
+                                  "value oracle"),
     "stream_ooo_census": Query(_stream_ooo, _stream_ooo_sql,
                                "out-of-orderness census: lateness vs "
                                "arrival-order running max — the "

@@ -284,3 +284,72 @@ def stream_ooo_census(spark: SparkSession, events_path: str) -> DataFrame:
         outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
     return run_available_now(agg, output_mode="update",
                              width=bounded_stream_width(spark, events_path))
+
+
+# ---------------------------------------- view→purchase CEP matcher
+
+CEP_WINDOW_US = 1_800_000_000   # view converts within 30 min
+
+CEP_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("latency_us", LongType()),
+])
+
+CEP_STATE = StructType([StructField("last_view_us", LongType())])
+
+
+def _cep_key(key, pdfs: "Iterator[pd.DataFrame]",
+             state: GroupState) -> "Iterator[pd.DataFrame]":
+    (user_id,) = key
+    batch = pd.concat(list(pdfs))
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["ts_us", "event_id"])
+    last_view = state.get[0] if state.exists else -1
+    out: list[tuple[int, int, int]] = []
+    for eid, et, t in zip(batch["event_id"], batch["event_type"],
+                          batch["ts_us"]):
+        t = int(t)
+        if et == "view":
+            last_view = t
+        elif (et == "purchase" and last_view >= 0
+                and t - last_view <= CEP_WINDOW_US):
+            out.append((user_id, int(eid), t - last_view))
+    state.update((last_view,))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "event_id",
+                                         "latency_us"])
+
+
+def stream_pattern_match(spark: SparkSession,
+                         events_path: str) -> DataFrame:
+    """Event-pattern (CEP) matching as the FOURTH custom stateful
+    streaming operator: "view followed by purchase within 30 min, per
+    user" — the Flink-MATCH_RECOGNIZE / funnel-on-the-stream shape.
+    Non-consuming last-touch semantics: each purchase matches the
+    most recent prior view (one view may convert several purchases);
+    matches are per-event facts emitted exactly once (update-mode
+    safe, the CUSUM contract).
+
+    State is ONE integer per user (the last view's event time),
+    carried across micro-batches — the pattern's lookback is
+    state-encoded, not buffered, so state never grows with the
+    stream. Every output is an exact integer; the oracle is a
+    strictly-preceding running max over the same (ts, event_id)
+    order — full value oracle.
+
+    Scale shape: one shuffle on user_id, per-key linear scan; a
+    longer pattern (A→B→C) adds fields to the state struct, not
+    rows."""
+    from ..sources.tables import with_event_time
+    from . import bounded_stream_width
+    sdf = with_event_time(read_stream(spark, events_path))
+    keyed = (sdf.selectExpr("user_id", "event_type",
+                            "(ts_ns div 1000) AS ts_us", "event_id")
+                .groupBy("user_id"))
+    agg = keyed.applyInPandasWithState(
+        _cep_key, CEP_SCHEMA, CEP_STATE,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+    return run_available_now(agg, output_mode="update",
+                             width=bounded_stream_width(spark, events_path))

@@ -294,3 +294,112 @@ def test_ancestor_closure_log_rounds_cover_depth(spark):
     got = ancestor_closure(edges, rounds=3)
     deepest = {r["anc"] for r in got.where("node = 8").collect()}
     assert deepest == {1, 2, 3, 4, 5, 6, 7}
+
+
+# ------------------------------------------------ script census
+
+def test_script_census_hand_counts(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="ab1 \tc"),          # 3 alpha, 1 digit, 2 ws
+         Row(doc_id=2, text="héllo wörld"),      # 2 non-ascii chars
+         Row(doc_id=3, text=None)])
+    got = {r["doc_id"]: r.asDict()
+           for r in T.script_census(docs).collect()}
+    assert 3 not in got
+    g1 = got[1]
+    assert (g1["n_chars"], g1["n_alpha"], g1["n_digit"],
+            g1["n_space"], g1["n_other"]) == (6, 3, 1, 2, 0)
+    assert g1["suspect"] == 0
+    g2 = got[2]
+    assert g2["n_other"] == 2 and g2["n_chars"] == 11
+    assert g2["other_ppm"] == 2 * 1_000_000 // 11
+    assert g2["suspect"] == 1              # 18% non-ascii > 10% gate
+
+
+# ------------------------------------------- CEP pattern matching
+
+def test_cep_handler_matches_last_view_within_window(spark):
+    import pandas as pd
+
+    from ethereum_export_pipeline_spark.streaming.sessions import (
+        CEP_WINDOW_US, _cep_key)
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.stored = v
+
+    batch = pd.DataFrame({
+        "event_id":   [1, 2, 3, 4, 5],
+        "event_type": ["view", "purchase", "purchase", "view",
+                       "purchase"],
+        "ts_us":      [0, 10, CEP_WINDOW_US + 11,  # 3: too late
+                       CEP_WINDOW_US + 20, CEP_WINDOW_US + 25],
+    })
+    st = FakeState()
+    out = list(_cep_key((7,), iter([batch]), st))[0]
+    # purchases 2 (latency 10) and 5 (latency 5, via the NEWER view 4)
+    assert list(zip(out["event_id"], out["latency_us"])) == [(2, 10),
+                                                             (5, 5)]
+    assert st.stored == (CEP_WINDOW_US + 20,)   # last view carried
+
+
+def test_cep_state_carries_across_batches(spark):
+    import pandas as pd
+
+    from ethereum_export_pipeline_spark.streaming.sessions import _cep_key
+
+    class FakeState:
+        def __init__(self, v=None):
+            self.exists = v is not None
+            self.get = v
+
+        def update(self, v):
+            self.stored = v
+
+    st = FakeState((100,))                      # view at t=100 in state
+    batch = pd.DataFrame({"event_id": [9], "event_type": ["purchase"],
+                          "ts_us": [150]})
+    out = list(_cep_key((1,), iter([batch]), st))[0]
+    assert list(out["latency_us"]) == [50]      # matched carried view
+
+
+# --------------------------------------------------- A/B readout
+
+def test_abtest_readout_matches_python_reference(spark):
+    import hashlib
+
+    from ethereum_export_pipeline_spark.functions import MERSENNE31
+    from ethereum_export_pipeline_spark.plans.analytics import (
+        _abtest_readout)
+
+    got = _abtest_readout(spark, SF).collect()[0].asDict()
+    ev = _events_pd()
+    spend: dict[int, int] = {}
+    for _, r in ev.iterrows():
+        uid = int(r["user_id"])
+        spend.setdefault(uid, 0)
+        if r["event_type"] == "purchase":
+            spend[uid] += int(round(r["value"] * 100))
+    vals = sorted(spend.values())
+    med = vals[(len(vals) + 1) // 2 - 1]
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8],
+                   16) % MERSENNE31
+
+    n = [0, 0]
+    c = [0, 0]
+    for uid, sp in spend.items():
+        v = h32(f"exp1:{uid}") % 2
+        n[v] += 1
+        c[v] += int(sp > med)
+    assert (got["n0"], got["n1"], got["c0"], got["c1"]) == (
+        n[0], n[1], c[0], c[1])
+    assert got["conv0_ppm"] == c[0] * 1_000_000 // n[0]
+    p = (c[0] + c[1]) / (n[0] + n[1])
+    if 0 < p < 1:
+        z = ((c[1] / n[1] - c[0] / n[0])
+             / math.sqrt(p * (1 - p) * (1 / n[0] + 1 / n[1])))
+        assert got["z_score"] == pytest.approx(z)
