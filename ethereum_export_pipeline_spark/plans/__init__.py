@@ -54,9 +54,6 @@ _WINDOW_R6 = (
     "doc_global_rank",
     "doc_vocab_coverage",
     "doc_textrank",
-    "doc_hybrid_rrf",
-    "doc_phrase_search",
-    "doc_blocklist_tag",
     # round-6 additions (new this round, graded immediately)
     "doc_rake_keywords",
     "doc_trigram_fluency",
@@ -74,6 +71,9 @@ _WINDOW_R6 = (
     "q_seasonality",
     "q_cohort_ltv",
     "emb_ivf_recall",
+    "stream_pattern_match",
+    "doc_script_census",
+    "q_abtest_readout",
     # ANN / embedding tier
     "emb_knn_linkpred",
     "emb_cluster_labels",
@@ -100,7 +100,8 @@ _WINDOW_R6 = (
     "q_l_diversity",
     "q_t_closeness",
     "q_asof_skew_bucketed",
-    # (round-7 pool: doc_gate_agreement, doc_score_calibration,
+    # (round-7 pool: doc_hybrid_rrf, doc_phrase_search,
+    # doc_blocklist_tag, doc_gate_agreement, doc_score_calibration,
     # doc_fertility, doc_cluster_split, doc_curriculum,
     # doc_hll_distinct, q20_dominant_suppliers, q6_forecast_revenue,
     # q8_market_share, q10_returned_items, q19_bracket_revenue,
