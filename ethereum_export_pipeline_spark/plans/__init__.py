@@ -35,13 +35,12 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #: (tools/oracle_check.py still verifies ALL entries locally). Rounds
 #: 1-5 accumulated driver-stamped green rows for 131 distinct queries
 #: (CORRECTNESS_r0{1-5}.json). Round 6 rotates the window to 50 more
-#: entries that have NEVER been driver-graded — the round-5 additions
+#: entries that have NEVER been driver-graded — round-5 headliners
 #: (classifier gate, DSIR, winnowing, incremental near-dup, global
-#: rank, curriculum/split, calibration, VAD, scene cuts, RRF,
-#: TextRank, HLL, governance k-anon/l-div/t-close, salted agg,
-#: entity resolution) plus this round's new operators, which are
-#: graded immediately. Everything demoted stays green in the full
-#: local sweep.
+#: rank, vocab coverage, TextRank, VAD, scene cuts, governance
+#: k-anon/l-div/t-close, salted agg, entity resolution) plus ALL 19
+#: round-6 additions, graded immediately. Everything demoted stays
+#: green in the full local sweep.
 _WINDOW_R6 = (
     # reference-parity source formats never graded
     "eth_jsonl_roundtrip",
