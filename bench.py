@@ -67,6 +67,7 @@ HEADLINE = [
     "q_seasonality",
     "q_cohort_ltv",
     "emb_ivf_recall",
+    "emb_pq_recall",
     "stream_pattern_match",
     "doc_script_census",
     "q_abtest_readout",

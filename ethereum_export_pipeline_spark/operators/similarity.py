@@ -1168,3 +1168,36 @@ def ivf_recall_report(df: DataFrame, centroids: list[list[int]],
                        .alias("n_hits"),
                       F.expr(f"coalesce(n_hits, 0) * 1000000 div {k}")
                        .alias("recall_ppm")))
+
+
+def pq_recall_report(df: DataFrame, centroids: list[list[int]],
+                     codebooks: list[list[list[int]]],
+                     k: int = 5, id_col: str = "vec_id",
+                     emb_col: str = "embedding",
+                     query_pred: str | None = None,
+                     dim: int = EMB_DIM,
+                     scan_parallelism: int | None = None) -> DataFrame:
+    """Completes the recall-measurement trio (LSH bands →
+    `ann_recall_report`, IVF cells → `ivf_recall_report`, PQ codes →
+    THIS): recall@k of the full IVF-PQ path — cell pruning PLUS the
+    ADC approximation, so the number isolates how much the 8-byte
+    code compression costs on top of the cell miss rate (compare
+    against `ivf_recall_report` at the same centroids). Same
+    contract: bounded query sample, set membership, exact ppm."""
+    query_pred = query_pred or f"{id_col} < 10"
+    exact = brute_force_topk(df, id_col, emb_col, k=k,
+                             query_pred=query_pred)
+    approx = ivfpq_topk(df, centroids, codebooks, id_col, emb_col,
+                        k=k, query_pred=query_pred, dim=dim,
+                        scan_parallelism=scan_parallelism)
+    hits = (approx.join(exact.select("query_id", "neighbor_id"),
+                        ["query_id", "neighbor_id"], "left_semi")
+                  .groupBy("query_id")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    qs = exact.select("query_id").distinct()
+    return (qs.join(hits, "query_id", "left")
+              .select("query_id",
+                      F.coalesce("n_hits", F.lit(0)).cast("long")
+                       .alias("n_hits"),
+                      F.expr(f"coalesce(n_hits, 0) * 1000000 div {k}")
+                       .alias("recall_ppm")))

@@ -4478,6 +4478,61 @@ LEFT JOIN hits h ON q.query_id = h.query_id
 """
 
 
+def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the full IVF-PQ path vs exact
+    (operators/similarity.pq_recall_report) — isolates the ADC code-
+    compression cost on top of `emb_ivf_recall`'s cell miss rate."""
+    cents, books = get_quantizers()
+    return similarity.pq_recall_report(
+        load_table(spark, sf_dir, "embeddings"), cents, books,
+        k=TOPK_K,
+        scan_parallelism=spark.sparkContext.defaultParallelism)
+
+
+def _pq_recall_sql() -> str:
+    codes, adc = _pq_sql_parts()
+    return f"""
+WITH {_BASE_CTES},
+bq AS (SELECT vec_id AS query_id, q AS qv, n2 AS qn2 FROM wn
+       WHERE vec_id < 10),
+bc AS (SELECT vec_id AS neighbor_id, q AS cv, n2 AS cn2 FROM wn),
+bscored AS (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2
+            FROM bq CROSS JOIN bc WHERE neighbor_id <> query_id),
+bcos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM bscored),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM bcos) WHERE rk <= {TOPK_K}
+),
+cells AS (SELECT vec_id, q, {_ivf_cell_sql()} AS cell FROM wn),
+pq AS (SELECT vec_id AS query_id, q AS qv, cell FROM cells
+       WHERE vec_id < 10),
+pc AS (SELECT vec_id AS neighbor_id, {codes} AS codes, cell FROM cells),
+pscored AS (SELECT query_id, neighbor_id, CAST({adc} AS BIGINT)
+                   AS adc_dist
+            FROM pq JOIN pc USING (cell) WHERE neighbor_id <> query_id),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+    FROM pscored) WHERE rk <= {TOPK_K}
+),
+hits AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) * 1000000 // {TOPK_K} AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
 # ------------------------------------------------------------------ PCA
 
 _PCA_PARAMS: tuple[list[int], list[int]] | None = None
@@ -5014,6 +5069,10 @@ QUERIES: dict[str, Query] = {
                            "two-stage retrieval: JL-projection "
                            "candidates + exact rerank (coarse-then-"
                            "rerank ANN pattern)"),
+    "emb_pq_recall": Query(_pq_recall, _pq_recall_sql,
+                           "recall@k of the full IVF-PQ path — "
+                           "isolates the ADC compression cost on "
+                           "top of the cell miss rate"),
     "emb_ivf_recall": Query(_ivf_recall, _ivf_recall_sql,
                             "recall@k of the IVF (nprobe=1) path vs "
                             "exact — the cell-count tuning metric"),

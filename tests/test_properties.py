@@ -359,3 +359,87 @@ def test_apply_changes_matches_python_reference(spark, base, feed):
     again = {r["doc_id"]: r["text"]
              for r in apply_changes(merged_df, cdf).collect()}
     assert again == {k: v[0] for k, v in got.items()}
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(2, 30), st.integers(1, 29)),
+    min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_ancestor_closure_matches_python_reference(spark, edges):
+    """Pointer-jumping closure == naive python chain-walk on random
+    parent-pointer FORESTS (parent < child enforces acyclicity; one
+    parent per child enforced by dict)."""
+    from ethereum_export_pipeline_spark.operators.graph import (
+        ancestor_closure)
+    parent = {}
+    for c, p in edges:
+        if p < c:
+            parent.setdefault(c, p)
+    if not parent:
+        return
+    expected = set()
+    for c in parent:
+        a = c
+        while a in parent:
+            a = parent[a]
+            expected.add((c, a))
+    df = spark.createDataFrame(list(parent.items()),
+                               "child long, parent long")
+    # depth ≤ 29 → 5 rounds (2^5 = 32) always cover it
+    got = {(r["node"], r["anc"])
+           for r in ancestor_closure(df, rounds=5).collect()}
+    assert got == expected
+
+
+@given(texts=st.lists(
+    st.text(alphabet="abc of the x", min_size=0, max_size=40),
+    min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_rake_matches_python_reference(spark, texts):
+    """RAKE top-k == a pure-python reference (stopword islands,
+    deg/freq fixed point, phrase cap, tie order) on random texts over
+    a tiny alphabet that mixes stopwords and content tokens."""
+    import re
+
+    from pyspark.sql import Row
+
+    from ethereum_export_pipeline_spark.operators.text import (
+        RAKE_MAX_PHRASE, STOPWORDS, rake_keywords)
+    stop = set(STOPWORDS["en"])
+    phrases = []                     # (phrase_words, doc occurrence)
+    for t in texts:
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        run = []
+        for w in toks + [None]:
+            if w is None or w in stop:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+    phrases = [p for p in phrases if len(p) <= RAKE_MAX_PHRASE]
+    if not phrases:
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+        assert rake_keywords(df).count() == 0
+        return
+    freq: dict = {}
+    deg: dict = {}
+    for p in phrases:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    wscore = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    agg: dict = {}
+    for p in phrases:
+        key = " ".join(p)
+        score = sum(wscore[w] for w in p)
+        n, occ, _ = agg.get(key, (len(p), 0, score))
+        agg[key] = (len(p), occ + 1, score)
+    expected = {k: v for k, v in sorted(
+        agg.items(), key=lambda kv: (-kv[1][2], kv[0]))[:50]}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {r["phrase"]: (r["n_words"], r["occurrences"], r["score_e6"])
+           for r in rake_keywords(df).collect()}
+    assert got == expected
