@@ -443,3 +443,47 @@ def test_rake_matches_python_reference(spark, texts):
     got = {r["phrase"]: (r["n_words"], r["occurrences"], r["score_e6"])
            for r in rake_keywords(df).collect()}
     assert got == expected
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=30),
+    min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_trigram_fluency_matches_python_reference(spark, texts):
+    """Interpolated trigram scores == a pure-python recount of the
+    four backoff tiers on random tiny-alphabet corpora."""
+    import re
+
+    from pyspark.sql import Row
+
+    from ethereum_export_pipeline_spark.operators.text import (
+        PPB, TRIGRAM_W1, TRIGRAM_W2, TRIGRAM_W3, trigram_fluency)
+    tg = []
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        for j in range(len(toks) - 2):
+            tg.append((i, tuple(toks[j:j + 3])))
+    if not tg:
+        return
+    from collections import Counter
+    c123 = Counter(t for _, t in tg)
+    c12 = Counter(t[:2] for _, t in tg)
+    c23 = Counter(t[1:] for _, t in tg)
+    c2 = Counter(t[1] for _, t in tg)
+    c3 = Counter(t[2] for _, t in tg)
+    n = len(tg)
+    expected: dict = {}
+    for i, t in tg:
+        p = (TRIGRAM_W3 * (c123[t] * PPB // c12[t[:2]])
+             + TRIGRAM_W2 * (c23[t[1:]] * PPB // c2[t[1]])
+             + TRIGRAM_W1 * (c3[t[2]] * PPB // n)) // 100
+        s, k = expected.get(i, (0, 0))
+        expected[i] = (s + p, k + 1)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {r["doc_id"]: (r["sum_prob_ppb"], r["n_trigrams"],
+                         r["fluency_ppb"])
+           for r in trigram_fluency(df).collect()}
+    assert set(got) == set(expected)
+    for i, (s, k) in expected.items():
+        assert got[i] == (s, k, s // k)
