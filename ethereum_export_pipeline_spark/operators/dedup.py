@@ -782,8 +782,7 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     return (base.select(id_col, F.explode(F.expr(fps)).alias("f"))
                 .select(id_col,
                         F.col("f.pos").cast("long").alias("pos"),
-                        F.col("f.fp").cast("long").alias("fp"))
-                .where(F.col("fp").isNotNull()))
+                        F.col("f.fp").cast("long").alias("fp")))
 
 
 def winnow_shared_census(df: DataFrame, id_col: str = "doc_id",

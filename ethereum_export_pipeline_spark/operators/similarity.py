@@ -783,6 +783,24 @@ def semdedup_cells(df: DataFrame, centroids: list[list[int]],
                          .cast("long").alias("keep")))
 
 
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame,
+                     k: int) -> DataFrame:
+    """Shared recall@k tail for the three recall reports (LSH bands /
+    IVF cells / PQ codes): set-membership hits per query, recall_ppm
+    = n_hits·10⁶ div k, missing queries surfaced as zero."""
+    hits = (approx.join(exact.select("query_id", "neighbor_id"),
+                        ["query_id", "neighbor_id"], "left_semi")
+                  .groupBy("query_id")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    qs = exact.select("query_id").distinct()
+    return (qs.join(hits, "query_id", "left")
+              .select("query_id",
+                      F.coalesce("n_hits", F.lit(0)).cast("long")
+                       .alias("n_hits"),
+                      F.expr(f"coalesce(n_hits, 0) * 1000000 div {k}")
+                       .alias("recall_ppm")))
+
+
 def ann_recall_report(df: DataFrame, k: int = 5,
                       id_col: str = "vec_id",
                       emb_col: str = "embedding",
@@ -810,17 +828,7 @@ def ann_recall_report(df: DataFrame, k: int = 5,
                              query_pred=query_pred)
     approx = lsh_topk(df, id_col, emb_col, k=k, query_pred=query_pred,
                       dim=dim, n_planes=n_planes, n_bands=n_bands)
-    hits = (approx.join(exact.select("query_id", "neighbor_id"),
-                        ["query_id", "neighbor_id"], "left_semi")
-                  .groupBy("query_id")
-                  .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
-    qs = exact.select("query_id").distinct()
-    return (qs.join(hits, "query_id", "left")
-              .select("query_id",
-                      F.coalesce("n_hits", F.lit(0)).cast("long")
-                       .alias("n_hits"),
-                      F.expr(f"coalesce(n_hits, 0) * 1000000 div {k}")
-                       .alias("recall_ppm")))
+    return _recall_vs_exact(exact, approx, k)
 
 
 #: shift making every per-component mean numerator non-negative, so
@@ -1157,17 +1165,7 @@ def ivf_recall_report(df: DataFrame, centroids: list[list[int]],
     approx = ivf_topk(df, centroids, id_col, emb_col, k=k,
                       query_pred=query_pred, dim=dim,
                       scan_parallelism=scan_parallelism)
-    hits = (approx.join(exact.select("query_id", "neighbor_id"),
-                        ["query_id", "neighbor_id"], "left_semi")
-                  .groupBy("query_id")
-                  .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
-    qs = exact.select("query_id").distinct()
-    return (qs.join(hits, "query_id", "left")
-              .select("query_id",
-                      F.coalesce("n_hits", F.lit(0)).cast("long")
-                       .alias("n_hits"),
-                      F.expr(f"coalesce(n_hits, 0) * 1000000 div {k}")
-                       .alias("recall_ppm")))
+    return _recall_vs_exact(exact, approx, k)
 
 
 def pq_recall_report(df: DataFrame, centroids: list[list[int]],
@@ -1190,14 +1188,4 @@ def pq_recall_report(df: DataFrame, centroids: list[list[int]],
     approx = ivfpq_topk(df, centroids, codebooks, id_col, emb_col,
                         k=k, query_pred=query_pred, dim=dim,
                         scan_parallelism=scan_parallelism)
-    hits = (approx.join(exact.select("query_id", "neighbor_id"),
-                        ["query_id", "neighbor_id"], "left_semi")
-                  .groupBy("query_id")
-                  .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
-    qs = exact.select("query_id").distinct()
-    return (qs.join(hits, "query_id", "left")
-              .select("query_id",
-                      F.coalesce("n_hits", F.lit(0)).cast("long")
-                       .alias("n_hits"),
-                      F.expr(f"coalesce(n_hits, 0) * 1000000 div {k}")
-                       .alias("recall_ppm")))
+    return _recall_vs_exact(exact, approx, k)

@@ -38,9 +38,10 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #: entries that have NEVER been driver-graded — round-5 headliners
 #: (classifier gate, DSIR, winnowing, incremental near-dup, global
 #: rank, vocab coverage, TextRank, VAD, scene cuts, governance
-#: k-anon/l-div/t-close, salted agg, entity resolution) plus ALL 19
-#: round-6 additions, graded immediately. Everything demoted stays
-#: green in the full local sweep.
+#: k-anon/l-div/t-close, salted agg, entity resolution) plus 19 of
+#: the 20 round-6 additions, graded immediately (the 20th,
+#: emb_pq_recall, waits in the round-7 pool). Everything demoted
+#: stays green in the full local sweep.
 _WINDOW_R6 = (
     # reference-parity source formats never graded
     "eth_jsonl_roundtrip",
@@ -99,7 +100,7 @@ _WINDOW_R6 = (
     "q_l_diversity",
     "q_t_closeness",
     "q_asof_skew_bucketed",
-    # (round-7 pool: doc_hybrid_rrf, doc_phrase_search,
+    # (round-7 pool: emb_pq_recall, doc_hybrid_rrf, doc_phrase_search,
     # doc_blocklist_tag, doc_gate_agreement, doc_score_calibration,
     # doc_fertility, doc_cluster_split, doc_curriculum,
     # doc_hll_distinct, q20_dominant_suppliers, q6_forecast_revenue,

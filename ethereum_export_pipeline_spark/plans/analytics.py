@@ -1998,9 +1998,11 @@ def _skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(sum(i * x) AS BIGINT)").alias("six"))
             .select("event_type", "n_users", "total",
                     F.expr("max_x * 1000000 div total").alias("top1_ppm"),
-                    F.expr("CAST(2 * six - (n_users + 1) * total AS DOUBLE)"
-                           " / CAST(n_users * total AS DOUBLE)")
-                     .alias("gini")))
+                    F.expr("(2.0E0 * CAST(six AS DOUBLE) - "
+                           "(CAST(n_users AS DOUBLE) + 1.0E0) * "
+                           "CAST(total AS DOUBLE)) / "
+                           "(CAST(n_users AS DOUBLE) * "
+                           "CAST(total AS DOUBLE))").alias("gini")))
 
 
 _SKEW_PROFILE_SQL = """
@@ -2020,8 +2022,9 @@ ag AS (
   FROM rk GROUP BY 1)
 SELECT event_type, n_users, total,
        max_x * 1000000 // total AS top1_ppm,
-       CAST(2 * six - (n_users + 1) * total AS DOUBLE)
-         / CAST(n_users * total AS DOUBLE) AS gini
+       (2.0E0 * CAST(six AS DOUBLE) - (CAST(n_users AS DOUBLE) + 1.0E0)
+        * CAST(total AS DOUBLE))
+         / (CAST(n_users AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
 FROM ag
 """
 

@@ -846,33 +846,50 @@ def _schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.expr("n_chars div 1000").cast("long"))
          .write.parquet(os.path.join(root, "gen=2")))
     merged = spark.read.option("mergeSchema", "true").parquet(root)
-    n_cols = len(merged.columns)
-    return (merged.groupBy(F.col("gen").cast("bigint").alias("gen"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
-                 F.expr("CAST(sum(CASE WHEN n_chars IS NULL THEN 1 "
-                        "ELSE 0 END) AS BIGINT)").alias("null_n_chars"),
-                 F.expr("CAST(sum(CASE WHEN quality_tier IS NULL THEN 1 "
-                        "ELSE 0 END) AS BIGINT)")
-                  .alias("null_quality_tier"))
-            .withColumn("n_merged_cols", F.lit(n_cols).cast("long"))
+    # a literal 2-row generation spine: an empty generation (possible
+    # only on a degenerate all-one-parity corpus) must still report a
+    # zero row, exactly as the oracle's per-branch UNION ALL does
+    gens = local_df(spark, [(1,), (2,)], "gen BIGINT")
+    stats = (merged.groupBy(F.col("gen").cast("bigint").alias("gen"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                  F.expr("CAST(sum(CASE WHEN n_chars IS NULL THEN 1 "
+                         "ELSE 0 END) AS BIGINT)").alias("null_n_chars"),
+                  F.expr("CAST(sum(CASE WHEN quality_tier IS NULL THEN 1 "
+                         "ELSE 0 END) AS BIGINT)")
+                   .alias("null_quality_tier")))
+    return (gens.join(stats, "gen", "left")
+            .select("gen",
+                    F.coalesce("n_rows", F.lit(0)).cast("long")
+                     .alias("n_rows"),
+                    F.coalesce("null_n_chars", F.lit(0)).cast("long")
+                     .alias("null_n_chars"),
+                    F.coalesce("null_quality_tier", F.lit(0))
+                     .cast("long").alias("null_quality_tier"))
+            .withColumn("n_merged_cols",
+                        F.lit(_SCHEVO_MERGED_COLS).cast("long"))
             .orderBy("gen"))
 
 
-# 7 = doc_id, text, lang, source, n_chars, quality_tier + the gen
-# partition column itself
-_SCHEMA_EVOLUTION_SQL = """
+#: the merged read-back width, single-sourced for plan AND oracle:
+#: documents' 5 columns + the added quality_tier + the gen partition
+#: column. Pinned (not len(merged.columns)) so a schema drift in a
+#: future corpus generation FAILS the hash loudly instead of both
+#: sides silently agreeing on an unexpected width.
+_SCHEVO_MERGED_COLS = 7
+
+_SCHEMA_EVOLUTION_SQL = f"""
 SELECT CAST(1 AS BIGINT) AS gen,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(*) AS BIGINT) AS null_n_chars,
        CAST(count(*) AS BIGINT) AS null_quality_tier,
-       CAST(7 AS BIGINT) AS n_merged_cols
+       CAST({_SCHEVO_MERGED_COLS} AS BIGINT) AS n_merged_cols
 FROM documents WHERE doc_id % 2 = 0
 UNION ALL
 SELECT CAST(2 AS BIGINT),
        CAST(count(*) AS BIGINT),
        CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       CAST(7 AS BIGINT)
+       CAST({_SCHEVO_MERGED_COLS} AS BIGINT)
 FROM documents WHERE doc_id % 2 = 1
 ORDER BY gen
 """
