@@ -38,20 +38,57 @@ def topic_address(topic: Column) -> Column:
     return F.concat(F.lit("0x"), F.substring(topic, 27, 40))
 
 
+def _hex64_guard(col: str) -> tuple[str, str]:
+    """(padded-64-hex expr, validity guard) for a 0x-hex uint256
+    column. The guard checks the STRIPPED input — Spark's lpad
+    TRUNCATES over-long strings to the target length (verified:
+    lpad('fffff',3,'0') = 'fff'), and conv() quietly returns 0 on
+    non-hex garbage, so a guard on the padded form would wave
+    through both corruptions with a silently wrong value. NULL
+    beats a wrong number."""
+    s = f"regexp_replace({col}, '^0x', '')"
+    guard = f"(length({s}) <= 64 AND {s} rlike '^[0-9a-fA-F]*$')"
+    return f"lpad({s}, 64, '0')", guard
+
+
 def hex_uint_expr(col: str) -> str:
     """SQL text: 0x-hex uint256 in `col` → decimal(38,0) wei, exact
     below 2^128; NULL at/above 2^128, on any 38-digit overflow
-    (try_multiply/try_add), and for malformed data longer than 32
-    bytes (lpad does not truncate, so the limb offsets would silently
-    land on the wrong bytes — NULL beats a wrong number)."""
-    h = f"lpad(regexp_replace({col}, '^0x', ''), 64, '0')"
+    (try_multiply/try_add), and for malformed data (over-long or
+    non-hex — see `_hex64_guard`)."""
+    h, guard = _hex64_guard(col)
     hi = f"CAST(conv(substring({h}, 33, 16), 16, 10) AS DECIMAL(38,0))"
     lo = f"CAST(conv(substring({h}, 49, 16), 16, 10) AS DECIMAL(38,0))"
     return (
-        f"CASE WHEN length({h}) <> 64 THEN CAST(NULL AS DECIMAL(38,0)) "
+        f"CASE WHEN NOT {guard} THEN CAST(NULL AS DECIMAL(38,0)) "
         f"WHEN substring({h}, 1, 32) <> repeat('0', 32) THEN CAST(NULL AS DECIMAL(38,0)) "
         f"ELSE CAST(try_add(try_multiply({hi}, CAST({_2_64} AS DECIMAL(38,0))), {lo}) AS DECIMAL(38,0)) END"
     )
+
+
+def hex_uint256_limb32_exprs(col: str) -> list[str]:
+    """SQL texts: 0x-hex uint256 in `col` → eight exact 32-bit limbs
+    (big-endian: index 0 most significant) as BIGINT.
+
+    This is the FULL-PRECISION path the reference gives up on — its
+    documented compromise casts the 78-digit wei string to
+    decimal(38,0) (reference convert_blocks_to_parquet.py:38-39,
+    SURVEY hard part (a)) and `hex_uint_expr` above faithfully NULLs
+    at/above 2^128. Limbs lose NOTHING: any uint256 is exact, each
+    limb is < 2^32 so per-limb BIGINT sums stay exact for up to 2^31
+    rows, and the sums carry-normalize back into one canonical number
+    (see plans/eth.py `eth_wei_limbs`). Aggregation over limbs is a
+    plain map-side-combinable hash agg — the whale-wallet wei total
+    without bigint UDFs.
+
+    Malformed inputs — longer than 32 bytes or non-hex — decode as
+    NULL limbs (`_hex64_guard`: the check runs on the STRIPPED input
+    because lpad truncates and conv swallows garbage)."""
+    h, guard = _hex64_guard(col)
+    return [f"CASE WHEN {guard} THEN "
+            f"CAST(conv(substring({h}, {1 + 8 * i}, 8), 16, 10) AS BIGINT) "
+            f"ELSE CAST(NULL AS BIGINT) END"
+            for i in range(8)]
 
 
 def token_transfers_from_logs(logs: DataFrame,

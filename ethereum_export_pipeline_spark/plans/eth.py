@@ -895,7 +895,193 @@ ORDER BY gen
 """
 
 
+# ------------------------------------------------- S8 staged CSV sink
+
+def _staged_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — the two-phase staged export graded END-TO-END (reference
+    export_all.sh + the S3 staging step; SURVEY §2.1): write customer
+    through the `ethereum_staged_csv` Python Data Source (executors
+    land parts into `_staging/`, the driver renames them in and
+    commits `_MANIFEST.json` LAST), verify the committed state
+    locally (manifest totals consistent, directory == manifest file
+    list, no staging residue), then READ THE EXPORT BACK through the
+    manifest's own file list with a declared schema. The oracle
+    selects the same rows straight from the source table, so a lost
+    part, a double-committed attempt, or a mis-quoted CSV cell flips
+    the hash."""
+    import os
+    from ..sources.staged_sink import (MANIFEST, StagedCsvDataSource,
+                                       read_manifest)
+    try:
+        spark.dataSource.register(StagedCsvDataSource)
+    except Exception as ex:  # registry is context-global (see
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):  # datasource.register)
+            raise
+    out = scratch_dir("spark_graft_staged_")
+    c = load_table(spark, sf_dir, "customer")
+    (c.select("c_custkey", "c_name", "c_nationkey",
+              F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+               .alias("acctbal_cents"))
+      .write.format("ethereum_staged_csv").mode("overwrite").save(out))
+    m = read_manifest(out)
+    if m["total_rows"] != sum(f["rows"] for f in m["files"]):
+        raise AssertionError(f"manifest total inconsistent: {m}")
+    on_disk = {f for f in os.listdir(out) if f.endswith(".csv")}
+    listed = {f["file"] for f in m["files"]}
+    if on_disk != listed or os.path.isdir(os.path.join(out, "_staging")):
+        raise AssertionError(
+            f"committed directory != manifest: {on_disk ^ listed}")
+    schema = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.LongType()),
+        T.StructField("acctbal_cents", T.LongType()),
+    ])
+    paths = [os.path.join(out, f["file"]) for f in m["files"]]
+    return (spark.read.option("header", True).schema(schema).csv(paths)
+                 .select("c_custkey", "c_name", "c_nationkey",
+                         "acctbal_cents"))
+
+
+_STAGED_SINK_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer
+"""
+
+
+# ------------------------------------- full-precision wei (256-bit)
+
+#: shared synthesis expressions — IDENTICAL text in Spark SQL and
+#: DuckDB, so both engines derive the same four 32-bit components
+#: (a,b,c,d) of a synthetic uint256 = a·2^192 + b·2^128 + c·2^64 + d
+#: from the events corpus. Rows with event_id % 5 = 0 stay SMALL
+#: (< 2^32: inside decimal(38,0) range) so the dual-column contract —
+#: dec38 for compatible values, limbs always — is exercised both ways.
+_WEI_SMALL = "event_id % 5 = 0"
+_WEI_A = (f"CASE WHEN {_WEI_SMALL} THEN 0 "
+          "ELSE (user_id % 4294967295) + 1 END")
+_WEI_B = (f"CASE WHEN {_WEI_SMALL} THEN 0 "
+          "ELSE (event_id * 2654435761) % 4294967296 END")
+_WEI_C = (f"CASE WHEN {_WEI_SMALL} THEN 0 "
+          "ELSE (user_id * 7 + 3) % 4294967296 END")
+_WEI_D = ("greatest(coalesce(CAST(round(value * 100) AS BIGINT), 0), 0)"
+          " % 4294967296")
+_2_32_LIT = "4294967296"
+
+
+def _wei_limbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-precision uint256 wei aggregation — SURVEY hard part (a),
+    the value range the reference's decimal(38,0) cast documents away
+    (convert_blocks_to_parquet.py:38-39). Graded as an
+    encode→decode→aggregate roundtrip: synthetic 64-hex uint256
+    values (mostly ≥ 2^192, far beyond decimal(38,0)) are built from
+    the events corpus, decoded into eight exact 32-bit limbs
+    (`operators.logs.hex_uint256_limb32_exprs`) ALONGSIDE the lossy
+    `hex_uint_expr` dec38 column, summed per bucket as plain BIGINT
+    hash aggs, and carry-normalized back into one canonical 256-bit
+    total per bucket (hex string). The oracle recomputes everything
+    from the integer components directly, so the hash check proves
+    decode ∘ encode = identity at full width, exact aggregation past
+    the 38-digit ceiling, and that dec38 saturates to NULL exactly on
+    the rows the limbs still carry.
+
+    Scale shape: pure map-side projection (hex → 8 ints) + one
+    hash agg with map-side combine — 8 int64 sums instead of one
+    unrepresentable 256-bit sum; the carry chain runs on the
+    n_buckets-row result. No UDFs, no shuffle beyond the agg."""
+    from ..operators.logs import hex_uint256_limb32_exprs, hex_uint_expr
+    e = load_table(spark, sf_dir, "events")
+    enc = e.selectExpr(
+        "user_id",
+        f"{_WEI_A} AS a", f"{_WEI_B} AS b", f"{_WEI_C} AS c",
+        f"{_WEI_D} AS d")
+    hexed = enc.selectExpr(
+        "user_id % 8 AS bucket",
+        "concat('0x', lpad(lower(hex(a)), 16, '0'),"
+        " lpad(lower(hex(b)), 16, '0'), lpad(lower(hex(c)), 16, '0'),"
+        " lpad(lower(hex(d)), 16, '0')) AS value_hex")
+    limbs = hex_uint256_limb32_exprs("value_hex")
+    decoded = hexed.selectExpr(
+        "bucket",
+        *[f"{w} AS w{i}" for i, w in enumerate(limbs)],
+        f"{hex_uint_expr('value_hex')} AS value_dec38")
+    agg = decoded.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("CAST(sum(CASE WHEN value_dec38 IS NULL THEN 1 ELSE 0 "
+               "END) AS BIGINT)").alias("n_saturated"),
+        F.expr("CAST(sum(CASE WHEN value_dec38 IS NULL THEN 0 ELSE "
+               "CAST(value_dec38 AS BIGINT) END) AS BIGINT)")
+         .alias("sum_dec38_small"),
+        *[F.expr(f"CAST(sum(w{i}) AS BIGINT)").alias(f"s{i}")
+          for i in range(8)])
+    # carry-normalize the 8 limb sums into canonical 32-bit limbs
+    # (l1..l7 < 2^32; l0 absorbs the final carry) — a fixed chain of
+    # int64 div/mod on the n_buckets-row aggregate
+    cur = agg.selectExpr("*", "CAST(0 AS BIGINT) AS k8")
+    for i in range(7, 0, -1):
+        cur = cur.selectExpr(
+            "*",
+            f"(s{i} + k{i + 1}) % {_2_32_LIT} AS l{i}",
+            f"(s{i} + k{i + 1}) div {_2_32_LIT} AS k{i}")
+    cur = cur.selectExpr("*", "(s0 + k1) AS l0")
+    hex_total = ("concat('0x', lower(hex(l0)), " +
+                 ", ".join(f"lpad(lower(hex(l{i})), 8, '0')"
+                           for i in range(1, 8)) + ") AS wei_total_hex")
+    return (cur.selectExpr("bucket", "n_rows", "n_saturated",
+                           "sum_dec38_small",
+                           *[f"l{i}" for i in range(8)], hex_total)
+               .orderBy("bucket"))
+
+
+def _wei_limbs_sql() -> str:
+    # the oracle recomputes the limb sums directly from (a,b,c,d):
+    # uint256 = a·2^192 + b·2^128 + c·2^64 + d means the 32-bit limb
+    # vector is [0, a, 0, b, 0, c, 0, d] (each component < 2^32), and
+    # dec38 saturates exactly on the non-small rows (value ≥ 2^192)
+    carries = "\n".join(
+        f"c{i} AS (SELECT *, (s{i} + k{i + 1}) % {_2_32_LIT} AS l{i}, "
+        f"(s{i} + k{i + 1}) // {_2_32_LIT} AS k{i} FROM c{i + 1}),"
+        for i in range(7, 0, -1))
+    hex_total = ("'0x' || lower(hex(l0)) || " +
+                 " || ".join(f"lpad(lower(hex(l{i})), 8, '0')"
+                             for i in range(1, 8)))
+    return f"""
+WITH src AS (
+  SELECT user_id % 8 AS bucket,
+         CASE WHEN {_WEI_SMALL} THEN 1 ELSE 0 END AS small,
+         {_WEI_A} AS a, {_WEI_B} AS b, {_WEI_C} AS c, {_WEI_D} AS d
+  FROM events),
+c8 AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(1 - small) AS BIGINT) AS n_saturated,
+         CAST(sum(CASE WHEN small = 1 THEN d ELSE 0 END) AS BIGINT)
+           AS sum_dec38_small,
+         CAST(0 AS BIGINT) AS s0, CAST(sum(a) AS BIGINT) AS s1,
+         CAST(0 AS BIGINT) AS s2, CAST(sum(b) AS BIGINT) AS s3,
+         CAST(0 AS BIGINT) AS s4, CAST(sum(c) AS BIGINT) AS s5,
+         CAST(0 AS BIGINT) AS s6, CAST(sum(d) AS BIGINT) AS s7,
+         CAST(0 AS BIGINT) AS k8
+  FROM src GROUP BY 1),
+{carries}
+c0 AS (SELECT *, (s0 + k1) AS l0 FROM c1)
+SELECT bucket, n_rows, n_saturated, sum_dec38_small,
+       l0, l1, l2, l3, l4, l5, l6, l7,
+       {hex_total} AS wei_total_hex
+FROM c0 ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "eth_staged_sink": Query(_staged_sink, _STAGED_SINK_SQL,
+                             "S8 two-phase staged CSV export: "
+                             "manifest-committed write, verified "
+                             "read-back through the manifest"),
+    "eth_wei_limbs": Query(_wei_limbs, _wei_limbs_sql(),
+                           "full-precision uint256 wei: 8x32-bit limb "
+                           "decode + exact carry-normalized sums past "
+                           "the decimal(38,0) ceiling"),
     "eth_schema_evolution": Query(_schema_evolution,
                                   _SCHEMA_EVOLUTION_SQL,
                                   "two-generation parquet schema "
