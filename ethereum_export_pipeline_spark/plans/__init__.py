@@ -33,92 +33,71 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #:
 #: The driver hash-grades only the FIRST 50 catalog entries each round
 #: (tools/oracle_check.py still verifies ALL entries locally). Rounds
-#: 1-5 accumulated driver-stamped green rows for 131 distinct queries
-#: (CORRECTNESS_r0{1-5}.json). Round 6 rotates the window to 50 more
-#: entries that have NEVER been driver-graded — round-5 headliners
-#: (classifier gate, DSIR, winnowing, incremental near-dup, global
-#: rank, vocab coverage, TextRank, VAD, scene cuts, governance
-#: k-anon/l-div/t-close, salted agg, entity resolution) plus 19 of
-#: the 20 round-6 additions, graded immediately (the 20th,
-#: emb_pq_recall, waits in the round-7 pool). Everything demoted
+#: 1-6 accumulated driver-stamped green rows for 181 distinct queries
+#: with zero failures (CORRECTNESS_r0{1-6}.json). Round 7 closes the
+#: gap: the 43 entries that had NEVER been driver-graded (the round-6
+#: pool, verbatim), plus the 7 round-7 additions (S8 staged sink
+#: oracle twin, full-precision wei limbs, Heaps-law vocab growth,
+#: LSH range search, URL dedup, video near-dup, Benford audit) graded
+#: the round they land — after this round every catalog entry ever
+#: written carries a driver-stamped green row. Everything demoted
 #: stays green in the full local sweep.
-_WINDOW_R6 = (
-    # reference-parity source formats never graded
-    "eth_jsonl_roundtrip",
-    "eth_orc_roundtrip",
-    # round-5 LLM-extension headliners
-    "doc_winnow_census",
-    "doc_incremental_neardup",
-    "doc_classifier_score",
-    "doc_dsir_weights",
-    "doc_global_rank",
-    "doc_vocab_coverage",
-    "doc_textrank",
-    # round-6 additions (new this round, graded immediately)
-    "doc_rake_keywords",
-    "doc_trigram_fluency",
-    "emb_pca_scores",
-    "emb_mmr_rerank",
-    "q_skew_profile",
-    "q_mad_outliers",
-    "q_bitmap_coactivity",
-    "q5_local_supplier",
-    "q9_product_profit",
-    "q16_supplier_counts",
-    "stream_ooo_census",
-    "eth_schema_evolution",
-    "q_hierarchy_rollup",
-    "q_seasonality",
-    "q_cohort_ltv",
-    "emb_ivf_recall",
-    "stream_pattern_match",
-    "doc_script_census",
-    "q_abtest_readout",
-    # ANN / embedding tier
-    "emb_knn_linkpred",
-    "emb_cluster_labels",
-    "emb_cell_outliers",
-    "emb_snapshot_drift",
-    "emb_density_sample",
-    "emb_hard_negatives",
-    "emb_semantic_decontaminate",
-    # multimodal
-    "mm_scene_cuts",
-    "mm_audio_resample",
-    "mm_audio_vad",
-    "mm_image_neardup",
-    # streaming
-    "stream_histogram",
-    "stream_trending",
-    "stream_decontaminate",
-    # governance / analytics shapes
-    "q_salted_agg",
-    "q_attribution",
-    "q_entity_resolution",
-    "q_k_anonymity",
-    "q_sketch_percentiles",
-    "q_l_diversity",
-    "q_t_closeness",
-    "q_asof_skew_bucketed",
-    # (round-7 pool: emb_pq_recall, doc_hybrid_rrf, doc_phrase_search,
-    # doc_blocklist_tag, doc_gate_agreement, doc_score_calibration,
-    # doc_fertility, doc_cluster_split, doc_curriculum,
-    # doc_hll_distinct, q20_dominant_suppliers, q6_forecast_revenue,
-    # q8_market_share, q10_returned_items, q19_bracket_revenue,
-    # q_event_transitions, q_props_keys, doc_dup_source_matrix,
-    # doc_sentence_dedup, doc_length_stats, doc_crossmodal_agreement,
-    # emb_neardup_pairs, stream_watermark_counts, doc_rarity,
-    # doc_novelty, doc_minhash_quality, doc_lang_confusion,
-    # doc_reservoir_sample, doc_weighted_sample, doc_length_histogram,
-    # doc_length_quantile_bins, doc_length_outliers,
-    # emb_lsh_topk_1band, q_gap_fill, q_rolling_distinct,
-    # q_basket_pairs, q_trend_slopes, q_decayed_activity,
-    # q_trimmed_mean, q_lateral_topk, q_unpivot, q_ntile_deciles,
-    # q_window_range_frame — all locally ALL-GREEN via
-    # tools/oracle_check.py)
+_WINDOW_R7 = (
+    # round-7 additions (new this round, graded immediately)
+    "eth_staged_sink",
+    "eth_wei_limbs",
+    "doc_heaps_law",
+    "emb_range_search",
+    "doc_url_dedup",
+    "mm_video_neardup",
+    "q_benford_audit",
+    # the 43 never-driver-graded entries (round-6 pool, complete)
+    "emb_pq_recall",
+    "doc_hybrid_rrf",
+    "doc_phrase_search",
+    "doc_blocklist_tag",
+    "doc_gate_agreement",
+    "doc_score_calibration",
+    "doc_fertility",
+    "doc_cluster_split",
+    "doc_curriculum",
+    "doc_hll_distinct",
+    "q20_dominant_suppliers",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q19_bracket_revenue",
+    "q_event_transitions",
+    "q_props_keys",
+    "doc_dup_source_matrix",
+    "doc_sentence_dedup",
+    "doc_length_stats",
+    "doc_crossmodal_agreement",
+    "emb_neardup_pairs",
+    "stream_watermark_counts",
+    "doc_rarity",
+    "doc_novelty",
+    "doc_minhash_quality",
+    "doc_lang_confusion",
+    "doc_reservoir_sample",
+    "doc_weighted_sample",
+    "doc_length_histogram",
+    "doc_length_quantile_bins",
+    "doc_length_outliers",
+    "emb_lsh_topk_1band",
+    "q_gap_fill",
+    "q_rolling_distinct",
+    "q_basket_pairs",
+    "q_trend_slopes",
+    "q_decayed_activity",
+    "q_trimmed_mean",
+    "q_lateral_topk",
+    "q_unpivot",
+    "q_ntile_deciles",
+    "q_window_range_frame",
 )
 
-ALL_QUERIES: dict[str, Query] = {n: _MERGED[n] for n in _WINDOW_R6}
+ALL_QUERIES: dict[str, Query] = {n: _MERGED[n] for n in _WINDOW_R7}
 for _name, _q in _MERGED.items():
     if _name not in ALL_QUERIES:
         ALL_QUERIES[_name] = _q
@@ -126,8 +105,8 @@ for _name, _q in _MERGED.items():
 # the contract this layout exists for: the graded window is exactly
 # the curated rotation, with no typos pointing at missing queries
 _window = list(ALL_QUERIES)[:50]
-assert len(_WINDOW_R6) == 50, len(_WINDOW_R6)
-assert _window == list(_WINDOW_R6), "window drifted from rotation"
+assert len(_WINDOW_R7) == 50, len(_WINDOW_R7)
+assert _window == list(_WINDOW_R7), "window drifted from rotation"
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
