@@ -958,6 +958,104 @@ def ahash_neardup_pairs(media: DataFrame, grid: int = 8,
              .where(F.col("hamming") <= max_hamming))
 
 
+VIDEO_NEARDUP_J = 0.3    # frame-set Jaccard cut for video near-dup
+VIDEO_HASH_MAX_DF = 1000  # df-cut: frame hashes in more videos are
+                          # blocking-useless boilerplate (black frames,
+                          # title cards) — same bound as dedup.DEFAULT_MAX_DF
+
+
+def video_frame_hashes(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Per-FRAME perceptual hashes over multi-frame payloads: demux
+    the concatenated-netpbm stream and aHash every frame with exactly
+    `ahash_images`' arithmetic (NN-downsample to grid², integer gray
+    (r+g+b) div c, integer mean, strict-> bits, 64 bits as two
+    BIGINTs). One row per frame: (media_id, frame_idx, hash_hi,
+    hash_lo). NULL/undecodable payloads produce no rows.
+
+    This is the video fingerprint primitive: a clip becomes its SET
+    of frame hashes, which `video_neardup_pairs` compares set-wise —
+    robust to re-encodes that preserve frames (aHash absorbs resize)
+    and to trims (set containment still overlaps). One Arrow
+    mapInPandas projection, no shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, his, los = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = demux_netpbm_stream(payload)
+                if not frames:
+                    continue
+                for fi, (w, h, c, px) in enumerate(frames):
+                    ys = (np.arange(grid) * h) // grid
+                    xs = (np.arange(grid) * w) // grid
+                    sub = px[ys][:, xs, :].astype(np.int64)
+                    gray = sub.sum(axis=2) // c
+                    mean = int(gray.sum()) // (grid * grid)
+                    bits = (gray > mean).ravel()
+                    val = 0
+                    for k, b in enumerate(bits):
+                        val |= int(b) << k
+                    ids.append(mid)
+                    fidx.append(fi)
+                    his.append(val >> 32)
+                    los.append(val & 0xFFFFFFFF)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(fidx, dtype="int64"),
+                "hash_hi": pd.Series(his, dtype="int64"),
+                "hash_lo": pd.Series(los, dtype="int64"),
+            })
+
+    return media.mapInPandas(
+        run, "media_id long, frame_idx long, hash_hi long, hash_lo long")
+
+
+def video_neardup_pairs(media: DataFrame, grid: int = 8,
+                        threshold: float = VIDEO_NEARDUP_J,
+                        max_df: int = VIDEO_HASH_MAX_DF) -> DataFrame:
+    """Cross-VIDEO near-duplicate pairs: clips whose frame-hash SETS
+    overlap (Jaccard ≥ `threshold`) — the video cell of the dedup
+    matrix (text: minhash; embeddings: LSH; images: aHash bands;
+    audio: fingerprint). Catches re-encoded copies, and trimmed /
+    extended cuts of the same footage (a prefix clip's set is
+    CONTAINED in the full clip's, so Jaccard = len_short/len_long —
+    byte- and even frame-count-insensitive).
+
+    Scale shape is `ngram_jaccard_pairs`' exactly: candidates pair
+    only on an IDENTICAL frame hash (equi-join on the 64-bit key —
+    bucketed, never all-pairs), hashes appearing in more than
+    `max_df` videos are cut before the join (boilerplate frames:
+    black, title cards — blocking-useless and the only quadratic
+    risk), and the Jaccard verify is two hash-aggs + one division.
+    Output: (id_a, id_b, n_common, jaccard)."""
+    fh = (video_frame_hashes(media, grid)
+          .select("media_id", "hash_hi", "hash_lo").distinct())
+    keep = (fh.groupBy("hash_hi", "hash_lo")
+              .agg(F.count(F.lit(1)).alias("df"))
+              .where(F.col("df") <= max_df)
+              .select("hash_hi", "hash_lo"))
+    kept = fh.join(keep, ["hash_hi", "hash_lo"])
+    sz = kept.groupBy("media_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select(F.col("media_id").alias("id_a"), "hash_hi", "hash_lo")
+    b = kept.select(F.col("media_id").alias("id_b"), "hash_hi", "hash_lo")
+    inter = (a.join(b, ["hash_hi", "hash_lo"])
+              .where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    return (inter
+            .join(sz.select(F.col("media_id").alias("id_a"),
+                            F.col("sz").alias("sa")), "id_a")
+            .join(sz.select(F.col("media_id").alias("id_b"),
+                            F.col("sz").alias("sb")), "id_b")
+            .withColumn("jaccard",
+                        F.col("n_common").cast("double") /
+                        (F.col("sa") + F.col("sb") - F.col("n_common"))
+                        .cast("double"))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "n_common", "jaccard"))
+
+
 SCENE_CUT_SAD = 12_000   # SAD threshold over a 192-px frame pair
 
 CUT_SCHEMA = T.StructType([

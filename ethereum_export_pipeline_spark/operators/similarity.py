@@ -214,6 +214,46 @@ def lsh_topk(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def range_search(df: DataFrame, id_col: str = "vec_id",
+                 emb_col: str = "embedding", radius: float = 0.8,
+                 query_pred: str | None = None, dim: int = EMB_DIM,
+                 n_planes: int = N_PLANES, n_bands: int = 2) -> DataFrame:
+    """RADIUS similarity search — the ANN surface's other half: all
+    neighbors with cosine ≥ `radius` for each query row, not a fixed
+    top-k. Candidates come from the same OR-amplified LSH banding as
+    `lsh_topk`; exact cosine verifies each candidate against the
+    radius. Output: (query_id, neighbor_id, cosine).
+
+    Scale shape: identical to `lsh_topk` minus the per-query window —
+    no rank means no partitionBy-query sort at all, just the bucket
+    join + a filter, so the radius path is strictly cheaper than
+    top-k at the same banding and never materializes more than the
+    bucket-join candidates. Recall follows the banding knobs; a
+    production radius query tightens/widens `n_bands`, never falls
+    back to all-pairs."""
+    query_pred = query_pred or f"{id_col} < 10"
+    base = banded_buckets(
+        with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+        .select(id_col, "qvec", "n2"), dim, n_planes, n_bands)
+    q = (base.where(query_pred)
+             .select(F.col(id_col).alias("query_id"),
+                     F.col("qvec").alias("qv"),
+                     F.col("n2").alias("qn2"), "bucket"))
+    c = (base.select(F.col(id_col).alias("neighbor_id"),
+                     F.col("qvec").alias("cv"),
+                     F.col("n2").alias("cn2"), "bucket"))
+    cand = q.join(c, "bucket").where(F.col("neighbor_id") != F.col("query_id"))
+    if n_bands > 1:
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    return (
+        cand.withColumn("dot", F.expr(dot_expr("qv", "cv")))
+            .withColumn("cosine",
+                        _cosine(F.col("dot"), F.col("qn2"), F.col("cn2")))
+            .where(F.col("cosine") >= radius)
+            .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def knn_graph(df: DataFrame, id_col: str = "vec_id",
               emb_col: str = "embedding", k: int = 5,
               dim: int = EMB_DIM, n_planes: int = N_PLANES,

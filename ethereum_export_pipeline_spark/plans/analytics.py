@@ -2492,7 +2492,74 @@ LEFT JOIN s ON bal.c_custkey = s.k
 """
 
 
+# ------------------------------------------------ Benford digit audit
+
+#: Benford expected first-digit frequencies log10(1+1/d), d=1..9,
+#: rounded to 1e-6 and embedded as INTEGER LITERALS in both engines —
+#: no engine-side log() (libm rounding is not cross-engine exact).
+_BENFORD_E6 = {d: round(__import__("math").log10(1 + 1 / d) * 1_000_000)
+               for d in range(1, 10)}
+_BENFORD_CASE = ("CASE digit " + " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENFORD_E6.items()) + " END")
+
+
+def _benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the numeric
+    data-quality screen (fabricated or systematically-generated
+    amounts drift from Benford's law; auditors and fraud pipelines
+    run exactly this). Per leading digit: observed count, observed
+    frequency, the Benford expectation, and an exact-integer
+    chi-square-style contribution ((obs_freq_e6 − exp_e6)² div
+    exp_e6) — all arithmetic exact BIGINT except the one obs_freq
+    division, so the hash pins every cell.
+
+    Scale shape: one scan → 9-key hash agg with map-side combine; the
+    total joins back as a broadcast 1-row agg. Nothing else."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.selectExpr(
+        f"CAST(substr(CAST({cents('o_totalprice')} AS STRING), 1, 1) "
+        "AS BIGINT) AS digit")
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"))
+    total = counts.agg(F.expr("CAST(sum(n_obs) AS BIGINT)").alias("total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .selectExpr(
+                "digit", "n_obs",
+                "CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE) AS obs_freq",
+                f"CAST({_BENFORD_CASE} AS BIGINT) AS expected_e6",
+                "(n_obs * 1000000) div total AS obs_freq_e6")
+            .selectExpr(
+                "digit", "n_obs", "obs_freq", "expected_e6",
+                "obs_freq_e6 - expected_e6 AS dev_e6",
+                "((obs_freq_e6 - expected_e6) * "
+                "(obs_freq_e6 - expected_e6)) div expected_e6 "
+                "AS chi_contrib_e6")
+            .orderBy("digit"))
+
+
+_BENFORD_SQL = f"""
+WITH d AS (SELECT CAST(substr(CAST({cents('o_totalprice')} AS VARCHAR),
+                        1, 1) AS BIGINT) AS digit FROM orders),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM c),
+e AS (SELECT digit, n_obs,
+             CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE) AS obs_freq,
+             CAST({_BENFORD_CASE} AS BIGINT) AS expected_e6,
+             (n_obs * 1000000) // total AS obs_freq_e6
+      FROM c, t)
+SELECT digit, n_obs, obs_freq, expected_e6,
+       obs_freq_e6 - expected_e6 AS dev_e6,
+       ((obs_freq_e6 - expected_e6) * (obs_freq_e6 - expected_e6))
+         // expected_e6 AS chi_contrib_e6
+FROM e ORDER BY digit
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "q_benford_audit": Query(_benford_audit, _BENFORD_SQL,
+                             "Benford first-digit audit: 9-key hash "
+                             "agg + broadcast total, exact-integer "
+                             "chi-square contributions"),
     "q_gap_fill": Query(_gap_fill, _GAP_FILL_SQL,
                         "calendar densification + forward fill over "
                         "a sparsified daily series (spine in the "

@@ -4666,7 +4666,343 @@ FROM chosen{MMR_K}
 """)
 
 
+# ------------------------------------------ Heaps-law vocab growth
+
+HEAPS_BUCKETS = 10
+
+
+def _heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law) — the tokenizer-sizing
+    diagnostic: cumulative distinct vocabulary vs cumulative token
+    count across `HEAPS_BUCKETS` equal doc_id ranges of the corpus,
+    plus the running type-token ratio. Feeds "how big must the vocab
+    be at 10× the data" extrapolations and catches corpus drift (a
+    vocabulary that keeps growing linearly is boilerplate-free noise;
+    one that flattens too fast is template spam).
+
+    Scale shape: ONE tokenize scan; each term's FIRST bucket is a
+    hash-agg `min` (map-side combinable) keyed by term, bucket sizes
+    are a second tiny agg; bucket boundaries are pure integer
+    arithmetic on (min, max) doc_id — a broadcast 1-row agg, NOT a
+    global sort (ntile would pin the corpus through one partition).
+    The only SinglePartition subtree is the `HEAPS_BUCKETS`-row
+    cumulative window."""
+    from pyspark.sql import Window
+    from ..functions import tokens
+    n = HEAPS_BUCKETS
+    docs = (load_table(spark, sf_dir, "documents")
+            .where("text IS NOT NULL").select("doc_id", "text"))
+    bounds = docs.agg(F.min("doc_id").alias("mn"),
+                      F.max("doc_id").alias("mx"))
+    db = (docs.crossJoin(F.broadcast(bounds))
+              .withColumn("bucket", F.expr(
+                  f"least({n - 1}, ((doc_id - mn) * {n}) "
+                  f"div (mx - mn + 1))"))
+              .select("bucket", "text"))
+    toks = db.select("bucket", F.explode(tokens("text")).alias("term"))
+    tokb = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    docb = db.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    newb = (toks.groupBy("term").agg(F.min("bucket").alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).cast("long").alias("new_terms")))
+    spine = spark.range(n).select(F.col("id").alias("bucket"))
+    j = (spine.join(docb, "bucket", "left")
+              .join(tokb, "bucket", "left")
+              .join(newb, "bucket", "left")
+              .select("bucket",
+                      F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                      F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                      F.coalesce("new_terms", F.lit(0)).alias("new_terms")))
+    w = (Window.orderBy("bucket")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    out = (j.withColumn("cum_docs", F.sum("n_docs").over(w).cast("long"))
+            .withColumn("cum_tokens",
+                        F.sum("n_tokens").over(w).cast("long"))
+            .withColumn("vocab", F.sum("new_terms").over(w).cast("long")))
+    return (out.withColumn(
+                "ttr", F.expr("CASE WHEN cum_tokens = 0 THEN NULL ELSE "
+                              "CAST(vocab AS DOUBLE) / "
+                              "CAST(cum_tokens AS DOUBLE) END"))
+               .select("bucket", "n_docs", "n_tokens", "new_terms",
+                       "cum_docs", "cum_tokens", "vocab", "ttr")
+               .orderBy("bucket"))
+
+
+def _heaps_law_sql() -> str:
+    n = HEAPS_BUCKETS
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM d),
+db AS (SELECT least({n - 1}, ((doc_id - mn) * {n}) // (mx - mn + 1))
+         AS bucket, text
+       FROM d, b),
+toks AS (SELECT bucket, unnest({tokens_sql('text')}) AS term FROM db),
+tokb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+         FROM toks GROUP BY 1),
+docb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+         FROM db GROUP BY 1),
+newb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_terms FROM
+         (SELECT term, min(bucket) AS bucket FROM toks GROUP BY 1)
+         GROUP BY 1),
+spine AS (SELECT CAST(unnest(range({n})) AS BIGINT) AS bucket),
+j AS (SELECT spine.bucket,
+             coalesce(n_docs, 0) AS n_docs,
+             coalesce(n_tokens, 0) AS n_tokens,
+             coalesce(new_terms, 0) AS new_terms
+      FROM spine LEFT JOIN docb USING (bucket)
+                 LEFT JOIN tokb USING (bucket)
+                 LEFT JOIN newb USING (bucket)),
+c AS (SELECT bucket, n_docs, n_tokens, new_terms,
+             CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+             CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+             CAST(sum(new_terms) OVER w AS BIGINT) AS vocab
+      FROM j WINDOW w AS (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT bucket, n_docs, n_tokens, new_terms, cum_docs, cum_tokens, vocab,
+       CASE WHEN cum_tokens = 0 THEN NULL
+            ELSE CAST(vocab AS DOUBLE) / CAST(cum_tokens AS DOUBLE) END
+         AS ttr
+FROM c ORDER BY bucket
+"""
+
+
+# ----------------------------------------------- URL canonical dedup
+
+def _url_raw_sql(div: str, str_t: str) -> str:
+    """The messy-URL fixture, shared expression text modulo the two
+    engine spellings (integer division token, string cast type):
+    entity = doc_id DIV 4 (so ~4 raw forms map onto each logical
+    page), host = cdn{{entity%5}}.example.com in four disguises —
+    scheme-case / explicit :443 port / www. prefix / trailing slash /
+    utm_*+fbclid tracking params / #fragment — variant 3 carries a
+    REAL query param (?page=2) that canonicalization must KEEP."""
+    ent = f"CAST(doc_id {div} 4 AS {str_t})"
+    k = f"CAST((doc_id {div} 4) % 5 AS {str_t})"
+    return (
+        "CASE doc_id % 4 "
+        f"WHEN 0 THEN 'http://CDN' || {k} || '.Example.COM/item/' || {ent}"
+        " || '?utm_source=feed&utm_campaign=x#frag' "
+        f"WHEN 1 THEN 'https://www.cdn' || {k} || '.example.com/item/' "
+        f"|| {ent} || '/' "
+        f"WHEN 2 THEN 'HTTPS://CDN' || {k} || '.EXAMPLE.COM:443/item/' "
+        f"|| {ent} || '?fbclid=abc123&utm_medium=y' "
+        f"ELSE 'https://cdn' || {k} || '.example.com/item/' || {ent} "
+        "|| '?page=2' END")
+
+
+def _canon_url_sql(url: str, rr) -> str:
+    """Canonicalization pipeline as one nested expression; `rr(x, pat,
+    rep)` is the engine's REPLACE-ALL regexp spelling (Spark
+    regexp_replace replaces all; DuckDB needs the 'g' flag). Steps:
+    strip scheme → strip #fragment → drop tracking params
+    (utm_*/fbclid) → repair dangling ?/& separators → lowercase +
+    de-www + de-port the host → strip trailing slash."""
+    s = rr(url, "^[A-Za-z]+://", "")            # scheme
+    s = rr(s, "#.*$", "")                       # fragment
+    s = rr(s, "(utm_[a-z]+|fbclid)=[^&#]*", "")  # tracking params
+    s = rr(s, "[?][&]+", "?")                   # '?&' → '?'
+    s = rr(s, "[&][&]+", "&")                   # '&&' → '&'
+    s = rr(s, "[?&]+$", "")                     # dangling tail
+    host = f"lower(regexp_extract({s}, '^[^/]+', 0))"
+    host = rr(rr(host, "^www[.]", ""), ":[0-9]+$", "")
+    rest = rr(f"substr({s}, length(regexp_extract({s}, '^[^/]+', 0)) + 1)",
+              "/+$", "")
+    return f"({host} || {rest})"
+
+
+def _url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup census — the crawl-side dedup
+    every web corpus runs BEFORE content dedup (CommonCrawl-style:
+    the same page arrives under scheme/case/www/port/tracking-param/
+    trailing-slash disguises; fetching all of them wastes the crawl
+    budget and triple-counts the page downstream). Per canonical
+    host: raw URLs seen, distinct raw spellings, distinct canonical
+    pages, and the dedup ratio.
+
+    The canonicalizer is pure JVM-codegen string/regexp arithmetic —
+    one map-side projection, one hash-agg; at 100 TB the agg keys are
+    hosts (small) and the projection never shuffles. The oracle runs
+    the IDENTICAL pipeline (modulo DuckDB's replace-all flag) on the
+    same synthesized raw URLs, so every regexp step is value-pinned;
+    variant 3's real ?page=2 param surviving canonicalization is part
+    of the hash."""
+    rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}')"
+    raw = _url_raw_sql("div", "STRING")
+    canon = _canon_url_sql("raw_url", rr)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    u = docs.selectExpr(f"{raw} AS raw_url").selectExpr(
+        "raw_url", f"{canon} AS canon_url")
+    u = u.selectExpr("raw_url", "canon_url",
+                     "regexp_extract(canon_url, '^[^/]+', 0) AS host")
+    return (u.groupBy("host")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                  F.countDistinct("raw_url").cast("long")
+                   .alias("n_raw_forms"),
+                  F.countDistinct("canon_url").cast("long")
+                   .alias("n_pages"))
+             .withColumn("dup_ratio",
+                         F.expr("CAST(n_urls - n_pages AS DOUBLE) / "
+                                "CAST(n_urls AS DOUBLE)"))
+             .select("host", "n_urls", "n_raw_forms", "n_pages",
+                     "dup_ratio")
+             .orderBy("host"))
+
+
+def _url_dedup_sql() -> str:
+    rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}', 'g')"
+    raw = _url_raw_sql("//", "VARCHAR")
+    canon = _canon_url_sql("raw_url", rr)
+    return f"""
+WITH u0 AS (SELECT {raw} AS raw_url FROM documents),
+u AS (SELECT raw_url, {canon} AS canon_url FROM u0),
+h AS (SELECT raw_url, canon_url,
+             regexp_extract(canon_url, '^[^/]+', 0) AS host FROM u)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+       CAST(count(DISTINCT canon_url) AS BIGINT) AS n_pages,
+       CAST(count(*) - count(DISTINCT canon_url) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_ratio
+FROM h GROUP BY host ORDER BY host
+"""
+
+
+# ------------------------------------------------ radius range search
+
+RANGE_COS = 0.25       # corpus max pairwise cosine ~0.51; 0.25 keeps a tail
+RANGE_BANDS = 2        # same OR-amplified banding as the graded top-k
+
+
+def _range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADIUS similarity search (operators/similarity.range_search):
+    every neighbor with cosine ≥ RANGE_COS for the first 50 query
+    vectors, candidates from the same 2-band LSH the graded top-k
+    uses — the ANN surface's other half (top-k answers "best k",
+    radius answers "everything this similar": dedup sweeps,
+    recommendation pools, contamination nets). Strictly cheaper than
+    top-k at equal banding: no per-query rank window at all."""
+    return similarity.range_search(
+        load_table(spark, sf_dir, "embeddings"), radius=RANGE_COS,
+        query_pred="vec_id < 50", n_planes=LSH_PLANES,
+        n_bands=RANGE_BANDS)
+
+
+def _range_search_sql() -> str:
+    return f"""
+WITH {_BASE_CTES},
+melted AS (SELECT vec_id, q, n2,
+           unnest({_banded_bucket_list_sql(RANGE_BANDS)}) AS bucket FROM wn),
+q AS (SELECT vec_id AS query_id, bucket FROM melted WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, bucket FROM melted),
+cand AS (SELECT DISTINCT query_id, neighbor_id FROM q JOIN c USING (bucket)
+         WHERE neighbor_id <> query_id),
+wnp AS (SELECT cand.query_id, cand.neighbor_id,
+               wq.q AS qv, wq.n2 AS qn2, wc.q AS cv, wc.n2 AS cn2
+        FROM cand JOIN wn wq ON wq.vec_id = cand.query_id
+                  JOIN wn wc ON wc.vec_id = cand.neighbor_id),
+scored AS (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2 FROM wnp),
+cos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM scored)
+SELECT query_id, neighbor_id, cosine FROM cos WHERE cosine >= {RANGE_COS}
+"""
+
+
+# ----------------------------------------------- video near-dup pairs
+
+def _video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-VIDEO near-duplicate pairs
+    (operators/multimodal.video_neardup_pairs): demux every clip,
+    aHash every decoded frame, block candidate clips on an identical
+    frame hash, verify by frame-set Jaccard ≥ VIDEO_NEARDUP_J — the
+    video cell of the dedup matrix. The fixture's clips are 2+id%5
+    frames of rolled text bytes, so same-text docs of different clip
+    lengths are genuine containment pairs (Jaccard = short/long) the
+    oracle recomputes pixel-for-pixel."""
+    media = multimodal.documents_as_video_media(
+        load_table(spark, sf_dir, "documents"))
+    return multimodal.video_neardup_pairs(media)
+
+
+def _video_neardup_sql() -> str:
+    """DuckDB twin: frame f's plane byte j = text byte (j+f) mod nb
+    (empty text → all-zero frames via the [0] sentinel), 8×8 grid ==
+    frame so gray cell k = (b[3k]+b[3k+1]+b[3k+2]) // 3, integer mean
+    over 64 cells, strict-> bits packed lo(0-31)/hi(32-63), then the
+    df-cut + blocking-join + Jaccard tail of the ngram-pairs shape."""
+    digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
+    byte_at = (f"16 * ({digit.format(i='2*p+1')}) "
+               f"+ ({digit.format(i='2*p+2')})")
+    b = "vals[((3 * k + {o} + f) % nbe) + 1]"
+    gray_k = (f"({b.format(o=0)} + {b.format(o=1)} + {b.format(o=2)}) // 3")
+    thr = multimodal.VIDEO_NEARDUP_J
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb,
+         CAST(2 + doc_id % 5 AS BIGINT) AS total
+  FROM documents WHERE text IS NOT NULL
+), v AS (
+  SELECT doc_id, total,
+         CASE WHEN nb = 0 THEN 1 ELSE nb END AS nbe,
+         CASE WHEN nb = 0 THEN [0]
+              ELSE list_transform(range(nb), p -> {byte_at}) END AS vals
+  FROM m
+), fr AS (
+  SELECT doc_id, f, nbe, vals
+  FROM v, UNNEST(range(CAST(total AS INT))) u(f)
+), g AS (
+  SELECT doc_id, f,
+         list_transform(range(64), k -> {gray_k}) AS gray
+  FROM fr
+), s AS (SELECT doc_id, gray,
+                CAST(list_sum(gray) AS BIGINT) // 64 AS mean FROM g),
+bits AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(32), k ->
+           (CASE WHEN gray[k + 33] > mean THEN CAST(1 AS BIGINT)
+                 ELSE 0 END) << k)) AS BIGINT) AS hash_hi,
+         CAST(list_sum(list_transform(range(32), k ->
+           (CASE WHEN gray[k + 1] > mean THEN CAST(1 AS BIGINT)
+                 ELSE 0 END) << k)) AS BIGINT) AS hash_lo
+  FROM s
+),
+fh AS (SELECT DISTINCT doc_id, hash_hi, hash_lo FROM bits),
+keep AS (SELECT hash_hi, hash_lo FROM fh GROUP BY 1, 2
+         HAVING count(*) <= {multimodal.VIDEO_HASH_MAX_DF}),
+kept AS (SELECT fh.* FROM fh JOIN keep USING (hash_hi, hash_lo)),
+sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM kept a JOIN kept b USING (hash_hi, hash_lo)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= {thr}
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "doc_heaps_law": Query(_heaps_law, _heaps_law_sql(),
+                           "Heaps-law vocabulary growth: cumulative "
+                           "vocab vs tokens over doc_id-range buckets,"
+                           " one tokenize scan + term-min hash-agg"),
+    "doc_url_dedup": Query(_url_dedup, _url_dedup_sql(),
+                           "URL canonicalization + per-host dedup "
+                           "census: scheme/www/port/tracking-param/"
+                           "slash normalization, real params kept"),
+    "emb_range_search": Query(_range_search, _range_search_sql(),
+                              "radius similarity search: all "
+                              "neighbors with cosine >= r via banded "
+                              "LSH, no per-query rank window"),
+    "mm_video_neardup": Query(_video_neardup, _video_neardup_sql(),
+                              "cross-video near-dup: per-frame aHash "
+                              "sets, blocking on identical frame "
+                              "hash, frame-set Jaccard verify"),
     "doc_winnow_census": Query(_winnow_census, _winnow_census_sql(),
                                "winnowing (MOSS) fingerprint sharing "
                                "census: in-scan window-min sampling, "

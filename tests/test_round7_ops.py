@@ -1,0 +1,216 @@
+"""Round-7 operator tests: full-precision uint256 limb decode, radius
+range search, video near-dup (frame-hash sets), URL canonicalization,
+Heaps-law vocab growth properties, Benford literal sanity, and the
+streaming session-isolation contract (VERDICT r6 ask #4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ethereum_export_pipeline_spark.operators import multimodal as MM
+from ethereum_export_pipeline_spark.operators import similarity as S
+from ethereum_export_pipeline_spark.operators.logs import (
+    hex_uint256_limb32_exprs)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- uint256 limb decode
+
+def _limb_rows(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "h string")
+    exprs = hex_uint256_limb32_exprs("h")
+    return df.selectExpr(
+        "h", *[f"{e} AS w{i}" for i, e in enumerate(exprs)]).collect()
+
+
+def _reassemble(row):
+    if row["w0"] is None:
+        return None
+    v = 0
+    for i in range(8):
+        v = (v << 32) | row[f"w{i}"]
+    return v
+
+
+def test_limbs_roundtrip_exact_at_full_width(spark):
+    cases = {
+        "0x" + "f" * 64: (1 << 256) - 1,   # max uint256
+        "0x0": 0,
+        "0x" + "1" + "0" * 63: 1 << 252,   # far beyond decimal(38,0)
+        "0xdeadbeef": 0xDEADBEEF,
+    }
+    got = {r["h"]: _reassemble(r) for r in _limb_rows(spark, cases)}
+    assert got == cases
+
+
+def test_limbs_reject_overlong_and_junk(spark):
+    rows = _limb_rows(spark, ["0x" + "f" * 65, "not hex at all"])
+    for r in rows:
+        assert all(r[f"w{i}"] is None for i in range(8)), r
+
+
+def test_limbs_each_under_2_32(spark):
+    (r,) = _limb_rows(spark, ["0x" + "f" * 64])
+    assert all(0 <= r[f"w{i}"] < (1 << 32) for i in range(8))
+
+
+# ------------------------------------------------------- range search
+
+def _vec(i: int, val: float = 1.0, dim: int = S.EMB_DIM):
+    v = [0.0] * dim
+    v[i] = val
+    return v
+
+
+def test_range_search_radius_and_shape(spark):
+    df = spark.createDataFrame([
+        Row(vec_id=0, embedding=_vec(0)),
+        Row(vec_id=1, embedding=_vec(0, 2.0)),   # same direction: cos 1
+        Row(vec_id=2, embedding=_vec(1)),         # orthogonal: cos 0
+        Row(vec_id=3, embedding=[0.1] * 8),       # wrong dim: excluded
+    ])
+    out = S.range_search(df, radius=0.8, query_pred="vec_id < 3")
+    assert out.columns == ["query_id", "neighbor_id", "cosine"]
+    rows = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in out.collect()}
+    assert rows[(0, 1)] == pytest.approx(1.0)
+    assert rows[(1, 0)] == pytest.approx(1.0)
+    # orthogonal vector never clears the radius, in either direction
+    assert all(2 not in k for k in rows)
+    assert all(3 not in k for k in rows)
+
+
+def test_range_search_self_excluded(spark):
+    df = spark.createDataFrame([Row(vec_id=i, embedding=_vec(0))
+                                for i in range(3)])
+    rows = S.range_search(df, radius=0.5).collect()
+    assert rows and all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+# ---------------------------------------------------- video near-dup
+
+def test_video_frame_hashes_one_row_per_frame(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="abcdefgh" * 30),
+         Row(doc_id=7, text="abcdefgh" * 30),
+         Row(doc_id=3, text=None)])
+    media = MM.documents_as_video_media(docs)
+    fh = MM.video_frame_hashes(media)
+    per = {r["media_id"]: r["n"] for r in
+           fh.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    # fixture: 2 + id % 5 frames; NULL text -> no rows
+    assert per == {0: 2, 7: 4}
+
+
+def test_video_neardup_containment_pair(spark):
+    txt = "the quick brown fox jumps over the lazy dog 0123456789"
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=txt),            # 2 frames
+         Row(doc_id=7, text=txt),            # 4 frames, same footage
+         Row(doc_id=11, text="zzz completely different content yyy")])
+    media = MM.documents_as_video_media(docs)
+    pairs = {(r["id_a"], r["id_b"]): r for r in
+             MM.video_neardup_pairs(media).collect()}
+    assert (0, 7) in pairs
+    p = pairs[(0, 7)]
+    # expected straight from the DISTINCT frame-hash sets (frames of
+    # one clip may aHash-collide, so |set| <= frame count)
+    sets: dict[int, set] = {}
+    for r in MM.video_frame_hashes(media).collect():
+        sets.setdefault(r["media_id"], set()).add(
+            (r["hash_hi"], r["hash_lo"]))
+    inter = len(sets[0] & sets[7])
+    assert sets[0] <= sets[7]                 # containment: same footage
+    assert p["n_common"] == inter
+    assert p["jaccard"] == pytest.approx(
+        inter / len(sets[0] | sets[7]))
+    assert all(11 not in k for k in pairs)
+
+
+# --------------------------------------------------- URL canonical form
+
+def test_url_canonicalization_variants_collapse(spark):
+    from ethereum_export_pipeline_spark.plans.llm import (
+        _canon_url_sql, _url_raw_sql)
+    rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}')"
+    df = spark.range(8).selectExpr("id AS doc_id").selectExpr(
+        "doc_id", f"{_url_raw_sql('div', 'STRING')} AS raw_url")
+    out = {r["doc_id"]: r["canon"] for r in df.selectExpr(
+        "doc_id", f"{_canon_url_sql('raw_url', rr)} AS canon").collect()}
+    # docs 0,1,2 are entity 0 in three disguises -> identical canonical
+    assert out[0] == out[1] == out[2] == "cdn0.example.com/item/0"
+    # doc 3 carries a REAL param that must survive
+    assert out[3] == "cdn0.example.com/item/0?page=2"
+    # docs 4.. are entity 1
+    assert out[4] == "cdn1.example.com/item/1"
+
+
+# ----------------------------------------------------- Heaps-law curve
+
+def test_heaps_law_properties(spark):
+    from ethereum_export_pipeline_spark.plans.llm import _heaps_law
+    rows = _heaps_law(spark, SF).collect()
+    assert [r["bucket"] for r in rows] == list(range(10))
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_tokens"] >= a["cum_tokens"]
+        assert b["vocab"] >= a["vocab"]
+        assert b["cum_docs"] >= a["cum_docs"]
+    last = rows[-1]
+    from ethereum_export_pipeline_spark.functions import tokens
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .where("text IS NOT NULL"))
+    n_terms = (docs.select(F.explode(tokens("text")).alias("t"))
+                   .select("t").distinct().count())
+    n_tokens = (docs.select(F.size(tokens("text")).alias("n"))
+                    .agg(F.sum("n")).collect()[0][0])
+    assert last["vocab"] == n_terms
+    assert last["cum_tokens"] == n_tokens
+    assert last["ttr"] == pytest.approx(n_terms / n_tokens)
+
+
+# ----------------------------------------------------------- Benford
+
+def test_benford_expected_literals():
+    from ethereum_export_pipeline_spark.plans.analytics import _BENFORD_E6
+    assert set(_BENFORD_E6) == set(range(1, 10))
+    assert sum(_BENFORD_E6.values()) == pytest.approx(1_000_000, abs=5)
+    assert _BENFORD_E6[1] == 301030  # log10(2)
+
+
+def test_benford_audit_shape(spark):
+    from ethereum_export_pipeline_spark.plans.analytics import _benford_audit
+    rows = _benford_audit(spark, SF).collect()
+    assert [r["digit"] for r in rows] == sorted(r["digit"] for r in rows)
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    total = sum(r["n_obs"] for r in rows)
+    assert total > 0
+    for r in rows:
+        assert r["obs_freq"] == pytest.approx(r["n_obs"] / total)
+        dev = (r["n_obs"] * 1_000_000) // total - r["expected_e6"]
+        assert r["dev_e6"] == dev
+        assert r["chi_contrib_e6"] == (dev * dev) // r["expected_e6"]
+
+
+# ------------------------------------------- streaming conf isolation
+
+def test_read_stream_runs_on_isolated_session(spark):
+    from ethereum_export_pipeline_spark.streaming import read_stream
+    sdf = read_stream(spark, f"{SF}/events.parquet")
+    assert sdf.sparkSession is not spark
+    # same context (shared executors/cache), separate SQLConf
+    assert sdf.sparkSession.sparkContext is spark.sparkContext
+
+
+def test_stream_width_clamp_never_touches_caller_conf(spark):
+    from ethereum_export_pipeline_spark.streaming import (
+        stream_tumbling_counts)
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    try:
+        stream_tumbling_counts(spark, f"{SF}/events.parquet")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "13"
+    finally:
+        from ethereum_export_pipeline_spark.session import ensure_conf
+        ensure_conf(spark)
