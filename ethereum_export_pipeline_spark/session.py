@@ -59,6 +59,18 @@ def get_spark(app_name: str = "ethereum_export_pipeline_spark",
     return spark
 
 
+def isolated_session(spark: SparkSession) -> SparkSession:
+    """A child session (same SparkContext, same cached data, SEPARATE
+    runtime SQLConf) for work that must mutate session confs — the
+    streaming entry points clamp ``spark.sql.shuffle.partitions``
+    around stateful query start and flip ``partitionOverwriteMode``
+    for upsert sinks. Running those on a child keeps the mutation
+    invisible to any query concurrently planning on the caller's
+    session (set/restore on a SHARED session has a race window).
+    The child gets the same runtime confs `ensure_conf` guarantees."""
+    return ensure_conf(spark.newSession())
+
+
 def ensure_conf(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable confs to an externally created session.
 

@@ -103,7 +103,16 @@ class ChainDataSource(DataSource):
 
 
 def register(spark) -> None:
-    spark.dataSource.register(ChainDataSource)
+    """Idempotent: the Python data-source registry is shared across
+    sessions of one SparkContext, and a re-register from a DIFFERENT
+    session (streaming runs on isolated child sessions) raises
+    DATA_SOURCE_ALREADY_EXISTS — an already-present registration is
+    exactly the state we want."""
+    try:
+        spark.dataSource.register(ChainDataSource)
+    except Exception as ex:  # pragma: no cover - version-specific text
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):
+            raise
 
 
 # ------------------------------------------------------------ streaming

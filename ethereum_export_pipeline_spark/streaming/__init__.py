@@ -30,9 +30,33 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..session import ensure_conf
+from ..session import isolated_session
 
 WINDOW_US = 600_000_000  # 10-minute tumbling windows, µs
+
+
+def _chain_session(spark: SparkSession) -> tuple[SparkSession, bool]:
+    """Session for a chain-source stream: an isolated child when the
+    Python data source can register there, else the caller's session.
+
+    The fallback exists because the Python data-source registry
+    snapshot a child inherits from an already-registered parent is
+    POISONED (verified on Spark 4.1: re-register raises
+    DATA_SOURCE_ALREADY_EXISTS, yet load still fails with
+    DATA_SOURCE_NOT_FOUND) — so when the caller registered
+    `ethereum_chain` on their own session first, the stream must run
+    there. Returns (session, isolated): callers must not clamp
+    session confs when `isolated` is False."""
+    from ..sources import datasource
+    child = isolated_session(spark)
+    try:
+        child.dataSource.register(datasource.ChainDataSource)
+        return child, True
+    except Exception as ex:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):
+            raise
+    datasource.register(spark)  # idempotent
+    return spark, False
 
 
 def read_stream(spark: SparkSession, path: str,
@@ -46,8 +70,16 @@ def read_stream(spark: SparkSession, path: str,
     Spark's FileStreamSource forces ``basePath`` to the given path, so
     a single .parquet FILE cannot be streamed directly; we stage a
     symlink inside a temp directory and stream that directory — the
-    production layout (a directory files land in) needs none of this."""
-    ensure_conf(spark)
+    production layout (a directory files land in) needs none of this.
+
+    The stream is built on an ISOLATED child session: the stateful
+    entry points clamp ``spark.sql.shuffle.partitions`` around query
+    start (`run_available_now`) and upsert sinks flip
+    ``partitionOverwriteMode`` — on a child session those mutations
+    cannot race a query concurrently planning on the caller's session
+    (cross-session joins against the caller's static frames still
+    work: same SparkContext, execution resolves on one session)."""
+    spark = isolated_session(spark)
     static = spark.read.parquet(path)
     if path.rstrip("/").endswith(".parquet") and os.path.isfile(path):
         from ..util import scratch_dir
@@ -296,8 +328,7 @@ def stream_chain_export(spark: SparkSession, dest_dir: str,
     (the checkpoint still holds the committed offset, so a retry with
     a larger timeout resumes, not restarts)."""
     from ..partitioning import default_export_plan, range_cols
-    from ..sources import datasource
-    datasource.register(spark)
+    spark, _ = _chain_session(spark)
     sdf = (spark.readStream.format("ethereum_chain")
                 .option("start", 0).option("head", head)
                 .option("batch_size", batch_size).load())
@@ -364,8 +395,7 @@ def stream_chain_counts(spark: SparkSession, head: int = 999,
     block number, so the batch-equivalent oracle recomputes the exact
     aggregate from `range(head+1)` — a full value-hash check with no
     files involved on either side."""
-    from ..sources import datasource
-    datasource.register(spark)
+    spark, isolated = _chain_session(spark)
     sdf = (spark.readStream.format("ethereum_chain")
                 .option("start", 0).option("head", head)
                 .option("batch_size", batch_size).load())
@@ -374,10 +404,14 @@ def stream_chain_counts(spark: SparkSession, head: int = 999,
                    F.sum("gas_used").cast("long").alias("gas_used"),
                    F.sum("transaction_count").cast("long").alias("tx_count"),
                    F.max("size").cast("long").alias("max_size")))
-    # bounded synthetic head: size the state width to the row count
+    # bounded synthetic head: size the state width to the row count —
+    # but ONLY when the stream runs on an isolated child (the clamp
+    # mutates session conf; on the caller's session that would race a
+    # concurrently-planning query, the exact leak ask #4 removed)
     sess_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
     width = max(4, (head + 1) // 100_000)
-    return run_available_now(agg, width=width if width < sess_w else None)
+    return run_available_now(
+        agg, width=width if isolated and width < sess_w else None)
 
 
 def stream_interval_join(spark: SparkSession, events_path: str,
