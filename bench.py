@@ -211,7 +211,39 @@ HEADLINE = [
     "mm_audio_vad",
     "q_props_keys",
     "q_event_transitions",
+    # round-7 additions
+    "eth_staged_sink",
+    "eth_wei_limbs",
+    "doc_heaps_law",
+    "doc_url_dedup",
+    "emb_range_search",
+    "mm_video_neardup",
+    "q_benford_audit",
 ]
+
+
+def _artifact_builders():
+    """The memoized shared artifacts, timed as NAMED pseudo-queries
+    before the main loop. These are build-once frames several catalog
+    queries consume (pair graph → 11 consumers, CC labels, k-means
+    cells, kNN graph, embedding near-dup pairs, fuzzy pairs,
+    IVF/PQ quantizers, BPE merges); without this, the first consumer
+    in HEADLINE order silently pays the build — round-6's
+    doc_minhash_quality "+48% regression" was exactly that
+    first-touch cost migrating between queries as HEADLINE grew.
+    Charging the build to `artifact:*` rows makes per-query timings
+    attributable and round-over-round comparable."""
+    from ethereum_export_pipeline_spark.plans import analytics, llm
+    return {
+        "artifact:quantizers": lambda spark, sf: llm.get_quantizers(),
+        "artifact:minhash_pair_graph": llm._lsh_pairs,
+        "artifact:cc_labels": llm._cc,
+        "artifact:kmeans_cells": llm._kmeans_cells,
+        "artifact:emb_neardup_pairs": llm._emb_neardup_memo,
+        "artifact:knn_graph": llm._knn_graph_memo,
+        "artifact:bpe_merges": llm._get_bpe_merges,
+        "artifact:fuzzy_pairs": analytics._fuzzy_candidate_pairs,
+    }
 
 
 def main() -> int:
@@ -239,6 +271,18 @@ def main() -> int:
         # transfer — measures the engine, not py4j serialization
         df.write.mode("overwrite").format("noop").save()
 
+    # shared-artifact builds first, timed under their own names (the
+    # memo getters materialize via eager localCheckpoint, so the
+    # consumers below measure incremental work only)
+    timings_art: dict[str, float] = {}
+    art_total = 0.0
+    for name, builder in _artifact_builders().items():
+        t0 = time.time()
+        builder(spark, sf_dir)
+        timings_art[name] = round(time.time() - t0, 3)
+        art_total += timings_art[name]
+        print(f"# {name}: {timings_art[name]:.3f}s", file=sys.stderr)
+
     # min-of-2 per query: the first run compiles the query's
     # whole-stage-codegen classes (a separate corpus-wide warm pass
     # became a third full execution once HEADLINE passed 130 queries
@@ -258,6 +302,10 @@ def main() -> int:
 
     # Full per-query map → sidecar (the stdout line must stay under
     # the driver's ~2,000-char capture window; 116 queries don't fit).
+    # Artifact builds are part of `value` (they're real work the
+    # queries used to pay inline) but are listed under their own keys.
+    total += art_total
+    timings.update(timings_art)
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json")
     with open(sidecar, "w") as f:
@@ -267,7 +315,8 @@ def main() -> int:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
-            "n_queries": len(timings),
+            "n_queries": sum(not k.startswith("artifact:") for k in timings),
+            "n_artifacts": len(timings_art),
         }, f, indent=1, sort_keys=True)
 
     import re
@@ -283,7 +332,7 @@ def main() -> int:
         "unit": "sec",
         "queries": slowest,          # 10 slowest; full map in BENCH_FULL.json
         "families": families,        # per-prefix subtotals over all queries
-        "n_queries": len(timings),
+        "n_queries": sum(not k.startswith("artifact:") for k in timings),
         "full_map": "BENCH_FULL.json",
         "sf": sf,
     })
