@@ -368,6 +368,49 @@ def main() -> int:
                                             F.col("doc_b").alias("dst")),
                                rounds=4)
 
+    # round-7 additions: pointer-jumping closure on a DEEP forest
+    # (depth 64 ⇒ 6 doubling rounds reach everything; closure output
+    # is ~31.5 rows/node by construction — bounded, not the chain-
+    # length-squared blowup a single deep chain would produce), and
+    # the custom stateful streaming ops under user-count amplification
+    # (each copy shifts user_id, so state-store keys grow ×AMPLIFY
+    # while the per-key series stays the original's).
+    def ancestor_closure_deep():
+        from ethereum_export_pipeline_spark.operators.graph import (
+            ancestor_closure)
+        n = 10_000 * AMPLIFY
+        parents = (spark.range(n)
+                   .where("id % 64 != 0")
+                   .selectExpr("id AS child", "id - 1 AS parent"))
+        return ancestor_closure(parents, rounds=6)
+
+    bench("ancestor_closure", ancestor_closure_deep)
+
+    stream_ops = {"stream_cusum", "stream_cep"}
+    if ONLY is None or (ONLY & stream_ops):
+        ev_src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        n_users = ev_src.selectExpr("max(user_id) + 1 AS m").first()["m"]
+        big_ev = (ev_src.crossJoin(copies)
+                  .withColumn("user_id",
+                              F.col("user_id") + F.col("copy") * n_users)
+                  .withColumn("event_id",
+                              F.col("event_id") * AMPLIFY + F.col("copy"))
+                  .drop("copy"))
+        big_ev.write.mode("overwrite").parquet(f"{out}/events")
+
+        def stream_cusum():
+            from ethereum_export_pipeline_spark.streaming.sessions import (
+                stream_cusum_alerts)
+            return stream_cusum_alerts(spark, f"{out}/events")
+
+        def stream_cep():
+            from ethereum_export_pipeline_spark.streaming.sessions import (
+                stream_pattern_match)
+            return stream_pattern_match(spark, f"{out}/events")
+
+        bench("stream_cusum", stream_cusum)
+        bench("stream_cep", stream_cep)
+
     bench("dup_lpa", dup_lpa)
 
     def phash_dedup():
