@@ -4680,33 +4680,44 @@ def _heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary that keeps growing linearly is boilerplate-free noise;
     one that flattens too fast is template spam).
 
-    Scale shape: ONE tokenize scan; each term's FIRST bucket is a
-    hash-agg `min` (map-side combinable) keyed by term, bucket sizes
-    are a second tiny agg; bucket boundaries are pure integer
-    arithmetic on (min, max) doc_id — a broadcast 1-row agg, NOT a
-    global sort (ntile would pin the corpus through one partition).
-    The only SinglePartition subtree is the `HEAPS_BUCKETS`-row
-    cumulative window."""
+    Scale shape: ONE tokenize scan. The (bucket, term) count frame —
+    ≤ HEAPS_BUCKETS × |vocab| rows — is eagerly localCheckpointed
+    (the MMR/entity-resolution discipline) so the token-count and
+    first-bucket branches consume ONE materialization instead of
+    re-tokenizing the corpus per branch (a naive three-branch DAG
+    re-executed the text scan 3× — 9 parquet scans in the dumped
+    plan before this cut). Bucket boundaries are pure integer
+    arithmetic on a checkpointed broadcast 1-row (min, max) agg, NOT
+    a global sort (ntile would pin the corpus through one
+    partition); the doc census re-reads only the pruned doc_id
+    column. The only SinglePartition subtree is the
+    `HEAPS_BUCKETS`-row cumulative window."""
     from pyspark.sql import Window
     from ..functions import tokens
     n = HEAPS_BUCKETS
     docs = (load_table(spark, sf_dir, "documents")
             .where("text IS NOT NULL").select("doc_id", "text"))
-    bounds = docs.agg(F.min("doc_id").alias("mn"),
-                      F.max("doc_id").alias("mx"))
+    bounds = (docs.agg(F.min("doc_id").alias("mn"),
+                       F.max("doc_id").alias("mx"))
+              .localCheckpoint(eager=True))
+    bucket = F.expr(f"least({n - 1}, ((doc_id - mn) * {n}) "
+                    f"div (mx - mn + 1))")
     db = (docs.crossJoin(F.broadcast(bounds))
-              .withColumn("bucket", F.expr(
-                  f"least({n - 1}, ((doc_id - mn) * {n}) "
-                  f"div (mx - mn + 1))"))
+              .withColumn("bucket", bucket)
               .select("bucket", "text"))
-    toks = db.select("bucket", F.explode(tokens("text")).alias("term"))
-    tokb = toks.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"))
-    docb = db.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"))
-    newb = (toks.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    tb = (db.select("bucket", F.explode(tokens("text")).alias("term"))
+            .groupBy("bucket", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .localCheckpoint(eager=True))
+    tokb = tb.groupBy("bucket").agg(
+        F.expr("CAST(sum(cnt) AS BIGINT)").alias("n_tokens"))
+    docb = (docs.select("doc_id").crossJoin(F.broadcast(bounds))
+                .withColumn("bucket", bucket)
                 .groupBy("bucket")
-                .agg(F.count(F.lit(1)).cast("long").alias("new_terms")))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    newb = (tb.groupBy("term").agg(F.min("bucket").alias("bucket"))
+              .groupBy("bucket")
+              .agg(F.count(F.lit(1)).cast("long").alias("new_terms")))
     spine = spark.range(n).select(F.col("id").alias("bucket"))
     j = (spine.join(docb, "bucket", "left")
               .join(tokb, "bucket", "left")
