@@ -1029,8 +1029,14 @@ def video_neardup_pairs(media: DataFrame, grid: int = 8,
     black, title cards — blocking-useless and the only quadratic
     risk), and the Jaccard verify is two hash-aggs + one division.
     Output: (id_a, id_b, n_common, jaccard)."""
+    # One decode pass: the distinct frame-hash frame (≤ frames/clip
+    # rows per video — tiny next to the payload bytes) feeds FOUR
+    # consumers (df-cut, both join sides, sizes); without the eager
+    # cut each consumer re-executes the mapInPandas demux+decode+hash
+    # (11 parquet scans / 16 MapInPandas nodes in the dumped plan).
     fh = (video_frame_hashes(media, grid)
-          .select("media_id", "hash_hi", "hash_lo").distinct())
+          .select("media_id", "hash_hi", "hash_lo").distinct()
+          .localCheckpoint(eager=True))
     keep = (fh.groupBy("hash_hi", "hash_lo")
               .agg(F.count(F.lit(1)).alias("df"))
               .where(F.col("df") <= max_df)

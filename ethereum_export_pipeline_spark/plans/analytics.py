@@ -2513,16 +2513,19 @@ def _benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp_e6) — all arithmetic exact BIGINT except the one obs_freq
     division, so the hash pins every cell.
 
-    Scale shape: one scan → 9-key hash agg with map-side combine; the
-    total joins back as a broadcast 1-row agg. Nothing else."""
+    Scale shape: ONE scan → 9-key hash agg with map-side combine; the
+    total is an unpartitioned window over the NINE aggregate rows (a
+    crossJoin against a separate total agg would re-derive — and
+    re-scan — the counts subtree). Nothing else."""
     o = load_table(spark, sf_dir, "orders")
     digits = o.selectExpr(
         f"CAST(substr(CAST({cents('o_totalprice')} AS STRING), 1, 1) "
         "AS BIGINT) AS digit")
     counts = digits.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("n_obs"))
-    total = counts.agg(F.expr("CAST(sum(n_obs) AS BIGINT)").alias("total"))
-    return (counts.crossJoin(F.broadcast(total))
+    return (counts.withColumn(
+                "total",
+                F.expr("CAST(sum(n_obs) OVER () AS BIGINT)"))
             .selectExpr(
                 "digit", "n_obs",
                 "CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE) AS obs_freq",
