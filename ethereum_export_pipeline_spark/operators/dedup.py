@@ -315,8 +315,16 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     sound for ≤3 flipped bits over 4 bands by pigeonhole).
     `max_bucket_df` drops buckets shared by more docs than the cut —
     the hot-bucket skew guard (boilerplate text makes one 12-bit band
-    value quadratic at web scale)."""
-    fps = simhash_fingerprints(df, id_col, text_col)
+    value quadratic at web scale).
+
+    The fingerprint frame (one 48-bit int per doc — tiny) is eagerly
+    localCheckpointed: both join sides consume it, and without the
+    cut each side re-runs the tokenize + 48-vote aggregation (two
+    full corpus scans in the dumped plan; measured 2.9 → 2.5 s at
+    sf0.1, and at 100 TB the second tokenize scan is the whole
+    bill)."""
+    fps = (simhash_fingerprints(df, id_col, text_col)
+           .localCheckpoint(eager=True))
     width = SIMHASH_BITS // SIMHASH_BANDS
     melted = fps.select(
         F.col(id_col), F.col("fingerprint"),
