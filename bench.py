@@ -219,6 +219,10 @@ HEADLINE = [
     "emb_range_search",
     "mm_video_neardup",
     "q_benford_audit",
+    "emb_ivfpq_packed",
+    "doc_html_strip",
+    "mm_scene_summary",
+    "doc_url_text_agreement",
 ]
 
 

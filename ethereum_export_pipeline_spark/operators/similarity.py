@@ -589,6 +589,86 @@ def pq_adc_col(codebooks: list[list[list[int]]],
                        F.lit(0).cast("long"), lambda a, v: a + v)
 
 
+def pq_packed_col(codebooks: list[list[list[int]]],
+                  qvec_col: str = "qvec") -> Column:
+    """The m per-subspace codes packed into ONE BIGINT: Horner fold
+    acc·16 + (code−1), so code_1 lands in the highest nibble. With
+    m=8 / k=16 a candidate's entire PQ representation is 8 bytes on
+    the wire and in state — the last factor of the PQ compression
+    ladder (512 B raw vector → ~72 B serialized int array → 8 B
+    packed). DuckDB twin: list_reduce seeds with the first element,
+    which equals Spark's 0-seeded fold here (0·16 + c₁' = c₁')."""
+    codes = pq_codes_col(codebooks, qvec_col)
+    return F.aggregate(
+        F.transform(codes, lambda c: c - 1),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * F.lit(16) + c).cast("long")
+
+
+def pq_adc_packed_col(codebooks: list[list[list[int]]],
+                      qvec_col: str = "qv",
+                      packed_col: str = "packed") -> Column:
+    """`pq_adc_col` over the PACKED code word: code_s is unpacked
+    with a compile-time shift (nibble s of m sits at bit 4·(m−s)),
+    so the per-subspace loop unrolls statically — no column-valued
+    shift amounts, everything stays in codegen."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    CB = matrix_lit(codebooks)
+    total = F.lit(0).cast("long")
+    for s in range(1, m + 1):
+        subv = F.slice(F.col(qvec_col), (s - 1) * sub + 1, sub)
+        code = (F.shiftright(F.col(packed_col), 4 * (m - s))
+                 .bitwiseAND(F.lit(15)) + 1).cast("int")
+        cent = F.element_at(F.element_at(CB, s), code)
+        total = total + F.aggregate(
+            F.zip_with(subv, cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda a, v: a + v)
+    return total
+
+
+def ivfpq_packed_topk(df: DataFrame, centroids: list[list[int]],
+                      codebooks: list[list[list[int]]],
+                      id_col: str = "vec_id", emb_col: str = "embedding",
+                      k: int = 5, query_pred: str | None = None,
+                      dim: int = EMB_DIM,
+                      scan_parallelism: int | None = None) -> DataFrame:
+    """`ivfpq_topk` with the candidate side compressed to ONE BIGINT
+    per row: the cell join ships (neighbor_id, packed, cell) — 8 B of
+    code payload instead of the m-int array (~72 B serialized) or the
+    raw quantized vector (512 B). Ranks are IDENTICAL to ivfpq_topk
+    (the ADC arithmetic is the same after unpacking); only the wire
+    format changes, which is the whole point at 100 TB where exchange
+    and state size — not CPU — bind. Output adds the neighbor's
+    packed word so the oracle must reproduce the packing bit-for-bit:
+    (query_id, neighbor_id, packed, adc_dist, rank)."""
+    query_pred = query_pred or f"{id_col} < 10"
+    narrowed = _ensure_scan_width(df.where(F.size(F.col(emb_col)) == dim),
+                                  scan_parallelism)
+    base = (with_quantized(narrowed, emb_col)
+            .withColumn("cell", ivf_cell_col(centroids).cast("long")))
+    q = (base.where(query_pred)
+             .select(F.col(id_col).alias("query_id"),
+                     F.col("qvec").alias("qv"), "cell"))
+    c = (base.withColumn("packed", pq_packed_col(codebooks))
+             .select(F.col(id_col).alias("neighbor_id"), "packed", "cell"))
+    scored = (
+        q.join(c, "cell")
+         .where(F.col("neighbor_id") != F.col("query_id"))
+         .withColumn("adc_dist",
+                     pq_adc_packed_col(codebooks).cast("long"))
+    )
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc()))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k)
+              .select("query_id", "neighbor_id", "packed", "adc_dist",
+                      F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def ivfpq_topk(df: DataFrame, centroids: list[list[int]],
                codebooks: list[list[list[int]]],
                id_col: str = "vec_id", emb_col: str = "embedding",

@@ -835,6 +835,55 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_parallelism=spark.sparkContext.defaultParallelism)
 
 
+def _ivfpq_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the candidate side packed to ONE BIGINT
+    (operators/similarity.ivfpq_packed_topk) — the last rung of the
+    PQ compression ladder (512 B raw → ~72 B code array → 8 B packed
+    word per candidate on the wire / in state). Ranks are identical
+    to emb_ivfpq_topk; the graded row ADDS the packed word itself so
+    the Horner nibble packing is value-pinned."""
+    cents, books = get_quantizers()
+    return similarity.ivfpq_packed_topk(
+        load_table(spark, sf_dir, "embeddings"), cents, books, k=TOPK_K,
+        scan_parallelism=spark.sparkContext.defaultParallelism)
+
+
+def _ivfpq_packed_sql() -> str:
+    codes, _ = _pq_sql_parts()
+    codebooks = get_quantizers()[1]
+    m = similarity.PQ_SUBSPACES
+    sub = len(codebooks[0][0])
+    cb = ("[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in cent) + "]"
+            for cent in book) + "]"
+        for book in codebooks) + "]")
+    # list_reduce seeds with the first element == Spark's 0-seeded
+    # Horner fold here (0*16 + c1' = c1')
+    packed = (f"list_reduce(list_transform({codes}, "
+              f"c -> CAST(c - 1 AS BIGINT)), (a, c) -> a * 16 + c)")
+    unpack = f"CAST(((packed >> (({m} - s) * 4)) & 15) + 1 AS INT)"
+    adc = (f"list_sum(list_transform(range(1, {m + 1}), s -> "
+           f"list_sum(list_transform(list_zip(qv[(s-1)*{sub}+1 : s*{sub}], "
+           f"{cb}[s][{unpack}]), p -> (p[1]-p[2])*(p[1]-p[2])))))")
+    return f"""
+WITH {_BASE_CTES},
+cells AS (SELECT vec_id, q, {_ivf_cell_sql()} AS cell FROM wn),
+qq AS (SELECT vec_id AS query_id, q AS qv, cell FROM cells WHERE vec_id < 10),
+cc AS (SELECT vec_id AS neighbor_id, CAST({packed} AS BIGINT) AS packed,
+       cell FROM cells),
+scored AS (SELECT query_id, neighbor_id, packed,
+                  CAST({adc} AS BIGINT) AS adc_dist
+           FROM qq JOIN cc USING (cell) WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, packed, adc_dist, rk AS "rank" FROM (
+  SELECT query_id, neighbor_id, packed, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {TOPK_K}
+"""
+
+
 def _pq_sql_parts() -> tuple[str, str]:
     """(codes_expr over `q`, adc_expr over qv/codes) — DuckDB twins of
     similarity.pq_codes_col / pq_adc_col with the SAME codebooks
@@ -2354,6 +2403,75 @@ WITH m AS (
 SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx, sad,
        CAST(sad > {thr} AS BIGINT) AS is_cut
 FROM sads
+"""
+
+
+def _scene_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-CLIP shot segmentation stats on top of the scene-cut
+    detector — the video-curation report (shot-length distribution
+    drives sampling-rate choices and flags slideshows / static clips):
+    cuts per clip, scenes, longest/shortest shot in frames. Shot
+    lengths come from a lag window over the cut positions plus an
+    end-of-clip sentinel, so the whole summary is one window + one
+    agg over the CUT rows (≤ frames per clip), not the pixels.
+
+    The decoded SAD verdicts are computed once (eager localCheckpoint
+    — the cuts frame is consumed by both the census and the shot
+    window) and every downstream number is exact-integer, recomputed
+    by the oracle from the fixture's text bytes."""
+    from pyspark.sql import Window
+    media = multimodal.documents_as_video_media(
+        load_table(spark, sf_dir, "documents"), scene_at_half=True)
+    cuts = multimodal.scene_cuts(media).localCheckpoint(eager=True)
+    per = (cuts.groupBy("media_id")
+               .agg(F.expr("CAST(count(*) + 1 AS BIGINT)")
+                     .alias("n_frames"),
+                    F.expr("CAST(sum(is_cut) AS BIGINT)").alias("n_cuts")))
+    bounds = (cuts.where("is_cut = 1")
+                  .select("media_id", "frame_idx")
+                  .unionByName(per.select(
+                      "media_id", F.col("n_frames").alias("frame_idx"))))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    shots = (bounds
+             .withColumn("prev", F.lag("frame_idx", 1, 0).over(w))
+             .withColumn("shot_len", F.col("frame_idx") - F.col("prev"))
+             .where("shot_len > 0"))
+    stats = shots.groupBy("media_id").agg(
+        F.expr("CAST(max(shot_len) AS BIGINT)").alias("longest_shot"),
+        F.expr("CAST(min(shot_len) AS BIGINT)").alias("shortest_shot"))
+    return (per.join(stats, "media_id")
+               .selectExpr("media_id", "n_frames", "n_cuts",
+                           "n_cuts + 1 AS n_scenes",
+                           "longest_shot", "shortest_shot")
+               .orderBy("media_id"))
+
+
+def _scene_summary_sql() -> str:
+    """DuckDB twin: re-derives the SAD verdicts from the fixture
+    bytes (the `_scene_cuts_sql` chain), then the same bounds-window
+    shot arithmetic."""
+    base = _scene_cuts_sql().strip().rstrip()
+    return f"""
+WITH cuts AS ({base}),
+per AS (SELECT media_id, CAST(count(*) + 1 AS BIGINT) AS n_frames,
+               CAST(sum(is_cut) AS BIGINT) AS n_cuts
+        FROM cuts GROUP BY 1),
+bounds AS (
+  SELECT media_id, frame_idx FROM cuts WHERE is_cut = 1
+  UNION ALL
+  SELECT media_id, n_frames AS frame_idx FROM per),
+shots AS (
+  SELECT media_id,
+         frame_idx - coalesce(lag(frame_idx) OVER
+           (PARTITION BY media_id ORDER BY frame_idx), 0) AS shot_len
+  FROM bounds),
+stats AS (SELECT media_id, CAST(max(shot_len) AS BIGINT) AS longest_shot,
+                 CAST(min(shot_len) AS BIGINT) AS shortest_shot
+          FROM shots WHERE shot_len > 0 GROUP BY 1)
+SELECT per.media_id, n_frames, n_cuts, n_cuts + 1 AS n_scenes,
+       longest_shot, shortest_shot
+FROM per JOIN stats ON per.media_id = stats.media_id
+ORDER BY per.media_id
 """
 
 
@@ -4879,6 +4997,174 @@ FROM h GROUP BY host ORDER BY host
 """
 
 
+# ------------------------------------------------ HTML boilerplate strip
+
+def _html_wrap_sql(str_t: str) -> str:
+    """The HTML fixture, shared expression text modulo the string-cast
+    spelling: every document's text wrapped in a deterministic page
+    shell — head (title + inline style), nav, content div, script
+    blob, footer — so the stripper has real boilerplate to remove and
+    the oracle can rebuild the identical page."""
+    did = f"CAST(doc_id AS {str_t})"
+    return (
+        "'<html><head><title>Doc ' || " + did +
+        " || '</title><style>body{margin:0}</style></head><body>"
+        "<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>"
+        "<div class=\"content\"><p>' || text || '</p></div>"
+        "<script>var t=42;</script>"
+        "<footer>(c) 2024 Example Corp - All rights reserved</footer>"
+        "</body></html>'")
+
+
+def _html_strip_sql(html: str, rr) -> str:
+    """Boilerplate removal as one nested expression; `rr` is the
+    engine's replace-all regexp spelling. Block elements whose INNER
+    TEXT must not survive (head/title/style, script, nav, footer) are
+    removed wholesale BEFORE the generic tag strip — a tag-only strip
+    would leak 'Home | About' and the copyright line into the
+    training text, which is exactly the failure mode this op exists
+    to catch. Then tags → '', whitespace collapsed, trimmed."""
+    s = rr(html, "<head>.*?</head>", "")
+    s = rr(s, "<script>.*?</script>", "")
+    s = rr(s, "<nav>.*?</nav>", "")
+    s = rr(s, "<footer>.*?</footer>", "")
+    s = rr(s, "<[^>]*>", "")
+    s = rr(s, "  +", " ")
+    return f"trim({s})"
+
+
+def _html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the first content step of every
+    web-corpus pipeline (CCNet/RefinedWeb lineage: drop head/nav/
+    script/footer chrome, keep the article text). Graded as a
+    wrap→strip ROUNDTRIP census per source: the fixture page is
+    deterministic, so `n_exact_roundtrip` (stripped text == original
+    text) pins that the stripper removes ALL chrome and ONLY chrome,
+    and the retention ratio pins the byte accounting.
+
+    Scale shape: pure map — six codegen regexp passes and one
+    source-keyed hash agg; zero joins, zero extra scans. At crawl
+    scale this is the op that turns fetched bytes into trainable
+    text, and it runs at input bandwidth."""
+    rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}')"
+    wrapped = _html_wrap_sql("STRING")
+    stripped = _html_strip_sql("html", rr)
+    d = (load_table(spark, sf_dir, "documents")
+         .where("text IS NOT NULL")
+         .selectExpr("doc_id", "source", "text", f"{wrapped} AS html"))
+    d = d.selectExpr("source", "text", "html", f"{stripped} AS stripped")
+    return (d.groupBy("source")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.expr("CAST(sum(CASE WHEN stripped = trim(text) "
+                         "THEN 1 ELSE 0 END) AS BIGINT)")
+                   .alias("n_exact_roundtrip"),
+                  F.expr("CAST(sum(length(html)) AS BIGINT)")
+                   .alias("html_chars"),
+                  F.expr("CAST(sum(length(stripped)) AS BIGINT)")
+                   .alias("text_chars"))
+             .withColumn("retention",
+                         F.expr("CAST(text_chars AS DOUBLE) / "
+                                "CAST(html_chars AS DOUBLE)"))
+             .orderBy("source"))
+
+
+def _html_strip_oracle() -> str:
+    rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}', 'g')"
+    wrapped = _html_wrap_sql("VARCHAR")
+    stripped = _html_strip_sql("html", rr)
+    return f"""
+WITH w AS (SELECT doc_id, source, text, {wrapped} AS html
+           FROM documents WHERE text IS NOT NULL),
+s AS (SELECT source, text, html, {stripped} AS stripped FROM w)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN stripped = trim(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_roundtrip,
+       CAST(sum(length(html)) AS BIGINT) AS html_chars,
+       CAST(sum(length(stripped)) AS BIGINT) AS text_chars,
+       CAST(sum(length(stripped)) AS DOUBLE)
+         / CAST(sum(length(html)) AS DOUBLE) AS retention
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------- URL x content agreement
+
+def _url_text_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SIGNAL dedup census: canonical URL vs content hash, the
+    two dedup keys a crawl pipeline must reconcile. Same canonical
+    URL + several content hashes = page churn (re-crawls caught the
+    CMS changing — keep the freshest); same content under several
+    canonical URLs = mirrors (keep one, remember the aliases). Per
+    host: docs, pages, churn pages, mirrored pages.
+
+    One scan of the corpus projected to (host, canon_url,
+    content_key) and eagerly localCheckpointed — the page census,
+    the content-spread agg, and the mirror join all consume that
+    small frame, not the text column."""
+    rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}')"
+    raw = _url_raw_sql("div", "STRING")
+    canon = _canon_url_sql("raw_url", rr)
+    u = (load_table(spark, sf_dir, "documents")
+         .where("text IS NOT NULL")
+         .selectExpr("doc_id", "md5(text) AS ck", f"{raw} AS raw_url")
+         .selectExpr("ck", f"{canon} AS canon_url")
+         .selectExpr("ck", "canon_url",
+                     "regexp_extract(canon_url, '^[^/]+', 0) AS host")
+         .localCheckpoint(eager=True))
+    pages = (u.groupBy("host", "canon_url")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                   F.countDistinct("ck").cast("long").alias("n_contents")))
+    spread = (u.groupBy("ck")
+               .agg(F.countDistinct("canon_url").cast("long")
+                     .alias("n_urls")))
+    mirrored = (u.join(spread.where("n_urls > 1"), "ck")
+                 .select("host", "canon_url").distinct()
+                 .groupBy("host")
+                 .agg(F.count(F.lit(1)).cast("long")
+                       .alias("n_mirrored_pages")))
+    return (pages.groupBy("host")
+            .agg(F.expr("CAST(sum(n_docs) AS BIGINT)").alias("n_docs"),
+                 F.count(F.lit(1)).cast("long").alias("n_pages"),
+                 F.expr("CAST(sum(CASE WHEN n_contents > 1 THEN 1 "
+                        "ELSE 0 END) AS BIGINT)").alias("n_churn_pages"))
+            .join(mirrored, "host", "left")
+            .selectExpr("host", "n_docs", "n_pages", "n_churn_pages",
+                        "CAST(coalesce(n_mirrored_pages, 0) AS BIGINT)"
+                        " AS n_mirrored_pages")
+            .orderBy("host"))
+
+
+def _url_text_agreement_sql() -> str:
+    rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}', 'g')"
+    raw = _url_raw_sql("//", "VARCHAR")
+    canon = _canon_url_sql("raw_url", rr)
+    return f"""
+WITH u0 AS (SELECT md5(text) AS ck, {raw} AS raw_url
+            FROM documents WHERE text IS NOT NULL),
+u1 AS (SELECT ck, {canon} AS canon_url FROM u0),
+u AS (SELECT ck, canon_url,
+             regexp_extract(canon_url, '^[^/]+', 0) AS host FROM u1),
+pages AS (SELECT host, canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT ck) AS BIGINT) AS n_contents
+          FROM u GROUP BY 1, 2),
+spread AS (SELECT ck, count(DISTINCT canon_url) AS n_urls
+           FROM u GROUP BY 1),
+mirrored AS (SELECT host, CAST(count(*) AS BIGINT) AS n_mirrored_pages
+             FROM (SELECT DISTINCT host, canon_url
+                   FROM u JOIN spread USING (ck) WHERE n_urls > 1)
+             GROUP BY 1)
+SELECT pages.host, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN n_contents > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churn_pages,
+       CAST(coalesce(any_value(m.n_mirrored_pages), 0) AS BIGINT)
+         AS n_mirrored_pages
+FROM pages LEFT JOIN mirrored m ON pages.host = m.host
+GROUP BY pages.host
+ORDER BY pages.host
+"""
+
+
 # ------------------------------------------------ radius range search
 
 RANGE_COS = 0.25       # corpus max pairwise cosine ~0.51; 0.25 keeps a tail
@@ -4998,6 +5284,17 @@ WHERE CAST(n_common AS DOUBLE)
 
 
 QUERIES: dict[str, Query] = {
+    "doc_html_strip": Query(_html_strip, _html_strip_oracle(),
+                            "HTML boilerplate strip: block removal "
+                            "before tag strip, graded as a wrap-strip "
+                            "roundtrip census per source"),
+    "doc_url_text_agreement": Query(_url_text_agreement,
+                                    _url_text_agreement_sql(),
+                                    "URL-vs-content dedup census per "
+                                    "host: churn pages (same URL, "
+                                    "several contents) and mirrored "
+                                    "pages (same content, several "
+                                    "URLs)"),
     "doc_heaps_law": Query(_heaps_law, _heaps_law_sql(),
                            "Heaps-law vocabulary growth: cumulative "
                            "vocab vs tokens over doc_id-range buckets,"
@@ -5014,6 +5311,10 @@ QUERIES: dict[str, Query] = {
                               "cross-video near-dup: per-frame aHash "
                               "sets, blocking on identical frame "
                               "hash, frame-set Jaccard verify"),
+    "mm_scene_summary": Query(_scene_summary, _scene_summary_sql(),
+                              "per-clip shot segmentation stats: "
+                              "cuts, scenes, longest/shortest shot "
+                              "via a lag window over cut positions"),
     "doc_winnow_census": Query(_winnow_census, _winnow_census_sql(),
                                "winnowing (MOSS) fingerprint sharing "
                                "census: in-scan window-min sampling, "
@@ -5121,6 +5422,10 @@ QUERIES: dict[str, Query] = {
     "emb_ivfpq_topk": Query(_ivfpq_topk, _ivfpq_topk_sql,
                             "IVF-PQ: cell-pruned candidates ranked by "
                             "ADC over PQ codes (30x payload compression)"),
+    "emb_ivfpq_packed": Query(_ivfpq_packed, _ivfpq_packed_sql,
+                              "IVF-PQ with the candidate codes packed "
+                              "into ONE BIGINT (8 B on the wire); "
+                              "identical ranks, packing value-pinned"),
     "emb_neardup_pairs": Query(_emb_neardup,
                                _emb_neardup_banded_sql(NEARDUP_BANDS),
                                f"embedding-cosine near-dup pairs "

@@ -214,3 +214,129 @@ def test_stream_width_clamp_never_touches_caller_conf(spark):
     finally:
         from ethereum_export_pipeline_spark.session import ensure_conf
         ensure_conf(spark)
+
+
+# ------------------------------------------------------ packed PQ
+
+def test_ivfpq_packed_matches_unpacked_ranks(spark):
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        ivfpq_packed_topk, ivfpq_topk)
+    from ethereum_export_pipeline_spark.plans.llm import get_quantizers
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents, books = get_quantizers()
+    base = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"])
+            for r in ivfpq_topk(emb, cents, books, k=3).collect()}
+    packed = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"])
+              for r in ivfpq_packed_topk(emb, cents, books, k=3).collect()}
+    assert base == packed and base
+
+
+def test_pq_packed_word_roundtrips_codes(spark):
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        PQ_SUBSPACES, pq_codes_col, pq_packed_col, with_quantized)
+    from ethereum_export_pipeline_spark.plans.llm import get_quantizers
+    books = get_quantizers()[1]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
+    df = (with_quantized(emb)
+          .select("vec_id", pq_codes_col(books).alias("codes"),
+                  pq_packed_col(books).alias("packed")))
+    for r in df.collect():
+        val = r["packed"]
+        codes = []
+        for _ in range(PQ_SUBSPACES):
+            codes.append((val & 15) + 1)
+            val >>= 4
+        assert list(reversed(codes)) == list(r["codes"])
+        assert 0 <= r["packed"] < (1 << (4 * PQ_SUBSPACES))
+
+
+# ------------------------------------------------------ HTML strip
+
+def test_html_strip_removes_all_chrome_keeps_params(spark):
+    from ethereum_export_pipeline_spark.plans.llm import (
+        _html_strip_sql, _html_wrap_sql)
+    rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}')"
+    df = spark.createDataFrame(
+        [Row(doc_id=5, text="pure article body text 42")])
+    out = df.selectExpr(
+        "text", f"{_html_wrap_sql('STRING')} AS html").selectExpr(
+        "text", "html", f"{_html_strip_sql('html', rr)} AS stripped")
+    r = out.collect()[0]
+    assert "Home" in r["html"] and "Example Corp" in r["html"]
+    assert r["stripped"] == r["text"]     # nav/title/footer/script gone
+
+
+def test_html_strip_census_roundtrips_corpus(spark):
+    from ethereum_export_pipeline_spark.plans.llm import _html_strip
+    rows = _html_strip(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact_roundtrip"] == r["n_docs"]
+        assert 0.0 < r["retention"] < 1.0
+
+
+# ------------------------------------------------- scene summary
+
+def test_scene_summary_properties(spark):
+    from ethereum_export_pipeline_spark.plans.llm import _scene_summary
+    rows = _scene_summary(spark, SF).collect()
+    assert rows
+    cut_rows = 0
+    for r in rows:
+        assert r["n_frames"] == 2 + r["media_id"] % 5
+        assert r["n_scenes"] == r["n_cuts"] + 1
+        assert 1 <= r["shortest_shot"] <= r["longest_shot"] <= r["n_frames"]
+        if r["n_cuts"] == 1:
+            cut_rows += 1
+            # the single cut is the fixture's mid-clip inversion
+            assert r["longest_shot"] == max(
+                r["n_frames"] // 2,
+                r["n_frames"] - r["n_frames"] // 2)
+    # the inversion clears the SAD threshold for a healthy share of
+    # clips (whether it does depends on the text's byte values)
+    assert cut_rows > len(rows) // 4
+
+
+# ------------------------------------------- URL x content census
+
+def test_url_text_agreement_bounds(spark):
+    from ethereum_export_pipeline_spark.plans.llm import _url_text_agreement
+    rows = _url_text_agreement(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_pages"] <= r["n_docs"]
+        assert r["n_churn_pages"] <= r["n_pages"]
+        assert r["n_mirrored_pages"] <= r["n_pages"]
+
+
+# ------------------------------------- dual-precision wei projection
+
+def test_apply_mapping_dual_precision_golden_schema(spark):
+    from pyspark.sql import types as T
+    from ethereum_export_pipeline_spark.schemas import (
+        WEI, apply_mapping_dual_precision, csv_schema, mapping_for)
+    big = str(2**255 + 12345)          # 77 digits: beyond decimal(38,0)
+    rows = [
+        ("0xaa", "5000000000000000000"),
+        ("0xbb", str(2**64 + 7)),      # > int64, inside dec38
+        ("0xcc", big),
+    ]
+    df = spark.createDataFrame(rows, "hash string, value string")
+    mapping = [m for m in mapping_for("transactions", partitioned=False)
+               if m.dst in ("hash", "value")]
+    out = apply_mapping_dual_precision(df, mapping)
+    # golden schema: dec38 column AND the exact limb twin, in order
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        ("hash", T.StringType()),
+        ("value", WEI),
+        ("value_limbs", T.ArrayType(T.LongType(), False)),
+    ]
+    got = {r["hash"]: r for r in out.collect()}
+    for h, v in rows:
+        limbs = got[h]["value_limbs"]
+        assert sum(l << (32 * (7 - i)) for i, l in enumerate(limbs)) \
+            == int(v)
+    # the reference's documented loss: dec38 NULLs past 38 digits —
+    # the limb column is the column that does not
+    assert got["0xcc"]["value"] is None
+    assert got["0xbb"]["value"] == 2**64 + 7

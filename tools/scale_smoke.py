@@ -161,7 +161,8 @@ def main() -> int:
 
     EMB_OPS = {"semantic_dedup", "lsh_topk", "ivf_topk", "ivfpq_topk",
                "neardup_multiband", "density_sample", "hard_negatives",
-               "semantic_decon", "pca_scores", "mmr_rerank"}
+               "semantic_decon", "pca_scores", "mmr_rerank",
+               "ivf_topk_bulk", "ivfpq_topk_bulk", "ivfpq_packed_bulk"}
     big_emb = None
     if ONLY is None or (ONLY & EMB_OPS):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -664,6 +665,14 @@ def main() -> int:
         lambda: similarity.ivfpq_topk(big_emb, *get_quantizers(),
                                       query_pred=BULK_PRED,
                                       scan_parallelism=cpus))
+    # the packed variant: candidate payload is ONE BIGINT instead of
+    # the m-int code array — the shuffle_write delta vs ivfpq_bulk is
+    # the array-serialization overhead the packing removes
+    bench_no_broadcast(
+        "ivfpq_packed_bulk",
+        lambda: similarity.ivfpq_packed_topk(big_emb, *get_quantizers(),
+                                             query_pred=BULK_PRED,
+                                             scan_parallelism=cpus))
 
     spark.stop()  # flush + finalize the event log
 
