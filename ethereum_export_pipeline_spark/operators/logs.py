@@ -91,6 +91,46 @@ def hex_uint256_limb32_exprs(col: str) -> list[str]:
             for i in range(8)]
 
 
+def dec_uint256_limb32_expr(col: str) -> str:
+    """SQL text: DECIMAL-string uint256 in `col` (the form wei takes
+    in the reference's CSVs — up to 78 digits) → array<bigint> of
+    eight exact 32-bit limbs, big-endian, NULL for non-digit /
+    over-long / ≥ 2^256 input.
+
+    Base conversion runs as a RUNTIME fold, not an unrolled plan:
+    the padded 80-digit string splits into ten 8-digit chunks and
+    `aggregate` folds state' = state·10⁸ + chunk over a 9-slot state
+    array [l0..l7, overflow]. Per step every product stays under
+    2^59 (limb < 2^32 times 10⁸ < 2^27, plus a carry < 2^27), so the
+    whole conversion is exact int64 arithmetic; the carry chain
+    inside one step is a fixed depth-8 expression, and chunk count
+    never multiplies plan size (a 10-round unrolled projection chain
+    was the rejected alternative). The overflow slot accumulates
+    bits carried past limb 0 — any uint > 2^256 (possible at 78
+    digits) yields NULL, never a silently wrapped value."""
+    s = f"CAST({col} AS STRING)"
+    ok = f"({s} rlike '^[0-9]{{1,78}}$')"
+    pad = f"lpad({s}, 80, '0')"
+    chunks = (f"transform(sequence(0, 9), r -> "
+              f"CAST(substring({pad}, r * 8 + 1, 8) AS BIGINT))")
+    M, B = 100_000_000, 1 << 32
+    # carry entering limb j from below (j=8 means the incoming chunk)
+    carry = {8: "ch"}
+    raw = {}
+    for j in range(7, -1, -1):
+        raw[j] = f"(element_at(st, {j + 1}) * {M} + {carry[j + 1]})"
+        carry[j] = f"({raw[j]} div {B})"
+    new_state = ", ".join(
+        [f"{raw[j]} % {B}" for j in range(8)]
+        + [f"element_at(st, 9) + {carry[0]}"])
+    folded = (f"aggregate({chunks}, "
+              f"array_repeat(CAST(0 AS BIGINT), 9), "
+              f"(st, ch) -> array({new_state}))")
+    return (f"CASE WHEN {ok} THEN "
+            f"CASE WHEN element_at({folded}, 9) = 0 "
+            f"THEN slice({folded}, 1, 8) END END")
+
+
 def token_transfers_from_logs(logs: DataFrame,
                               topics_col: str = "topics") -> DataFrame:
     """S5 — decode ERC-20 Transfer events out of raw logs

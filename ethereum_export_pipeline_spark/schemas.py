@@ -160,6 +160,32 @@ def apply_mapping(df: DataFrame, mapping: list[ColumnMapping],
     return df.select(*[one(m) for m in mapping])
 
 
+def apply_mapping_dual_precision(df: DataFrame,
+                                 mapping: list[ColumnMapping],
+                                 safe: bool = True) -> DataFrame:
+    """`apply_mapping` with the FULL-PRECISION wei option (SURVEY hard
+    part (a)): every WEI-typed column additionally lands as
+    `<dst>_limbs` — eight exact 32-bit BIGINT limbs decoded from the
+    SOURCE STRING (`operators.logs.dec_uint256_limb32_expr`), so
+    78-digit values the decimal(38,0) column must NULL (the
+    reference's documented compromise,
+    convert_blocks_to_parquet.py:38-39) stay exactly representable
+    side by side with the compatible decimal form. Consumers sum
+    limbs per `plans/eth.py eth_wei_limbs`' carry-normalize recipe.
+    Still one Catalyst projection; the limb decode is a codegen'd
+    runtime fold, no UDFs."""
+    from .operators.logs import dec_uint256_limb32_expr
+    cols: list[Column] = []
+    for m in mapping:
+        c = F.col(m.src)
+        cols.append(c.try_cast(m.dtype).alias(m.dst) if safe
+                    else c.cast(m.dtype).alias(m.dst))
+        if isinstance(m.dtype, T.DecimalType) and m.dtype == WEI:
+            cols.append(F.expr(dec_uint256_limb32_expr(m.src))
+                         .alias(f"{m.dst}_limbs"))
+    return df.select(*cols)
+
+
 def parse_topics(df: DataFrame, col: str = "topics") -> DataFrame:
     """logs.topics travels comma-joined in CSV; expose it typed as
     ArrayType(StringType) post-parse (FIXTURES.md `logs`)."""
