@@ -223,6 +223,8 @@ HEADLINE = [
     "doc_html_strip",
     "mm_scene_summary",
     "doc_url_text_agreement",
+    "emb_mrl_recall",
+    "mm_patch_stats",
 ]
 
 

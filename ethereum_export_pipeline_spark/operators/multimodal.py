@@ -958,6 +958,57 @@ def ahash_neardup_pairs(media: DataFrame, grid: int = 8,
              .where(F.col("hamming") <= max_hamming))
 
 
+def patch_grid_stats(media: DataFrame, grid: int = 2) -> DataFrame:
+    """ViT-style PATCH tokenization plumbing: decode each image and
+    emit one row per grid×grid patch with exact per-channel pixel
+    sums and the integer mean gray — the 1→N fan-out shape vision
+    training runs before embedding (patch boundaries are the
+    integer-division windows y∈[r·h div g, (r+1)·h div g), likewise
+    x, so ragged dimensions distribute remainder pixels exactly like
+    the oracle recomputes them). NULL/undecodable payloads produce
+    no rows.
+
+    Scale shape: one Arrow mapInPandas projection (vectorized numpy
+    block sums), zero shuffle; downstream consumers group by
+    media_id, a hash-agg."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "media_id", "patch_row", "patch_col", "n_px",
+                "sum_r", "sum_g", "sum_b", "mean_gray")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decode_image(payload)
+                if dec is None:
+                    continue
+                w, h, c, px = dec
+                px64 = px.astype(np.int64)
+                for r in range(grid):
+                    y0, y1 = (r * h) // grid, ((r + 1) * h) // grid
+                    for cc in range(grid):
+                        x0, x1 = (cc * w) // grid, ((cc + 1) * w) // grid
+                        block = px64[y0:y1, x0:x1, :]
+                        n_px = (y1 - y0) * (x1 - x0)
+                        s = block.sum(axis=(0, 1))
+                        cols["media_id"].append(mid)
+                        cols["patch_row"].append(r)
+                        cols["patch_col"].append(cc)
+                        cols["n_px"].append(n_px)
+                        cols["sum_r"].append(int(s[0]))
+                        cols["sum_g"].append(int(s[1]))
+                        cols["sum_b"].append(int(s[2]))
+                        cols["mean_gray"].append(
+                            int(s.sum()) // (3 * n_px) if n_px else 0)
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64")
+                                for k, v in cols.items()})
+
+    return media.mapInPandas(
+        run, "media_id long, patch_row long, patch_col long, "
+             "n_px long, sum_r long, sum_g long, sum_b long, "
+             "mean_gray long")
+
+
 VIDEO_NEARDUP_J = 0.3    # frame-set Jaccard cut for video near-dup
 VIDEO_HASH_MAX_DF = 1000  # df-cut: frame hashes in more videos are
                           # blocking-useless boilerplate (black frames,

@@ -951,6 +951,50 @@ def ann_recall_report(df: DataFrame, k: int = 5,
     return _recall_vs_exact(exact, approx, k)
 
 
+MRL_PREFIXES = (16, 32, 64)   # Matryoshka evaluation points
+
+
+def matryoshka_recall_report(df: DataFrame, k: int = 5,
+                             id_col: str = "vec_id",
+                             emb_col: str = "embedding",
+                             query_pred: str | None = None,
+                             dim: int = EMB_DIM,
+                             prefixes: tuple = MRL_PREFIXES) -> DataFrame:
+    """recall@k of PREFIX-dimension retrieval against the full-width
+    exact top-k — the Matryoshka-representation question ("how many
+    leading dims does serving actually need?") as a first-class
+    query. For each prefix p the candidate ranking uses exact cosine
+    over the first p components only; a hit is the same neighbor id
+    in the full-width exact top-k. Output one row per (prefix_dim,
+    query_id): n_hits, recall_ppm — exact integers, the recall-trio
+    report shape (`_recall_vs_exact`).
+
+    Scale shape: evaluation harness over a bounded query sample (the
+    brute-force guard applies); per prefix the candidate side scans
+    once map-side against broadcast queries — the slice shortens the
+    zip_with, it never adds an exchange. Production then serves at
+    the cheapest prefix whose recall clears the bar, cutting vector
+    state and wire bytes proportionally."""
+    query_pred = query_pred or f"{id_col} < 10"
+    exact = brute_force_topk(df, id_col, emb_col, k=k,
+                             query_pred=query_pred)
+    reports = []
+    for p in prefixes:
+        sliced = (df.where(F.size(F.col(emb_col)) == dim)
+                    .select(id_col,
+                            F.slice(F.col(emb_col), 1, p).alias(emb_col)))
+        approx = brute_force_topk(sliced, id_col, emb_col, k=k,
+                                  query_pred=query_pred)
+        reports.append(
+            _recall_vs_exact(exact, approx, k)
+            .select(F.lit(p).cast("long").alias("prefix_dim"),
+                    "query_id", "n_hits", "recall_ppm"))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("prefix_dim", "query_id")
+
+
 #: shift making every per-component mean numerator non-negative, so
 #: floor div (DuckDB //) and truncating div (Spark div) agree
 KMEANS_MEAN_OFF = 4 * QUANT_SCALE

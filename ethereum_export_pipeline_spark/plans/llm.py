@@ -2406,6 +2406,60 @@ FROM sads
 """
 
 
+def _patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch tokenization over REAL decoded images
+    (operators/multimodal.patch_grid_stats): one row per 2×2-grid
+    patch with exact per-channel sums and integer mean gray — the
+    fan-out vision training runs before patch embedding. Every value
+    is a function of decoded pixels; the oracle recomputes each
+    patch window from the fixture's text→pixel tiling, ragged
+    remainder pixels included (w = 8+id%9, h = 8+id%7 exercise
+    uneven splits in both axes)."""
+    media = multimodal.documents_as_ppm_media(
+        load_table(spark, sf_dir, "documents"))
+    return multimodal.patch_grid_stats(media)
+
+
+def _patch_stats_sql() -> str:
+    digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
+    byte_at = (f"16 * ({digit.format(i='2*p+1')}) "
+               f"+ ({digit.format(i='2*p+2')})")
+    px = ("(3 * ((y0 + k // pw) * w + (x0 + k % pw)) + {ch}) % nbe + 1")
+    ch_sum = ("CAST(list_sum(list_transform(range(ph * pw), k -> "
+              "vals[" + px + "])) AS BIGINT)")
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb,
+         CAST(8 + doc_id % 9 AS BIGINT) AS w,
+         CAST(8 + doc_id % 7 AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
+), v AS (
+  SELECT doc_id, w, h,
+         CASE WHEN nb = 0 THEN 1 ELSE nb END AS nbe,
+         CASE WHEN nb = 0 THEN [0]
+              ELSE list_transform(range(nb), p -> {byte_at}) END AS vals
+  FROM m
+), patches AS (
+  SELECT doc_id, w, h, nbe, vals,
+         CAST(pr AS BIGINT) AS patch_row, CAST(pc AS BIGINT) AS patch_col,
+         (pr * h) // 2 AS y0, ((pr + 1) * h) // 2 AS y1,
+         (pc * w) // 2 AS x0, ((pc + 1) * w) // 2 AS x1
+  FROM v, UNNEST(range(2)) u1(pr), UNNEST(range(2)) u2(pc)
+), sized AS (
+  SELECT *, y1 - y0 AS ph, x1 - x0 AS pw FROM patches
+)
+SELECT doc_id AS media_id, patch_row, patch_col,
+       CAST(ph * pw AS BIGINT) AS n_px,
+       {ch_sum.format(ch=0)} AS sum_r,
+       {ch_sum.format(ch=1)} AS sum_g,
+       {ch_sum.format(ch=2)} AS sum_b,
+       ({ch_sum.format(ch=0)} + {ch_sum.format(ch=1)}
+        + {ch_sum.format(ch=2)}) // (3 * ph * pw) AS mean_gray
+FROM sized
+"""
+
+
 def _scene_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-CLIP shot segmentation stats on top of the scene-cut
     detector — the video-curation report (shot-length distribution
@@ -2829,6 +2883,74 @@ SELECT q.query_id AS query_id,
        COALESCE(h.n_hits, 0) * 1000000 // {TOPK_K} AS recall_ppm
 FROM (SELECT DISTINCT query_id FROM exact) q
 LEFT JOIN hits h USING (query_id)
+"""
+
+
+def _mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension recall
+    (operators/similarity.matryoshka_recall_report): recall@k of
+    serving with only the first 16/32/64 components against the
+    full-width exact top-k — the dimension-truncation tuning report
+    for MRL-trained embeddings. prefix 64 = full width, so its rows
+    are the built-in sanity floor (recall 100%)."""
+    return similarity.matryoshka_recall_report(
+        load_table(spark, sf_dir, "embeddings"), k=TOPK_K)
+
+
+def _mrl_recall_sql() -> str:
+    def prefix_block(p: int) -> str:
+        return f"""
+p{p}_wn AS (SELECT vec_id, q[1:{p}] AS pq,
+            CAST(list_sum(list_transform(q[1:{p}], x -> x * x))
+                 AS BIGINT) AS pn2 FROM wn),
+p{p}_q AS (SELECT vec_id AS query_id, pq AS qv, pn2 AS qn2 FROM p{p}_wn
+           WHERE vec_id < 10),
+p{p}_c AS (SELECT vec_id AS neighbor_id, pq AS cv, pn2 AS cn2
+           FROM p{p}_wn),
+p{p}_cos AS (SELECT query_id, neighbor_id,
+             CAST(list_sum(list_transform(qv, (x, i) -> x * cv[i]))
+                  AS DOUBLE)
+               / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE))
+               AS cosine
+             FROM p{p}_q CROSS JOIN p{p}_c
+             WHERE neighbor_id <> query_id),
+p{p}_top AS (SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM p{p}_cos) WHERE rk <= {TOPK_K}),
+p{p}_hits AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM p{p}_top a SEMI JOIN exact e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1),
+p{p}_out AS (
+  SELECT CAST({p} AS BIGINT) AS prefix_dim, q.query_id,
+         COALESCE(h.n_hits, 0) AS n_hits,
+         COALESCE(h.n_hits, 0) * 1000000 // {TOPK_K} AS recall_ppm
+  FROM (SELECT DISTINCT query_id FROM exact) q
+  LEFT JOIN p{p}_hits h USING (query_id))"""
+
+    prefixes = similarity.MRL_PREFIXES
+    blocks = ",".join(prefix_block(p) for p in prefixes)
+    union = "\nUNION ALL\n".join(f"SELECT * FROM p{p}_out"
+                                 for p in prefixes)
+    return f"""
+WITH {_BASE_CTES},
+bq AS (SELECT vec_id AS query_id, q AS qv, n2 AS qn2 FROM wn
+       WHERE vec_id < 10),
+bc AS (SELECT vec_id AS neighbor_id, q AS cv, n2 AS cn2 FROM wn),
+bcos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM
+         (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2
+          FROM bq CROSS JOIN bc WHERE neighbor_id <> query_id)),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM bcos) WHERE rk <= {TOPK_K}
+),{blocks}
+SELECT * FROM ({union}) ORDER BY prefix_dim, query_id
 """
 
 
@@ -5288,6 +5410,10 @@ QUERIES: dict[str, Query] = {
                             "HTML boilerplate strip: block removal "
                             "before tag strip, graded as a wrap-strip "
                             "roundtrip census per source"),
+    "emb_mrl_recall": Query(_mrl_recall, _mrl_recall_sql(),
+                            "Matryoshka prefix-dim recall@k: serving "
+                            "with the first 16/32/64 components vs "
+                            "the full-width exact top-k"),
     "doc_url_text_agreement": Query(_url_text_agreement,
                                     _url_text_agreement_sql(),
                                     "URL-vs-content dedup census per "
@@ -5311,6 +5437,10 @@ QUERIES: dict[str, Query] = {
                               "cross-video near-dup: per-frame aHash "
                               "sets, blocking on identical frame "
                               "hash, frame-set Jaccard verify"),
+    "mm_patch_stats": Query(_patch_stats, _patch_stats_sql(),
+                            "ViT-style 2x2 patch tokenization: exact "
+                            "per-channel sums + integer mean gray per "
+                            "decoded patch window"),
     "mm_scene_summary": Query(_scene_summary, _scene_summary_sql(),
                               "per-clip shot segmentation stats: "
                               "cuts, scenes, longest/shortest shot "

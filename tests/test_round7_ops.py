@@ -340,3 +340,54 @@ def test_apply_mapping_dual_precision_golden_schema(spark):
     # the limb column is the column that does not
     assert got["0xcc"]["value"] is None
     assert got["0xbb"]["value"] == 2**64 + 7
+
+
+# ------------------------------------------------ Matryoshka recall
+
+def test_mrl_full_prefix_is_perfect_recall(spark):
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        EMB_DIM, MRL_PREFIXES, matryoshka_recall_report)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = matryoshka_recall_report(emb, k=3).collect()
+    assert {r["prefix_dim"] for r in rows} == set(MRL_PREFIXES)
+    by_p: dict[int, list] = {}
+    for r in rows:
+        by_p.setdefault(r["prefix_dim"], []).append(r)
+    # full-width prefix IS the exact ranking: recall must be 100%
+    assert all(r["recall_ppm"] == 1_000_000 for r in by_p[EMB_DIM])
+    # recall_ppm consistent with n_hits
+    assert all(r["recall_ppm"] == r["n_hits"] * 1_000_000 // 3
+               for r in rows)
+    # truncation can only lose information: mean recall monotone
+    # non-increasing as the prefix shrinks
+    mean = {p: sum(r["recall_ppm"] for r in v) / len(v)
+            for p, v in by_p.items()}
+    assert mean[16] <= mean[32] + 1e-9 and mean[32] <= mean[64] + 1e-9
+
+
+# ------------------------------------------------------ patch stats
+
+def test_patch_grid_stats_hand_image(spark):
+    import numpy as np
+    from ethereum_export_pipeline_spark.operators.multimodal import (
+        documents_as_ppm_media, patch_grid_stats)
+    doc_id = 10   # w = 8 + 10%9 = 9, h = 8 + 10%7 = 11: ragged both axes
+    docs = spark.createDataFrame([Row(doc_id=doc_id, text="abcxyz123"),
+                                  Row(doc_id=2, text=None)])
+    rows = {(r["patch_row"], r["patch_col"]): r
+            for r in patch_grid_stats(
+                documents_as_ppm_media(docs)).collect()}
+    assert len(rows) == 4 and all(
+        k[0] in (0, 1) and k[1] in (0, 1) for k in rows)
+    assert {r["media_id"] for r in rows.values()} == {doc_id}
+    w, h = 8 + doc_id % 9, 8 + doc_id % 7
+    raw = np.frombuffer(b"abcxyz123", np.uint8)
+    px = np.resize(raw, w * h * 3).reshape(h, w, 3).astype(np.int64)
+    for (r, c), row in rows.items():
+        y0, y1 = (r * h) // 2, ((r + 1) * h) // 2
+        x0, x1 = (c * w) // 2, ((c + 1) * w) // 2
+        block = px[y0:y1, x0:x1, :]
+        assert row["n_px"] == (y1 - y0) * (x1 - x0)
+        assert (row["sum_r"], row["sum_g"], row["sum_b"]) == tuple(
+            int(v) for v in block.sum(axis=(0, 1)))
+        assert row["mean_gray"] == int(block.sum()) // (3 * row["n_px"])
