@@ -225,6 +225,7 @@ HEADLINE = [
     "doc_url_text_agreement",
     "emb_mrl_recall",
     "mm_patch_stats",
+    "doc_dedup_savings",
 ]
 
 

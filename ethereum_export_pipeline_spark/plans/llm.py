@@ -1211,6 +1211,67 @@ WHERE c.lbl IS NULL OR c.lbl = d.doc_id
 """
 
 
+def _dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI report — the per-source ECONOMICS of running the
+    near-dup pipeline (what a curation team shows before paying for
+    the dedup pass at 100 TB): per source, corpus size, documents a
+    canonical dedup would remove, characters (≈ bytes ≈ storage +
+    training tokens) saved, and the removal ratio. Rides the
+    memoized cluster labels (`_cc` — the 12th consumer of the shared
+    pair-graph artifact), so the marginal cost is one broadcast-sized
+    join + a source-keyed hash agg over the corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _cc(spark, sf_dir)   # (doc_id, cluster_id), pairs only
+    flagged = (docs.join(labels, "doc_id", "left")
+                   .selectExpr("source", "n_chars",
+                               "CASE WHEN cluster_id IS NOT NULL AND "
+                               "cluster_id <> doc_id THEN 1 ELSE 0 END"
+                               " AS removed"))
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.expr("CAST(sum(removed) AS BIGINT)")
+                  .alias("n_removed"),
+                 F.expr("CAST(sum(CASE WHEN removed = 1 THEN n_chars "
+                        "ELSE 0 END) AS BIGINT)").alias("chars_saved"),
+                 F.expr("CAST(sum(n_chars) AS BIGINT)")
+                  .alias("chars_total"))
+            .withColumn("removal_ratio",
+                        F.expr("CAST(n_removed AS DOUBLE) / "
+                               "CAST(n_docs AS DOUBLE)"))
+            .orderBy("source"))
+
+
+def _dedup_savings_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_pairs_sql()}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+), clusters AS (
+  SELECT node, min(lbl) AS lbl FROM reach GROUP BY 1
+), flagged AS (
+  SELECT d.source, d.n_chars,
+         CASE WHEN c.lbl IS NOT NULL AND c.lbl <> d.doc_id
+              THEN 1 ELSE 0 END AS removed
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(removed) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN removed = 1 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS chars_saved,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(removed) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS removal_ratio
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------- hash split
 
 def _hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5410,6 +5471,10 @@ QUERIES: dict[str, Query] = {
                             "HTML boilerplate strip: block removal "
                             "before tag strip, graded as a wrap-strip "
                             "roundtrip census per source"),
+    "doc_dedup_savings": Query(_dedup_savings, _dedup_savings_sql(),
+                               "dedup ROI per source: docs/chars a "
+                               "canonical near-dup pass removes, off "
+                               "the shared cluster-label artifact"),
     "emb_mrl_recall": Query(_mrl_recall, _mrl_recall_sql(),
                             "Matryoshka prefix-dim recall@k: serving "
                             "with the first 16/32/64 components vs "

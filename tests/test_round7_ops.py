@@ -391,3 +391,22 @@ def test_patch_grid_stats_hand_image(spark):
         assert (row["sum_r"], row["sum_g"], row["sum_b"]) == tuple(
             int(v) for v in block.sum(axis=(0, 1)))
         assert row["mean_gray"] == int(block.sum()) // (3 * row["n_px"])
+
+
+# ---------------------------------------------------- dedup savings
+
+def test_dedup_savings_consistent_with_canonical(spark):
+    from ethereum_export_pipeline_spark.plans.llm import (
+        _dedup_canonical, _dedup_savings)
+    rows = _dedup_savings(spark, SF).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_total = docs.count()
+    n_kept = _dedup_canonical(spark, SF).count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    assert sum(r["n_removed"] for r in rows) == n_total - n_kept
+    for r in rows:
+        assert 0 <= r["n_removed"] < r["n_docs"]
+        assert 0 <= r["chars_saved"] <= r["chars_total"]
+        assert r["removal_ratio"] == pytest.approx(
+            r["n_removed"] / r["n_docs"])
