@@ -387,6 +387,67 @@ def main() -> int:
 
     bench("ancestor_closure", ancestor_closure_deep)
 
+    # round-7 operator families over the amplified corpus: the
+    # decode-heavy Arrow mapInPandas paths (video near-dup, patch
+    # tokenization), the pure-regexp map (HTML strip), and the
+    # tokenize + first-bucket agg (Heaps growth, inlined over the
+    # amplified frame — same plan as plans/llm._heaps_law).
+    def video_neardup():
+        from ethereum_export_pipeline_spark.operators.multimodal import (
+            documents_as_video_media, video_neardup_pairs)
+        return video_neardup_pairs(documents_as_video_media(big_docs))
+
+    bench("video_neardup", video_neardup)
+
+    def patch_stats():
+        from ethereum_export_pipeline_spark.operators.multimodal import (
+            documents_as_ppm_media, patch_grid_stats)
+        return patch_grid_stats(documents_as_ppm_media(big_docs))
+
+    bench("patch_stats", patch_stats)
+
+    def html_strip():
+        from ethereum_export_pipeline_spark.plans.llm import (
+            _html_strip_sql, _html_wrap_sql)
+        rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}')"
+        d = (big_docs.where("text IS NOT NULL")
+             .selectExpr("doc_id", "text",
+                         f"{_html_wrap_sql('STRING')} AS html"))
+        d = d.selectExpr("doc_id % 20 AS grp", "text", "html",
+                         f"{_html_strip_sql('html', rr)} AS stripped")
+        return (d.groupBy("grp")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.expr("CAST(sum(CASE WHEN stripped = trim(text) "
+                             "THEN 1 ELSE 0 END) AS BIGINT)").alias("ok"),
+                      F.expr("CAST(sum(length(stripped)) AS BIGINT)")
+                       .alias("chars")))
+
+    bench("html_strip", html_strip)
+
+    def heaps_law():
+        docs = big_docs.where("text IS NOT NULL").select("doc_id", "text")
+        bounds = (docs.agg(F.min("doc_id").alias("mn"),
+                           F.max("doc_id").alias("mx"))
+                  .localCheckpoint(eager=True))
+        bucket = F.expr("least(9, ((doc_id - mn) * 10) div (mx - mn + 1))")
+        db = (docs.crossJoin(F.broadcast(bounds))
+                  .withColumn("bucket", bucket).select("bucket", "text"))
+        tb = (db.selectExpr(
+                  "bucket",
+                  "explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+                  " AS term")
+                .groupBy("bucket", "term")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+                .localCheckpoint(eager=True))
+        tokb = tb.groupBy("bucket").agg(
+            F.expr("CAST(sum(cnt) AS BIGINT)").alias("n_tokens"))
+        newb = (tb.groupBy("term").agg(F.min("bucket").alias("bucket"))
+                  .groupBy("bucket")
+                  .agg(F.count(F.lit(1)).cast("long").alias("new_terms")))
+        return tokb.join(newb, "bucket", "left")
+
+    bench("heaps_law", heaps_law)
+
     stream_ops = {"stream_cusum", "stream_cep"}
     if ONLY is None or (ONLY & stream_ops):
         ev_src = spark.read.parquet(f"{SF_DIR}/events.parquet")
