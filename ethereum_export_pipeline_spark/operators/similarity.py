@@ -976,8 +976,14 @@ def matryoshka_recall_report(df: DataFrame, k: int = 5,
     the cheapest prefix whose recall clears the bar, cutting vector
     state and wire bytes proportionally."""
     query_pred = query_pred or f"{id_col} < 10"
-    exact = brute_force_topk(df, id_col, emb_col, k=k,
-                             query_pred=query_pred)
+    # the ground-truth frame is Q·k rows consumed by every prefix's
+    # recall tail (2 consumers each) — eager-checkpoint it or each
+    # consumer re-runs the full-width brute-force corpus pass
+    # (measured: 21 parquet scans / 9 nested-loop joins in the dumped
+    # plan without the cut)
+    exact = (brute_force_topk(df, id_col, emb_col, k=k,
+                              query_pred=query_pred)
+             .localCheckpoint(eager=True))
     reports = []
     for p in prefixes:
         sliced = (df.where(F.size(F.col(emb_col)) == dim)
