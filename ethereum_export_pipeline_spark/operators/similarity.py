@@ -981,7 +981,11 @@ def matryoshka_recall_report(df: DataFrame, k: int = 5,
     # consumer re-runs the full-width brute-force corpus pass
     # (measured: 21 parquet scans / 9 nested-loop joins in the dumped
     # plan without the cut)
-    exact = (brute_force_topk(df, id_col, emb_col, k=k,
+    # filter the exact pass to full-width rows, matching the prefix
+    # sides and the oracle's len(embedding)=dim guard — otherwise a
+    # wrong-dim/NULL embedding row makes ground truth diverge
+    exact = (brute_force_topk(df.where(F.size(F.col(emb_col)) == dim),
+                              id_col, emb_col, k=k,
                               query_pred=query_pred)
              .localCheckpoint(eager=True))
     reports = []

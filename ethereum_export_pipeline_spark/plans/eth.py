@@ -912,17 +912,37 @@ def _staged_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     from ..sources.staged_sink import (MANIFEST, StagedCsvDataSource,
                                        read_manifest)
-    try:
-        spark.dataSource.register(StagedCsvDataSource)
-    except Exception as ex:  # registry is context-global (see
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):  # datasource.register)
-            raise
+
+    def _register(sess):
+        try:
+            sess.dataSource.register(StagedCsvDataSource)
+        except Exception as ex:  # registry is context-global (see
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):  # datasource.register)
+                raise
+
+    def _write(sess):
+        c = load_table(sess, sf_dir, "customer")
+        (c.select("c_custkey", "c_name", "c_nationkey",
+                  F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+                   .alias("acctbal_cents"))
+          .write.format("ethereum_staged_csv").mode("overwrite").save(out))
+
     out = scratch_dir("spark_graft_staged_")
-    c = load_table(spark, sf_dir, "customer")
-    (c.select("c_custkey", "c_name", "c_nationkey",
-              F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
-               .alias("acctbal_cents"))
-      .write.format("ethereum_staged_csv").mode("overwrite").save(out))
+    _register(spark)
+    try:
+        _write(spark)
+    except Exception as ex:
+        # ALREADY_EXISTS above can mean a POISONED inherited registry
+        # entry (the documented Spark 4.1 trap: a child created after
+        # a parent registration re-registers as ALREADY_EXISTS yet
+        # resolves as NOT_FOUND). Mirror streaming._chain_session:
+        # rerun on a session that owns a live registration.
+        if "DATA_SOURCE_NOT_FOUND" not in str(ex):
+            raise
+        from ..session import isolated_session
+        child = isolated_session(spark)
+        _register(child)
+        _write(child)
     m = read_manifest(out)
     if m["total_rows"] != sum(f["rows"] for f in m["files"]):
         raise AssertionError(f"manifest total inconsistent: {m}")
@@ -962,8 +982,13 @@ FROM customer
 _WEI_SMALL = "event_id % 5 = 0"
 _WEI_A = (f"CASE WHEN {_WEI_SMALL} THEN 0 "
           "ELSE (user_id % 4294967295) + 1 END")
+# (e*2654435761) mod 2^32 via split multiplier 40503·2^16 + 31153:
+# every intermediate < 2^48, so Spark (non-ANSI, silently wrapping)
+# and DuckDB (raises on int64 overflow) compute the SAME value for
+# any event_id — the naive product overflows at event_id ≥ ~3.47e9
 _WEI_B = (f"CASE WHEN {_WEI_SMALL} THEN 0 "
-          "ELSE (event_id * 2654435761) % 4294967296 END")
+          "ELSE ((event_id % 4294967296) * 40503 % 65536 * 65536"
+          " + (event_id % 4294967296) * 31153) % 4294967296 END")
 _WEI_C = (f"CASE WHEN {_WEI_SMALL} THEN 0 "
           "ELSE (user_id * 7 + 3) % 4294967296 END")
 _WEI_D = ("greatest(coalesce(CAST(round(value * 100) AS BIGINT), 0), 0)"
