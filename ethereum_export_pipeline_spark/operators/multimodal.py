@@ -14,9 +14,12 @@ concatenated-netpbm stream (frame boundaries found by re-parsing each
 header) and DECODES the evenly-spaced chosen frames. Dedup keys come
 from decoded content too: exact aHash groups (`ahash_dup_groups`),
 banded-hamming image NEAR-dups (`ahash_neardup_pairs`), and
-audio-envelope fingerprints. Compressed formats (JPEG/PNG/MP4) would
-slot into the same `mapInPandas` with PIL/decord in production —
-only the codec is swapped, never the Spark-side plumbing.
+audio-envelope fingerprints. PNG is a REAL compressed codec here
+(`decode_png`: chunk walk with CRC checks, stdlib-zlib inflate,
+numpy unfilter of all five scanline filters) — proof that compressed
+formats slot into the same `mapInPandas` with only the codec swapped;
+the remaining ones (JPEG/MP4) take PIL/decord in production, never a
+change to the Spark-side plumbing.
 
 Scale notes: binary payloads dominate row size, so feature extraction
 uses `mapInPandas` (Arrow batches, zero row-at-a-time serde) and
@@ -172,8 +175,10 @@ def decode_image(payload: bytes | None):
     then the raw sample plane.
 
     Dispatches on the magic bytes: netpbm here, 'BM' → `decode_bmp`
-    (uncompressed 24-bit Windows bitmaps) — one decode entry point for
-    every uncompressed format the engine understands.
+    (uncompressed 24-bit Windows bitmaps), the 8-byte PNG signature →
+    `decode_png` (a REAL compressed codec: zlib inflate + per-scanline
+    unfilter) — one decode entry point for every format the engine
+    understands.
 
     Returns None (never raises) for NULL/garbage/truncated payloads or
     unsupported variants (maxval > 255 needs 16-bit planes) — one bad
@@ -183,6 +188,8 @@ def decode_image(payload: bytes | None):
         return None
     if bytes(payload[:2]) == b"BM":
         return decode_bmp(payload)
+    if bytes(payload[:8]) == PNG_SIG:
+        return decode_png(payload)
     buf = bytes(payload)
     parsed = _parse_netpbm_header(buf, 0)
     if parsed is None:
@@ -311,6 +318,215 @@ def encode_bmp(pixels) -> bytes:
     return (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
             + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
                           len(data), 2835, 2835, 0, 0) + data)
+
+
+# -------------------------------------------------------- png codec
+#
+# A REAL compressed image codec with zero third-party deps: zlib is
+# Python stdlib and PNG unfiltering is integer numpy arithmetic. This
+# closes the "compressed formats would slot into the same mapInPandas"
+# claim above with a working instance — the Spark-side plumbing
+# (binary column in, mapInPandas decode, exact-integer features out)
+# is byte-identical to the netpbm path; only the codec differs.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels, filters=None) -> bytes:
+    """uint8 pixel array → real PNG bytes: h×w×3 → color type 2
+    (truecolor), h×w / h×w×1 → color type 0 (grayscale), bit depth 8,
+    no interlace. ``filters`` picks the per-scanline filter type; the
+    default cycles y % 5 so every fixture image exercises ALL FIVE
+    spec filters (None/Sub/Up/Average/Paeth). Filtering is fully
+    vectorized — the encoder predicts from ORIGINAL neighbor pixels,
+    so unlike decoding it has no sequential dependency."""
+    import struct
+    import zlib
+
+    import numpy as np
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in (1, 3):
+        raise ValueError(f"encode_png: {c} channels (want 1 or 3)")
+    rows = a.reshape(h, w * c).astype(np.int32)
+    prior = np.vstack([np.zeros((1, w * c), np.int32), rows[:-1]])
+    left = np.zeros_like(rows)
+    left[:, c:] = rows[:, :-c]
+    ul = np.zeros_like(rows)
+    ul[1:, c:] = rows[:-1, :-c]
+    out = bytearray()
+    for y in range(h):
+        ft = int(filters[y]) if filters is not None else y % 5
+        r, l, p, q = rows[y], left[y], prior[y], ul[y]
+        if ft == 0:
+            f = r
+        elif ft == 1:
+            f = r - l
+        elif ft == 2:
+            f = r - p
+        elif ft == 3:
+            f = r - (l + p) // 2
+        elif ft == 4:
+            pr = l + p - q
+            pa, pb, pc = abs(pr - l), abs(pr - p), abs(pr - q)
+            pred = np.where((pa <= pb) & (pa <= pc), l,
+                            np.where(pb <= pc, p, q))
+            f = r - pred
+        else:
+            raise ValueError(f"encode_png: filter {ft}")
+        out.append(ft)
+        out += (f % 256).astype(np.uint8).tobytes()
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if c == 1 else 2, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes | None):
+    """REAL PNG decode, stdlib + numpy only: verify the signature,
+    walk the chunk list CHECKING EVERY CRC, parse IHDR, inflate the
+    concatenated IDAT stream, and reconstruct scanlines by inverting
+    the spec's five filters (None/Sub/Up/Average/Paeth — exact
+    integer arithmetic; Average uses floor((a+b)/2) on the FULL
+    9-bit sum, Paeth the standard tie-broken predictor). Returns
+    (width, height, channels, pixels) like `decode_image`.
+
+    Supported: bit depth 8, color types 0 (gray) and 2 (RGB), no
+    interlace. Returns None (never raises) for anything else —
+    Adam7-interlaced files, 16-bit planes, palette/alpha types — and
+    for malformed data: bad signature, truncated chunk, CRC mismatch,
+    zlib error, or an inflated stream whose length isn't exactly
+    h·(1 + w·bpp). Decoding IS sequential per scanline for the
+    left-predicting filters (the spec's data dependency); rows
+    reconstruct in a tight per-row loop and whole images stream
+    through Arrow batches, so the parallel unit is the image, not the
+    row."""
+    import struct
+    import zlib
+
+    import numpy as np
+    if payload is None:
+        return None
+    buf = bytes(payload)
+    if buf[:8] != PNG_SIG:
+        return None
+    pos, ihdr, idat, ended = 8, None, [], False
+    while pos + 12 <= len(buf):
+        (ln,) = struct.unpack(">I", buf[pos:pos + 4])
+        tag = buf[pos + 4:pos + 8]
+        if pos + 12 + ln > len(buf):
+            return None  # truncated chunk
+        data = buf[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            return None
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + ln
+    if ihdr is None or not ended or not idat or len(ihdr) != 13:
+        return None
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype not in (0, 2) or comp or filt or inter:
+        return None  # interlace / exotic planes: rejected, not wrong
+    c = 1 if ctype == 0 else 3
+    if w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * c
+    if len(raw) != h * (1 + stride):
+        return None
+    arr = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    fts, rows = arr[:, 0], arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft, cur = int(fts[y]), rows[y]
+        if ft == 0:
+            rec = cur.copy()
+        elif ft == 2:
+            rec = (cur + prev) % 256
+        elif ft in (1, 3, 4):
+            rec = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = int(rec[i - c]) if i >= c else 0
+                b = int(prev[i])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    q = int(prev[i - c]) if i >= c else 0
+                    p = a + b - q
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - q)
+                    pred = (a if pa <= pb and pa <= pc
+                            else (b if pb <= pc else q))
+                rec[i] = (int(cur[i]) + pred) % 256
+        else:
+            return None  # invalid filter type byte
+        out[y] = rec
+        prev = rec
+    return w, h, c, out.astype(np.uint8).reshape(h, w, c)
+
+
+def documents_as_png_media(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """The COMPRESSED image fixture: one real PNG per document, SAME
+    deterministic pixel plane as `documents_as_ppm_media` (byte j of
+    the plane = text byte j mod len; w = 8 + id % 9, h = 8 + id % 7;
+    NULL text → NULL payload), so any oracle that can recompute the
+    netpbm fixture's decoded-pixel statistics verifies this one too —
+    the hash difference between the two queries is exactly the codec.
+    Scanline filters cycle y % 5, so every image carries all five
+    filter types through the zlib stream."""
+    import numpy as np
+
+    id_out, txt = "media_id", "__txt"
+    src = df.select(F.col(id_col).alias(id_out),
+                    F.col(text_col).alias(txt))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_out], pdf[txt]):
+                ids.append(mid)
+                if text is None:
+                    payloads.append(None)
+                    continue
+                w, h = 8 + int(mid) % 9, 8 + int(mid) % 7
+                raw = np.frombuffer(text.encode("utf-8"), np.uint8)
+                plane = (np.resize(raw, w * h * 3) if raw.size
+                         else np.zeros(w * h * 3, np.uint8))
+                payloads.append(encode_png(plane.reshape(h, w, 3)))
+            yield pd.DataFrame({id_out: pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
+
+    made = src.mapInPandas(run, T.StructType([
+        T.StructField(id_out, T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]))
+    return made.select(
+        id_out, "payload",
+        F.struct(
+            F.lit("image/png").alias("format"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"))
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:

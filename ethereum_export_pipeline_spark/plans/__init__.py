@@ -33,71 +33,78 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #:
 #: The driver hash-grades only the FIRST 50 catalog entries each round
 #: (tools/oracle_check.py still verifies ALL entries locally). Rounds
-#: 1-6 accumulated driver-stamped green rows for 181 distinct queries
-#: with zero failures (CORRECTNESS_r0{1-6}.json). Round 7 closes the
-#: gap: the 43 entries that had NEVER been driver-graded (the round-6
-#: pool, verbatim), plus the 7 round-7 additions (S8 staged sink
-#: oracle twin, full-precision wei limbs, Heaps-law vocab growth,
-#: LSH range search, URL dedup, video near-dup, Benford audit) graded
-#: the round they land — after this round every catalog entry ever
-#: written carries a driver-stamped green row. Everything demoted
+#: 1-7 accumulated driver-stamped green rows for 231 distinct queries
+#: with zero failures (CORRECTNESS_r0{1-7}.json); 7 round-7-late
+#: additions (noted below) have not yet been driver-graded. Round 8:
+#: (a) those 7 pool entries, (b) the round-8 additions
+#: (eth_dual_precision — the dual-precision wei projection's first
+#: catalog row; mm_png_stats — real compressed-codec decode), graded
+#: the round they land, and (c) a STALE-STAMP RE-GRADE rotation — the
+#: 41 entries whose newest driver stamp is oldest (23 from r02, 8
+#: from r03, 10 from r04): those stamps predate the Karp-Rabin /
+#: checkpoint-discipline / session-isolation refactors, and
+#: driver-stamped evidence is the hard currency. Everything demoted
 #: stays green in the full local sweep.
-_WINDOW_R7 = (
-    # round-7 additions (new this round, graded immediately)
-    "eth_staged_sink",
-    "eth_wei_limbs",
-    "doc_heaps_law",
-    "emb_range_search",
-    "doc_url_dedup",
-    "mm_video_neardup",
-    "q_benford_audit",
-    # the 43 never-driver-graded entries (round-6 pool, complete)
-    "emb_pq_recall",
-    "doc_hybrid_rrf",
-    "doc_phrase_search",
-    "doc_blocklist_tag",
-    "doc_gate_agreement",
-    "doc_score_calibration",
-    "doc_fertility",
-    "doc_cluster_split",
-    "doc_curriculum",
-    "doc_hll_distinct",
-    "q20_dominant_suppliers",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q10_returned_items",
-    "q19_bracket_revenue",
-    "q_event_transitions",
-    "q_props_keys",
-    "doc_dup_source_matrix",
-    "doc_sentence_dedup",
-    "doc_length_stats",
-    "doc_crossmodal_agreement",
-    "emb_neardup_pairs",
-    "stream_watermark_counts",
-    "doc_rarity",
-    "doc_novelty",
-    "doc_minhash_quality",
-    "doc_lang_confusion",
-    "doc_reservoir_sample",
-    "doc_weighted_sample",
-    "doc_length_histogram",
-    "doc_length_quantile_bins",
-    "doc_length_outliers",
-    "emb_lsh_topk_1band",
-    "q_gap_fill",
-    "q_rolling_distinct",
-    "q_basket_pairs",
-    "q_trend_slopes",
-    "q_decayed_activity",
-    "q_trimmed_mean",
-    "q_lateral_topk",
-    "q_unpivot",
-    "q_ntile_deciles",
-    "q_window_range_frame",
+_WINDOW_R8 = (
+    # round-8 additions (new this round, graded immediately)
+    "eth_dual_precision",
+    "mm_png_stats",
+    # the 7 round-7-late entries (never driver-graded before)
+    "emb_ivfpq_packed",
+    "doc_html_strip",
+    "mm_scene_summary",
+    "doc_url_text_agreement",
+    "emb_mrl_recall",
+    "mm_patch_stats",
+    "doc_dedup_savings",
+    # stale-stamp re-grades: newest stamp r02
+    "doc_top_terms",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_window_running",
+    "q_rollup",
+    "q_set_ops",
+    "q_events_tumbling",
+    "q_events_sessions",
+    "q_events_pivot",
+    "q_events_json",
+    "q_events_multirollup",
+    "q_grouping_sets",
+    "q_percentiles",
+    "q4_order_priority",
+    "q12_shipmode_classes",
+    "q11_having",
+    "q9_like_filter",
+    "q16_not_exists",
+    "q13_cust_order_dist",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q22_idle_balances",
+    "q15_top_supplier",
+    # stale-stamp re-grades: newest stamp r03
+    "doc_token_counts",
+    "doc_fingerprint",
+    "doc_corpus_stats",
+    "doc_hash_split",
+    "doc_chunk",
+    "doc_repetition",
+    "emb_bruteforce_topk",
+    "stream_hopping_counts",
+    # stale-stamp re-grades: newest stamp r04 (reference-parity eth
+    # surface — the operators most refactored since)
+    "eth_typed_projection",
+    "eth_partition_plan",
+    "eth_extract_distinct",
+    "eth_semi_join",
+    "eth_anti_join",
+    "eth_keyed_fetch",
+    "eth_null_filter",
+    "eth_drop_null_fields",
+    "eth_csv_roundtrip",
+    "eth_parquet_partitioned",
 )
 
-ALL_QUERIES: dict[str, Query] = {n: _MERGED[n] for n in _WINDOW_R7}
+ALL_QUERIES: dict[str, Query] = {n: _MERGED[n] for n in _WINDOW_R8}
 for _name, _q in _MERGED.items():
     if _name not in ALL_QUERIES:
         ALL_QUERIES[_name] = _q
@@ -105,8 +112,8 @@ for _name, _q in _MERGED.items():
 # the contract this layout exists for: the graded window is exactly
 # the curated rotation, with no typos pointing at missing queries
 _window = list(ALL_QUERIES)[:50]
-assert len(_WINDOW_R7) == 50, len(_WINDOW_R7)
-assert _window == list(_WINDOW_R7), "window drifted from rotation"
+assert len(_WINDOW_R8) == 50, len(_WINDOW_R8)
+assert _window == list(_WINDOW_R8), "window drifted from rotation"
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1326,7 +1326,19 @@ def _entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterates only on the pair graph (tiny vs the table), the final
     labelling is one left join of the full table against the
     components frame — at scale that frame is orders of magnitude
-    smaller than the table (only records that matched something)."""
+    smaller than the table (only records that matched something).
+
+    Bench attribution (round-8 profiled): with the pair artifact
+    memoized, the warm residual is 4-6 s, ~85% of it
+    connected_components on the pair graph — which at sf0.1 is
+    ~1.0M pairs (the dirty-parts fixture is dense by design), so the
+    per-round join+min-agg+localCheckpoint is real work, and
+    run-to-run spread (4.0-6.0 s across idle-machine runs of the
+    IDENTICAL code) tracks executor-storage/GC state, not plan
+    changes. That context sensitivity is the recurring
+    "no-code-change regression" class on checkpoint-heavy sub-5 s
+    queries; CC now seeds labels with the distance-1 minimum (same
+    fixpoint, one fewer round)."""
     from ..operators.dedup import connected_components
     p = _dirty_parts(spark, sf_dir)
     pairs = _fuzzy_candidate_pairs(spark, sf_dir)
@@ -2428,42 +2440,37 @@ def _hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive-CTE hierarchy traversal, Spark-first
     (operators/graph.ancestor_closure): customers form a
     parent-pointer forest (parent = c_custkey div 10 — deterministic,
-    ≤6 levels at any sf), the transitive ancestor closure is built by
-    pointer-jumping doubling (⌈log₂ depth⌉ rounds, not depth), then
-    per node: depth (ancestor count), proper-descendant count, and
-    the SUBTREE balance rollup in exact cents — the org-chart /
-    BOM-explosion / category-tree aggregation shape SQL engines write
-    with WITH RECURSIVE (the oracle does exactly that).
+    ≤6 levels at any sf); per node: depth (ancestor count),
+    proper-descendant count, and the SUBTREE balance rollup in exact
+    cents — the org-chart / BOM-explosion / category-tree aggregation
+    shape SQL engines write with WITH RECURSIVE (the oracle does
+    exactly that).
 
-    Scale shape: both per-round exchanges are closure-sized
-    (Σ depth(n) rows), never corpus-sized; the final rollup is one
-    hash-agg on the closure plus two broadcast-sized left joins back
-    onto the node table."""
-    from ..operators.graph import ancestor_closure
+    Scale shape: the closure is never materialized
+    (`graph.hierarchy_aggregates`): depth comes from pointer-jumping
+    with carried distance (2·|V| rows/round, log-depth rounds) and
+    the subtree rollup runs level-synchronously bottom-up, each node
+    shuffled exactly once as a sender — cumulative exchange O(|V|)
+    rows vs the Σ depth(n)-row closure (measured 7.3 GB at ×100 on
+    the old closure path), then one left join back onto the node
+    table."""
+    from ..operators.graph import hierarchy_aggregates
     bal = (load_table(spark, sf_dir, "customer")
            .select("c_custkey",
                    F.expr(cents("c_acctbal")).alias("bal_cents")))
     edges = (bal.where("c_custkey >= 10")
                 .select(F.col("c_custkey").alias("child"),
                         F.expr("c_custkey div 10").alias("parent")))
-    closure = ancestor_closure(edges, rounds=3)
-    depth = (closure.groupBy("node")
-                    .agg(F.count(F.lit(1)).cast("long").alias("depth")))
-    desc = (closure.join(bal.select(F.col("c_custkey").alias("node"),
-                                    "bal_cents"), "node")
-                   .groupBy("anc")
-                   .agg(F.count(F.lit(1)).cast("long").alias("n_desc"),
-                        F.expr("CAST(sum(bal_cents) AS BIGINT)")
-                         .alias("desc_cents")))
-    return (bal.join(depth, bal.c_custkey == depth.node, "left")
-               .join(desc, bal.c_custkey == desc.anc, "left")
+    agg = hierarchy_aggregates(edges, bal, id_col="c_custkey",
+                               val_col="bal_cents", rounds=4)
+    return (bal.join(agg, bal.c_custkey == agg.node, "left")
                .select("c_custkey",
                        F.coalesce("depth", F.lit(0)).cast("long")
                         .alias("depth"),
                        F.coalesce("n_desc", F.lit(0)).cast("long")
                         .alias("n_desc"),
                        (F.col("bal_cents")
-                        + F.coalesce("desc_cents", F.lit(0)))
+                        + F.coalesce("desc_sum", F.lit(0)))
                        .cast("long").alias("subtree_cents")))
 
 

@@ -1032,7 +1032,17 @@ def _wei_limbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         *[f"{w} AS w{i}" for i, w in enumerate(limbs)],
         f"{hex_uint_expr('value_hex')} AS value_dec38")
-    agg = decoded.groupBy("bucket").agg(
+    return _carry_limbs(_limb_bucket_agg(decoded))
+
+
+def _limb_bucket_agg(decoded: DataFrame) -> DataFrame:
+    """Per-bucket limb aggregation shared by eth_wei_limbs /
+    eth_dual_precision: input (bucket, w0..w7, value_dec38) →
+    n_rows, n_saturated (dec38 NULLed, limbs still carrying),
+    sum_dec38_small (the dec38-compatible subtotal as exact BIGINT),
+    and the eight per-limb BIGINT sums — one hash agg, map-side
+    combined."""
+    return decoded.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.expr("CAST(sum(CASE WHEN value_dec38 IS NULL THEN 1 ELSE 0 "
                "END) AS BIGINT)").alias("n_saturated"),
@@ -1041,9 +1051,13 @@ def _wei_limbs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("sum_dec38_small"),
         *[F.expr(f"CAST(sum(w{i}) AS BIGINT)").alias(f"s{i}")
           for i in range(8)])
-    # carry-normalize the 8 limb sums into canonical 32-bit limbs
-    # (l1..l7 < 2^32; l0 absorbs the final carry) — a fixed chain of
-    # int64 div/mod on the n_buckets-row aggregate
+
+
+def _carry_limbs(agg: DataFrame) -> DataFrame:
+    """Carry-normalize the 8 per-limb BIGINT sums into canonical
+    32-bit limbs (l1..l7 < 2^32; l0 absorbs the final carry) plus the
+    0x-hex rendering — a fixed chain of int64 div/mod on the
+    n_buckets-row aggregate."""
     cur = agg.selectExpr("*", "CAST(0 AS BIGINT) AS k8")
     for i in range(7, 0, -1):
         cur = cur.selectExpr(
@@ -1060,11 +1074,10 @@ def _wei_limbs(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("bucket"))
 
 
-def _wei_limbs_sql() -> str:
-    # the oracle recomputes the limb sums directly from (a,b,c,d):
-    # uint256 = a·2^192 + b·2^128 + c·2^64 + d means the 32-bit limb
-    # vector is [0, a, 0, b, 0, c, 0, d] (each component < 2^32), and
-    # dec38 saturates exactly on the non-small rows (value ≥ 2^192)
+def _carries_sql() -> tuple[str, str]:
+    """(carry-chain CTEs, hex-total expression) — the DuckDB twin of
+    `_carry_limbs`, shared by the wei-limbs / dual-precision
+    oracles."""
     carries = "\n".join(
         f"c{i} AS (SELECT *, (s{i} + k{i + 1}) % {_2_32_LIT} AS l{i}, "
         f"(s{i} + k{i + 1}) // {_2_32_LIT} AS k{i} FROM c{i + 1}),"
@@ -1072,6 +1085,15 @@ def _wei_limbs_sql() -> str:
     hex_total = ("'0x' || lower(hex(l0)) || " +
                  " || ".join(f"lpad(lower(hex(l{i})), 8, '0')"
                              for i in range(1, 8)))
+    return carries, hex_total
+
+
+def _wei_limbs_sql() -> str:
+    # the oracle recomputes the limb sums directly from (a,b,c,d):
+    # uint256 = a·2^192 + b·2^128 + c·2^64 + d means the 32-bit limb
+    # vector is [0, a, 0, b, 0, c, 0, d] (each component < 2^32), and
+    # dec38 saturates exactly on the non-small rows (value ≥ 2^192)
+    carries, hex_total = _carries_sql()
     return f"""
 WITH src AS (
   SELECT user_id % 8 AS bucket,
@@ -1098,6 +1120,112 @@ FROM c0 ORDER BY bucket
 """
 
 
+# ------------------------------- dual-precision wei CSV projection
+
+# synthetic DECIMAL-string wei (the form the reference's CSVs carry,
+# convert_blocks_to_parquet.py:38-39): small rows stay < 2^32 (inside
+# decimal(38,0)); big rows are 39-DIGIT values 10^38 + h·10^18 + l —
+# past the dec38 ceiling, yet (by construction) under 2^127 so the
+# DuckDB oracle can recompute them independently in HUGEINT. h and l
+# are < 10^9, so every Spark-side intermediate is exact int64 and the
+# string concat '1' || lpad(h, 20) || lpad(l, 18) IS the decimal
+# rendering of that value.
+_DP_H = "user_id % 1000000000"
+_DP_L = "event_id % 1000000000"
+_DP_VALUE_STR = (
+    f"CASE WHEN {_WEI_SMALL} THEN CAST({_WEI_D} AS STRING) "
+    f"ELSE concat('1', lpad(CAST({_DP_H} AS STRING), 20, '0'),"
+    f" lpad(CAST({_DP_L} AS STRING), 18, '0')) END")
+
+
+def _dual_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-precision wei projection graded END-TO-END (SURVEY hard
+    part (a), projection path — `schemas.apply_mapping_dual_precision`;
+    the aggregate path is `eth_wei_limbs`): synthesize decimal-string
+    wei from events (a fifth small, the rest 39-digit — past
+    decimal(38,0)), round-trip through a scratch CSV so the mapping
+    runs on the reference's actual input form (untyped CSV strings,
+    convert_blocks_to_parquet.py:26-46), project with the dual
+    mapping — `value_wei` as the reference-compatible dec38 (39-digit
+    rows NULL, the documented compromise) ALONGSIDE
+    `value_wei_limbs`, eight exact 32-bit limbs decoded from the
+    SOURCE STRING by a runtime fold
+    (`operators.logs.dec_uint256_limb32_expr`) — then aggregate both
+    columns per bucket and carry-normalize. The oracle recomputes the
+    values in HUGEINT straight from the integer components, so the
+    hash proves the decimal→limb decode is exact at full width, that
+    dec38 NULLs exactly on the 39-digit rows, and that the two
+    precisions agree where both exist.
+
+    Scale shape: one Catalyst projection (try_cast + codegen'd
+    aggregate-fold, no UDFs) + one hash agg with map-side combine;
+    the CSV scratch round-trip exists for input-form fidelity and is
+    a straight columnar write/scan."""
+    from ..schemas import WEI, ColumnMapping, apply_mapping_dual_precision
+    e = load_table(spark, sf_dir, "events")
+    src = e.selectExpr("user_id", f"{_DP_VALUE_STR} AS value_wei")
+    out = scratch_dir("spark_graft_dualprec_")
+    # many-part export (the production CSV landing shape): the corpus
+    # arrives as ONE parquet file here, and a single-part CSV would
+    # funnel the whole decode — `aggregate` lambdas are interpreted,
+    # not codegen'd, so the fold is the CPU cost — through one task
+    width = spark.sparkContext.defaultParallelism
+    src.repartition(width).write.mode("overwrite") \
+       .option("header", True).csv(out)
+    raw = spark.read.option("header", True).csv(out)
+    proj = apply_mapping_dual_precision(
+        raw, [ColumnMapping("user_id", "user_id", T.LongType()),
+              ColumnMapping("value_wei", "value_wei", WEI)])
+    decoded = proj.selectExpr(
+        "user_id % 8 AS bucket",
+        *[f"element_at(value_wei_limbs, {i + 1}) AS w{i}"
+          for i in range(8)],
+        "value_wei AS value_dec38")
+    return _carry_limbs(_limb_bucket_agg(decoded))
+
+
+def _dual_precision_sql() -> str:
+    # independent recomputation: the oracle never sees the string —
+    # it rebuilds v = 10^38 + h·10^18 + l (or the small d) in HUGEINT
+    # and splits limbs by HUGEINT div/mod. v < 2^127 by construction,
+    # so limbs 0-3 (bits ≥ 128) are identically zero; per-limb sums
+    # then carry-normalize exactly like the Spark side.
+    carries, hex_total = _carries_sql()
+    big = ("CAST('100000000000000000000000000000000000000' AS HUGEINT)"
+           f" + CAST({_DP_H} AS HUGEINT) * 1000000000000000000"
+           f" + CAST({_DP_L} AS HUGEINT)")
+    return f"""
+WITH src AS (
+  SELECT user_id % 8 AS bucket,
+         CASE WHEN {_WEI_SMALL} THEN 1 ELSE 0 END AS small,
+         CASE WHEN {_WEI_SMALL} THEN CAST({_WEI_D} AS HUGEINT)
+              ELSE {big} END AS v,
+         CASE WHEN {_WEI_SMALL} THEN {_WEI_D} ELSE 0 END AS dsm
+  FROM events),
+c8 AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(1 - small) AS BIGINT) AS n_saturated,
+         CAST(sum(dsm) AS BIGINT) AS sum_dec38_small,
+         CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+         CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
+         CAST(sum(CAST((v // 79228162514264337593543950336)
+                       % 4294967296 AS BIGINT)) AS BIGINT) AS s4,
+         CAST(sum(CAST((v // 18446744073709551616)
+                       % 4294967296 AS BIGINT)) AS BIGINT) AS s5,
+         CAST(sum(CAST((v // 4294967296)
+                       % 4294967296 AS BIGINT)) AS BIGINT) AS s6,
+         CAST(sum(CAST(v % 4294967296 AS BIGINT)) AS BIGINT) AS s7,
+         CAST(0 AS BIGINT) AS k8
+  FROM src GROUP BY 1),
+{carries}
+c0 AS (SELECT *, (s0 + k1) AS l0 FROM c1)
+SELECT bucket, n_rows, n_saturated, sum_dec38_small,
+       l0, l1, l2, l3, l4, l5, l6, l7,
+       {hex_total} AS wei_total_hex
+FROM c0 ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, Query] = {
     "eth_staged_sink": Query(_staged_sink, _STAGED_SINK_SQL,
                              "S8 two-phase staged CSV export: "
@@ -1107,6 +1235,11 @@ QUERIES: dict[str, Query] = {
                            "full-precision uint256 wei: 8x32-bit limb "
                            "decode + exact carry-normalized sums past "
                            "the decimal(38,0) ceiling"),
+    "eth_dual_precision": Query(_dual_precision, _dual_precision_sql(),
+                                "dual-precision wei CSV projection: "
+                                "dec38 + exact string-decoded limbs "
+                                "side by side, 39-digit rows past "
+                                "the dec38 ceiling"),
     "eth_schema_evolution": Query(_schema_evolution,
                                   _SCHEMA_EVOLUTION_SQL,
                                   "two-generation parquet schema "

@@ -978,13 +978,18 @@ def _extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
           for b in range(8)])
 
 
-def _extract_features_sql() -> str:
+def _extract_features_sql(with_n_bytes: bool = True) -> str:
     """DuckDB twin of decode(encode_ppm(tile(text)))): rebuilds the
     pixel plane from the text's hex dump (byte j = text byte j mod nb,
     zeros when empty) and aggregates the same exact-integer stats the
     Spark side computes from the DECODED array. Dims mirror the
     fixture: w = 8 + id % 9, h = 8 + id % 7; payload n_bytes = header
-    ("P6\\n{w} {h}\\n255\\n" = 9 + digits(w) + digits(h)) + w*h*3."""
+    ("P6\\n{w} {h}\\n255\\n" = 9 + digits(w) + digits(h)) + w*h*3.
+
+    ``with_n_bytes=False`` drops the payload-size column — the PNG
+    twin (`mm_png_stats`) shares every DECODED-pixel statistic (same
+    tiled plane, only the codec differs) but its payload size is a
+    zlib artifact no SQL engine should re-derive."""
     digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
     byte_at = (f"16 * ({digit.format(i='2*p+1')}) + ({digit.format(i='2*p+2')})")
     ch_sums = ", ".join(
@@ -996,6 +1001,11 @@ def _extract_features_sql() -> str:
         "CASE WHEN pix IS NULL THEN NULL ELSE CAST(len(list_filter(pix, "
         f"x -> x // 32 = {b})) AS BIGINT) END AS hist_{b}"
         for b in range(8))
+    nb = ("""
+       CASE WHEN pix IS NULL THEN CAST(0 AS BIGINT)
+            ELSE CAST(9 + length(CAST(w AS VARCHAR))
+                        + length(CAST(h AS VARCHAR)) + w*h*3 AS BIGINT)
+       END AS n_bytes,""" if with_n_bytes else "")
     return f"""
 WITH m AS (
   SELECT doc_id,
@@ -1019,11 +1029,7 @@ WITH m AS (
          END AS pix
   FROM v
 )
-SELECT doc_id AS media_id,
-       CASE WHEN pix IS NULL THEN CAST(0 AS BIGINT)
-            ELSE CAST(9 + length(CAST(w AS VARCHAR))
-                        + length(CAST(h AS VARCHAR)) + w*h*3 AS BIGINT)
-       END AS n_bytes,
+SELECT doc_id AS media_id,{nb}
        CASE WHEN pix IS NULL THEN NULL ELSE w END AS width,
        CASE WHEN pix IS NULL THEN NULL ELSE h END AS height,
        CASE WHEN pix IS NULL THEN NULL
@@ -1032,6 +1038,30 @@ SELECT doc_id AS media_id,
        {hists}
 FROM px
 """
+
+
+def _png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-codec decode, hash-checked end-to-end: the
+    fixture encodes the SAME deterministic pixel plane as
+    `mm_extract_features` into genuine PNGs (stdlib zlib deflate,
+    scanline filters cycling through all five spec types), and
+    `multimodal.decode_png` walks the chunk list (CRC-checked),
+    inflates, and INVERTS the filters in exact integer arithmetic
+    inside the same Arrow mapInPandas plumbing. The graded columns
+    are functions of DECODED PIXELS only; the DuckDB twin recomputes
+    them from the text bytes with zero knowledge of PNG — so a wrong
+    Paeth tie-break, a misapplied Average floor, or a chunk-walk bug
+    flips the hash. Payload size is excluded: it's a zlib artifact,
+    not a pixel fact."""
+    media = multimodal.documents_as_png_media(
+        load_table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "width", "height", "channels",
+        *[F.element_at("ch_sum", c + 1).alias(f"ch_sum_{c}")
+          for c in range(3)],
+        *[F.element_at("px_hist", b + 1).alias(f"hist_{b}")
+          for b in range(8)])
 
 
 def _resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2534,9 +2564,14 @@ def _scene_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the cuts frame is consumed by both the census and the shot
     window) and every downstream number is exact-integer, recomputed
     by the oracle from the fixture's text bytes."""
+    return _scene_summary_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _scene_summary_frame(docs: DataFrame) -> DataFrame:
+    """`_scene_summary` over an explicit docs frame (reused by
+    tools/scale_smoke.py on the amplified corpus)."""
     from pyspark.sql import Window
-    media = multimodal.documents_as_video_media(
-        load_table(spark, sf_dir, "documents"), scene_at_half=True)
+    media = multimodal.documents_as_video_media(docs, scene_at_half=True)
     cuts = multimodal.scene_cuts(media).localCheckpoint(eager=True)
     per = (cuts.groupBy("media_id")
                .agg(F.expr("CAST(count(*) + 1 AS BIGINT)")
@@ -5284,10 +5319,17 @@ def _url_text_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     content_key) and eagerly localCheckpointed — the page census,
     the content-spread agg, and the mirror join all consume that
     small frame, not the text column."""
+    return _url_text_agreement_frame(
+        load_table(spark, sf_dir, "documents"))
+
+
+def _url_text_agreement_frame(docs: DataFrame) -> DataFrame:
+    """`_url_text_agreement` over an explicit docs frame (reused by
+    tools/scale_smoke.py on the amplified corpus)."""
     rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}')"
     raw = _url_raw_sql("div", "STRING")
     canon = _canon_url_sql("raw_url", rr)
-    u = (load_table(spark, sf_dir, "documents")
+    u = (docs
          .where("text IS NOT NULL")
          .selectExpr("doc_id", "md5(text) AS ck", f"{raw} AS raw_url")
          .selectExpr("ck", f"{canon} AS canon_url")
@@ -5639,6 +5681,11 @@ QUERIES: dict[str, Query] = {
                                  "REAL netpbm image decode (pure-numpy "
                                  "header parse + pixel reshape) — exact "
                                  "decoded-pixel stats, hash-checked"),
+    "mm_png_stats": Query(_png_stats, _extract_features_sql(False),
+                          "REAL PNG decode (stdlib-zlib inflate + "
+                          "numpy unfilter of all five scanline "
+                          "filters, CRC-checked chunk walk) — exact "
+                          "decoded-pixel stats, hash-checked"),
     "mm_resize": Query(_resize, _resize_sql(),
                        "REAL nearest-neighbor image resize "
                        "(decode→gather→re-encode→re-decode), "

@@ -387,6 +387,22 @@ def main() -> int:
 
     bench("ancestor_closure", ancestor_closure_deep)
 
+    # round-8: the closure-free rollup over the SAME deep forest —
+    # the exchange should be O(|V|) rows (each node shuffled once as
+    # a sender + 2|V|/round for the depth phase), vs the closure's
+    # Σ depth(n) ≈ 31.5·|V| rows above
+    def hierarchy_agg_deep():
+        from ethereum_export_pipeline_spark.operators.graph import (
+            hierarchy_aggregates)
+        n = 10_000 * AMPLIFY
+        parents = (spark.range(n)
+                   .where("id % 64 != 0")
+                   .selectExpr("id AS child", "id - 1 AS parent"))
+        vals = spark.range(n).selectExpr("id AS node", "id % 97 AS val")
+        return hierarchy_aggregates(parents, vals, rounds=6)
+
+    bench("hierarchy_aggregates", hierarchy_agg_deep)
+
     # round-7 operator families over the amplified corpus: the
     # decode-heavy Arrow mapInPandas paths (video near-dup, patch
     # tokenization), the pure-regexp map (HTML strip), and the
@@ -423,6 +439,20 @@ def main() -> int:
                        .alias("chars")))
 
     bench("html_strip", html_strip)
+
+    def scene_summary():
+        from ethereum_export_pipeline_spark.plans.llm import (
+            _scene_summary_frame)
+        return _scene_summary_frame(big_docs)
+
+    bench("scene_summary", scene_summary)
+
+    def url_text_agreement():
+        from ethereum_export_pipeline_spark.plans.llm import (
+            _url_text_agreement_frame)
+        return _url_text_agreement_frame(big_docs)
+
+    bench("url_text_agreement", url_text_agreement)
 
     def heaps_law():
         docs = big_docs.where("text IS NOT NULL").select("doc_id", "text")
