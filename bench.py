@@ -229,6 +229,11 @@ HEADLINE = [
     # round-8 additions
     "eth_dual_precision",
     "mm_png_stats",
+    "emb_sq8_recall",
+    "emb_hamming_topk",
+    "eth_zone_map",
+    "eth_bucketed_join",
+    "q_changepoint",
 ]
 
 
@@ -304,6 +309,21 @@ def main() -> int:
     # no-code-change ±40% flap on such a query); the extra pass costs
     # seconds in aggregate and makes short-query timings
     # round-over-round comparable.
+    # Machine-speed canary: a FIXED pure-JVM workload (no I/O, no
+    # shuffle, no Python workers) timed min-of-3 before the headline
+    # loop. This round's cross-round comparison found a uniform
+    # median-1.28× inflation across 194 code-untouched queries — host
+    # speed, not the engine. Read headline deltas against this field:
+    # if calibration moved too, the host moved.
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 400_000_000, 1, 32) \
+             .selectExpr("sum(xxhash64(id) % 1000000)").collect()
+        calib = min(calib, time.time() - t0)
+    calib = round(calib, 3)
+    print(f"# calibration (pure-JVM canary): {calib:.3f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -335,6 +355,7 @@ def main() -> int:
             "sf": sf,
             "n_queries": sum(not k.startswith("artifact:") for k in timings),
             "n_artifacts": len(timings_art),
+            "calibration_sec": calib,
         }, f, indent=1, sort_keys=True)
 
     import re
@@ -352,6 +373,7 @@ def main() -> int:
         "families": families,        # per-prefix subtotals over all queries
         "n_queries": sum(not k.startswith("artifact:") for k in timings),
         "full_map": "BENCH_FULL.json",
+        "calibration_sec": calib,
         "sf": sf,
     })
     assert len(line) < 1800, f"bench line too long: {len(line)} chars"

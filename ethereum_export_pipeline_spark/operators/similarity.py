@@ -1005,6 +1005,196 @@ def matryoshka_recall_report(df: DataFrame, k: int = 5,
     return out.orderBy("prefix_dim", "query_id")
 
 
+# --------------------------------------------- scalar quantization (SQ8)
+
+SQ8_LEVELS = 255   # int8 code range 0..255 (one unsigned byte per dim)
+
+
+def sq8_bounds(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """One-row frame of per-dimension (mn, mx) arrays over the
+    quantized corpus — the int8 scalar quantizer's ENTIRE training
+    state. One corpus scan, 2·dim integers out (~1 KB): broadcast it
+    anywhere. Unlike the IVF/PQ codebooks (sampled, driver-trained,
+    literal-injected) these bounds stay a live 1-row plan node — at
+    100 TB the min/max agg is an embarrassingly parallel map-side
+    combine and the cross-join below broadcasts one row."""
+    expl = (with_quantized(df, emb_col)
+            .select(F.posexplode("qvec").alias("d", "v")))
+    per_dim = expl.groupBy("d").agg(F.min("v").alias("mn"),
+                                    F.max("v").alias("mx"))
+    # array_sort on struct(d, …) orders by the leading field d, so the
+    # collected arrays are position-aligned with the embedding dims
+    return (per_dim.agg(
+        F.array_sort(F.collect_list(F.struct("d", "mn"))).alias("mns"),
+        F.array_sort(F.collect_list(F.struct("d", "mx"))).alias("mxs"))
+        .select(F.expr("transform(mns, s -> s.mn)").alias("mn"),
+                F.expr("transform(mxs, s -> s.mx)").alias("mx")))
+
+
+def sq8_recall_report(df: DataFrame, k: int = 5,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      query_pred: str | None = None,
+                      dim: int = EMB_DIM) -> DataFrame:
+    """recall@k of int8 SCALAR-quantized serving against the exact
+    top-k — the quantization tier between full-width floats and PQ
+    codes (4 B/dim → 1 B/dim, no codebook training): per dimension,
+    code = (x−mn)·255 div (mx−mn); search is asymmetric (exact query
+    vs reconstructed candidates), the standard ADC trade. Output one
+    row per query: (query_id, n_hits, recall_ppm) — exact integers,
+    the recall-trio report shape (`_recall_vs_exact`).
+
+    Every division has a non-negative numerator (x ≥ mn, code ≥ 0),
+    so Spark's truncating `div` and DuckDB's floor `//` agree.
+
+    Scale shape: evaluation harness over a bounded query sample (the
+    brute-force guard applies); the production path is the candidate
+    side — one scan that encodes against a broadcast 1-row bounds
+    frame, 16× smaller vector state, no exchange added."""
+    query_pred = query_pred or f"{id_col} < 10"
+    full = df.where(F.size(F.col(emb_col)) == dim)
+    # ground truth consumed by the recall tail twice — checkpoint the
+    # Q·k frame or each consumer re-runs the brute-force corpus pass
+    exact = brute_force_topk(full, id_col, emb_col, k=k,
+                             query_pred=query_pred
+                             ).localCheckpoint(eager=True)
+    base = with_quantized(full, emb_col).select(id_col, "qvec", "n2")
+    bounds = sq8_bounds(full, emb_col)
+    code_expr = (f"transform(qvec, (x, i) -> CASE WHEN mx[i] > mn[i] "
+                 f"THEN ((x - mn[i]) * {SQ8_LEVELS}) div (mx[i] - mn[i]) "
+                 f"ELSE 0 END)")
+    recon_expr = (f"transform(code, (c, i) -> mn[i] + "
+                  f"(c * (mx[i] - mn[i])) div {SQ8_LEVELS})")
+    coded = (base.crossJoin(F.broadcast(bounds))
+                 .withColumn("code", F.expr(code_expr))
+                 .withColumn("rv", F.expr(recon_expr))
+                 .withColumn("rn2", F.expr(dot_expr("rv", "rv"))))
+    q = (base.where(query_pred)
+             .select(F.col(id_col).alias("query_id"),
+                     F.col("qvec").alias("qv"), F.col("n2").alias("qn2")))
+    c = coded.select(F.col(id_col).alias("neighbor_id"),
+                     F.col("rv").alias("cv"), F.col("rn2").alias("cn2"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+         .where(F.col("neighbor_id") != F.col("query_id"))
+         .withColumn("dot", F.expr(dot_expr("qv", "cv")))
+         .withColumn("cosine",
+                     _cosine(F.col("dot"), F.col("qn2"), F.col("cn2"))))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc()))
+    approx = (scored.withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= k)
+                    .select("query_id", "neighbor_id"))
+    return _recall_vs_exact(exact, approx, k).orderBy("query_id")
+
+
+# ------------------------------------- binary codes / Hamming serving
+
+HAM_BAND_BITS = 8                     # substring width (multi-index)
+HAM_BANDS = EMB_DIM // HAM_BAND_BITS  # 8 bands cover all 64 bits
+
+
+def hamming_band_expr(qvec_col: str, band: int,
+                      band_bits: int = HAM_BAND_BITS) -> str:
+    """SQL for one band's key: bit j of band b is [qvec[b·w+j] > 0]
+    packed at position j — static expression text (no lambdas), the
+    `lsh_bucket_expr` discipline, parses in Spark SQL and (with
+    1-based indexing handled by the caller) DuckDB."""
+    terms = [
+        f"(CASE WHEN element_at({qvec_col}, "
+        f"{band * band_bits + j + 1}) > 0 THEN {1 << j}L ELSE 0L END)"
+        for j in range(band_bits)
+    ]
+    return " + ".join(terms)
+
+
+def with_binary_codes(df: DataFrame, id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      dim: int = EMB_DIM) -> DataFrame:
+    """Sign-bit binary quantization: bit d = [x_d > 0] (the corpus is
+    zero-centered; the threshold is applied to the shared quantized
+    ints so both engines agree at the rounding boundary), packed as
+    two 32-bit words hash_lo (bits 0–31) / hash_hi (bits 32–63) plus
+    the 8 one-byte band keys. 64 dims × 4 B floats → 8 B of code:
+    a 32× cut in vector state — THE serving-tier story at 100 TB."""
+    assert dim == HAM_BANDS * HAM_BAND_BITS, dim
+    base = with_quantized(df.where(F.size(F.col(emb_col)) == dim),
+                          emb_col)
+    band_cols = [F.expr(hamming_band_expr("qvec", b)).alias(f"band{b}")
+                 for b in range(HAM_BANDS)]
+    coded = base.select(id_col, *band_cols)
+    half = HAM_BANDS // 2
+    lo = sum((F.col(f"band{b}") * F.lit(1 << (b * HAM_BAND_BITS))
+              for b in range(1, half)),
+             start=F.col("band0"))
+    hi = sum((F.col(f"band{b}") *
+              F.lit(1 << ((b - half) * HAM_BAND_BITS))
+              for b in range(half + 1, HAM_BANDS)),
+             start=F.col(f"band{half}"))
+    return (coded.withColumn("hash_lo", lo.cast("long"))
+                 .withColumn("hash_hi", hi.cast("long")))
+
+
+def hamming_topk(df: DataFrame, id_col: str = "vec_id",
+                 emb_col: str = "embedding", k: int = 5,
+                 query_pred: str | None = None,
+                 dim: int = EMB_DIM) -> DataFrame:
+    """Approximate top-k in HAMMING space over sign-bit codes —
+    multi-index hashing (Norouzi/Punjani/Fleet, "Fast Search in
+    Hamming Space with Multi-Index Hashing", public): candidates must
+    share at least one of the 8 one-byte substrings, which by
+    pigeonhole is EXACT for any neighbor within Hamming radius 7;
+    beyond that recall decays gracefully. Distance itself is two
+    XOR+popcount words (`bit_count`), wholly JVM codegen.
+
+    Output (query_id, neighbor_id, hamming, rank) — all exact
+    integers, rank ties broken by neighbor_id.
+
+    Scale shape: the band join is the LSH-bucket join shape (never
+    all-pairs — candidates only inside shared 1-byte buckets, skew
+    bounded by 256 keys per band over a hash-uniform code space);
+    per-candidate work is 2 xor + 2 popcount on 16 B of state. This
+    is the cheapest serving tier the engine offers: 32× less vector
+    state than floats, integer-only distance."""
+    query_pred = query_pred or f"{id_col} < 10"
+    coded = with_binary_codes(df, id_col, emb_col, dim)
+    bands = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band_id"),
+                 F.col(f"band{b}").alias("key"))
+        for b in range(HAM_BANDS)])
+    melted = (coded.withColumn("bk", F.explode(bands))
+                   .select(id_col, "hash_hi", "hash_lo",
+                           F.col("bk.band_id").alias("band_id"),
+                           F.col("bk.key").alias("key")))
+    q = melted.where(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("hash_hi").alias("q_hi"), F.col("hash_lo").alias("q_lo"),
+        "band_id", "key")
+    c = melted.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("hash_hi").alias("c_hi"), F.col("hash_lo").alias("c_lo"),
+        "band_id", "key")
+    cand = (q.join(c, ["band_id", "key"])
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id",
+                     "q_hi", "q_lo", "c_hi", "c_lo")
+             .distinct())
+    scored = cand.withColumn(
+        "hamming",
+        (F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi"))) +
+         F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo"))))
+        .cast("long"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("hamming").asc(),
+                        F.col("neighbor_id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "hamming",
+                          F.col("rank").cast("long").alias("rank")))
+
+
 #: shift making every per-component mean numerator non-negative, so
 #: floor div (DuckDB //) and truncating div (Spark div) agree
 KMEANS_MEAN_OFF = 4 * QUANT_SCALE

@@ -1432,6 +1432,100 @@ FROM stats WHERE n_days >= 2
 """
 
 
+#: SSE reduction of splitting after prefix length t, from prefix sums
+#: only: SSE = Σv² − Σ(segment_sum²/len) and Σv² cancels, so
+#: gain(t) = st²/t + (sn−st)²/(n−t) − sn²/n. One fixed expression
+#: tree over exact BIGINTs (base.py double discipline) — identical
+#: text on both engines, so the argmax ordering can't flap.
+_CHANGEPOINT_GAIN = (
+    "CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(t AS DOUBLE) "
+    "+ CAST(sn - st AS DOUBLE) * CAST(sn - st AS DOUBLE) "
+    "/ CAST(n - t AS DOUBLE) "
+    "- CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)")
+
+
+def _changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series single changepoint by binary segmentation (the
+    batch twin of `stream_cusum_alerts`: CUSUM answers "is a shift
+    happening NOW", this answers "WHERE in the history did the level
+    shift") — for each event type's daily-cents series, the split
+    position maximizing the between-segment SSE reduction, computed
+    from prefix sums alone. Recursing on the winning halves yields
+    full binary segmentation; one level is the graded unit.
+
+    Output per series: the argmax split (last day of the left
+    segment), both segments' exact row counts and cents totals, and
+    the gain (double from one fixed expression over exact ints).
+
+    Scale shape: one (type, day) hash-agg (map-side combined), then
+    prefix-sum / total / argmax windows all riding ONE exchange on
+    the series key — |types·days| rows end to end, no self-join, no
+    explode. At 100 TB the state per series is its day count, and
+    series parallelize across executors."""
+    from ..sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.expr("ts_ns div 1000 div 86400000000")
+                        .alias("day"),
+                       F.expr(cents("value")).alias("c"))
+               .groupBy("event_type", "day")
+               .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("v")))
+    wo = (Window.partitionBy("event_type").orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wa = Window.partitionBy("event_type")
+    pre = (daily
+           .withColumn("t", F.row_number().over(
+               Window.partitionBy("event_type").orderBy("day"))
+               .cast("long"))
+           .withColumn("st", F.sum("v").over(wo).cast("long"))
+           .withColumn("sn", F.sum("v").over(wa).cast("long"))
+           .withColumn("n", F.count(F.lit(1)).over(wa).cast("long")))
+    cand = (pre.where("t < n")
+               .withColumn("gain", F.expr(_CHANGEPOINT_GAIN)))
+    wr = (Window.partitionBy("event_type")
+                .orderBy(F.col("gain").desc(), F.col("t").asc()))
+    return (cand.withColumn("rn", F.row_number().over(wr))
+                .where("rn = 1")
+                .select("event_type",
+                        F.col("n").alias("n_days"),
+                        F.col("t").alias("n_before"),
+                        F.expr("CAST(n - t AS BIGINT)").alias("n_after"),
+                        F.col("day").alias("split_day"),
+                        F.col("st").alias("s_before_cents"),
+                        F.expr("CAST(sn - st AS BIGINT)")
+                         .alias("s_after_cents"),
+                        "gain")
+                .orderBy("event_type"))
+
+
+_CHANGEPOINT_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum({cents('value')}) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, day, v,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS t,
+         CAST(sum(v) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS st,
+         CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT) AS sn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+),
+cand AS (SELECT *, {_CHANGEPOINT_GAIN} AS gain FROM pre WHERE t < n),
+best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY gain DESC, t ASC) AS rn FROM cand)
+SELECT event_type, n AS n_days, t AS n_before,
+       CAST(n - t AS BIGINT) AS n_after, day AS split_day,
+       st AS s_before_cents, CAST(sn - st AS BIGINT) AS s_after_cents,
+       gain
+FROM best WHERE rn = 1 ORDER BY event_type
+"""
+
+
 def _decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially time-decayed activity score with a
     half-life of one day, EXACT integers: score = Σ cents(value) div
@@ -2619,6 +2713,11 @@ QUERIES: dict[str, Query] = {
                                   "(per-(key, day) sort groups + "
                                   "boundary carry) vs DuckDB native "
                                   "ASOF"),
+    "q_changepoint": Query(_changepoint, _CHANGEPOINT_SQL,
+                           "single changepoint per series by binary "
+                           "segmentation: argmax SSE-reduction split "
+                           "of the daily-cents series, prefix-sums "
+                           "only, one exchange on the series key"),
     "q_trend_slopes": Query(_trend_slopes, _TREND_SLOPES_SQL,
                             "per-key OLS trend slope over daily "
                             "counts (exact-int sums, one double "

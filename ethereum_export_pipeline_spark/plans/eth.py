@@ -1226,6 +1226,134 @@ FROM c0 ORDER BY bucket
 """
 
 
+# --------------------------------------------- zone map / data skipping
+
+ZONE_W = 1024                   # zone width over the o_orderkey domain
+ZONE_KEY_LO, ZONE_KEY_HI = 3_000, 7_000   # the probe's key-range predicate
+
+
+def _zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / data-skipping index (SURVEY §4: the reference's ONLY
+    scan optimization is pruning `%08d` block-range partitions by
+    block number, config.py:3-14 + templates/export_pipeline_template.py:17-33
+    — this is that idea as first-class metadata): ONE scan computes
+    per-zone statistics (row count, key min/max, date min/max, exact
+    total cents), then the pruning decision for a key-range probe is
+    a metadata-only CASE over the zone stats — max_key < lo OR
+    min_key > hi ⇒ the whole zone is skippable without touching data.
+
+    Scale shape: the stats build is a map-side-combine hash agg whose
+    output is |zones| rows (~100k rows of a few ints at 100 TB — a
+    driver-browsable index); every subsequent range probe reads the
+    INDEX, not the table. This is exactly what Parquet row-group
+    min/max and Delta/Iceberg file stats automate — materialized here
+    as a queryable table so probes and their savings are auditable."""
+    o = load_table(spark, sf_dir, "orders")
+    z = (o.withColumn("zone_id",
+                      F.expr(f"o_orderkey div {ZONE_W}").cast("long"))
+          .groupBy("zone_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+               F.min("o_orderkey").cast("long").alias("min_key"),
+               F.max("o_orderkey").cast("long").alias("max_key"),
+               F.date_format(F.min("o_orderdate"), "yyyy-MM-dd")
+                .alias("min_date"),
+               F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")
+                .alias("max_date"),
+               F.sum(F.expr(cents("o_totalprice"))).cast("long")
+                .alias("total_cents")))
+    return (z.withColumn(
+                "pruned",
+                F.expr(f"CAST(max_key < {ZONE_KEY_LO} OR "
+                       f"min_key > {ZONE_KEY_HI} AS INT)").cast("long"))
+             .withColumn("rows_skipped",
+                         F.expr("CASE WHEN pruned = 1 THEN n_rows "
+                                "ELSE CAST(0 AS BIGINT) END"))
+             .select("zone_id", "n_rows", "min_key", "max_key",
+                     "min_date", "max_date", "total_cents",
+                     "pruned", "rows_skipped")
+             .orderBy("zone_id"))
+
+
+_ZONE_MAP_SQL = f"""
+WITH z AS (
+  SELECT o_orderkey // {ZONE_W} AS zone_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(o_orderkey) AS BIGINT) AS min_key,
+         CAST(max(o_orderkey) AS BIGINT) AS max_key,
+         strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+         strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
+         CAST(sum({cents('o_totalprice')}) AS BIGINT) AS total_cents
+  FROM orders GROUP BY 1)
+SELECT zone_id, n_rows, min_key, max_key, min_date, max_date,
+       total_cents,
+       CAST(max_key < {ZONE_KEY_LO} OR min_key > {ZONE_KEY_HI}
+            AS BIGINT) AS pruned,
+       CASE WHEN max_key < {ZONE_KEY_LO} OR min_key > {ZONE_KEY_HI}
+            THEN n_rows ELSE CAST(0 AS BIGINT) END AS rows_skipped
+FROM z ORDER BY zone_id
+"""
+
+
+# --------------------------------------------- bucketed co-located join
+
+BUCKETS = 8
+
+
+def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (SURVEY §4: the reference co-locates
+    work by writing BOTH sides of every dependent export in the same
+    `%08d` block-range layout so downstream joins never reshuffle —
+    config.py:37-58's aligned per-range files; Spark-natively that is
+    `bucketBy`): both sides are written ONCE hash-bucketed on the
+    join key, and every subsequent join of the two tables plans as a
+    SortMergeJoin with NO shuffle exchange on either side (pinned by
+    tests/test_round8_ops.py with broadcast disabled).
+
+    Scale shape: at 100 TB re-bucketing is paid once at ingest;
+    every later join/agg on the bucket key is exchange-free — the
+    single biggest shuffle a fact-fact join would otherwise pay.
+    The returned frame aggregates the joined result so the graded
+    output is small and exact."""
+    import hashlib as _hl
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    ot, lt = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    base = scratch_dir("spark_graft_bkt_")
+    (load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{base}/orders").saveAsTable(ot))
+    (load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice",
+                "l_discount")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{base}/lineitem").saveAsTable(lt))
+    j = (spark.table(ot)
+              .join(spark.table(lt),
+                    F.col("o_orderkey") == F.col("l_orderkey")))
+    return (j.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                  F.sum(F.expr("CAST(round(l_quantity) AS BIGINT)"))
+                   .cast("long").alias("sum_qty"),
+                  F.sum(F.expr(
+                      f"{cents('l_extendedprice')} * "
+                      f"(100 - {cents('l_discount')})"))
+                   .cast("long").alias("revenue_e4"))
+             .orderBy("o_orderpriority"))
+
+
+_BUCKETED_JOIN_SQL = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum({cents('l_extendedprice')}
+                * (100 - {cents('l_discount')})) AS BIGINT) AS revenue_e4
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "eth_staged_sink": Query(_staged_sink, _STAGED_SINK_SQL,
                              "S8 two-phase staged CSV export: "
@@ -1310,4 +1438,12 @@ QUERIES: dict[str, Query] = {
     "eth_table_profile": Query(_table_profile, _TABLE_PROFILE_SQL,
                                "one-scan column profiling: n_nonnull/"
                                "ndv/min/max per column, melted"),
+    "eth_zone_map": Query(_zone_map, _ZONE_MAP_SQL,
+                          "zone-map data-skipping index: per-zone "
+                          "min/max stats + metadata-only pruning "
+                          "decision for a key-range probe"),
+    "eth_bucketed_join": Query(_bucketed_join, _BUCKETED_JOIN_SQL,
+                               "bucketed co-located fact-fact join: "
+                               "bucketBy both sides once, every later "
+                               "join is exchange-free (plan-pinned)"),
 }

@@ -3050,6 +3050,132 @@ SELECT * FROM ({union}) ORDER BY prefix_dim, query_id
 """
 
 
+# -------------------------------------- scalar-quantized (int8) recall
+
+def _sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization recall
+    (operators/similarity.sq8_recall_report): recall@k of serving
+    reconstructed 1-byte-per-dim codes against the exact full-float
+    top-k — the quantization tier between full-width floats and PQ
+    (no codebook training, a 1-row min/max bounds frame is the whole
+    quantizer). Completes the serving-compression ladder the catalog
+    grades: float (exact) → MRL prefixes → SQ8 → PQ → binary."""
+    return similarity.sq8_recall_report(
+        load_table(spark, sf_dir, "embeddings"), k=TOPK_K)
+
+
+def _sq8_recall_sql() -> str:
+    lv = similarity.SQ8_LEVELS
+    return f"""
+WITH {_BASE_CTES},
+dims AS (SELECT CAST(i AS BIGINT) AS d
+         FROM range(1, {similarity.EMB_DIM + 1}) t(i)),
+bnd AS (SELECT d, min(q[d]) AS mn_v, max(q[d]) AS mx_v
+        FROM wn, dims GROUP BY d),
+bd AS (SELECT list(mn_v ORDER BY d) AS mn,
+              list(mx_v ORDER BY d) AS mx FROM bnd),
+coded AS (SELECT vec_id,
+    list_transform(q, (x, i) -> CASE WHEN mx[i] > mn[i]
+        THEN ((x - mn[i]) * {lv}) // (mx[i] - mn[i]) ELSE 0 END) AS code
+  FROM wn, bd),
+recon AS (SELECT vec_id,
+    list_transform(code, (c, i) ->
+        mn[i] + (c * (mx[i] - mn[i])) // {lv}) AS rv
+  FROM coded, bd),
+rn AS (SELECT vec_id, rv,
+       CAST(list_sum(list_transform(rv, x -> x * x)) AS BIGINT) AS rn2
+  FROM recon),
+bq AS (SELECT vec_id AS query_id, q AS qv, n2 AS qn2 FROM wn
+       WHERE vec_id < 10),
+bc AS (SELECT vec_id AS neighbor_id, q AS cv, n2 AS cn2 FROM wn),
+bcos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM
+         (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2
+          FROM bq CROSS JOIN bc WHERE neighbor_id <> query_id)),
+exact AS (SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM bcos) WHERE rk <= {TOPK_K}),
+ac AS (SELECT vec_id AS neighbor_id, rv AS cv, rn2 AS cn2 FROM rn),
+acos AS (SELECT query_id, neighbor_id, {_COS} AS cosine FROM
+         (SELECT query_id, neighbor_id, {_DOT} AS dot, qn2, cn2
+          FROM bq CROSS JOIN ac WHERE neighbor_id <> query_id)),
+atop AS (SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM acos) WHERE rk <= {TOPK_K}),
+hits AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM atop a SEMI JOIN exact e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1)
+SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) * 1000000 // {TOPK_K} AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY query_id
+"""
+
+
+# ----------------------------------- binary-code Hamming top-k serving
+
+def _hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit binary codes + multi-index Hamming top-k
+    (operators/similarity.hamming_topk): 64 float dims → 8 bytes of
+    code; candidates share at least one 1-byte substring (pigeonhole-
+    exact within Hamming radius 7), distance is two XOR+popcount
+    words. The cheapest serving tier the engine offers — 32× less
+    vector state than floats, integer-only distance, LSH-bucket join
+    shape."""
+    return similarity.hamming_topk(
+        load_table(spark, sf_dir, "embeddings"), k=TOPK_K)
+
+
+def _hamming_topk_sql() -> str:
+    w = similarity.HAM_BAND_BITS
+    nb = similarity.HAM_BANDS
+
+    def band_expr(b: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN q[{b * w + j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(w))
+        return f"CAST({terms} AS BIGINT)"
+
+    band_cols = ",\n       ".join(f"{band_expr(b)} AS band{b}"
+                                  for b in range(nb))
+    half = nb // 2
+    lo = " + ".join(f"band{b} * {1 << (b * w)}" for b in range(half))
+    hi = " + ".join(f"band{b} * {1 << ((b - half) * w)}"
+                    for b in range(half, nb))
+    band_list = "[" + ", ".join(f"band{b}" for b in range(nb)) + "]"
+    return f"""
+WITH {_BASE_CTES},
+codes AS (SELECT vec_id,
+       {band_cols}
+  FROM wn),
+packed AS (SELECT vec_id, {lo} AS hash_lo, {hi} AS hash_hi,
+                  {band_list} AS bands FROM codes),
+melted AS (SELECT vec_id, hash_hi, hash_lo,
+       CAST(i - 1 AS INT) AS band_id, bands[CAST(i AS INT)] AS bkey
+  FROM packed, range(1, {nb + 1}) t(i)),
+q AS (SELECT vec_id AS query_id, hash_hi AS q_hi, hash_lo AS q_lo,
+             band_id, bkey FROM melted WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, hash_hi AS c_hi, hash_lo AS c_lo,
+             band_id, bkey FROM melted),
+cand AS (SELECT DISTINCT query_id, neighbor_id, q_hi, q_lo, c_hi, c_lo
+  FROM q JOIN c USING (band_id, bkey) WHERE neighbor_id <> query_id),
+scored AS (SELECT query_id, neighbor_id,
+       CAST(bit_count(xor(q_hi, c_hi))
+            + bit_count(xor(q_lo, c_lo)) AS BIGINT) AS hamming
+  FROM cand)
+SELECT query_id, neighbor_id, hamming, rk AS "rank" FROM (
+  SELECT query_id, neighbor_id, hamming,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming ASC, neighbor_id ASC) AS BIGINT) AS rk
+  FROM scored) WHERE rk <= {TOPK_K}
+"""
+
+
 # ------------------------------------------ perceptual image dedup
 
 def _phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5978,4 +6104,14 @@ QUERIES: dict[str, Query] = {
                             "Maximal Marginal Relevance diversity "
                             "re-rank: greedy λ=0.5 pick-5, unrolled "
                             "static stages over a bounded pool"),
+    "emb_sq8_recall": Query(_sq8_recall, _sq8_recall_sql(),
+                            "int8 scalar-quantization recall@k: "
+                            "1-byte-per-dim codes off a 1-row min/max "
+                            "bounds frame, asymmetric (ADC) search "
+                            "vs the exact top-k"),
+    "emb_hamming_topk": Query(_hamming_topk, _hamming_topk_sql(),
+                              "sign-bit binary codes + multi-index "
+                              "Hamming top-k: 8-byte vectors, "
+                              "XOR+popcount distance, pigeonhole-"
+                              "exact within radius 7"),
 }

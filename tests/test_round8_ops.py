@@ -194,3 +194,186 @@ def test_png_media_fixture_matches_ppm_pixels(spark):
             # plus constant chunk overhead on these tiled planes —
             # mainly: it must NOT be the raw plane
             assert ra["n_bytes"] != rb["n_bytes"]
+
+
+# --------------------------------- serving-tier quantization (SQ8/binary)
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>")
+
+
+def test_sq8_perfect_reconstruction_gives_full_recall(spark):
+    """One-hot corpus: per-dim bounds are {0, 1e4}, so the int8 code
+    round-trips EXACTLY (255·10000 div 255 = 10000) and the quantized
+    ranking equals the exact ranking — recall must be 100% for every
+    query, including tie-heavy ones (cosine 0 everywhere, broken by
+    neighbor_id in both passes)."""
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        sq8_recall_report)
+    vecs = []
+    for i in range(15):
+        v = [0.0] * 64
+        v[i] = 1.0
+        vecs.append(v)
+    rep = sq8_recall_report(_emb_df(spark, vecs), k=5).collect()
+    assert [r.query_id for r in rep] == list(range(10))
+    assert all(r.n_hits == 5 and r.recall_ppm == 1_000_000 for r in rep)
+
+
+def test_sq8_codes_stay_in_byte_range(spark):
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        SQ8_LEVELS, sq8_bounds, with_quantized)
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = with_quantized(df)
+    bounds = sq8_bounds(df)
+    code_expr = (f"transform(qvec, (x, i) -> CASE WHEN mx[i] > mn[i] "
+                 f"THEN ((x - mn[i]) * {SQ8_LEVELS}) div (mx[i] - mn[i]) "
+                 f"ELSE 0 END)")
+    row = (base.crossJoin(F.broadcast(bounds))
+               .select(F.expr(code_expr).alias("code"))
+               .select(F.min(F.array_min("code")).alias("lo"),
+                       F.max(F.array_max("code")).alias("hi"))
+               .collect()[0])
+    assert 0 <= row.lo and row.hi <= SQ8_LEVELS
+
+
+def test_binary_code_packing_matches_python(spark):
+    """hash_hi/hash_lo and every band key recomputed bit-for-bit in
+    plain Python from the same >0-on-quantized rule."""
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        HAM_BAND_BITS, HAM_BANDS, with_binary_codes)
+    import random
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-0.5, 0.5) for _ in range(64)] for _ in range(30)]
+    got = {r.vec_id: r for r in
+           with_binary_codes(_emb_df(spark, vecs)).collect()}
+
+    def _round_half_away(v: float) -> int:   # Spark round(), not banker's
+        import math
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    for i, v in enumerate(vecs):
+        q = [_round_half_away(float(np.float32(x)) * 10_000) for x in v]
+        bits = [1 if x > 0 else 0 for x in q]
+        keys = [sum(bits[b * HAM_BAND_BITS + j] << j
+                    for j in range(HAM_BAND_BITS))
+                for b in range(HAM_BANDS)]
+        lo = sum(keys[b] << (b * HAM_BAND_BITS) for b in range(4))
+        hi = sum(keys[b + 4] << (b * HAM_BAND_BITS) for b in range(4))
+        r = got[i]
+        assert [r[f"band{b}"] for b in range(HAM_BANDS)] == keys, i
+        assert (r.hash_lo, r.hash_hi) == (lo, hi), i
+
+
+def test_hamming_topk_pigeonhole_finds_close_pair(spark):
+    """A planted neighbor 3 bit-flips from query 0 MUST be found
+    (pigeonhole: Hamming <= 7 always shares one of the 8 byte bands)
+    and ranked first with the exact distance."""
+    from ethereum_export_pipeline_spark.operators.similarity import (
+        hamming_topk)
+    import random
+    rng = random.Random(5)
+    base = [rng.choice([-0.3, 0.3]) for _ in range(64)]
+    near = list(base)
+    for d in (3, 17, 60):        # 3 flips, spread across bands
+        near[d] = -near[d]
+    vecs = [base, near] + [
+        [rng.choice([-0.3, 0.3]) for _ in range(64)] for _ in range(40)]
+    out = hamming_topk(_emb_df(spark, vecs), k=5,
+                       query_pred="vec_id < 1")
+    rows = {r.rank: r for r in out.collect()}
+    assert rows, "no candidates found"
+    assert rows[1].neighbor_id == 1 and rows[1].hamming == 3
+
+
+# ------------------------------------- zone map + bucketed co-location
+
+def test_zone_map_prunes_exactly_the_disjoint_zones(spark):
+    from ethereum_export_pipeline_spark.plans.eth import (
+        ZONE_KEY_HI, ZONE_KEY_LO, ZONE_W, _zone_map)
+    rows = _zone_map(spark, SF).collect()
+    assert rows
+    orders_n = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert sum(r.n_rows for r in rows) == orders_n
+    for r in rows:
+        assert r.zone_id * ZONE_W <= r.min_key <= r.max_key \
+            < (r.zone_id + 1) * ZONE_W
+        want = int(r.max_key < ZONE_KEY_LO or r.min_key > ZONE_KEY_HI)
+        assert r.pruned == want, r
+        assert r.rows_skipped == (r.n_rows if want else 0)
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """With broadcast disabled, the bucketed fact-fact join must plan
+    as a SortMergeJoin whose ONLY exchange is the final
+    priority-rollup hash agg — the join itself reads co-located
+    buckets (bucketed scan visible in the plan)."""
+    from ethereum_export_pipeline_spark.plans.eth import _bucketed_join
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _bucketed_join(spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert "SortMergeJoin" in final, final[:2000]
+        # every exchange is on the rollup key (partial agg + final
+        # sort); the JOIN keys never shuffle — that's the bucket win
+        ex_lines = [l for l in final.splitlines()
+                    if "Exchange" in l and "ReusedExchange" not in l]
+        assert ex_lines and all("o_orderpriority" in l for l in ex_lines), \
+            final[:2000]
+        assert "hashpartitioning(o_orderkey" not in final
+        assert "hashpartitioning(l_orderkey" not in final
+        assert final.count("Bucketed: true") == 2, final[:2000]
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+# -------------------------------------------- batch changepoint (binseg)
+
+def test_changepoint_matches_bruteforce_argmax(spark):
+    """The windowed argmax must equal a brute-force python scan of
+    every split of every series, on the real fixture."""
+    from collections import defaultdict
+
+    from ethereum_export_pipeline_spark.plans.analytics import _changepoint
+    from ethereum_export_pipeline_spark.sources.tables import load_table
+
+    got = {r.event_type: r for r in _changepoint(spark, SF).collect()}
+
+    daily = (load_table(spark, SF, "events")
+             .selectExpr("event_type",
+                         "ts_ns div 1000 div 86400000000 AS day",
+                         "CAST(round(value * 100) AS BIGINT) AS c")
+             .groupBy("event_type", "day")
+             .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("v"))
+             .collect())
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.day, r.v))
+    assert set(series) == set(got)
+    for et, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        sn = sum(v for _, v in pts)
+        best = None
+        st = 0
+        for t in range(1, n):          # split after prefix length t
+            st += pts[t - 1][1]
+            gain = (st * st / t + (sn - st) * (sn - st) / (n - t)
+                    - sn * sn / n)
+            if best is None or gain > best[0]:
+                best = (gain, t)
+        g = got[et]
+        assert (g.n_days, g.n_before) == (n, best[1]), et
+        assert g.split_day == pts[best[1] - 1][0]
+        assert g.s_before_cents == sum(v for _, v in pts[:best[1]])
+        assert g.s_after_cents == sn - g.s_before_cents
+        assert abs(g.gain - best[0]) < 1e-6 * max(1.0, abs(best[0]))

@@ -94,9 +94,10 @@ def main() -> int:
             open(f"{out}/_amplified_{AMPLIFY}", "w").close()
     big_docs = spark.read.parquet(f"{out}/documents")
 
+    JOIN_OPS = {"plain_join", "bucketed_join", "bucket_write"}
     n_li = 0
     big_li = None
-    if ONLY is None or "q1_agg" in ONLY:
+    if ONLY is None or ({"q1_agg"} | JOIN_OPS) & ONLY:
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         n_li = li.count()
         big_li = (li.crossJoin(copies)
@@ -128,6 +129,57 @@ def main() -> int:
           .agg(F.count(F.lit(1)).alias("n"),
                F.expr("CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)")
                 .alias("cents")))
+
+    # bucketed vs plain fact-fact join (the eth_bucketed_join claim,
+    # measured): the plain join exchanges BOTH amplified sides on the
+    # join key; the bucketed join reads co-located buckets and its
+    # only exchange is the 5-key rollup. bucket_write is the one-time
+    # ingest cost the plain path re-pays on every query.
+    if ONLY is None or (ONLY & JOIN_OPS):
+        big_o = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+                      .crossJoin(copies)
+                      .withColumn("o_orderkey",
+                                  F.col("o_orderkey") + F.col("copy") * 200_000)
+                      .drop("copy")
+                      .select("o_orderkey", "o_orderpriority"))
+        big_o.write.mode("overwrite").parquet(f"{out}/orders")
+        big_o = spark.read.parquet(f"{out}/orders")
+        li_cols = big_li.select("l_orderkey", "l_extendedprice")
+        bk = max(8, cpus)
+
+        def _prio_agg(j):
+            return (j.groupBy("o_orderpriority")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.expr("CAST(sum(CAST(round(l_extendedprice*100) "
+                                 "AS BIGINT)) AS BIGINT)").alias("cents")))
+
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            if ONLY is None or "bucket_write" in ONLY or \
+                    "bucketed_join" in ONLY:
+                sc.setJobGroup("bucket_write", "bucket_write")
+                t0 = time.time()
+                (big_o.write.mode("overwrite").format("parquet")
+                      .bucketBy(bk, "o_orderkey").sortBy("o_orderkey")
+                      .option("path", f"{out}/bkt_orders")
+                      .saveAsTable("smoke_bkt_orders"))
+                (li_cols.write.mode("overwrite").format("parquet")
+                        .bucketBy(bk, "l_orderkey").sortBy("l_orderkey")
+                        .option("path", f"{out}/bkt_lineitem")
+                        .saveAsTable("smoke_bkt_lineitem"))
+                timings["bucket_write"] = round(time.time() - t0, 2)
+                sc.setJobGroup("other", "other")
+            bench("bucketed_join",
+                  lambda: _prio_agg(spark.table("smoke_bkt_orders").join(
+                      spark.table("smoke_bkt_lineitem"),
+                      F.col("o_orderkey") == F.col("l_orderkey"))))
+            bench("plain_join",
+                  lambda: _prio_agg(big_o.join(
+                      li_cols,
+                      F.col("o_orderkey") == F.col("l_orderkey"))))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
     bench("dedup_exact", lambda: dedup.dedup_exact(big_docs))
     bench("ngram_pairs", lambda: dedup.ngram_jaccard_pairs(big_docs))
     bench("minhash_pairs", lambda: dedup.minhash_lsh_pairs(big_docs))
@@ -162,7 +214,8 @@ def main() -> int:
     EMB_OPS = {"semantic_dedup", "lsh_topk", "ivf_topk", "ivfpq_topk",
                "neardup_multiband", "density_sample", "hard_negatives",
                "semantic_decon", "pca_scores", "mmr_rerank",
-               "ivf_topk_bulk", "ivfpq_topk_bulk", "ivfpq_packed_bulk"}
+               "ivf_topk_bulk", "ivfpq_topk_bulk", "ivfpq_packed_bulk",
+               "hamming_topk", "sq8_recall"}
     big_emb = None
     if ONLY is None or (ONLY & EMB_OPS):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -210,6 +263,16 @@ def main() -> int:
                                         scan_parallelism=cpus))
     bench("neardup_multiband",
           lambda: similarity.embedding_neardup_pairs(big_emb, n_bands=3))
+
+    # round-8 serving tiers: binary codes with a BULK (~1%) query set
+    # — the whole exchange is 16 B of code per melted band row — and
+    # the SQ8 recall harness (bounded 10-query sample vs the growing
+    # corpus; the candidate side is the production encode scan)
+    bench("hamming_topk",
+          lambda: similarity.hamming_topk(big_emb, k=5,
+                                          query_pred="vec_id % 97 = 0"))
+    bench("sq8_recall",
+          lambda: similarity.sq8_recall_report(big_emb, k=5))
 
     # the PQ payload-compression claim, measured directly: with a
     # BULK query set and broadcast disabled, the cell join exchanges
