@@ -248,9 +248,10 @@ def _artifact_builders():
     first-touch cost migrating between queries as HEADLINE grew.
     Charging the build to `artifact:*` rows makes per-query timings
     attributable and round-over-round comparable."""
-    from ethereum_export_pipeline_spark.plans import analytics, llm
+    from ethereum_export_pipeline_spark.plans import analytics, eth, llm
     return {
         "artifact:quantizers": lambda spark, sf: llm.get_quantizers(),
+        "artifact:dualprec_csv": eth._dualprec_csv,
         "artifact:minhash_pair_graph": llm._lsh_pairs,
         "artifact:cc_labels": llm._cc,
         "artifact:kmeans_cells": llm._kmeans_cells,
