@@ -234,6 +234,7 @@ HEADLINE = [
     "eth_zone_map",
     "eth_bucketed_join",
     "q_changepoint",
+    "eth_xml_roundtrip",
 ]
 
 

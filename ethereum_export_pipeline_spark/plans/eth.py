@@ -333,6 +333,38 @@ def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORC_ROUNDTRIP_SQL = "SELECT r_regionkey, r_name FROM region"
 
 
+def _xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source with declared schema — Spark 4's built-in
+    StAX XML source (no external jar), the feed/config format B2B
+    ingestion still lands, extending the format matrix to
+    CSV/JSONL/Parquet/ORC/XML. Same discipline as the other
+    roundtrips: money converted to exact cents BEFORE the write so
+    the hash never depends on double serialization, explicit
+    StructType + rowTag on read, never inference."""
+    p = load_table(spark, sf_dir, "part")
+    out = scratch_dir("spark_graft_xml_")
+    (p.select("p_partkey", "p_brand", "p_size",
+              F.expr(cents("p_retailprice")).alias("price_cents"))
+      .write.mode("overwrite").format("xml").option("rowTag", "part")
+      .save(out))
+    schema = T.StructType([
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("p_size", T.IntegerType()),
+        T.StructField("price_cents", T.LongType()),
+    ])
+    return (spark.read.schema(schema).format("xml")
+                 .option("rowTag", "part").load(out)
+                 .select("p_partkey", "p_brand", "p_size", "price_cents"))
+
+
+_XML_ROUNDTRIP_SQL = f"""
+SELECT p_partkey, p_brand, p_size,
+       {cents('p_retailprice')} AS price_cents
+FROM part
+"""
+
+
 # ------------------------------------------------------- S10 + S9 + A2
 
 def _parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1463,4 +1495,8 @@ QUERIES: dict[str, Query] = {
                                "bucketed co-located fact-fact join: "
                                "bucketBy both sides once, every later "
                                "join is exchange-free (plan-pinned)"),
+    "eth_xml_roundtrip": Query(_xml_roundtrip, _XML_ROUNDTRIP_SQL,
+                               "S6/S7 format matrix, XML cell: "
+                               "built-in StAX source, declared "
+                               "schema + rowTag, exact-cents money"),
 }
