@@ -235,6 +235,7 @@ HEADLINE = [
     "eth_bucketed_join",
     "q_changepoint",
     "eth_xml_roundtrip",
+    "doc_ssjoin_prefix",
 ]
 
 

@@ -36,21 +36,23 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #: 1-7 accumulated driver-stamped green rows for 231 distinct queries
 #: with zero failures (CORRECTNESS_r0{1-7}.json); 7 round-7-late
 #: additions (noted below) have not yet been driver-graded. Round 8:
-#: (a) those 7 pool entries, (b) the 8 round-8 additions
+#: (a) those 7 pool entries, (b) the 9 round-8 additions
 #: (eth_dual_precision — the dual-precision wei projection's first
 #: catalog row; mm_png_stats — real compressed-codec decode;
 #: emb_sq8_recall + emb_hamming_topk — the int8 and binary serving
 #: tiers; eth_zone_map + eth_bucketed_join — data-skipping stats and
 #: exchange-free co-located joins; q_changepoint — binary-
 #: segmentation level-shift detection; eth_xml_roundtrip — the format
-#: matrix's XML cell), graded the round they land,
-#: and (c) a STALE-STAMP RE-GRADE rotation — the 35 entries whose
-#: newest driver stamp is oldest (17 from r02, 8 from r03, 10 from
+#: matrix's XML cell; doc_ssjoin_prefix — EXACT near-dup pairs via
+#: PPJoin prefix filtering), graded the round they land,
+#: and (c) a STALE-STAMP RE-GRADE rotation — the 34 entries whose
+#: newest driver stamp is oldest (16 from r02, 8 from r03, 10 from
 #: r04): those stamps predate the Karp-Rabin / checkpoint-discipline
 #: / session-isolation refactors, and driver-stamped evidence is the
-#: hard currency. The 6 r02 entries displaced by (b)
+#: hard currency. The 7 r02 entries displaced by (b)
 #: (q13_cust_order_dist, q14_promo_effect, q16_not_exists,
-#: q18_large_orders, q22_idle_balances, q15_top_supplier) head the round-9 re-grade
+#: q9_like_filter, q18_large_orders, q22_idle_balances,
+#: q15_top_supplier) head the round-9 re-grade
 #: pool. Everything demoted stays green in the full local sweep.
 _WINDOW_R8 = (
     # round-8 additions (new this round, graded immediately)
@@ -62,6 +64,7 @@ _WINDOW_R8 = (
     "eth_bucketed_join",
     "q_changepoint",
     "eth_xml_roundtrip",
+    "doc_ssjoin_prefix",
     # the 7 round-7-late entries (never driver-graded before)
     "emb_ivfpq_packed",
     "doc_html_strip",
@@ -87,7 +90,6 @@ _WINDOW_R8 = (
     "q4_order_priority",
     "q12_shipmode_classes",
     "q11_having",
-    "q9_like_filter",
     # stale-stamp re-grades: newest stamp r03
     "doc_token_counts",
     "doc_fingerprint",

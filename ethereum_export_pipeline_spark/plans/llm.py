@@ -3176,6 +3176,52 @@ SELECT query_id, neighbor_id, hamming, rk AS "rank" FROM (
 """
 
 
+# --------------------------------- exact set-similarity (prefix filter)
+
+def _ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard pairs via PPJoin-style prefix filtering
+    (operators/dedup.ssjoin_prefix_pairs): the EXACT cell of the
+    near-dup matrix over the same shingle universe as
+    `doc_ngram_pairs` — no df-cut recall loss, no MinHash
+    probability; pruning comes from the global df-ascending shingle
+    order (only each doc's rare prefix enters the candidate index)
+    plus the length filter. The superset relation vs the df-cut
+    variant is pinned in tests."""
+    return dedup.ssjoin_prefix_pairs(
+        load_table(spark, sf_dir, "documents"))
+
+
+def _ssjoin_prefix_sql() -> str:
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+sh0 AS ({SHINGLES_CTE}),
+tok AS (SELECT doc_id AS doc, shingle AS token FROM sh0),
+dfc AS (SELECT token, count(*) AS dfc FROM tok GROUP BY 1),
+keyed AS (SELECT doc,
+          lpad(CAST(dfc AS VARCHAR), 10, '0') || ':' || token AS k
+          FROM tok JOIN dfc USING (token)),
+perdoc AS (SELECT doc, list_sort(list(k)) AS ks FROM keyed GROUP BY 1),
+pre AS (SELECT doc, CAST(len(ks) AS BIGINT) AS sz,
+        unnest(ks[1 : CAST(len(ks) - ((len(ks) + 1) // 2) + 1 AS INT)])
+          AS k
+        FROM perdoc),
+cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                a.sz AS sz_a, b.sz AS sz_b
+  FROM pre a JOIN pre b USING (k)
+  WHERE a.doc < b.doc
+    AND least(a.sz, b.sz) * 2 >= greatest(a.sz, b.sz)),
+inter AS (SELECT doc_a, doc_b, sz_a, sz_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+  FROM cand JOIN tok ta ON ta.doc = cand.doc_a
+            JOIN tok tb ON tb.doc = cand.doc_b AND tb.token = ta.token
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, n_common, jaccard FROM (
+  SELECT doc_a, doc_b, n_common,
+         n_common / (sz_a + sz_b - n_common) AS jaccard FROM inter)
+WHERE jaccard >= 0.5
+"""
+
+
 # ------------------------------------------ perceptual image dedup
 
 def _phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6114,4 +6160,9 @@ QUERIES: dict[str, Query] = {
                               "Hamming top-k: 8-byte vectors, "
                               "XOR+popcount distance, pigeonhole-"
                               "exact within radius 7"),
+    "doc_ssjoin_prefix": Query(_ssjoin_prefix, _ssjoin_prefix_sql(),
+                               "EXACT token-Jaccard pairs via PPJoin "
+                               "prefix filtering: df-ascending order, "
+                               "rare-half candidate index, length "
+                               "filter — zero recall loss"),
 }

@@ -377,3 +377,53 @@ def test_changepoint_matches_bruteforce_argmax(spark):
         assert g.s_before_cents == sum(v for _, v in pts[:best[1]])
         assert g.s_after_cents == sn - g.s_before_cents
         assert abs(g.gain - best[0]) < 1e-6 * max(1.0, abs(best[0]))
+
+
+# ----------------------------- exact set-similarity join (prefix filter)
+
+def test_ssjoin_prefix_matches_bruteforce_exactly(spark):
+    """Every (pair, n_common, jaccard) must equal a python brute force
+    over all pairs of real fixture docs — the no-recall-loss claim."""
+    import re
+
+    from ethereum_export_pipeline_spark.operators import dedup
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+                 .orderBy("doc_id").limit(80))
+    got = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+           for r in dedup.ssjoin_prefix_pairs(docs).collect()}
+
+    def sh(text):
+        t = re.findall(r"[a-z0-9]+", (text or "").lower())
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    s = {r.doc_id: sh(r.text) for r in docs.collect()
+         if r.text is not None and sh(r.text)}
+    exp = {}
+    ids = sorted(s)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(s[a] & s[b])
+            union = len(s[a] | s[b])
+            if union and inter / union >= 0.5:
+                exp[(a, b)] = (inter, inter / union)
+    assert set(got) == set(exp)
+    for k, (n, j) in exp.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - j) < 1e-12, k
+
+
+def test_ssjoin_prefix_finds_pairs_the_df_cut_misses(spark):
+    """Ten identical boilerplate-only docs: every shingle has df=10,
+    so a df-cut of 3 empties the inverted index and
+    ngram_jaccard_pairs reports NOTHING — the prefix join must still
+    report all 45 pairs at jaccard 1.0 (hot shingles sit in the
+    suffix order-wise but identical docs share their whole prefix)."""
+    from ethereum_export_pipeline_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [(i, "terms of service apply to everything here") for i in range(10)],
+        "doc_id long, text string")
+    cut = dedup.ngram_jaccard_pairs(docs, max_shingle_df=3).collect()
+    assert cut == []
+    exact = dedup.ssjoin_prefix_pairs(docs).collect()
+    assert len(exact) == 45
+    assert all(r.jaccard == 1.0 for r in exact)

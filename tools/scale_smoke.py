@@ -182,6 +182,7 @@ def main() -> int:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
     bench("dedup_exact", lambda: dedup.dedup_exact(big_docs))
     bench("ngram_pairs", lambda: dedup.ngram_jaccard_pairs(big_docs))
+    bench("ssjoin_prefix", lambda: dedup.ssjoin_prefix_pairs(big_docs))
     bench("minhash_pairs", lambda: dedup.minhash_lsh_pairs(big_docs))
     bench("simhash_pairs", lambda: dedup.simhash_pairs(big_docs))
     bench("dedup_pipeline_pairs_clusters_canonical", dedup_pipeline)
