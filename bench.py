@@ -236,6 +236,9 @@ HEADLINE = [
     "q_changepoint",
     "eth_xml_roundtrip",
     "doc_ssjoin_prefix",
+    # round-9 additions
+    "eth_dual_export",
+    "mm_jpeg_stats",
 ]
 
 
@@ -254,6 +257,7 @@ def _artifact_builders():
     return {
         "artifact:quantizers": lambda spark, sf: llm.get_quantizers(),
         "artifact:dualprec_csv": eth._dualprec_csv,
+        "artifact:bucketed_tables": eth._bucketed_tables,
         "artifact:minhash_pair_graph": llm._lsh_pairs,
         "artifact:cc_labels": llm._cc,
         "artifact:kmeans_cells": llm._kmeans_cells,
@@ -327,6 +331,27 @@ def main() -> int:
     calib = round(calib, 3)
     print(f"# calibration (pure-JVM canary): {calib:.3f}s", file=sys.stderr)
 
+    # Python-worker canary: the SAME fixed-work idea routed through
+    # mapInPandas (Arrow batch transfer + pandas compute in Python
+    # workers, the r8 verdict's unexplained-drift path: JVM canary
+    # fast yet Arrow-heavy families +40%). Two fixed canaries make
+    # host-vs-engine attribution separable per path: if only
+    # py_calibration moved, the Python workers/GIL/fork side of the
+    # host moved; if both moved, the whole host did.
+    def _py_canary(pdfs):
+        for pdf in pdfs:
+            yield pdf.assign(v=(pdf["id"] * 2654435761 % 1000003))
+    py_calib = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 8_000_000, 1, 32) \
+             .mapInPandas(_py_canary, "id long, v long") \
+             .selectExpr("sum(v)").collect()
+        py_calib = min(py_calib, time.time() - t0)
+    py_calib = round(py_calib, 3)
+    print(f"# calibration (mapInPandas canary): {py_calib:.3f}s",
+          file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -359,6 +384,7 @@ def main() -> int:
             "n_queries": sum(not k.startswith("artifact:") for k in timings),
             "n_artifacts": len(timings_art),
             "calibration_sec": calib,
+            "py_calibration_sec": py_calib,
         }, f, indent=1, sort_keys=True)
 
     import re
@@ -377,6 +403,7 @@ def main() -> int:
         "n_queries": sum(not k.startswith("artifact:") for k in timings),
         "full_map": "BENCH_FULL.json",
         "calibration_sec": calib,
+        "py_calibration_sec": py_calib,
         "sf": sf,
     })
     assert len(line) < 1800, f"bench line too long: {len(line)} chars"

@@ -1010,6 +1010,18 @@ def matryoshka_recall_report(df: DataFrame, k: int = 5,
 SQ8_LEVELS = 255   # int8 code range 0..255 (one unsigned byte per dim)
 
 
+def sq8_code_expr() -> str:
+    """The SQ8 encoder as a SQL fragment over columns `qvec` (the
+    quantized vector) and `mn`/`mx` (the per-dimension bounds arrays
+    from `sq8_bounds`): code_i = (x_i − mn_i)·255 div (mx_i − mn_i),
+    0 where the dimension is constant. Single source of truth — the
+    operator and the byte-range test both evaluate THIS string, so an
+    encoding change can't leave the test validating a stale copy."""
+    return (f"transform(qvec, (x, i) -> CASE WHEN mx[i] > mn[i] "
+            f"THEN ((x - mn[i]) * {SQ8_LEVELS}) div (mx[i] - mn[i]) "
+            f"ELSE 0 END)")
+
+
 def sq8_bounds(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """One-row frame of per-dimension (mn, mx) arrays over the
     quantized corpus — the int8 scalar quantizer's ENTIRE training
@@ -1060,13 +1072,10 @@ def sq8_recall_report(df: DataFrame, k: int = 5,
                              ).localCheckpoint(eager=True)
     base = with_quantized(full, emb_col).select(id_col, "qvec", "n2")
     bounds = sq8_bounds(full, emb_col)
-    code_expr = (f"transform(qvec, (x, i) -> CASE WHEN mx[i] > mn[i] "
-                 f"THEN ((x - mn[i]) * {SQ8_LEVELS}) div (mx[i] - mn[i]) "
-                 f"ELSE 0 END)")
     recon_expr = (f"transform(code, (c, i) -> mn[i] + "
                   f"(c * (mx[i] - mn[i])) div {SQ8_LEVELS})")
     coded = (base.crossJoin(F.broadcast(bounds))
-                 .withColumn("code", F.expr(code_expr))
+                 .withColumn("code", F.expr(sq8_code_expr()))
                  .withColumn("rv", F.expr(recon_expr))
                  .withColumn("rn2", F.expr(dot_expr("rv", "rv"))))
     q = (base.where(query_pred)

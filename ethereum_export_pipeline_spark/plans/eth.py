@@ -353,13 +353,20 @@ def _xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("p_size", T.IntegerType()),
         T.StructField("price_cents", T.LongType()),
     ])
+    # Spark's XML source reads an empty-string element back as NULL;
+    # DuckDB's twin keeps the raw string — coalesce the read-back to
+    # '' so both engines agree on the degenerate case (current
+    # fixtures have no empty p_brand, but the hash must not depend on
+    # that staying true across corpus generations).
     return (spark.read.schema(schema).format("xml")
                  .option("rowTag", "part").load(out)
-                 .select("p_partkey", "p_brand", "p_size", "price_cents"))
+                 .select("p_partkey",
+                         F.coalesce("p_brand", F.lit("")).alias("p_brand"),
+                         "p_size", "price_cents"))
 
 
 _XML_ROUNDTRIP_SQL = f"""
-SELECT p_partkey, p_brand, p_size,
+SELECT p_partkey, coalesce(p_brand, '') AS p_brand, p_size,
        {cents('p_retailprice')} AS price_cents
 FROM part
 """
@@ -1192,7 +1199,9 @@ def _dualprec_csv(spark: SparkSession, sf_dir: str) -> str:
         src.repartition(width).write.mode("overwrite") \
            .option("header", True).csv(out)
         if len(_DUALPREC_CSV) >= 8:
-            _DUALPREC_CSV.pop(next(iter(_DUALPREC_CSV)))
+            import shutil
+            evicted = _DUALPREC_CSV.pop(next(iter(_DUALPREC_CSV)))
+            shutil.rmtree(evicted, ignore_errors=True)
         _DUALPREC_CSV[key] = out
     return _DUALPREC_CSV[key]
 
@@ -1251,6 +1260,89 @@ WITH src AS (
               ELSE {big} END AS v,
          CASE WHEN {_WEI_SMALL} THEN {_WEI_D} ELSE 0 END AS dsm
   FROM events),
+c8 AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(1 - small) AS BIGINT) AS n_saturated,
+         CAST(sum(dsm) AS BIGINT) AS sum_dec38_small,
+         CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+         CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
+         CAST(sum(CAST((v // 79228162514264337593543950336)
+                       % 4294967296 AS BIGINT)) AS BIGINT) AS s4,
+         CAST(sum(CAST((v // 18446744073709551616)
+                       % 4294967296 AS BIGINT)) AS BIGINT) AS s5,
+         CAST(sum(CAST((v // 4294967296)
+                       % 4294967296 AS BIGINT)) AS BIGINT) AS s6,
+         CAST(sum(CAST(v % 4294967296 AS BIGINT)) AS BIGINT) AS s7,
+         CAST(0 AS BIGINT) AS k8
+  FROM src GROUP BY 1),
+{carries}
+c0 AS (SELECT *, (s0 + k1) AS l0 FROM c1)
+SELECT bucket, n_rows, n_saturated, sum_dec38_small,
+       l0, l1, l2, l3, l4, l5, l6, l7,
+       {hex_total} AS wei_total_hex
+FROM c0 ORDER BY bucket
+"""
+
+
+# ------------------------- dual-precision through the export DAG (J1)
+
+#: the keyed-fetch predicate: "tx hashes of interest" ≙ users with a
+#: large purchase — ~45% of the user domain at every fixture scale
+_DE_KEY_PRED = "event_type = 'purchase' AND value > 150"
+
+
+def _dual_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-precision projection THROUGH the export DAG's J1 edge
+    (SURVEY hard part (a) closing the loop `eth_dual_precision`
+    opened): the CSV→`apply_mapping_dual_precision` projection feeds
+    the tx_hashes→receipts keyed fetch (J1, config.py:40-42 — here
+    the key set is users with a large purchase, derived
+    extract→distinct like P4/A1), with BOTH precisions — the
+    reference-compatible decimal(38,0) AND the exact
+    `value_wei_limbs` array — carried through the broadcast semi
+    join, then bucket-aggregated and carry-normalized. The graded
+    hash proves the limb columns survive a DAG edge intact: the
+    oracle recomputes every value in HUGEINT from the integer
+    components of the FILTERED subset, so a join that dropped,
+    reordered, or re-decoded the limbs would flap it.
+
+    Scale shape: identical to `eth_dual_precision` plus one
+    broadcast left-semi join (key side is distinct user ids — tiny
+    vs the fact side at any scale); still zero UDFs, one hash agg."""
+    from ..schemas import WEI, ColumnMapping, apply_mapping_dual_precision
+    raw = spark.read.option("header", True).csv(_dualprec_csv(spark, sf_dir))
+    proj = apply_mapping_dual_precision(
+        raw, [ColumnMapping("user_id", "user_id", T.LongType()),
+              ColumnMapping("value_wei", "value_wei", WEI)])
+    keys = (load_table(spark, sf_dir, "events")
+            .where(F.expr(_DE_KEY_PRED))
+            .select("user_id").distinct())
+    fetched = proj.join(F.broadcast(keys), "user_id", "left_semi")
+    decoded = fetched.selectExpr(
+        "user_id % 8 AS bucket",
+        *[f"element_at(value_wei_limbs, {i + 1}) AS w{i}"
+          for i in range(8)],
+        "value_wei AS value_dec38")
+    return _carry_limbs(_limb_bucket_agg(decoded))
+
+
+def _dual_export_sql() -> str:
+    # the dual-precision oracle restricted to the keyed-fetch subset:
+    # same HUGEINT recomputation, plus the semi-join predicate
+    carries, hex_total = _carries_sql()
+    big = ("CAST('100000000000000000000000000000000000000' AS HUGEINT)"
+           f" + CAST({_DP_H} AS HUGEINT) * 1000000000000000000"
+           f" + CAST({_DP_L} AS HUGEINT)")
+    return f"""
+WITH src AS (
+  SELECT user_id % 8 AS bucket,
+         CASE WHEN {_WEI_SMALL} THEN 1 ELSE 0 END AS small,
+         CASE WHEN {_WEI_SMALL} THEN CAST({_WEI_D} AS HUGEINT)
+              ELSE {big} END AS v,
+         CASE WHEN {_WEI_SMALL} THEN {_WEI_D} ELSE 0 END AS dsm
+  FROM events
+  WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                    WHERE {_DE_KEY_PRED})),
 c8 AS (
   SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
          CAST(sum(1 - small) AS BIGINT) AS n_saturated,
@@ -1347,6 +1439,46 @@ FROM z ORDER BY zone_id
 
 BUCKETS = 8
 
+_BUCKETED_TABLES: dict[tuple, tuple[str, str, str]] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Bucketed orders/lineitem catalog tables, memoized per
+    (session, corpus) like `_dualprec_csv`: the hash-bucketed ingest
+    is the ONE-TIME cost the bucketing design exists to amortize, so
+    repeated graded/bench runs must not re-pay (or re-measure) it
+    inside the join's timing. bench.py charges the first touch to
+    `artifact:bucketed_tables`; the graded row then times only the
+    exchange-free join."""
+    import hashlib as _hl
+    import os
+    import shutil
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _BUCKETED_TABLES:
+        tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        ot, lt = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+        base = scratch_dir("spark_graft_bkt_")
+        (load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
+            .option("path", f"{base}/orders").saveAsTable(ot))
+        (load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice",
+                    "l_discount")
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
+            .option("path", f"{base}/lineitem").saveAsTable(lt))
+        if len(_BUCKETED_TABLES) >= 8:
+            e_ot, e_lt, e_base = _BUCKETED_TABLES.pop(
+                next(iter(_BUCKETED_TABLES)))
+            for t in (e_ot, e_lt):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(e_base, ignore_errors=True)
+        _BUCKETED_TABLES[key] = (ot, lt, base)
+    ot, lt, _ = _BUCKETED_TABLES[key]
+    return ot, lt
+
 
 def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join (SURVEY §4: the reference co-locates
@@ -1363,21 +1495,7 @@ def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     single biggest shuffle a fact-fact join would otherwise pay.
     The returned frame aggregates the joined result so the graded
     output is small and exact."""
-    import hashlib as _hl
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    ot, lt = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
-    base = scratch_dir("spark_graft_bkt_")
-    (load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
-        .option("path", f"{base}/orders").saveAsTable(ot))
-    (load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_quantity", "l_extendedprice",
-                "l_discount")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
-        .option("path", f"{base}/lineitem").saveAsTable(lt))
+    ot, lt = _bucketed_tables(spark, sf_dir)
     j = (spark.table(ot)
               .join(spark.table(lt),
                     F.col("o_orderkey") == F.col("l_orderkey")))
@@ -1417,6 +1535,11 @@ QUERIES: dict[str, Query] = {
                                 "dec38 + exact string-decoded limbs "
                                 "side by side, 39-digit rows past "
                                 "the dec38 ceiling"),
+    "eth_dual_export": Query(_dual_export, _dual_export_sql(),
+                             "dual-precision through the export DAG: "
+                             "limb columns carried intact across the "
+                             "J1 keyed-fetch semi join, HUGEINT-"
+                             "verified on the fetched subset"),
     "eth_schema_evolution": Query(_schema_evolution,
                                   _SCHEMA_EVOLUTION_SQL,
                                   "two-generation parquet schema "

