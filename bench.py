@@ -239,6 +239,7 @@ HEADLINE = [
     # round-9 additions
     "eth_dual_export",
     "mm_jpeg_stats",
+    "doc_neardup_recall",
 ]
 
 

@@ -36,14 +36,15 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #: 1-8 accumulated driver-stamped green rows for all 247 distinct
 #: catalog queries with zero failures (CORRECTNESS_r0{1-8}.json) —
 #: full coverage; from round 9 the window is additions + the
-#: oldest-stamp re-grade queue. Round 9: (a) the 2 round-9 additions,
+#: oldest-stamp re-grade queue. Round 9: (a) the 3 round-9 additions,
 #: graded the round they land, (b) doc_ssjoin_prefix re-graded
 #: because its PLAN was rewritten this round (a stamp certifies the
-#: code that earned it), and (c) the 47 oldest stamps: the 7 r02
+#: code that earned it), and (c) the 46 oldest stamps: the 7 r02
 #: entries displaced last round (promised first in the r8 note) and
-#: ALL 40 remaining r04 stamps — emptying the pre-r05 backlog, so
-#: the oldest stamp in the ledger after this round is r05.
-#: Everything demoted stays green in the full local sweep.
+#: 39 of the 40 remaining r04 stamps — q_window_topn (r04, untouched
+#: since) heads the round-10 queue, after which the oldest stamp
+#: anywhere in the ledger is r05. Everything demoted stays green in
+#: the full local sweep.
 _WINDOW_R9 = (
     # round-9 additions (new this round, graded immediately):
     # eth_dual_export — dual-precision limbs carried through the J1
@@ -52,6 +53,10 @@ _WINDOW_R9 = (
     # exactly-lossless block-constant fixture.
     "eth_dual_export",
     "mm_jpeg_stats",
+    # doc_neardup_recall — LSH recall vs the exact-tier ground truth
+    # per jaccard band (the missed-pairs audit SCALE.md assigns the
+    # exact tier; estimator quality only scores pairs LSH found)
+    "doc_neardup_recall",
     # re-grade of a REWRITTEN operator: doc_ssjoin_prefix's plan
     # changed materially this round (exact-dup collapse + adaptive
     # l=2 prefix count + array-attach verify — the r8 verdict's one
@@ -107,7 +112,6 @@ _WINDOW_R9 = (
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q_asof_join",
-    "q_window_topn",
     "stream_chain_scan",
     "stream_dedup",
     "stream_sessions",

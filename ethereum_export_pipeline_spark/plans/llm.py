@@ -3923,6 +3923,51 @@ FROM enriched
 """
 
 
+def _neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH RECALL against exact ground truth, per Jaccard band — the
+    audit `doc_minhash_quality` cannot do: estimator quality scores
+    only the pairs LSH FOUND, while this measures the pairs it
+    MISSED, using `ssjoin_prefix_pairs` (exact, zero recall loss) as
+    the reference set. One row per jaccard decile ≥ the 0.5
+    threshold: how many true pairs exist there, how many the banded
+    MinHash index surfaced, and the recall in exact ppm — the
+    K/bands tuning readout run at corpus scale, exactly the audit
+    role SCALE.md assigns the exact tier. The LSH side reuses the
+    memoized shared pair graph; the band comes from the identical
+    IEEE double both engines compute, truncated to an int decile."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.ssjoin_prefix_pairs(docs)
+    lsh = (_lsh_pairs(spark, sf_dir)
+           .select("doc_a", "doc_b", F.lit(1).alias("found")))
+    j = (exact.join(lsh, ["doc_a", "doc_b"], "left")
+              .select(F.expr("least(9, CAST(floor(jaccard * 10) AS INT))")
+                       .alias("band"),
+                      F.coalesce("found", F.lit(0)).alias("found")))
+    return (j.groupBy("band")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_exact"),
+                  F.expr("CAST(sum(found) AS BIGINT)").alias("n_found"))
+             .withColumn("recall_ppm",
+                         F.expr("n_found * 1000000 div n_exact"))
+             .orderBy("band"))
+
+
+def _neardup_recall_sql() -> str:
+    return f"""
+WITH exact AS MATERIALIZED ({_ssjoin_prefix_sql()}),
+lsh AS MATERIALIZED ({_minhash_pairs_sql()}),
+j AS (
+  SELECT least(9, CAST(floor(e.jaccard * 10) AS INTEGER)) AS band,
+         CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
+  FROM exact e
+  LEFT JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(found) AS BIGINT) AS n_found,
+       CAST(sum(found) AS BIGINT) * 1000000 // count(*) AS recall_ppm
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------- KMV pairwise set overlap
 
 def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6164,6 +6209,11 @@ QUERIES: dict[str, Query] = {
                                  "signature-implied Jaccard vs exact "
                                  "per verified pair (the K-tuning "
                                  "metric, signed err ppm)"),
+    "doc_neardup_recall": Query(_neardup_recall, _neardup_recall_sql(),
+                                "LSH recall vs the exact PPJoin "
+                                "ground truth per jaccard band — the "
+                                "missed-pairs audit estimator quality "
+                                "can't see"),
     "doc_source_overlap": Query(_source_overlap,
                                 sketch.kmv_pair_overlap_sql(k=SKETCH_K),
                                 "pairwise source-overlap estimates "

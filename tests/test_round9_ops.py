@@ -2,9 +2,11 @@
 export DAG's J1 semi join (golden schema on the JOINED output), the
 rewritten exact set-similarity join (adaptive prefix + array verify +
 exact-dup collapse) staying a superset-of-truth on corpora with heavy
-exact duplication, and the real baseline-JFIF codec (zigzag spec
-order, exact block-constant roundtrip, bounded general error,
-malformed/unsupported rejection).
+exact duplication, the real baseline-JFIF codec (zigzag spec order,
+exact block-constant roundtrip, bounded general error,
+malformed/unsupported rejection), the bucketed-table ingest memo with
+its exchange-free join contract, and the LSH-recall-vs-exact audit
+(band consistency; deleted pairs must surface as misses).
 """
 
 from __future__ import annotations
@@ -232,3 +234,46 @@ def test_bucketed_tables_memoized(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "Exchange" not in plan, plan
+
+
+# --------------------------------- LSH recall vs exact ground truth
+
+def test_neardup_recall_bands_are_consistent(spark):
+    """Every band's n_found <= n_exact, bands sit in [5, 9] (the
+    exact tier only emits jaccard >= 0.5), and n_exact totals the
+    exact pair count."""
+    from ethereum_export_pipeline_spark.operators import dedup
+    from ethereum_export_pipeline_spark.plans.llm import _neardup_recall
+    from ethereum_export_pipeline_spark.sources.tables import load_table
+
+    rows = _neardup_recall(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 5 <= r.band <= 9
+        assert 0 <= r.n_found <= r.n_exact
+        assert r.recall_ppm == r.n_found * 1_000_000 // r.n_exact
+    n_exact = dedup.ssjoin_prefix_pairs(
+        load_table(spark, SF, "documents")).count()
+    assert sum(r.n_exact for r in rows) == n_exact
+
+
+def test_neardup_recall_detects_misses(spark):
+    """The audit's reason to exist: feed it an LSH pair set with
+    pairs deleted and the recall must drop below 1.0 in exactly the
+    bands the deleted pairs lived in — estimator quality
+    (found-pairs-only) is structurally blind to this."""
+    from pyspark.sql import functions as F
+
+    from ethereum_export_pipeline_spark.operators import dedup
+    from ethereum_export_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    exact = dedup.ssjoin_prefix_pairs(docs).localCheckpoint(eager=True)
+    crippled = exact.where("doc_a % 2 = 0")   # delete half the truth
+    j = (exact.join(crippled.select("doc_a", "doc_b",
+                                    F.lit(1).alias("found")),
+                    ["doc_a", "doc_b"], "left")
+              .agg(F.count(F.lit(1)).alias("n_exact"),
+                   F.sum(F.coalesce("found", F.lit(0))).alias("n_found"))
+              .collect()[0])
+    assert j.n_found < j.n_exact, "deleted pairs must surface as misses"
