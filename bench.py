@@ -367,6 +367,32 @@ def main() -> int:
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
+    # END-of-run canaries: three same-day round-9 runs measured
+    # totals of 260.6 / 297.7 / 327.5 s while the PRE-loop canaries
+    # stayed flat (~0.21 / ~0.70 s) — so whatever moves the host
+    # moves it DURING the ~20-minute loop, invisible to a canary
+    # that only runs up front. The same two fixed workloads timed
+    # again after the loop bound the intra-run drift: if the end
+    # canaries read like the start ones, per-query noise is local
+    # flaps; if they read slower, the whole tail of the run was.
+    calib_end = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 400_000_000, 1, 32) \
+             .selectExpr("sum(xxhash64(id) % 1000000)").collect()
+        calib_end = min(calib_end, time.time() - t0)
+    calib_end = round(calib_end, 3)
+    py_calib_end = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 8_000_000, 1, 32) \
+             .mapInPandas(_py_canary, "id long, v long") \
+             .selectExpr("sum(v)").collect()
+        py_calib_end = min(py_calib_end, time.time() - t0)
+    py_calib_end = round(py_calib_end, 3)
+    print(f"# calibration at end: jvm {calib_end:.3f}s / "
+          f"py {py_calib_end:.3f}s", file=sys.stderr)
+
     # Full per-query map → sidecar (the stdout line must stay under
     # the driver's ~2,000-char capture window; 116 queries don't fit).
     # Artifact builds are part of `value` (they're real work the
@@ -386,6 +412,8 @@ def main() -> int:
             "n_artifacts": len(timings_art),
             "calibration_sec": calib,
             "py_calibration_sec": py_calib,
+            "calibration_end_sec": calib_end,
+            "py_calibration_end_sec": py_calib_end,
         }, f, indent=1, sort_keys=True)
 
     import re
@@ -405,6 +433,8 @@ def main() -> int:
         "full_map": "BENCH_FULL.json",
         "calibration_sec": calib,
         "py_calibration_sec": py_calib,
+        "calibration_end_sec": calib_end,
+        "py_calibration_end_sec": py_calib_end,
         "sf": sf,
     })
     assert len(line) < 1800, f"bench line too long: {len(line)} chars"
