@@ -217,11 +217,13 @@ def ssjoin_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
               .select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")))
     grp = base.select("doc", F.md5(F.col("text")).alias("ck"))
     reps = grp.groupBy("ck").agg(F.min("doc").alias("rep"))
-    # (member, rep, ck): consumed three times (semi-join + both
-    # expansion sides) — eager checkpoint per the multi-consumer
-    # discipline; O(docs × 40 B), far smaller than re-scanning text.
+    # (member, rep): consumed three times (semi-join + both expansion
+    # sides) — eager checkpoint per the multi-consumer discipline;
+    # O(docs × 16 B), far smaller than re-scanning text. rep is 1:1
+    # with the md5 group key, so the group self-join below keys on
+    # the 8-byte rep, not the 32-byte digest.
     members = (grp.join(reps, "ck").select(F.col("doc").alias("member"),
-                                           "rep", "ck")
+                                           "rep")
                   .localCheckpoint(eager=True))
     rep_docs = base.join(reps.select(F.col("rep").alias("doc")),
                          "doc", "left_semi")
@@ -308,9 +310,9 @@ def ssjoin_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
     # (reps with zero shingles — <n tokens — are absent from `arrays`,
     # so the inner join drops their groups, matching the uncollapsed
     # semantics where such docs never enter the index)
-    m1 = members.select("ck", "rep", F.col("member").alias("doc_a"))
-    m2 = members.select("ck", F.col("member").alias("doc_b"))
-    within = (m1.join(m2, "ck")
+    m1 = members.select("rep", F.col("member").alias("doc_a"))
+    m2 = members.select("rep", F.col("member").alias("doc_b"))
+    within = (m1.join(m2, "rep")
                 .where(F.col("doc_a") < F.col("doc_b"))
                 .join(arrays.select(F.col("doc").alias("rep"),
                                     F.col("sz").alias("n_common")), "rep")
