@@ -526,12 +526,21 @@ _ZIGZAG = sorted(((r, c) for r in range(8) for c in range(8)),
 
 def _dct_mat():
     """Orthonormal 8-point DCT-II matrix C (C[u,x] = c(u)/2 ·
-    cos((2x+1)uπ/16), c(0)=1/√2): FDCT F = C·B·Cᵀ, IDCT B = Cᵀ·F·C."""
+    cos((2x+1)uπ/16), c(0)=1/√2): FDCT F = C·B·Cᵀ, IDCT B = Cᵀ·F·C.
+    Built once per process — on the tiny-image corpus the rebuild
+    showed up at ~30 µs/image in the decode profile."""
     import numpy as np
-    x = np.arange(8)
-    C = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
-    C[0] /= np.sqrt(2.0)
-    return C
+    global _DCT_C
+    if _DCT_C is None:
+        x = np.arange(8)
+        C = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        C[0] /= np.sqrt(2.0)
+        _DCT_C = C
+    return _DCT_C
+
+
+_DCT_C = None
+_ENC_CODES = None
 
 
 def _huff_codes(bits, vals):
@@ -600,39 +609,45 @@ def encode_jpeg(pixels) -> bytes:
     C = _dct_mat()
     bh, bw = a8.shape[0] // 8, a8.shape[1] // 8
     blocks = (a8.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0)
-    coeffs = np.round(np.einsum("ux,byxz,vz->byuv", C, blocks, C))
+    coeffs = np.round(C @ blocks @ C.T)   # FDCT F = C·B·Cᵀ, batched
     coeffs = coeffs.astype(np.int32)
 
-    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    global _ENC_CODES
+    if _ENC_CODES is None:   # fixed tables: assign codes once/process
+        _ENC_CODES = (_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS),
+                      _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS))
+    dc_codes, ac_codes = _ENC_CODES
+    # one vectorized zigzag gather for the whole image — 64 numpy
+    # scalar reads per block dominated the tiny-image encode profile
+    zrows = [r for r, _ in _ZIGZAG]
+    zcols = [c for _, c in _ZIGZAG]
+    zz_all = coeffs[:, :, zrows, zcols].reshape(bh * bw, 64).tolist()
     bb = _BitWriter()
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = [int(coeffs[by, bx, r, c]) for r, c in _ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = _category(diff)
-            bb.put(*dc_codes[s])
-            if s:
-                amp = diff if diff > 0 else diff + (1 << s) - 1
-                bb.put(amp, s)
+    for zz in zz_all:
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        s = _category(diff)
+        bb.put(*dc_codes[s])
+        if s:
+            amp = diff if diff > 0 else diff + (1 << s) - 1
+            bb.put(amp, s)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                bb.put(*ac_codes[0xF0])   # ZRL
+                run -= 16
+            s = _category(v)
+            bb.put(*ac_codes[(run << 4) | s])
+            amp = v if v > 0 else v + (1 << s) - 1
+            bb.put(amp, s)
             run = 0
-            for k in range(1, 64):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    bb.put(*ac_codes[0xF0])   # ZRL
-                    run -= 16
-                s = _category(v)
-                bb.put(*ac_codes[(run << 4) | s])
-                amp = v if v > 0 else v + (1 << s) - 1
-                bb.put(amp, s)
-                run = 0
-            if run:
-                bb.put(*ac_codes[0x00])       # EOB
+        if run:
+            bb.put(*ac_codes[0x00])       # EOB
     data = bb.done()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -651,47 +666,79 @@ def encode_jpeg(pixels) -> bytes:
             + data + b"\xff\xd9")
 
 
-class _BitReader:
-    """MSB-first reader over the entropy segment with byte
-    unstuffing; raises IndexError past the end (caller converts to a
-    decode failure)."""
-
-    def __init__(self, buf: bytes, pos: int):
-        self.buf = buf
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-
-    def bit(self) -> int:
-        if not self.n:
-            b = self.buf[self.pos]
-            if b == 0xFF:
-                nxt = self.buf[self.pos + 1]
-                if nxt != 0x00:
-                    raise IndexError("marker inside entropy data")
-                self.pos += 2
-            else:
-                self.pos += 1
-            self.acc, self.n = b, 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+def _unstuff_entropy(buf: bytes, pos: int) -> bytes:
+    """Strip T.81 byte stuffing (FF 00 → FF) from the entropy stream
+    starting at `pos`; stops at the first real marker or at end of
+    buffer. The decoder bounds its reads by the returned length, so a
+    truncated or marker-interrupted stream surfaces as a decode
+    failure, matching the old per-bit reader's IndexError."""
+    out = bytearray()
+    n = len(buf)
+    while pos < n:
+        b = buf[pos]
+        if b == 0xFF:
+            if pos + 1 >= n or buf[pos + 1] != 0x00:
+                break
+            out.append(0xFF)
+            pos += 2
+        else:
+            out.append(b)
+            pos += 1
+    return bytes(out)
 
 
-def _huff_decode(rd: _BitReader, table: dict) -> int:
-    code, ln = 0, 0
-    while ln < 16:
-        code = (code << 1) | rd.bit()
-        ln += 1
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise IndexError("invalid Huffman code")
+_LUT_CACHE: dict = {}
+_DHT_CACHE: dict = {}
+
+
+def _parse_dht(key: bytes):
+    """Validate + build one DHT table from its raw payload slice
+    (tc/th byte + 16 length counts + symbols). Returns the
+    {(length, code): symbol} mapping, or False for an invalid table.
+    Cached on the raw bytes by the caller: re-validating the same
+    table per image cost ~300 µs/image on the tiny-image corpus,
+    several times the entropy decode itself."""
+    tc_th = key[0]
+    bits = list(key[1:17])
+    vals = list(key[17:])
+    # T.81 baseline limits: DC size symbols 0-11, AC size nibble
+    # ≤ 10. An out-of-range size would make _extend produce an int
+    # that overflows the int64 zz array, so invalid tables are
+    # rejected here (and the decode try catches OverflowError as a
+    # second line of defense).
+    tc = tc_th >> 4
+    if tc > 1 or any((sym > 11) if tc == 0 else ((sym & 15) > 10)
+                     for sym in vals):
+        return False
+    codes = _huff_codes(bits, vals)
+    # Over-subscribed length counts yield codes that don't fit their
+    # bit length; reject rather than build a LUT with phantom entries.
+    if any(c >= (1 << l) for c, l in codes.values()):
+        return False
+    return {(ln_, code): sym for sym, (code, ln_) in codes.items()}
+
+
+def _huff_lut(key: bytes, table: dict) -> list:
+    """Table-driven Huffman decode: a 65536-entry list mapping every
+    16-bit lookahead to (code_length << 8) | symbol, 0 = invalid.
+    Baseline codes are ≤ 16 bits (T.81 C.2) so one peek resolves any
+    symbol — this replaces the bit-by-bit tree walk that dominated
+    the ×100 JPEG wall-clock (SCALE.md, 239 s of Python bit loops).
+    Cached on the raw DHT payload bytes: a corpus encoded with one
+    table set (ours is) builds the LUT once per worker, not once per
+    image — tiny images would otherwise pay more for the LUT than the
+    decode."""
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        lut = [0] * 65536
+        for (ln, code), sym in table.items():
+            start = code << (16 - ln)
+            lut[start:start + (1 << (16 - ln))] = \
+                [(ln << 8) | sym] * (1 << (16 - ln))
+        if len(_LUT_CACHE) >= 16:
+            _LUT_CACHE.clear()
+        _LUT_CACHE[key] = lut
+    return lut
 
 
 def _extend(v: int, s: int) -> int:
@@ -711,8 +758,11 @@ def decode_jpeg(payload: bytes | None):
     Returns None (never raises) for: progressive/extended SOFn,
     color or subsampled streams, 16-bit quant tables, restart
     intervals (DRI), arithmetic coding, truncated segments, a
-    Huffman code that walks off the table, or an entropy stream that
-    ends mid-block."""
+    Huffman code that walks off the table, an entropy stream that
+    ends mid-block, or a DHT whose symbols exceed the T.81 baseline
+    size limits (DC category > 11 / AC size nibble > 10 — which
+    would otherwise overflow the int64 coefficient array) or whose
+    length counts over-subscribe the code tree."""
     import struct
 
     import numpy as np
@@ -746,14 +796,19 @@ def decode_jpeg(payload: bytes | None):
             i = 0
             while i + 17 <= len(body):
                 tc_th = body[i]
-                bits = list(body[i + 1:i + 17])
-                nv = sum(bits)
-                vals = list(body[i + 17:i + 17 + nv])
-                if len(vals) < nv:
+                nv = sum(body[i + 1:i + 17])
+                if i + 17 + nv > len(body):
                     return None
-                codes = _huff_codes(bits, vals)
-                huff[tc_th] = {(ln_, code): sym
-                               for sym, (code, ln_) in codes.items()}
+                key = bytes(body[i:i + 17 + nv])
+                ent = _DHT_CACHE.get(key)
+                if ent is None:
+                    ent = _parse_dht(key)
+                    if len(_DHT_CACHE) >= 64:
+                        _DHT_CACHE.clear()
+                    _DHT_CACHE[key] = ent
+                if ent is False:
+                    return None
+                huff[tc_th] = (ent, key)
                 i += 17 + nv
         elif marker == 0xFFC0:        # SOF0 baseline
             if len(body) < 9 or body[0] != 8 or body[5] != 1:
@@ -773,24 +828,61 @@ def decode_jpeg(payload: bytes | None):
             w, h, tq = sof
             if w <= 0 or h <= 0:
                 return None
-            dc_t = huff.get(0x00 | td)
-            ac_t = huff.get(0x10 | ta)
+            dc_ent = huff.get(0x00 | td)
+            ac_ent = huff.get(0x10 | ta)
             q = qt.get(tq)
-            if dc_t is None or ac_t is None or q is None:
+            if dc_ent is None or ac_ent is None or q is None:
                 return None
+            dc_lut = _huff_lut(dc_ent[1], dc_ent[0])
+            ac_lut = _huff_lut(ac_ent[1], ac_ent[0])
             bw, bh = (w + 7) // 8, (h + 7) // 8
             zz = np.zeros((bh * bw, 64), np.int64)
-            rd = _BitReader(buf, seg_end)
+            data = _unstuff_entropy(buf, seg_end)
+            total_bits = 8 * len(data)
+            data += b"\x00" * 8       # peek pad; total_bits bounds reads
+            # acc holds exactly nb not-yet-consumed bits (invariant
+            # restored by the mask after every consume); bitpos tracks
+            # consumed bits against total_bits so padding can't turn a
+            # truncated stream into a silent success.
+            acc = nb = di = bitpos = 0
             try:
-                prev_dc = 0
+                dcs, coords = [], []
                 for b in range(bh * bw):
-                    s = _huff_decode(rd, dc_t)
-                    diff = _extend(rd.bits(s), s) if s else 0
-                    prev_dc += diff
-                    zz[b, 0] = prev_dc
+                    while nb < 16:
+                        acc = (acc << 8) | data[di]
+                        di += 1
+                        nb += 8
+                    entry = dc_lut[acc >> (nb - 16)]
+                    if not entry:
+                        raise IndexError("invalid Huffman code")
+                    s = entry & 0xFF
+                    nb -= entry >> 8
+                    bitpos += entry >> 8
+                    acc &= (1 << nb) - 1
+                    if s:
+                        while nb < s:
+                            acc = (acc << 8) | data[di]
+                            di += 1
+                            nb += 8
+                        nb -= s
+                        bitpos += s
+                        dcs.append(_extend(acc >> nb, s))
+                        acc &= (1 << nb) - 1
+                    else:
+                        dcs.append(0)
                     k = 1
                     while k < 64:
-                        rs = _huff_decode(rd, ac_t)
+                        while nb < 16:
+                            acc = (acc << 8) | data[di]
+                            di += 1
+                            nb += 8
+                        entry = ac_lut[acc >> (nb - 16)]
+                        if not entry:
+                            raise IndexError("invalid Huffman code")
+                        rs = entry & 0xFF
+                        nb -= entry >> 8
+                        bitpos += entry >> 8
+                        acc &= (1 << nb) - 1
                         if rs == 0x00:      # EOB
                             break
                         if rs == 0xF0:      # ZRL
@@ -800,9 +892,22 @@ def decode_jpeg(payload: bytes | None):
                         s = rs & 15
                         if k >= 64 or not s:
                             raise IndexError("AC overrun")
-                        zz[b, k] = _extend(rd.bits(s), s)
+                        while nb < s:
+                            acc = (acc << 8) | data[di]
+                            di += 1
+                            nb += 8
+                        nb -= s
+                        bitpos += s
+                        coords.append((b, k, _extend(acc >> nb, s)))
+                        acc &= (1 << nb) - 1
                         k += 1
-            except IndexError:
+                    if bitpos > total_bits:
+                        raise IndexError("entropy stream truncated")
+                zz[:, 0] = np.cumsum(np.array(dcs, np.int64))
+                if coords:
+                    ckv = np.array(coords, np.int64)
+                    zz[ckv[:, 0], ckv[:, 1]] = ckv[:, 2]
+            except (IndexError, OverflowError):
                 return None
             deq = zz * q[None, :].astype(np.int64)
             blocks = np.zeros((bh * bw, 8, 8), np.float64)
@@ -810,7 +915,9 @@ def decode_jpeg(payload: bytes | None):
             cols = [c for _, c in _ZIGZAG]
             blocks[:, rows, cols] = deq
             C = _dct_mat()
-            px = np.einsum("ux,buv,vy->bxy", C, blocks, C)
+            # IDCT B = Cᵀ·F·C, batched over blocks; matmul broadcast
+            # beats einsum's per-call overhead ~4× on tiny images
+            px = C.T @ blocks @ C
             px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
             full = (px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
                       .reshape(bh * 8, bw * 8))

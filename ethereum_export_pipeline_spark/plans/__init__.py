@@ -45,6 +45,67 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #: since) heads the round-10 queue, after which the oldest stamp
 #: anywhere in the ledger is r05. Everything demoted stays green in
 #: the full local sweep.
+#: Round 10: (a) the round-10 addition `doc_crawl_manifest` (the
+#: composed crawl→train-manifest flagship the r9 verdict asked for),
+#: graded the round it lands; (b) `q_window_topn` — the last r04
+#: stamp, heading the queue as promised in the r9 note; (c) 48 of the
+#: 50 r05 stamps in ledger order (stream_session_window and
+#: stream_static_enrich head the round-11 queue, after which the
+#: oldest stamp anywhere is r06). Everything demoted stays green in
+#: the full local sweep.
+_WINDOW_R10 = (
+    "doc_crawl_manifest",
+    "q_window_topn",
+    "doc_apply_changes",
+    "doc_bigram_fluency",
+    "doc_bloom_decontaminate",
+    "doc_bm25",
+    "doc_bpe_encode",
+    "doc_bpe_merges",
+    "doc_collocations",
+    "doc_containment",
+    "doc_dedup_clusters_star",
+    "doc_distinct_sketch",
+    "doc_dup_kcore",
+    "doc_dup_lpa",
+    "doc_dup_triangles",
+    "doc_heavy_hitters",
+    "doc_mixture_weights",
+    "doc_snapshot_diff",
+    "doc_source_overlap",
+    "doc_substring_spans",
+    "doc_token_drift",
+    "doc_trade_pagerank",
+    "emb_ann_recall",
+    "emb_jl_rerank",
+    "emb_kmeans_assign",
+    "emb_knn_graph",
+    "emb_label_centroids",
+    "emb_semdedup_cells",
+    "eth_compaction_plan",
+    "eth_gap_audit",
+    "eth_incremental_todo",
+    "eth_quality_audit",
+    "eth_reorg_resolve",
+    "eth_table_profile",
+    "eth_zorder_key",
+    "mm_audio_dedup",
+    "mm_audio_features",
+    "mm_phash_dedup",
+    "q_activity_streaks",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_fuzzy_match",
+    "q_interval_overlap",
+    "q_rfm_segments",
+    "q_scd2_asof",
+    "q_scd2_versions",
+    "stream_cusum_alerts",
+    "stream_dedup_watermarked",
+    "stream_interval_join",
+    "stream_interval_join_outer",
+)
+
 _WINDOW_R9 = (
     # round-9 additions (new this round, graded immediately):
     # eth_dual_export — dual-precision limbs carried through the J1
@@ -118,7 +179,7 @@ _WINDOW_R9 = (
     "stream_tumbling_counts",
 )
 
-ALL_QUERIES: dict[str, Query] = {n: _MERGED[n] for n in _WINDOW_R9}
+ALL_QUERIES: dict[str, Query] = {n: _MERGED[n] for n in _WINDOW_R10}
 for _name, _q in _MERGED.items():
     if _name not in ALL_QUERIES:
         ALL_QUERIES[_name] = _q
@@ -126,8 +187,9 @@ for _name, _q in _MERGED.items():
 # the contract this layout exists for: the graded window is exactly
 # the curated rotation, with no typos pointing at missing queries
 _window = list(ALL_QUERIES)[:50]
-assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
-assert _window == list(_WINDOW_R9), "window drifted from rotation"
+assert len(_WINDOW_R10) == 50, len(_WINDOW_R10)
+assert _window == list(_WINDOW_R10), "window drifted from rotation"
+assert set(_WINDOW_R9) <= set(_MERGED), "r9 window names must stay valid"
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1198,12 +1198,23 @@ def _dualprec_csv(spark: SparkSession, sf_dir: str) -> str:
         width = spark.sparkContext.defaultParallelism
         src.repartition(width).write.mode("overwrite") \
            .option("header", True).csv(out)
-        if len(_DUALPREC_CSV) >= 8:
-            import shutil
-            evicted = _DUALPREC_CSV.pop(next(iter(_DUALPREC_CSV)))
-            shutil.rmtree(evicted, ignore_errors=True)
+        _evict_dualprec_if_full(spark)
         _DUALPREC_CSV[key] = out
     return _DUALPREC_CSV[key]
+
+
+def _evict_dualprec_if_full(spark: SparkSession) -> None:
+    """Bound the scratch memo at 8 entries, reclaiming disk only when
+    the evicted entry's owning application is gone: a lazy frame
+    built earlier in the CURRENT app may still reference the path and
+    would fail at scan time were it rmtree'd — same-app evictions
+    leak (bounded) disk instead."""
+    if len(_DUALPREC_CSV) >= 8:
+        import shutil
+        old_key = next(iter(_DUALPREC_CSV))
+        evicted = _DUALPREC_CSV.pop(old_key)
+        if old_key[0] != spark.sparkContext.applicationId:
+            shutil.rmtree(evicted, ignore_errors=True)
 
 
 def _dual_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1455,7 +1466,11 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import shutil
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key not in _BUCKETED_TABLES:
-        tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        # the tag carries the applicationId too: were it sf_dir-only,
+        # evicting a stale prior-application entry for the same corpus
+        # would DROP the identically-named tables the current
+        # application's still-memoized entry points to
+        tag = _hl.md5(f"{key[0]}|{sf_dir}".encode()).hexdigest()[:8]
         ot, lt = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
         base = scratch_dir("spark_graft_bkt_")
         (load_table(spark, sf_dir, "orders")

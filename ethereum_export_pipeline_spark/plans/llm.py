@@ -30,8 +30,15 @@ P = MERSENNE31
 
 # ------------------------------------------------------ shared oracle CTEs
 
-TOKS_CTE = (f"SELECT doc_id, {tokens_sql('text')} AS t "
-            "FROM documents WHERE text IS NOT NULL")
+def _toks_cte(rel: str = "documents") -> str:
+    """The tokenization CTE over any documents-shaped relation —
+    `rel` lets composed oracles (the crawl manifest) run the same
+    chain over a derived CTE instead of the base table."""
+    return (f"SELECT doc_id, {tokens_sql('text')} AS t "
+            f"FROM {rel} WHERE text IS NOT NULL")
+
+
+TOKS_CTE = _toks_cte()
 
 SHINGLES_CTE = (
     "SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle "
@@ -165,7 +172,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs(spark, sf_dir)
 
 
-def _minhash_pairs_sql() -> str:
+def _minhash_pairs_sql(rel: str = "documents") -> str:
     k, bands = dedup.MINHASH_K, dedup.MINHASH_BANDS
     rows = k // bands
     mins = ", ".join(
@@ -179,7 +186,7 @@ def _minhash_pairs_sql() -> str:
         for band in range(bands))
     band_list = ", ".join(f"band{b}" for b in range(bands))
     return f"""
-WITH toks AS ({TOKS_CTE}),
+WITH toks AS ({_toks_cte(rel)}),
 sh AS ({SHINGLES_CTE}),
 hashed AS (SELECT doc_id, {h32_sql('shingle')} AS h FROM sh),
 sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY 1),
@@ -380,7 +387,7 @@ def _language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(load_table(spark, sf_dir, "documents"))
 
 
-def _language_id_sql() -> str:
+def _language_id_sql(rel: str = "documents") -> str:
     langs = sorted(text.STOPWORDS)
     hit_cols = ", ".join(
         "CAST(len(list_filter(t, x -> x IN (%s))) AS BIGINT) AS hits_%s"
@@ -392,7 +399,7 @@ def _language_id_sql() -> str:
     hits_out = ", ".join(f"hits_{lg}" for lg in langs)
     return f"""
 WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-              FROM documents),
+              FROM {rel}),
 hits AS (SELECT doc_id, {hit_cols} FROM toks)
 SELECT doc_id, CASE {cases} ELSE 'und' END AS pred_lang, {hits_out} FROM hits
 """
@@ -404,11 +411,11 @@ def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(load_table(spark, sf_dir, "documents"))
 
 
-def _quality_sql() -> str:
+def _quality_sql(rel: str = "documents") -> str:
     en = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
     return f"""
 WITH toks AS (SELECT doc_id, text,
-              regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+              regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {rel}),
 base AS (SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(len(t) AS BIGINT) AS n_tokens,
@@ -1605,6 +1612,127 @@ FROM gated g
 JOIN mix m ON m.doc_id = g.doc_id
 WHERE g.doc_id IN (SELECT doc_id FROM ex)
   AND g.doc_id IN (SELECT doc_id FROM canon)
+"""
+
+
+# ------------------------------------- crawl → train-manifest flagship
+
+def _crawl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE crawl pipeline in one graded row, starting from RAW
+    HTML: strip boilerplate (the `doc_html_strip` expression over the
+    deterministic page fixture) and run every downstream stage over
+    the STRIPPED text — language/quality gates, exact-dup
+    representative, near-dup canonical survivor, benchmark
+    decontamination (the eval slice's n-gram overlaps are removed AND
+    the eval slice itself doesn't ship), stratified mix sample,
+    train/val split, chunk accounting. `doc_training_manifest` proves
+    the curation stages compose; this row proves they compose FROM
+    FETCHED BYTES — one DuckDB oracle recomputes the strip and the
+    entire funnel over the same derived relation.
+
+    Scale shape: the stripped frame is built once and eagerly
+    localCheckpointed (seven consumers would otherwise re-run the
+    six regexp passes per consumer — the multi-consumer-subtree
+    rule); gates are projections of that one frame; dedup survivors
+    arrive as semi joins (exact tier content-hash groups, near-dup
+    tier LSH-pruned, decontamination broadcast-marked in-scan);
+    nothing collects, nothing is O(N²)."""
+    rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}')"
+    wrapped = _html_wrap_sql("STRING")
+    stripped = _html_strip_sql("html", rr)
+    crawl = (load_table(spark, sf_dir, "documents")
+             .where("text IS NOT NULL")
+             .selectExpr("doc_id", "source", f"{wrapped} AS html")
+             .selectExpr("doc_id", "source", f"{stripped} AS text")
+             .localCheckpoint(eager=True))
+    q = text.quality_score(crawl).select("doc_id", "n_tokens",
+                                         "quality_score")
+    lang = text.language_id(crawl).select("doc_id", "pred_lang")
+    gated = (q.join(lang, "doc_id")
+              .where((F.col("n_tokens") >= FUNNEL_MIN_TOKENS)
+                     & (F.col("pred_lang") == "en")
+                     & (F.col("quality_score") >= FUNNEL_MIN_QUALITY))
+              .select("doc_id", "n_tokens"))
+    keep_exact = (dedup.dedup_exact(crawl)
+                  .select(F.col("keep_doc_id").alias("doc_id")))
+    canon = dedup.keep_canonical(
+        crawl.select("doc_id"),
+        dedup.connected_components(dedup.minhash_lsh_pairs(crawl)))
+    clean = (dedup.decontaminate(crawl, bench_mod=BENCH_MOD)
+             .where("contaminated = 0").select("doc_id"))
+    sampled = text.mix_sample(crawl)
+    split = text.hash_split(crawl)
+    n_chunks = F.expr(
+        f"CASE WHEN n_tokens = 0 THEN 0 "
+        f"ELSE (n_tokens - 1) div {CHUNK_STRIDE} + 1 END").cast("long")
+    return (gated.join(keep_exact, "doc_id", "left_semi")
+                 .join(canon, "doc_id", "left_semi")
+                 .join(clean, "doc_id", "left_semi")
+                 .join(sampled, "doc_id")
+                 .join(split, "doc_id")
+                 .select(F.col("doc_id").cast("long").alias("doc_id"),
+                         "source", "split", "rate_pct", "n_tokens",
+                         n_chunks.alias("n_chunks")))
+
+
+def _crawl_manifest_sql() -> str:
+    rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}', 'g')"
+    wrapped = _html_wrap_sql("VARCHAR")
+    stripped = _html_strip_sql("html", rr)
+    rate_h = h32_sql("'rate-v1:' || source")
+    keep_h = h32_sql("'mix-v1:' || CAST(doc_id AS VARCHAR)")
+    split_h = h32_sql("'split-v1:' || CAST(g.doc_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE crawl AS (
+  SELECT doc_id, source, {stripped} AS text FROM (
+    SELECT doc_id, source, {wrapped} AS html
+    FROM documents WHERE text IS NOT NULL)
+), q AS ({_quality_sql('crawl')}), l AS ({_language_id_sql('crawl')}),
+gated AS (
+  SELECT q.doc_id, q.n_tokens FROM q JOIN l USING (doc_id)
+  WHERE q.n_tokens >= {FUNNEL_MIN_TOKENS} AND l.pred_lang = 'en'
+    AND q.quality_score >= {FUNNEL_MIN_QUALITY}
+), ex AS (
+  SELECT min(doc_id) AS doc_id FROM crawl
+  WHERE text IS NOT NULL GROUP BY md5(text)
+), pairs AS (
+  {_minhash_pairs_sql('crawl')}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+), clusters AS (
+  SELECT node, min(lbl) AS lbl FROM reach GROUP BY 1
+), canon AS (
+  SELECT d.doc_id FROM crawl d LEFT JOIN clusters c ON d.doc_id = c.node
+  WHERE c.lbl IS NULL OR c.lbl = d.doc_id
+), toks AS ({_toks_cte('crawl')}),
+sh AS ({SHINGLES_CTE}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+clean AS (
+  SELECT doc_id FROM sh WHERE doc_id % {BENCH_MOD} <> 0
+  GROUP BY doc_id
+  HAVING sum(CASE WHEN shingle IN (SELECT shingle FROM bench)
+             THEN 1 ELSE 0 END) = 0
+), mix AS (
+  SELECT doc_id, source, CAST({rate_h} % 90 + 10 AS BIGINT) AS rate_pct
+  FROM crawl WHERE {keep_h} % 100 < ({rate_h} % 90 + 10)
+)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id, m.source,
+       CASE WHEN {split_h} % 100 < 90 THEN 'train' ELSE 'val' END AS split,
+       m.rate_pct, g.n_tokens,
+       CAST(CASE WHEN g.n_tokens = 0 THEN 0
+            ELSE (g.n_tokens - 1) // {CHUNK_STRIDE} + 1 END AS BIGINT)
+         AS n_chunks
+FROM gated g
+JOIN mix m ON m.doc_id = g.doc_id
+WHERE g.doc_id IN (SELECT doc_id FROM ex)
+  AND g.doc_id IN (SELECT doc_id FROM canon)
+  AND g.doc_id IN (SELECT doc_id FROM clean)
 """
 
 
@@ -5931,6 +6059,10 @@ QUERIES: dict[str, Query] = {
                                    _training_manifest_sql(),
                                    "end-to-end pipeline: gates + both "
                                    "dedup tiers + mix + split + chunks"),
+    "doc_crawl_manifest": Query(_crawl_manifest, _crawl_manifest_sql(),
+                                "the crawl funnel from RAW HTML: strip "
+                                "+ gates + dedup tiers + decontaminate "
+                                "+ mix + split + chunks, one oracle"),
     "emb_bruteforce_topk": Query(_brute_topk, _brute_topk_sql(),
                                  "exact cosine top-k baseline"),
     "emb_lsh_topk": Query(_lsh_topk, _lsh_topk_sql(),

@@ -71,6 +71,75 @@ def isolated_session(spark: SparkSession) -> SparkSession:
     return ensure_conf(spark.newSession())
 
 
+def recycle_python_workers(spark: SparkSession) -> int:
+    """Kill this session's POOLED Python worker processes so the next
+    Arrow/mapInPandas stage forks fresh ones. Returns the number of
+    workers killed.
+
+    Why: long multi-query sessions age the reused Python workers —
+    bench.py's bracketing canaries measured the mapInPandas path
+    degrading 2.5× across a ~200-query run while the pure-JVM canary
+    stayed flat (worker-state accumulation: allocator fragmentation,
+    module caches, GC debt). At 100 TB the same tax lands on any
+    long-lived executor running Arrow stages back to back.
+
+    Why this is safe: `spark.python.worker.reuse` parks idle workers
+    in PythonWorkerFactory's idle queue, and the 4.1 factory checks
+    liveness on dequeue — a dead pooled worker is discarded with a
+    WARN ("process from idle queue is dead, discarding.") and a fresh
+    one is forked from the still-running pyspark.daemon (verified
+    empirically in tests/test_round10_ops.py: kill → query succeeds →
+    pool refills). The daemon itself is never touched, so fork cost
+    (not interpreter start-up) is the only re-warm price, and it's
+    paid off the timed path when callers recycle between queries.
+
+    Only call between jobs: a worker killed mid-task fails that task,
+    and local mode defaults to spark.task.maxFailures=1.
+
+    Scoping: walks /proc for `pyspark.daemon` processes whose
+    ancestry contains THIS session's JVM pid, then SIGKILLs only
+    their forked children (the workers). Other Spark sessions on the
+    host are untouched."""
+    import signal
+
+    jvm_pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+    cmds, ppids = {}, {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmd = fh.read().replace(b"\0", b" ").decode(errors="replace")
+            with open(f"/proc/{pid}/stat") as fh:
+                ppid = int(fh.read().rsplit(")", 1)[-1].split()[1])
+        except OSError:
+            continue  # raced with process exit
+        cmds[int(pid)] = cmd
+        ppids[int(pid)] = ppid
+
+    def _under_jvm(pid: int) -> bool:
+        seen = set()
+        while pid > 1 and pid not in seen:
+            if pid == jvm_pid:
+                return True
+            seen.add(pid)
+            pid = ppids.get(pid, 0)
+        return False
+
+    daemons = {p for p, c in cmds.items()
+               if "pyspark.daemon" in c and _under_jvm(p)}
+    workers = [p for p in cmds
+               if ppids.get(p) in daemons and "pyspark" in cmds[p]]
+    killed = 0
+    for pid in workers:
+        try:
+            os.kill(pid, signal.SIGKILL)
+            killed += 1
+        except OSError:
+            pass  # already gone
+    return killed
+
+
 def ensure_conf(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable confs to an externally created session.
 
