@@ -240,7 +240,20 @@ HEADLINE = [
     "eth_dual_export",
     "mm_jpeg_stats",
     "doc_neardup_recall",
+    # round-10 additions
+    "doc_crawl_manifest",
 ]
+
+
+def _load1() -> float:
+    """Host 1-min load average (shared kernel: includes co-tenant
+    load this container can't see in its own process list) —
+    round-10 diagnosis: the py canary is a single-wave max over 32
+    workers, so ONE descheduled worker doubles the reading; recording
+    load beside each canary makes external-contention inflation
+    attributable instead of mysterious."""
+    with open("/proc/loadavg") as fh:
+        return float(fh.read().split()[0])
 
 
 def _artifact_builders():
@@ -342,6 +355,11 @@ def main() -> int:
     def _py_canary(pdfs):
         for pdf in pdfs:
             yield pdf.assign(v=(pdf["id"] * 2654435761 % 1000003))
+    # fresh workers for the begin-canary: the artifact phase above is
+    # Arrow-heavy and would otherwise pre-age the reference reading
+    from ethereum_export_pipeline_spark.session import (
+        recycle_python_workers as _recycle)
+    _recycle(spark)
     py_calib = float("inf")
     for _ in range(3):
         t0 = time.time()
@@ -350,12 +368,58 @@ def main() -> int:
              .selectExpr("sum(v)").collect()
         py_calib = min(py_calib, time.time() - t0)
     py_calib = round(py_calib, 3)
-    print(f"# calibration (mapInPandas canary): {py_calib:.3f}s",
-          file=sys.stderr)
+    load_begin = _load1()
+    print(f"# calibration (mapInPandas canary): {py_calib:.3f}s "
+          f"(host load {load_begin:.1f})", file=sys.stderr)
+
+    # Python-worker recycling (the round-9 canaries' mitigation): the
+    # bracketing canaries measured the mapInPandas path degrading 2.5×
+    # across one ~200-query session while the JVM canary stayed flat —
+    # reused Python workers age (allocator fragmentation, module
+    # caches, GC debt). Killing the pooled workers every RECYCLE_EVERY
+    # queries bounds any worker's age; the factory forks fresh ones
+    # from the still-live daemon, and min-of-2 absorbs the one-time
+    # fork+import cost on the next Arrow query's first run. The end
+    # canaries then read the residual (≤ one cadence) aging, not a
+    # whole session's.
+    from ethereum_export_pipeline_spark.session import recycle_python_workers
+    RECYCLE_EVERY = 25
+    recycles = 0
+
+    # canary TRACE at each recycle point (jvm 1-shot + py min-of-2,
+    # measured BEFORE the recycle so the reading shows the aged
+    # state): the round-10 controlled repro showed 120 back-to-back
+    # mapInPandas queries do NOT age the path, so whatever inflates
+    # the end canary comes from specific catalog families — the trace
+    # localizes which 25-query span does it.
+    def _canary_pair() -> tuple[float, float]:
+        t0 = time.time()
+        spark.range(0, 400_000_000, 1, 32) \
+             .selectExpr("sum(xxhash64(id) % 1000000)").collect()
+        jvm = round(time.time() - t0, 3)
+        py = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            spark.range(0, 8_000_000, 1, 32) \
+                 .mapInPandas(_py_canary, "id long, v long") \
+                 .selectExpr("sum(v)").collect()
+            py = min(py, time.time() - t0)
+        return jvm, round(py, 3)
+
+    canary_trace: list[dict] = []
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i % RECYCLE_EVERY == 0:
+            jvm_t, py_t = _canary_pair()
+            ld = _load1()
+            n = recycle_python_workers(spark)
+            recycles += 1
+            canary_trace.append({"i": i, "jvm": jvm_t, "py": py_t,
+                                 "load1": ld, "killed": n})
+            print(f"# canary@{i}: jvm {jvm_t:.3f}s py {py_t:.3f}s "
+                  f"load {ld:.1f}; recycled {n} workers", file=sys.stderr)
         best = float("inf")
         runs = 0
         while runs < 2 or (runs < 3 and best < 2.5):
@@ -390,8 +454,10 @@ def main() -> int:
              .selectExpr("sum(v)").collect()
         py_calib_end = min(py_calib_end, time.time() - t0)
     py_calib_end = round(py_calib_end, 3)
+    load_end = _load1()
     print(f"# calibration at end: jvm {calib_end:.3f}s / "
-          f"py {py_calib_end:.3f}s", file=sys.stderr)
+          f"py {py_calib_end:.3f}s (host load {load_end:.1f})",
+          file=sys.stderr)
 
     # Full per-query map → sidecar (the stdout line must stay under
     # the driver's ~2,000-char capture window; 116 queries don't fit).
@@ -414,6 +480,10 @@ def main() -> int:
             "py_calibration_sec": py_calib,
             "calibration_end_sec": calib_end,
             "py_calibration_end_sec": py_calib_end,
+            "py_worker_recycles": recycles,
+            "canary_trace": canary_trace,
+            "load1_begin": load_begin,
+            "load1_end": load_end,
         }, f, indent=1, sort_keys=True)
 
     import re
@@ -435,6 +505,9 @@ def main() -> int:
         "py_calibration_sec": py_calib,
         "calibration_end_sec": calib_end,
         "py_calibration_end_sec": py_calib_end,
+        "py_worker_recycles": recycles,
+        "load1_begin": load_begin,
+        "load1_end": load_end,
         "sf": sf,
     })
     assert len(line) < 1800, f"bench line too long: {len(line)} chars"

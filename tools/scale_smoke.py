@@ -18,9 +18,47 @@ import sys
 import tempfile
 import time
 
-AMPLIFY = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 SF_DIR = "/root/testdata/sf0.1"
+
+
+def read_group_bytes(event_dir: str) -> dict[str, dict[str, int]]:
+    """Attribute shuffle/input bytes per job group from a finalized
+    Spark event log (v2 rolling directory or v1 single file). Shared
+    with tests/test_scale_envelopes.py, which pins the ×10 envelopes
+    this tool's measurements established."""
+    stage_group: dict[int, str] = {}
+    per_group: dict[str, dict[str, int]] = {}
+    paths = [p for p in glob.glob(f"{event_dir}/**", recursive=True)
+             if os.path.isfile(p)]
+    for path in paths:
+        with open(path, errors="replace") as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if not isinstance(ev, dict):
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerJobStart":
+                    grp = (ev.get("Properties") or {}).get(
+                        "spark.jobGroup.id", "other")
+                    for sid in ev.get("Stage IDs", []):
+                        stage_group[sid] = grp
+                elif kind == "SparkListenerTaskEnd":
+                    grp = stage_group.get(ev.get("Stage ID"), "other")
+                    m = ev.get("Task Metrics") or {}
+                    g = per_group.setdefault(
+                        grp, {"shuffle_read": 0, "shuffle_write": 0,
+                              "input_read": 0})
+                    sr = m.get("Shuffle Read Metrics") or {}
+                    g["shuffle_read"] += (sr.get("Remote Bytes Read", 0)
+                                          + sr.get("Local Bytes Read", 0))
+                    sw = m.get("Shuffle Write Metrics") or {}
+                    g["shuffle_write"] += sw.get("Shuffle Bytes Written", 0)
+                    inp = m.get("Input Metrics") or {}
+                    g["input_read"] += inp.get("Bytes Read", 0)
+    return per_group
 
 
 def amplified_text_variants(amplify: int):
@@ -47,6 +85,9 @@ def amplified_text_variants(amplify: int):
 
 def main() -> int:
     from pyspark.sql import SparkSession, functions as F
+
+    AMPLIFY = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
     sys.path.insert(0, ".")
     from ethereum_export_pipeline_spark.operators import dedup, text
@@ -945,40 +986,7 @@ def main() -> int:
 
     spark.stop()  # flush + finalize the event log
 
-    # ---- attribute shuffle/input bytes per job group from the log
-    stage_group: dict[int, str] = {}
-    per_group: dict[str, dict[str, int]] = {}
-    # event log v2 is a DIRECTORY of rolling files; v1 a single file
-    paths = [p for p in glob.glob(f"{event_dir}/**", recursive=True)
-             if os.path.isfile(p)]
-    for path in paths:
-        with open(path, errors="replace") as fh:
-            for line in fh:
-                try:
-                    ev = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if not isinstance(ev, dict):
-                    continue
-                kind = ev.get("Event")
-                if kind == "SparkListenerJobStart":
-                    grp = (ev.get("Properties") or {}).get(
-                        "spark.jobGroup.id", "other")
-                    for sid in ev.get("Stage IDs", []):
-                        stage_group[sid] = grp
-                elif kind == "SparkListenerTaskEnd":
-                    grp = stage_group.get(ev.get("Stage ID"), "other")
-                    m = ev.get("Task Metrics") or {}
-                    g = per_group.setdefault(
-                        grp, {"shuffle_read": 0, "shuffle_write": 0,
-                              "input_read": 0})
-                    sr = m.get("Shuffle Read Metrics") or {}
-                    g["shuffle_read"] += (sr.get("Remote Bytes Read", 0)
-                                          + sr.get("Local Bytes Read", 0))
-                    sw = m.get("Shuffle Write Metrics") or {}
-                    g["shuffle_write"] += sw.get("Shuffle Bytes Written", 0)
-                    inp = m.get("Input Metrics") or {}
-                    g["input_read"] += inp.get("Bytes Read", 0)
+    per_group = read_group_bytes(event_dir)
 
     print(json.dumps({
         "amplify": AMPLIFY,
