@@ -47,14 +47,22 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #: the full local sweep.
 #: Round 10: (a) the round-10 addition `doc_crawl_manifest` (the
 #: composed crawl→train-manifest flagship the r9 verdict asked for),
-#: graded the round it lands; (b) `q_window_topn` — the last r04
-#: stamp, heading the queue as promised in the r9 note; (c) 48 of the
-#: 50 r05 stamps in ledger order (stream_session_window and
-#: stream_static_enrich head the round-11 queue, after which the
-#: oldest stamp anywhere is r06). Everything demoted stays green in
-#: the full local sweep.
+#: graded the round it lands; (b) re-grades of REWRITTEN code, per
+#: the r9 ssjoin precedent that a stamp certifies the code that
+#: earned it: `mm_jpeg_stats` (the entropy decoder was rewritten
+#: table-driven this round — bit-identity on the fixture is proven
+#: by test, but the stamp should certify the shipping decoder) and
+#: `eth_bucketed_join` (its ingest's table naming/eviction changed
+#: this round, and it carried a touched-in-r09 r08 stamp already);
+#: (c) `q_window_topn` — the last r04 stamp; (d) 46 of the 50 r05
+#: stamps in ledger order (stream_interval_join{,_outer},
+#: stream_session_window, stream_static_enrich head the round-11
+#: queue, after which the oldest stamp anywhere is r06). Everything
+#: demoted stays green in the full local sweep.
 _WINDOW_R10 = (
     "doc_crawl_manifest",
+    "mm_jpeg_stats",
+    "eth_bucketed_join",
     "q_window_topn",
     "doc_apply_changes",
     "doc_bigram_fluency",
@@ -102,8 +110,6 @@ _WINDOW_R10 = (
     "q_scd2_versions",
     "stream_cusum_alerts",
     "stream_dedup_watermarked",
-    "stream_interval_join",
-    "stream_interval_join_outer",
 )
 
 _WINDOW_R9 = (
