@@ -984,6 +984,27 @@ def main() -> int:
 
     bench("jpeg_stats", jpeg_stats_scaled)
 
+    # round-10: the LSH-recall audit at scale — composes the exact
+    # PPJoin tier (reference set) with the banded-MinHash graph
+    # (system under audit); cost = the sum of its two amplified
+    # inputs, both linear (the graded plan, inlined over big_docs)
+    def neardup_recall_scaled():
+        exact = dedup.ssjoin_prefix_pairs(big_docs)
+        lsh = (dedup.minhash_lsh_pairs(big_docs)
+               .select("doc_a", "doc_b", F.lit(1).alias("found")))
+        j = (exact.join(lsh, ["doc_a", "doc_b"], "left")
+                  .select(F.expr("least(9, CAST(floor(jaccard * 10) "
+                                 "AS INT))").alias("band"),
+                          F.coalesce("found", F.lit(0)).alias("found")))
+        return (j.groupBy("band")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_exact"),
+                      F.expr("CAST(sum(found) AS BIGINT)").alias("n_found"))
+                 .withColumn("recall_ppm",
+                             F.expr("n_found * 1000000 div n_exact"))
+                 .orderBy("band"))
+
+    bench("neardup_recall", neardup_recall_scaled)
+
     spark.stop()  # flush + finalize the event log
 
     per_group = read_group_bytes(event_dir)
