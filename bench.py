@@ -244,6 +244,17 @@ HEADLINE = [
     "doc_crawl_manifest",
 ]
 
+# Stateful streaming queries run LAST: round-10 measured an
+# applyInPandasWithState residue that ~doubles the mapInPandas
+# round-trip for the REST of the session (JVM-side — survives
+# worker recycling, invisible to the pure-JVM canary; see SCALE.md).
+# With streams interleaved, every Arrow-heavy row scheduled after the
+# first stream paid that tax and read as mysterious drift. Relative
+# order within each group is preserved; the canary trace brackets the
+# boundary.
+HEADLINE = ([q for q in HEADLINE if not q.startswith("stream_")]
+            + [q for q in HEADLINE if q.startswith("stream_")])
+
 
 def _load1() -> float:
     """Host 1-min load average (shared kernel: includes co-tenant
