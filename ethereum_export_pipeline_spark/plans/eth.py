@@ -1177,6 +1177,39 @@ _DP_VALUE_STR = (
     f" lpad(CAST({_DP_L} AS STRING), 18, '0')) END")
 
 
+#: Same-application evictions from the scratch memos below
+#: (`_DUALPREC_CSV`, `_BUCKETED_TABLES`) park here instead of being
+#: deleted: a lazy frame returned earlier in the SAME application may
+#: still reference the files/tables and would fail at scan time were
+#: they reclaimed immediately. Entries are (owner applicationId,
+#: scratch path, catalog tables to DROP) and are swept by
+#: `_sweep_dead_orphans` the next time either memo is touched by a
+#: DIFFERENT application — by then the owner app (and every frame it
+#: handed out) is gone. Interpreter exit is covered independently:
+#: every path came from `util.scratch_dir`, which registers an atexit
+#: rmtree.
+_SCRATCH_ORPHANS: list[tuple[str, str, tuple[str, ...]]] = []
+
+
+def _sweep_dead_orphans(spark: SparkSession) -> None:
+    """Reclaim orphaned scratch whose owning application is no longer
+    the live one (see `_SCRATCH_ORPHANS`)."""
+    import shutil
+    live = spark.sparkContext.applicationId
+    keep = []
+    for app_id, path, tables in _SCRATCH_ORPHANS:
+        if app_id == live:
+            keep.append((app_id, path, tables))
+            continue
+        for t in tables:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass  # catalog of the dead app may be gone entirely
+        shutil.rmtree(path, ignore_errors=True)
+    _SCRATCH_ORPHANS[:] = keep
+
+
 _DUALPREC_CSV: dict[tuple, str] = {}
 
 
@@ -1190,6 +1223,7 @@ def _dualprec_csv(spark: SparkSession, sf_dir: str) -> str:
     re-measure it. bench.py charges the first touch to
     `artifact:dualprec_csv`."""
     import os
+    _sweep_dead_orphans(spark)
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key not in _DUALPREC_CSV:
         e = load_table(spark, sf_dir, "events")
@@ -1208,13 +1242,15 @@ def _evict_dualprec_if_full(spark: SparkSession) -> None:
     the evicted entry's owning application is gone: a lazy frame
     built earlier in the CURRENT app may still reference the path and
     would fail at scan time were it rmtree'd — same-app evictions
-    leak (bounded) disk instead."""
+    park in `_SCRATCH_ORPHANS` and are reclaimed once the app dies."""
     if len(_DUALPREC_CSV) >= 8:
         import shutil
         old_key = next(iter(_DUALPREC_CSV))
         evicted = _DUALPREC_CSV.pop(old_key)
         if old_key[0] != spark.sparkContext.applicationId:
             shutil.rmtree(evicted, ignore_errors=True)
+        else:
+            _SCRATCH_ORPHANS.append((old_key[0], evicted, ()))
 
 
 def _dual_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1464,6 +1500,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import hashlib as _hl
     import os
     import shutil
+    _sweep_dead_orphans(spark)
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key not in _BUCKETED_TABLES:
         # the tag carries the applicationId too: were it sf_dir-only,
@@ -1485,11 +1522,18 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
             .option("path", f"{base}/lineitem").saveAsTable(lt))
         if len(_BUCKETED_TABLES) >= 8:
-            e_ot, e_lt, e_base = _BUCKETED_TABLES.pop(
-                next(iter(_BUCKETED_TABLES)))
-            for t in (e_ot, e_lt):
-                spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(e_base, ignore_errors=True)
+            # mirror _evict_dualprec_if_full: DROP + rmtree only when
+            # the evicted entry belongs to a DEAD application — a lazy
+            # frame returned earlier by _bucketed_join over another
+            # corpus in the CURRENT app still scans these tables
+            e_key = next(iter(_BUCKETED_TABLES))
+            e_ot, e_lt, e_base = _BUCKETED_TABLES.pop(e_key)
+            if e_key[0] != spark.sparkContext.applicationId:
+                for t in (e_ot, e_lt):
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+                shutil.rmtree(e_base, ignore_errors=True)
+            else:
+                _SCRATCH_ORPHANS.append((e_key[0], e_base, (e_ot, e_lt)))
         _BUCKETED_TABLES[key] = (ot, lt, base)
     ot, lt, _ = _BUCKETED_TABLES[key]
     return ot, lt

@@ -15,6 +15,7 @@ column reads as a nanosecond-epoch BIGINT. Either way
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -59,6 +60,13 @@ def get_spark(app_name: str = "ethereum_export_pipeline_spark",
     return spark
 
 
+#: Live child sessions handed out by `isolated_session`. Each
+#: SparkSession owns its OWN StreamingQueryManager, so a safety check
+#: like "no streaming query is running in this JVM" cannot be answered
+#: from one session alone — `recycle_python_workers` walks this set.
+_CHILD_SESSIONS: weakref.WeakSet = weakref.WeakSet()
+
+
 def isolated_session(spark: SparkSession) -> SparkSession:
     """A child session (same SparkContext, same cached data, SEPARATE
     runtime SQLConf) for work that must mutate session confs — the
@@ -68,7 +76,31 @@ def isolated_session(spark: SparkSession) -> SparkSession:
     invisible to any query concurrently planning on the caller's
     session (set/restore on a SHARED session has a race window).
     The child gets the same runtime confs `ensure_conf` guarantees."""
-    return ensure_conf(spark.newSession())
+    child = ensure_conf(spark.newSession())
+    _CHILD_SESSIONS.add(child)
+    return child
+
+
+def _any_stream_active(spark: SparkSession) -> bool:
+    """True if ANY session sharing this process has an active
+    streaming query: the caller's, any `isolated_session` child
+    (streams run on those — each session has its own
+    StreamingQueryManager, so the caller's `spark.streams` alone
+    can't see them), or the JVM-registered active/default session."""
+    candidates = [spark, *list(_CHILD_SESSIONS)]
+    try:
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            candidates.append(active)
+    except Exception:
+        pass
+    for s in candidates:
+        try:
+            if s.streams.active:
+                return True
+        except Exception:
+            continue  # session stopped mid-walk: no streams there
+    return False
 
 
 def recycle_python_workers(spark: SparkSession) -> int:
@@ -94,13 +126,21 @@ def recycle_python_workers(spark: SparkSession) -> int:
     paid off the timed path when callers recycle between queries.
 
     Only call between jobs: a worker killed mid-task fails that task,
-    and local mode defaults to spark.task.maxFailures=1.
+    and local mode defaults to spark.task.maxFailures=1. Streaming
+    micro-batches are jobs too, and streams run on `isolated_session`
+    children whose queries the caller's `spark.streams` can't see —
+    so the function itself refuses (returns 0, kills nothing) while
+    ANY session in this process has an active streaming query, rather
+    than trusting every call site to remember.
 
     Scoping: walks /proc for `pyspark.daemon` processes whose
     ancestry contains THIS session's JVM pid, then SIGKILLs only
     their forked children (the workers). Other Spark sessions on the
     host are untouched."""
     import signal
+
+    if _any_stream_active(spark):
+        return 0
 
     jvm_pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
     cmds, ppids = {}, {}

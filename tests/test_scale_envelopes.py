@@ -65,6 +65,20 @@ def measured():
 
     from ethereum_export_pipeline_spark.session import RUNTIME_CONFS
 
+    # getOrCreate silently REUSES any live session (its eventLog
+    # configs then never apply: every envelope would read -1 bytes),
+    # and spark.stop() below would kill that shared session for the
+    # rest of a mixed pytest run. Fail fast instead of poisoning.
+    from pyspark import SparkContext
+    if (SparkContext._active_spark_context is not None
+            or SparkSession.getActiveSession() is not None):
+        pytest.fail(
+            "a SparkContext/SparkSession already exists in this "
+            "process: the scale-envelope suite needs its OWN "
+            "event-logged session built before any other Spark test "
+            "runs. Run it alone (`pytest -m scale`), not in a mixed "
+            "-m expression with fixture-backed tests.")
+
     cpus = (int(os.environ.get("SPARK_GRAFT_CPUS", "0"))
             or os.cpu_count() or 4)
     event_dir = tempfile.mkdtemp(prefix="spark_graft_envlog_")
