@@ -12,6 +12,15 @@ Each query is timed as plan-build + full execution (noop sink: full
 execution of every column, zero driver transfer). The headline set
 covers every operator family: scan/agg, joins, windows, events,
 dedup, similarity, multimodal, streaming.
+
+Load gate (round-11): the host shares its kernel with co-tenants, and
+round 10 proved elevated /proc/loadavg — not the engine — drove every
+apparent tail regression. Before creating the session, the harness
+polls ambient load1 for up to $SPARK_GRAFT_LOAD_WAIT seconds (300) to
+drop under $SPARK_GRAFT_LOAD_GATE (2.0); if it never does, the run
+proceeds (the driver needs its one JSON line) but both the line and
+the sidecar carry ``"discard": true`` — the mechanical form of
+CLAUDE.md's "DISCARD elevated-load runs" rule.
 """
 
 from __future__ import annotations
@@ -267,6 +276,26 @@ def _load1() -> float:
         return float(fh.read().split()[0])
 
 
+def _await_idle_host(gate: float, wait_s: float) -> tuple[float, bool]:
+    """The discard rule, made mechanical (round-10 verdict: the rule
+    lived only in CLAUDE.md and the r10 sidecar itself violated it).
+    Poll ambient load1 every 10 s for up to `wait_s` seconds; return
+    (last reading, reading <= gate). Callers who start anyway on a
+    busy host must stamp their output ``"discard": true`` — a refusal
+    would break the grading driver, which needs one JSON line
+    unconditionally, so the stamp IS the refusal."""
+    ld = _load1()
+    deadline = time.time() + wait_s
+    while ld > gate and time.time() < deadline:
+        print(f"# host busy: ambient load1 {ld:.1f} > gate {gate:.1f}"
+              f" — waiting for idle (up to {wait_s:.0f}s total; gate"
+              f" via $SPARK_GRAFT_LOAD_GATE, wait via"
+              f" $SPARK_GRAFT_LOAD_WAIT)", file=sys.stderr)
+        time.sleep(10)
+        ld = _load1()
+    return ld, ld <= gate
+
+
 def _artifact_builders():
     """The memoized shared artifacts, timed as NAMED pseudo-queries
     before the main loop. These are build-once frames several catalog
@@ -296,6 +325,18 @@ def _artifact_builders():
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # pre-flight load gate, BEFORE the session exists (so the reading
+    # is ambient co-tenant load, not our own JVM starting up)
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    wait_s = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
+    load_ambient, gate_ok = _await_idle_host(gate, wait_s)
+    if not gate_ok:
+        print(f"# LOAD GATE FAILED: ambient load1 {load_ambient:.1f} >"
+              f" {gate:.1f} after {wait_s:.0f}s — running anyway but"
+              f" stamping the output 'discard': true. Re-run on an"
+              f" idle host for a comparison-grade number.",
+              file=sys.stderr)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from ethereum_export_pipeline_spark.session import get_spark
@@ -493,6 +534,9 @@ def main() -> int:
             "py_calibration_end_sec": py_calib_end,
             "py_worker_recycles": recycles,
             "canary_trace": canary_trace,
+            "load1_ambient": load_ambient,
+            "load_gate": gate,
+            "discard": not gate_ok,
             "load1_begin": load_begin,
             "load1_end": load_end,
         }, f, indent=1, sort_keys=True)
@@ -519,6 +563,8 @@ def main() -> int:
         "py_worker_recycles": recycles,
         "load1_begin": load_begin,
         "load1_end": load_end,
+        "load1_ambient": load_ambient,
+        "discard": not gate_ok,
         "sf": sf,
     })
     assert len(line) < 1800, f"bench line too long: {len(line)} chars"
