@@ -123,6 +123,7 @@ HEADLINE = [
     "doc_apply_changes",
     "doc_token_drift",
     "doc_trade_pagerank",
+    "doc_link_authority",
     "doc_distinct_sketch",
     "doc_source_overlap",
     "doc_dup_triangles",

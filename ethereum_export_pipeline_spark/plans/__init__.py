@@ -59,6 +59,76 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #: stream_session_window, stream_static_enrich head the round-11
 #: queue, after which the oldest stamp anywhere is r06). Everything
 #: demoted stays green in the full local sweep.
+#: Round 11: (a) the round-11 addition `doc_link_authority`
+#: (host-PageRank link weighting), graded the round it lands; (b)
+#: re-grades of code REWRITTEN this round, per the r9/r10 precedent
+#: that a stamp certifies the code that earned it: `eth_bucketed_join`
+#: (its ingest's eviction now parks same-app entries in the orphan
+#: registry instead of DROPping them — the r10 ADVICE fix) and
+#: `eth_dual_export` + `eth_dual_precision` (the dualprec CSV memo
+#: gained the dead-orphan sweep; eth_dual_export is also the r10
+#: bench's biggest unadjudicated regression, so a fresh stamp both
+#: certifies and re-times it); (c) the 4 remaining r05 stamps
+#: (stream_interval_join{,_outer}, stream_session_window,
+#: stream_static_enrich — promised first in the r10 note); (d) 42 of
+#: the 50 r06 stamps in ledger order (q_salted_agg, q_attribution,
+#: q_entity_resolution, q_k_anonymity, q_sketch_percentiles,
+#: q_l_diversity, q_t_closeness, q_asof_skew_bucketed head the
+#: round-12 queue, after which the oldest stamp anywhere is r07).
+#: Everything demoted stays green in the full local sweep.
+_WINDOW_R11 = (
+    "doc_link_authority",
+    "eth_bucketed_join",
+    "eth_dual_export",
+    "eth_dual_precision",
+    "stream_interval_join",
+    "stream_interval_join_outer",
+    "stream_session_window",
+    "stream_static_enrich",
+    "eth_jsonl_roundtrip",
+    "eth_orc_roundtrip",
+    "doc_winnow_census",
+    "doc_incremental_neardup",
+    "doc_classifier_score",
+    "doc_dsir_weights",
+    "doc_global_rank",
+    "doc_vocab_coverage",
+    "doc_textrank",
+    "doc_rake_keywords",
+    "doc_trigram_fluency",
+    "emb_pca_scores",
+    "emb_mmr_rerank",
+    "q_skew_profile",
+    "q_mad_outliers",
+    "q_bitmap_coactivity",
+    "q5_local_supplier",
+    "q9_product_profit",
+    "q16_supplier_counts",
+    "stream_ooo_census",
+    "eth_schema_evolution",
+    "q_hierarchy_rollup",
+    "q_seasonality",
+    "q_cohort_ltv",
+    "emb_ivf_recall",
+    "stream_pattern_match",
+    "doc_script_census",
+    "q_abtest_readout",
+    "emb_knn_linkpred",
+    "emb_cluster_labels",
+    "emb_cell_outliers",
+    "emb_snapshot_drift",
+    "emb_density_sample",
+    "emb_hard_negatives",
+    "emb_semantic_decontaminate",
+    "mm_scene_cuts",
+    "mm_audio_resample",
+    "mm_audio_vad",
+    "mm_image_neardup",
+    "stream_histogram",
+    "stream_trending",
+    "stream_decontaminate",
+)
+
 _WINDOW_R10 = (
     "doc_crawl_manifest",
     "mm_jpeg_stats",
@@ -185,7 +255,7 @@ _WINDOW_R9 = (
     "stream_tumbling_counts",
 )
 
-ALL_QUERIES: dict[str, Query] = {n: _MERGED[n] for n in _WINDOW_R10}
+ALL_QUERIES: dict[str, Query] = {n: _MERGED[n] for n in _WINDOW_R11}
 for _name, _q in _MERGED.items():
     if _name not in ALL_QUERIES:
         ALL_QUERIES[_name] = _q
@@ -193,8 +263,9 @@ for _name, _q in _MERGED.items():
 # the contract this layout exists for: the graded window is exactly
 # the curated rotation, with no typos pointing at missing queries
 _window = list(ALL_QUERIES)[:50]
-assert len(_WINDOW_R10) == 50, len(_WINDOW_R10)
-assert _window == list(_WINDOW_R10), "window drifted from rotation"
+assert len(_WINDOW_R11) == 50, len(_WINDOW_R11)
+assert _window == list(_WINDOW_R11), "window drifted from rotation"
+assert set(_WINDOW_R10) <= set(_MERGED), "r10 window names must stay valid"
 assert set(_WINDOW_R9) <= set(_MERGED), "r9 window names must stay valid"
 
 

@@ -2300,6 +2300,84 @@ e AS (SELECT s AS src, c AS dst FROM pairs
       UNION ALL SELECT c, s FROM pairs)"""
 
 
+# --------------------------------------------------- link authority
+
+#: Deterministic host + outlink fixture: a doc lives on host
+#: `h(doc_id % 40)` and links to the three hosts `h((doc_id*7 + k*11)
+#: % 40)`, k ∈ {1,2,3} — a directed host web with skew-free degrees
+#: both engines rebuild from doc_id alone (the corpus has no URL
+#: column; the multiplier/offsets just decorrelate targets from the
+#: source host).
+_LINK_HOSTS = 40
+
+
+def _link_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-based source weighting — the CommonCrawl-lineage curation
+    signal (host-level PageRank over the crawl's link graph, then each
+    document weighted by its host's authority) that complements the
+    content-side quality gates: a doc on a well-linked host earns
+    trust its text alone can't prove. Composes the repo's exact
+    fixed-point PageRank (`operators/graph.pagerank_exact`, the same
+    5-iteration recurrence `doc_trade_pagerank` grades) over the host
+    graph, then joins authority back per document and accounts it per
+    source.
+
+    Scale shape: hosts ≪ docs (the whole point — CommonCrawl is ~10^8
+    hosts for ~10^10 pages), so the edge build is a projection +
+    distinct on (src,dst) host pairs, PageRank runs on the SMALL host
+    graph (×10 envelope-pinned via pagerank), and the authority→doc
+    join broadcasts the rank side. No per-doc iteration, no skew: the
+    doc-side stays a single scan."""
+    from ..operators.graph import pagerank_exact
+    docs = (load_table(spark, sf_dir, "documents")
+            .where("text IS NOT NULL")
+            .selectExpr("doc_id", "source",
+                        f"concat('h', CAST(doc_id % {_LINK_HOSTS} "
+                        "AS STRING)) AS host"))
+    targets = ", ".join(
+        f"concat('h', CAST((doc_id * 7 + {k} * 11) % {_LINK_HOSTS} "
+        "AS STRING))" for k in (1, 2, 3))
+    edges = (docs.selectExpr("host AS src",
+                             f"explode(array({targets})) AS dst")
+                 .where("src != dst").distinct())
+    ranks = pagerank_exact(edges, iters=5)
+    return (docs.join(F.broadcast(ranks), docs.host == ranks.node)
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.expr("CAST(sum(rank) AS BIGINT)")
+                      .alias("auth_sum"))
+                .withColumn("auth_avg",
+                            F.expr("CAST(auth_sum AS DOUBLE) / "
+                                   "CAST(n_docs AS DOUBLE)"))
+                .orderBy("source"))
+
+
+def _link_authority_sql() -> str:
+    edges_cte = f"""
+hh AS (SELECT doc_id, source,
+              'h' || CAST(doc_id % {_LINK_HOSTS} AS VARCHAR) AS host
+       FROM documents WHERE text IS NOT NULL),
+l AS (SELECT host AS src,
+             'h' || CAST((doc_id * 7 + k.k * 11) % {_LINK_HOSTS}
+                         AS VARCHAR) AS dst
+      FROM hh, (VALUES (1), (2), (3)) k(k)),
+e AS (SELECT DISTINCT src, dst FROM l WHERE src <> dst)"""
+    return f"""
+WITH pr AS ({_pagerank_sql(edges_cte)}),
+hh2 AS (SELECT doc_id, source,
+               'h' || CAST(doc_id % {_LINK_HOSTS} AS VARCHAR) AS host
+        FROM documents WHERE text IS NOT NULL)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pr.rank) AS BIGINT) AS auth_sum,
+       CAST(CAST(sum(pr.rank) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS auth_avg
+FROM hh2 JOIN pr ON hh2.host = pr.node
+GROUP BY source
+ORDER BY source
+"""
+
+
 # ----------------------------------------------------- snapshot diff
 
 def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6138,6 +6216,11 @@ QUERIES: dict[str, Query] = {
                                 "fixed-point integer PageRank over the "
                                 "supplier-customer trade graph, "
                                 "5 Pregel-style iterations"),
+    "doc_link_authority": Query(_link_authority, _link_authority_sql(),
+                                "link-based source weighting: host "
+                                "PageRank over the crawl link graph, "
+                                "authority broadcast-joined back per "
+                                "document"),
     "doc_rarity": Query(_rarity, _rarity_sql(),
                         "corpus-relative token rarity (df join, "
                         "hapax/mean-df quality signal)"),

@@ -545,6 +545,29 @@ def main() -> int:
 
     bench("html_strip", html_strip)
 
+    # the r10 composed flagship end-to-end: _crawl_manifest takes a
+    # CORPUS DIR, so amplify into one (doc_id/source/text — source
+    # re-attached from the original docs by id-mod) outside the timed
+    # region, marker-gated like the main amplified corpus
+    if ONLY is None or "crawl_manifest" in ONLY:
+        crawl_sf = f"{out}/crawl_sf"
+        if not (keep and os.path.exists(f"{crawl_sf}/_crawl_{AMPLIFY}")):
+            (big_docs.withColumn("src_doc", F.col("doc_id") % n_docs)
+                     .join(docs.selectExpr("doc_id AS src_doc", "source"),
+                           "src_doc")
+                     .select("doc_id", "source", "text")
+                     .write.mode("overwrite")
+                     .parquet(f"{crawl_sf}/documents.parquet"))
+            if keep:
+                open(f"{crawl_sf}/_crawl_{AMPLIFY}", "w").close()
+
+        def crawl_manifest():
+            from ethereum_export_pipeline_spark.plans.llm import (
+                _crawl_manifest)
+            return _crawl_manifest(spark, crawl_sf)
+
+        bench("crawl_manifest", crawl_manifest)
+
     def scene_summary():
         from ethereum_export_pipeline_spark.plans.llm import (
             _scene_summary_frame)
