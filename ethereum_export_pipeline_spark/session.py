@@ -27,6 +27,26 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # THE round-10/11 "heavy-Arrow py-path step" fix (SCALE.md has the
+    # full bisect). Spark 4.1's JVM→Python Arrow writer calls
+    # ArrowWriter.sizeInBytes() PER INPUT ROW to enforce this byte cap
+    # (BatchedPythonArrowInput.writeSizedBatch; the check is skipped
+    # only at the Int.MaxValue sentinel). sizeInBytes walks the root
+    # StructVector's children through virtual calls that HotSpot
+    # devirtualizes while only the primitive vector classes are
+    # loaded; the FIRST Arrow batch carrying binary/string/array
+    # columns loads more ValueVector subclasses, the devirtualization
+    # is invalidated JVM-wide, and every later mapInPandas pays ~2×
+    # (measured: a 64-row, few-KB type-diverse batch permanently
+    # stepped a fixed 8M-row canary 0.76 → 1.72 s; with the sentinel
+    # the same canary reads 0.57-0.65 s before AND after). At the
+    # sentinel, batches are bounded by maxRecordsPerBatch (10000) ×
+    # row width — fine for this engine's media blobs (≤ KBs); a
+    # 100 TB deployment pushing ~10 MB binary rows through
+    # mapInPandas must lower maxRecordsPerBatch (e.g. 64) or restore
+    # the byte cap for those jobs, where wide rows amortize the
+    # per-row check anyway.
+    "spark.sql.execution.arrow.maxBytesPerBatch": "2147483647",
 }
 
 

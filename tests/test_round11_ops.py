@@ -4,7 +4,12 @@ orphan registry instead of DROPping tables a still-live lazy frame
 scans, and orphans are reclaimed only once their owning application
 is dead; (b) `recycle_python_workers` refuses to kill workers while
 ANY session in the process has an active streaming query (streams run
-on isolated child sessions the caller's `spark.streams` cannot see).
+on isolated child sessions the caller's `spark.streams` cannot see);
+(c) the heavy-Arrow py-path step fix — the Int.MaxValue
+maxBytesPerBatch sentinel is applied everywhere, and a type-diverse
+Arrow batch no longer multiplies the JVM CPU of later mapInPandas
+stages (the round-10 open item, bisected and closed this round; see
+SCALE.md and session.RUNTIME_CONFS).
 """
 
 from __future__ import annotations
@@ -95,3 +100,72 @@ def test_recycle_refuses_while_any_stream_active(spark):
     run_arrow()
     assert recycle_python_workers(spark) > 0, \
         "must recycle normally once streams are gone"
+
+
+# ---------------- the heavy-Arrow py-path step (r10 open item)
+
+def test_arrow_bytecap_sentinel_applied(spark):
+    """RUNTIME_CONFS must carry the Int.MaxValue maxBytesPerBatch
+    sentinel (the only value at which Spark 4.1's JVM→Python writer
+    skips the per-row ArrowWriter.sizeInBytes walk — the surface the
+    type-pollution step acted on), and ensure_conf must deliver it to
+    externally created sessions."""
+    from ethereum_export_pipeline_spark.session import (RUNTIME_CONFS,
+                                                        ensure_conf)
+    key = "spark.sql.execution.arrow.maxBytesPerBatch"
+    assert RUNTIME_CONFS[key] == "2147483647"
+    assert ensure_conf(spark).conf.get(key) == "2147483647"
+
+
+def test_type_diverse_arrow_batch_does_not_inflate_py_path(spark):
+    """The step's mechanism, pinned by CPU TIME (robust to co-tenant
+    wall-clock noise): a fixed mapInPandas workload's JVM CPU must not
+    multiply after one tiny type-diverse Arrow batch (binary + string
+    + double + array columns). Without the sentinel this ratio
+    measured ~6× (5.7 → 33 CPU-s on the 8M-row canary); with it,
+    ~1.0-1.3×. Threshold 2.5× leaves room for JIT warm-up noise while
+    catching any regression of the fix."""
+    def _jvm_cpu() -> float:
+        pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+        with open(f"/proc/{pid}/stat") as fh:
+            parts = fh.read().rsplit(")", 1)[-1].split()
+        return (int(parts[11]) + int(parts[12])) / 100.0
+
+    def _canary_cpu() -> float:
+        def f(pdfs):
+            for pdf in pdfs:
+                yield pdf.assign(v=(pdf["id"] * 2654435761 % 1000003))
+        best = float("inf")
+        for _ in range(2):
+            c0 = _jvm_cpu()
+            spark.range(0, 4_000_000, 1, 8) \
+                 .mapInPandas(f, "id long, v long") \
+                 .selectExpr("sum(v)").collect()
+            best = min(best, _jvm_cpu() - c0)
+        return best
+
+    _canary_cpu()  # warm the codegen + worker pool
+    before = _canary_cpu()
+
+    def gen(pdfs):
+        import pandas as pd
+        for pdf in pdfs:
+            yield pd.DataFrame({
+                "id": pdf["id"], "b": [b"x" * 1024] * len(pdf),
+                "s": ["y" * 64] * len(pdf), "d": [1.5] * len(pdf),
+                "arr": [[1, 2, 3]] * len(pdf)})
+
+    def rd(pdfs):
+        for pdf in pdfs:
+            yield pdf[["id"]].assign(n=pdf["b"].str.len())
+
+    (spark.range(0, 64, 1, 8)
+          .mapInPandas(gen, "id long, b binary, s string, d double,"
+                            " arr array<long>")
+          .mapInPandas(rd, "id long, n long")
+          .selectExpr("sum(n)").collect())
+
+    after = _canary_cpu()
+    assert after < max(before, 0.5) * 2.5, \
+        (f"type-diverse Arrow batch re-inflated the py path: "
+         f"{before:.2f} → {after:.2f} JVM CPU-s")
