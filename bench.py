@@ -180,6 +180,7 @@ HEADLINE = [
     "emb_knn_linkpred",
     "mm_image_neardup",
     "stream_decontaminate",
+    "stream_crawl_gate",
     "q_entity_resolution",
     "q_basket_pairs",
     "q_k_anonymity",

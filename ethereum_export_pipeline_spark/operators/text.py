@@ -48,15 +48,20 @@ def _in_list(col: str, words: list[str]) -> str:
 
 
 def language_id(df: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                keep: tuple[str, ...] = ()) -> DataFrame:
     """Stopword-vote language ID. Per language: count of tokens in its
     lexicon; prediction = argmax, ties broken by language code
-    ascending, 'und' when no stopword hits at all."""
+    ascending, 'und' when no stopword hits at all.
+
+    `keep` carries extra input columns through unchanged — the
+    streaming crawl gate needs language + quality in ONE pass (a
+    stream can't self-join on doc_id the way the batch funnel does)."""
     d = with_tokens(df, text_col)
     langs = sorted(STOPWORDS)  # tie-break order: code ascending
     hits = [F.expr(_in_list(TOKENS_COL, STOPWORDS[lg])).cast("long").alias(f"hits_{lg}")
             for lg in langs]
-    d = d.select(F.col(id_col), *hits)
+    d = d.select(F.col(id_col), *hits, *[F.col(c) for c in keep])
     best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
     # CASE evaluates in code order, so listing languages ascending
     # implements the tie-break (first max wins).
@@ -66,14 +71,17 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
     pred = cases.otherwise(F.lit("und"))
     return d.select(
         id_col, pred.alias("pred_lang"),
-        *[F.col(f"hits_{lg}") for lg in langs])
+        *[F.col(f"hits_{lg}") for lg in langs],
+        *[F.col(c) for c in keep])
 
 
 def quality_score(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  keep: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic document quality: length, token stats, alnum ratio,
     stopword ratio, composite score. All ratios are double arithmetic
-    over exact integers → engine-identical."""
+    over exact integers → engine-identical. `keep` carries extra
+    input columns through unchanged (see `language_id`)."""
     d = with_tokens(df, text_col)
     n_chars = F.length(F.col(text_col)).cast("long")
     n_tokens = F.size(F.col(TOKENS_COL)).cast("long")
@@ -87,6 +95,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
         tok_chars.cast("long").alias("n_token_chars"),
         alnum.cast("long").alias("n_alnum"),
         stop_hits.alias("n_stopwords"),
+        *[F.col(c) for c in keep],
     )
     nt = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
     nc = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
@@ -105,6 +114,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
         alnum_ratio.alias("alnum_ratio"),
         stop_ratio.alias("stopword_ratio"),
         score.alias("quality_score"),
+        *[F.col(c) for c in keep],
     )
 
 

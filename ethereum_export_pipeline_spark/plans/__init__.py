@@ -59,8 +59,10 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #: stream_session_window, stream_static_enrich head the round-11
 #: queue, after which the oldest stamp anywhere is r06). Everything
 #: demoted stays green in the full local sweep.
-#: Round 11: (a) the round-11 addition `doc_link_authority`
-#: (host-PageRank link weighting), graded the round it lands; (b)
+#: Round 11: (a) the round-11 additions `doc_link_authority`
+#: (host-PageRank link weighting) and `stream_crawl_gate` (stateless
+#: streaming strip+gate, the crawl funnel's live-ingest head), graded
+#: the round they land; (b)
 #: re-grades of code REWRITTEN this round, per the r9/r10 precedent
 #: that a stamp certifies the code that earned it: `eth_bucketed_join`
 #: (its ingest's eviction now parks same-app entries in the orphan
@@ -70,14 +72,16 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #: bench's biggest unadjudicated regression, so a fresh stamp both
 #: certifies and re-times it); (c) the 4 remaining r05 stamps
 #: (stream_interval_join{,_outer}, stream_session_window,
-#: stream_static_enrich — promised first in the r10 note); (d) 42 of
-#: the 50 r06 stamps in ledger order (q_salted_agg, q_attribution,
-#: q_entity_resolution, q_k_anonymity, q_sketch_percentiles,
-#: q_l_diversity, q_t_closeness, q_asof_skew_bucketed head the
-#: round-12 queue, after which the oldest stamp anywhere is r07).
+#: stream_static_enrich — promised first in the r10 note); (d) 41 of
+#: the 50 r06 stamps in ledger order (stream_decontaminate,
+#: q_salted_agg, q_attribution, q_entity_resolution, q_k_anonymity,
+#: q_sketch_percentiles, q_l_diversity, q_t_closeness,
+#: q_asof_skew_bucketed head the round-12 queue, after which the
+#: oldest stamp anywhere is r07).
 #: Everything demoted stays green in the full local sweep.
 _WINDOW_R11 = (
     "doc_link_authority",
+    "stream_crawl_gate",
     "eth_bucketed_join",
     "eth_dual_export",
     "eth_dual_precision",
@@ -126,7 +130,6 @@ _WINDOW_R11 = (
     "mm_image_neardup",
     "stream_histogram",
     "stream_trending",
-    "stream_decontaminate",
 )
 
 _WINDOW_R10 = (

@@ -356,6 +356,49 @@ WHERE t.doc_id % {BENCH_MOD} <> 0
 """
 
 
+def _stream_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming strip + language/quality gate per arriving raw page
+    (streaming.stream_crawl_gate) — the live-ingest head of the
+    `doc_crawl_manifest` funnel, zero state, one pass. The wrap/strip
+    expressions and gate thresholds are the batch funnel's own, so
+    the DuckDB twin re-derives every verdict from the same stripped
+    relation."""
+    from ..streaming import stream_crawl_gate
+    from .llm import (FUNNEL_MIN_QUALITY, FUNNEL_MIN_TOKENS,
+                      _html_strip_sql, _html_wrap_sql)
+    rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}')"
+    return stream_crawl_gate(
+        spark, f"{sf_dir.rstrip('/')}/documents.parquet",
+        wrap_sql=_html_wrap_sql("STRING"),
+        strip_sql=_html_strip_sql("html", rr),
+        min_tokens=FUNNEL_MIN_TOKENS, min_quality=FUNNEL_MIN_QUALITY)
+
+
+def _stream_crawl_gate_sql() -> str:
+    from .llm import (FUNNEL_MIN_QUALITY, FUNNEL_MIN_TOKENS,
+                      _html_strip_sql, _html_wrap_sql, _language_id_sql,
+                      _quality_sql)
+    rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}', 'g')"
+    wrapped = _html_wrap_sql("VARCHAR")
+    stripped = _html_strip_sql("html", rr)
+    return f"""
+WITH crawl AS (
+  SELECT doc_id, source, {stripped} AS text FROM (
+    SELECT doc_id, source, {wrapped} AS html
+    FROM documents WHERE text IS NOT NULL)
+), q AS ({_quality_sql('crawl')}), l AS ({_language_id_sql('crawl')})
+SELECT c.doc_id, c.source, q.n_tokens, l.pred_lang, q.quality_score,
+       CAST(q.n_tokens >= {FUNNEL_MIN_TOKENS} AS BIGINT) AS pass_tokens,
+       CAST(l.pred_lang = 'en' AS BIGINT) AS pass_lang,
+       CAST(q.quality_score >= {FUNNEL_MIN_QUALITY!r} AS BIGINT)
+         AS pass_quality,
+       CAST(q.n_tokens >= {FUNNEL_MIN_TOKENS} AND l.pred_lang = 'en'
+            AND q.quality_score >= {FUNNEL_MIN_QUALITY!r} AS BIGINT)
+         AS admitted
+FROM crawl c JOIN q ON c.doc_id = q.doc_id JOIN l ON c.doc_id = l.doc_id
+"""
+
+
 def _stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed trending top-k: the streamed (window, type) count
     aggregate + the serving-layer per-window rank (streaming/
@@ -533,4 +576,8 @@ QUERIES: dict[str, Query] = {
                                         "LEFT OUTER watermarked interval "
                                         "join (non-converting clicks, "
                                         "strict min-watermark cutoff)"),
+    "stream_crawl_gate": Query(_stream_crawl_gate, _stream_crawl_gate_sql,
+                               "streaming strip + language/quality "
+                               "gate per raw page (stateless one-pass "
+                               "crawl-funnel head)"),
 }

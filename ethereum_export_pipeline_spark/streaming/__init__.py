@@ -648,6 +648,42 @@ def stream_decontaminate(spark: SparkSession, docs_path: str,
                              width=bounded_stream_width(spark, docs_path))
 
 
+def stream_crawl_gate(spark: SparkSession, docs_path: str,
+                      wrap_sql: str, strip_sql: str,
+                      min_tokens: int, min_quality: float) -> DataFrame:
+    """STATELESS streaming crawl gate — the live-ingest shape of the
+    `doc_crawl_manifest` funnel head: every arriving RAW page is
+    boilerplate-stripped and language/quality-gated in ONE pass.
+    Strip, tokenize, both gate scores and the verdicts are all
+    projections, so the query keeps ZERO state (no watermark, no
+    state store) and runs at file-source scan rate; the dedup /
+    decontamination tiers that need cross-doc state live in their own
+    streaming ops (`stream_dedup`, `stream_decontaminate`).
+
+    A stream cannot self-join on doc_id the way the batch funnel
+    composes its gate frames (stream-stream equi joins need
+    watermarks), so `quality_score` / `language_id` carry the needed
+    columns through their `keep` parameter instead — the scoring
+    expressions stay the operators' own, byte-identical to what the
+    batch funnel grades."""
+    from ..operators.text import language_id, quality_score
+    sdf = read_stream(spark, docs_path)
+    d = (sdf.where("text IS NOT NULL")
+            .selectExpr("doc_id", "source", f"{wrap_sql} AS html")
+            .selectExpr("doc_id", "source", f"{strip_sql} AS text"))
+    q = quality_score(d, keep=("source", "text"))
+    lang = language_id(q, keep=("source", "n_tokens", "quality_score"))
+    out = lang.selectExpr(
+        "doc_id", "source", "n_tokens", "pred_lang", "quality_score",
+        f"CAST(n_tokens >= {min_tokens} AS BIGINT) AS pass_tokens",
+        "CAST(pred_lang = 'en' AS BIGINT) AS pass_lang",
+        f"CAST(quality_score >= {min_quality!r} AS BIGINT) AS pass_quality",
+        f"CAST(n_tokens >= {min_tokens} AND pred_lang = 'en' AND "
+        f"quality_score >= {min_quality!r} AS BIGINT) AS admitted")
+    return run_available_now(out, output_mode="append",
+                             width=bounded_stream_width(spark, docs_path))
+
+
 def stream_value_histogram(spark: SparkSession, events_path: str,
                            window_us: int = WINDOW_US) -> DataFrame:
     """Streaming histogram SKETCH — the streaming form of

@@ -49,6 +49,9 @@ ENVELOPES = {
     "kmeans_assign": 27 * 1024 * 1024,
     "trade_pagerank": 1600 * 1024 * 1024,
     "hierarchy_aggregates": 27 * 1024 * 1024,
+    # the composed crawl→manifest flagship (round-11 addition to the
+    # suite): measured 48.2 MB at ×10 via tools/scale_smoke.py
+    "crawl_manifest": 72 * 1024 * 1024,
 }
 
 
@@ -169,12 +172,28 @@ def measured():
         vals = spark.range(n).selectExpr("id AS node", "id % 97 AS val")
         return ha(parents, vals, rounds=6)
 
+    # the composed crawl→manifest flagship wants a CORPUS DIR with a
+    # source column (its plan takes sf_dir) — amplify one beside the
+    # main corpus, source re-attached from the originals by id-mod
+    crawl_sf = f"{out}/crawl_sf"
+    (big_docs.withColumn("src_doc", F.col("doc_id") % n_docs)
+             .join(docs.selectExpr("doc_id AS src_doc", "source"),
+                   "src_doc")
+             .select("doc_id", "source", "text")
+             .write.mode("overwrite").parquet(f"{crawl_sf}/documents.parquet"))
+
+    def crawl_manifest():
+        from ethereum_export_pipeline_spark.plans.llm import (
+            _crawl_manifest)
+        return _crawl_manifest(spark, crawl_sf)
+
     ops = {
         "ssjoin_prefix": lambda: dedup.ssjoin_prefix_pairs(big_docs),
         "minhash_pairs": lambda: dedup.minhash_lsh_pairs(big_docs),
         "kmeans_assign": lambda: similarity.kmeans_assign(big_emb),
         "trade_pagerank": trade_pagerank,
         "hierarchy_aggregates": hierarchy_aggregates,
+        "crawl_manifest": crawl_manifest,
     }
     import time
     secs = {}
