@@ -253,6 +253,10 @@ HEADLINE = [
     "doc_neardup_recall",
     # round-10 additions
     "doc_crawl_manifest",
+    # round-11 additions
+    "q_rate_limit_schedule",
+    "q_join_size_estimate",
+    "doc_pseudonymize",
 ]
 
 # Stateful streaming queries run LAST: round-10 measured an

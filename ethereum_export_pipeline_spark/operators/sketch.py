@@ -374,6 +374,146 @@ FROM est
 """
 
 
+# ------------------------------------------- count sketch (AMS, F2)
+# The join-PLANNING sketch: |A ⋈ B| on a key equals the inner product
+# of the two sides' key-frequency vectors, and the count sketch
+# (Charikar-Chen-Farach-Colton, ICALP'02) estimates that inner
+# product UNBIASEDLY from two fixed d×w signed-counter matrices
+# (Alon-Matias-Szegedy, STOC'96 gives the variance bound:
+# Var ≈ F2(A)·F2(B)/w per depth; the median over d odd depths
+# concentrates it). At 100 TB this answers "how big would this join /
+# this blocking key's candidate-pair set be" from two corpus-size-
+# independent sketches — BEFORE paying the shuffle the join itself
+# would cost. Unlike count-min (sums only ever add), signed counters
+# cancel collisions in expectation, so the estimate is unbiased
+# rather than one-sided. md5-affine hashes + integer sums only:
+# DuckDB reproduces every cell bit-for-bit.
+
+AMS_D = 5                  # odd: the median depth is an exact element
+AMS_W = 8192               # per-depth std ≈ sqrt(F2(A)·F2(B)/w)
+AMS_CELL_FAMILY = hash_family(AMS_D, seed=41)
+AMS_SIGN_FAMILY = hash_family(AMS_D, seed=53)
+
+
+def ams_sketch(df: DataFrame, key_col: str = "k",
+               d: int = AMS_D, w: int = AMS_W) -> DataFrame:
+    """Build the d×w signed sketch from a key-occurrence frame (one
+    row per key OCCURRENCE, multiplicities included): returns
+    (r, c, s) with at most d·w rows, where s = Σ sign(key) over the
+    occurrences hashing to cell (r, c).
+
+    Scale shape: ONE scan; posexplode fans each occurrence into its d
+    (cell, sign) entries and the (r, c) hash-agg map-side-combines to
+    ≤ d·w partials per task BEFORE the exchange — shuffle bounded by
+    d·w·n_tasks rows regardless of corpus size. Signed counters are
+    linear, so two slices' sketches merge by cell-wise addition."""
+    h = h32(F.col(key_col))
+    entries = F.array(*[
+        F.struct(
+            (affine_hash(h, ca, cb) % w).cast("long").alias("c"),
+            (F.lit(1) - F.lit(2) * (affine_hash(h, sa, sb) % 2))
+            .cast("long").alias("s"))
+        for (ca, cb), (sa, sb) in zip(AMS_CELL_FAMILY[:d],
+                                      AMS_SIGN_FAMILY[:d])])
+    return (df.select(F.posexplode(entries).alias("r", "e"))
+              .select("r", "e.c", "e.s")
+              .groupBy("r", "c")
+              .agg(F.sum("s").cast("long").alias("s")))
+
+
+def ams_join_size(a: DataFrame, b: DataFrame,
+                  key_a: str, key_b: str,
+                  d: int = AMS_D, w: int = AMS_W) -> DataFrame:
+    """Join-cardinality estimation report: ONE row
+    (est_pairs, exact_pairs, abs_err_ppm) — the count-sketch estimate
+    of |a ⋈ b| on key_a = key_b next to the exact answer. Estimate =
+    median over depths r of Σ_c s_a[r][c]·s_b[r][c] (median of d odd
+    depths = an exact middle element, deterministic both engines).
+
+    (The exact side — per-key count aggs joined and Σ n_a·n_b, which
+    sizes the join WITHOUT materializing it — is the fixture-scale
+    verification harness; at 100 TB one keeps only the two d·w
+    sketches and the estimate is the product of a d·w-row join.)
+
+    Scale shape: two bounded sketch builds (see `ams_sketch`), a full
+    outer join of two ≤ d·w-row frames (cells present on one side
+    contribute 0), a d-row median. The exact twin shuffles each side
+    once on the key — exactly the cost the estimator exists to
+    predict, paid here only for the audit."""
+    dots = (ams_sketch(a.select(F.col(key_a).alias("k")), "k", d, w)
+            .withColumnRenamed("s", "sa")
+            .join(ams_sketch(b.select(F.col(key_b).alias("k")), "k", d, w)
+                  .withColumnRenamed("s", "sb"),
+                  ["r", "c"], "full")
+            .groupBy("r")
+            .agg(F.expr("CAST(sum(coalesce(sa, 0L) * coalesce(sb, 0L)) "
+                        "AS BIGINT)").alias("dot")))
+    est = (dots
+           .withColumn("_rk", F.expr("row_number() OVER (ORDER BY dot)"))
+           .where(F.col("_rk") == (d + 1) // 2)
+           .select(F.col("dot").alias("est_pairs")))
+    na = (a.groupBy(F.col(key_a).alias("k"))
+           .agg(F.count(F.lit(1)).cast("long").alias("na")))
+    nb = (b.groupBy(F.col(key_b).alias("k"))
+           .agg(F.count(F.lit(1)).cast("long").alias("nb")))
+    exact = (na.join(nb, "k")
+               .agg(F.expr("CAST(coalesce(sum(na * nb), 0) AS BIGINT)")
+                     .alias("exact_pairs")))
+    return (est.crossJoin(F.broadcast(exact))
+               .select("est_pairs", "exact_pairs",
+                       F.expr("CASE WHEN exact_pairs = 0 THEN 0L ELSE "
+                              "abs(est_pairs - exact_pairs) * 1000000L "
+                              "div exact_pairs END").alias("abs_err_ppm")))
+
+
+def _ams_cells_sql(src: str, d: int, w: int) -> str:
+    """UNION ALL per depth over `src` (must expose h = h32(key)):
+    the (r, c, s) occurrence entries."""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT {r} AS r, ({affine_hash_sql('h', ca, cb)}) % {w} AS c, "
+        f"1 - 2 * (({affine_hash_sql('h', sa, sb)}) % 2) AS s FROM {src}"
+        for r, ((ca, cb), (sa, sb))
+        in enumerate(zip(AMS_CELL_FAMILY[:d], AMS_SIGN_FAMILY[:d])))
+
+
+def ams_join_size_sql(table_a: str, key_a: str,
+                      table_b: str, key_b: str,
+                      d: int = AMS_D, w: int = AMS_W) -> str:
+    """DuckDB twin of `ams_join_size`: identical affine cell/sign
+    hashes, identical median-of-depths element."""
+    return f"""
+WITH ha AS (SELECT {h32_sql(key_a)} AS h FROM {table_a}),
+hb AS (SELECT {h32_sql(key_b)} AS h FROM {table_b}),
+ca AS (
+{_ams_cells_sql('ha', d, w)}
+),
+cb AS (
+{_ams_cells_sql('hb', d, w)}
+),
+sa AS (SELECT r, c, CAST(sum(s) AS BIGINT) AS s FROM ca GROUP BY r, c),
+sb AS (SELECT r, c, CAST(sum(s) AS BIGINT) AS s FROM cb GROUP BY r, c),
+dots AS (
+  SELECT r, CAST(sum(COALESCE(sa.s, 0) * COALESCE(sb.s, 0)) AS BIGINT)
+           AS dot
+  FROM sa FULL JOIN sb USING (r, c) GROUP BY r),
+e AS (
+  SELECT dot AS est_pairs FROM (
+    SELECT dot, row_number() OVER (ORDER BY dot) AS rk FROM dots)
+  WHERE rk = {(d + 1) // 2}),
+x AS (
+  SELECT CAST(COALESCE(sum(na.n * nb.n), 0) AS BIGINT) AS exact_pairs
+  FROM (SELECT {key_a} AS k, CAST(count(*) AS BIGINT) AS n
+        FROM {table_a} GROUP BY 1) na(k, n)
+  JOIN (SELECT {key_b} AS k, CAST(count(*) AS BIGINT) AS n
+        FROM {table_b} GROUP BY 1) nb(k, n) ON na.k = nb.k)
+SELECT est_pairs, exact_pairs,
+       CASE WHEN exact_pairs = 0 THEN 0 ELSE
+            abs(est_pairs - exact_pairs) * 1000000 // exact_pairs END
+         AS abs_err_ppm
+FROM e, x
+"""
+
+
 # ------------------------------------------------ hyperloglog sketch
 # The fourth mergeable sketch: HyperLogLog itself (Flajolet et al.,
 # AofA'07) — but DETERMINISTIC and cross-engine-verifiable, which

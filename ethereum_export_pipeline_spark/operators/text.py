@@ -1426,6 +1426,77 @@ FROM h WHERE len(_h) > 0
 """
 
 
+def pseudonymize_terms(df: DataFrame, terms: list[str],
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Dictionary-driven deterministic pseudonymization — the GDPR
+    Art. 4(5) release transform `blocklist_hits` only AUDITS: every
+    occurrence of a dictionary term (usernames, project codenames,
+    client identifiers) is REPLACED in the token stream by a stable
+    surrogate `<ENT_xxxxxxxxxx>` (10 hex chars of the term's md5).
+    Unlike `pii_scrub`'s fixed `<EMAIL>` tags, the surrogate is
+    per-ENTITY: the same term maps to the same token in every
+    document, so co-occurrence structure, entity linking, and dedup
+    keys survive the scrub — pseudonymization, not redaction.
+    Output per non-null doc: (id_col, n_hits, n_entities, clean_text)
+    over the normalized token stream (exact BIGINT counts;
+    n_entities = distinct dictionary terms present).
+
+    Scale shape: map-only — ONE tokenize per doc (let-bound by the
+    zero-arg transform, the `blocklist_hits` lesson), an IN probe
+    against the literal array plus an md5 per HIT inside the lambda,
+    zero joins, zero shuffle; runs at scan rate at 100 TB. The
+    surrogate is deterministic ON PURPOSE (referential integrity);
+    a keyed deployment swaps md5(t) for md5(secret || t) — same
+    plan, the dictionary stays plan-side."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    for t in terms:
+        if "'" in t:
+            raise ValueError(f"term {t!r} contains a quote")
+    from ..functions import TOKEN_RE
+    lits = ", ".join(f"'{t}'" for t in terms)
+    toked = (f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+    # One Generate-free projection: transform(array(toked), ...) [0]
+    # let-binds the tokenize so CollapseProject can't duplicate it
+    # into the three outputs.
+    row = (f"transform(array({toked}), _t -> named_struct("
+           f"'n_hits', CAST(size(filter(_t, t -> t IN ({lits}))) AS BIGINT), "
+           f"'n_entities', CAST(size(array_distinct(filter(_t, "
+           f"t -> t IN ({lits})))) AS BIGINT), "
+           f"'clean_text', array_join(transform(_t, t -> "
+           f"CASE WHEN t IN ({lits}) THEN concat('<ENT_', "
+           f"substr(md5(t), 1, 10), '>') ELSE t END), ' ')))[0]")
+    return (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col), F.expr(row).alias("_r"))
+              .select(id_col, "_r.n_hits", "_r.n_entities",
+                      "_r.clean_text"))
+
+
+def pseudonymize_terms_sql(terms: list[str], table: str = "documents",
+                           id_expr: str = "doc_id",
+                           text_expr: str = "text") -> str:
+    """DuckDB twin of `pseudonymize_terms` — same tokenize, same IN
+    probe, same md5 surrogates (1-based list lambdas; empty-list
+    array_to_string coalesced: DuckDB returns NULL, Spark '')."""
+    from ..functions import tokens_sql
+    lits = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH b AS (
+  SELECT {id_expr} AS doc_id, {tokens_sql(text_expr)} AS _t
+  FROM {table} WHERE {text_expr} IS NOT NULL
+)
+SELECT doc_id AS {id_expr},
+       CAST(len(list_filter(_t, t -> t IN ({lits}))) AS BIGINT) AS n_hits,
+       CAST(len(list_distinct(list_filter(_t, t -> t IN ({lits}))))
+         AS BIGINT) AS n_entities,
+       coalesce(array_to_string(list_transform(_t, t ->
+           CASE WHEN t IN ({lits}) THEN '<ENT_' || substr(md5(t), 1, 10)
+                || '>' ELSE t END), ' '), '') AS clean_text
+FROM b
+"""
+
+
 RRF_C = 60                 # the standard Cormack/Clarke offset
 RRF_SCALE = 1_000_000      # integer RRF: contribution = SCALE div (C + rank)
 

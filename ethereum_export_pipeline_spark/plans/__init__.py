@@ -72,16 +72,22 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #: bench's biggest unadjudicated regression, so a fresh stamp both
 #: certifies and re-times it); (c) the 4 remaining r05 stamps
 #: (stream_interval_join{,_outer}, stream_session_window,
-#: stream_static_enrich — promised first in the r10 note); (d) 41 of
-#: the 50 r06 stamps in ledger order (stream_decontaminate,
+#: stream_static_enrich — promised first in the r10 note); (d) 38 of
+#: the 50 r06 stamps in ledger order — three more round-11 additions
+#: (q_rate_limit_schedule, q_join_size_estimate, doc_pseudonymize,
+#: landed later in the round) displaced the last three r06 slots
+#: (mm_image_neardup, stream_histogram, stream_trending), which now
+#: HEAD the round-12 queue, followed by stream_decontaminate,
 #: q_salted_agg, q_attribution, q_entity_resolution, q_k_anonymity,
 #: q_sketch_percentiles, q_l_diversity, q_t_closeness,
-#: q_asof_skew_bucketed head the round-12 queue, after which the
-#: oldest stamp anywhere is r07).
-#: Everything demoted stays green in the full local sweep.
+#: q_asof_skew_bucketed, after which the oldest stamp anywhere is
+#: r07. Everything demoted stays green in the full local sweep.
 _WINDOW_R11 = (
     "doc_link_authority",
     "stream_crawl_gate",
+    "q_rate_limit_schedule",
+    "q_join_size_estimate",
+    "doc_pseudonymize",
     "eth_bucketed_join",
     "eth_dual_export",
     "eth_dual_precision",
@@ -127,9 +133,6 @@ _WINDOW_R11 = (
     "mm_scene_cuts",
     "mm_audio_resample",
     "mm_audio_vad",
-    "mm_image_neardup",
-    "stream_histogram",
-    "stream_trending",
 )
 
 _WINDOW_R10 = (

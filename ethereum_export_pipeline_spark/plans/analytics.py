@@ -1569,6 +1569,88 @@ FROM ev, ref GROUP BY user_id
 """
 
 
+# --------------------------------------------- rate-limit scheduler
+
+#: minimum per-key service gap, microseconds (5 s politeness delay).
+RATE_LIMIT_GAP_US = 5_000_000
+
+
+def _rate_limit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rate-limit scheduler — the crawl-frontier politeness
+    queue (one fetch per host every D), API-throttling planner, and
+    job-queue admission model: each event is assigned the earliest
+    service slot ≥ its arrival with ≥ D between consecutive slots of
+    the same key. The defining recurrence
+    ``sched_i = max(ts_i, sched_{i-1} + D)`` looks inherently
+    sequential, but it is MAX-PLUS LINEAR:
+    ``sched_i = i·D + max_{j≤i}(ts_j − j·D)`` — a row_number plus a
+    RUNNING MAX of one derived column, so the whole schedule is two
+    window passes over ONE sort, no recursion, no UDF, no
+    driver-side loop. Output per event: (event_id, user_id, ts_us,
+    sched_us, wait_us), all exact BIGINT microseconds.
+
+    Scale shape: one exchange on the key, both window functions share
+    the (key, ts, id) sort (plan-pinned: a single Exchange); per-key
+    state during the scan is one running max. At 100 TB hosts
+    parallelize across executors; a pathologically hot key is one
+    partition's linear scan — the same bound as any windowed op."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .select("event_id", "user_id",
+                  F.expr("ts_ns div 1000").alias("ts_us")))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.lit(RATE_LIMIT_GAP_US)
+    r = ev.withColumn("rn", F.row_number().over(w).cast("long"))
+    return (r.withColumn("sched_us",
+                         F.max(F.col("ts_us") - F.col("rn") * gap).over(run)
+                         + F.col("rn") * gap)
+             .select("event_id", "user_id", "ts_us", "sched_us",
+                     (F.col("sched_us") - F.col("ts_us")).alias("wait_us")))
+
+
+_RATE_LIMIT_SCHEDULE_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT *, CAST(row_number() OVER
+      (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS rn
+  FROM e),
+s AS (
+  SELECT event_id, user_id, ts_us,
+         max(ts_us - rn * {RATE_LIMIT_GAP_US}) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS UNBOUNDED PRECEDING) + rn * {RATE_LIMIT_GAP_US}
+           AS sched_us
+  FROM r)
+SELECT event_id, user_id, ts_us, sched_us, sched_us - ts_us AS wait_us
+FROM s
+"""
+
+
+# --------------------------------------------- join-size estimation
+
+
+def _join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-sketch join-cardinality estimate (operators/sketch.
+    ams_join_size): |orders ⋈ lineitem| on the order key predicted
+    from two d×w signed sketches — the query-planning / blocking-key
+    primitive that sizes a shuffle before paying for it — next to the
+    exact Σ n_a·n_b audit."""
+    from ..operators import sketch
+    return sketch.ams_join_size(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        "o_orderkey", "l_orderkey")
+
+
+def _join_size_estimate_sql() -> str:
+    from ..operators import sketch
+    return sketch.ams_join_size_sql("orders", "o_orderkey",
+                                    "lineitem", "l_orderkey")
+
+
 # --------------------------------------------- market-basket pair lift
 
 BASKET_MIN_SUPPORT = 2
@@ -2725,6 +2807,19 @@ QUERIES: dict[str, Query] = {
     "q_decayed_activity": Query(_decayed_activity, _DECAYED_ACTIVITY_SQL,
                                 "exponential time-decay scoring, "
                                 "power-of-two integer decay"),
+    "q_rate_limit_schedule": Query(_rate_limit_schedule,
+                                   _RATE_LIMIT_SCHEDULE_SQL,
+                                   "per-key politeness/rate-limit "
+                                   "scheduler: the sequential "
+                                   "max(ts, prev+D) recurrence as a "
+                                   "max-plus closed form — one sort, "
+                                   "two window passes"),
+    "q_join_size_estimate": Query(_join_size_estimate,
+                                  _join_size_estimate_sql,
+                                  "count-sketch (AMS) join-cardinality "
+                                  "estimate vs the exact Σ n_a·n_b "
+                                  "audit — sizes a shuffle from two "
+                                  "d×w sketches before paying for it"),
     "q1_pricing_summary": Query(_pricing_summary, _PRICING_SUMMARY_SQL,
                                 "flagship scan→filter→agg"),
     "q_fuzzy_match": Query(_fuzzy_match, _FUZZY_MATCH_SQL,

@@ -3135,6 +3135,21 @@ def _blocklist_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
                                BLOCKLIST)
 
 
+#: 3 entity terms present in the fixture corpus + 1 absent (miss path)
+PSEUDONYM_TERMS = ["customer", "supplier", "spark", "quantumleap"]
+
+
+def _pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic entity pseudonymization (operators/text.
+    pseudonymize_terms): dictionary terms replaced by stable
+    per-ENTITY surrogates in the token stream — the GDPR release
+    transform that preserves co-occurrence/linking structure where
+    `doc_pii_scrub`'s fixed tags destroy it. Map-only, one tokenize
+    per doc, zero shuffle."""
+    return text.pseudonymize_terms(load_table(spark, sf_dir, "documents"),
+                                   PSEUDONYM_TERMS)
+
+
 def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source + merged distinct-VOCABULARY cardinality via the
     deterministic HyperLogLog (operators/sketch.hll_sketch): md5
@@ -6324,6 +6339,12 @@ QUERIES: dict[str, Query] = {
                                "(content-policy gate: K banned "
                                "phrases as whole-token runs, "
                                "map-only, let-bound tokenize)"),
+    "doc_pseudonymize": Query(_pseudonymize,
+                              text.pseudonymize_terms_sql(PSEUDONYM_TERMS),
+                              "deterministic entity pseudonymization: "
+                              "dictionary terms to stable per-entity "
+                              "md5 surrogates (referential integrity "
+                              "preserved, map-only)"),
     "emb_hard_negatives": Query(_hard_negatives, _hard_negatives_sql(),
                                 "hard-negative mining: most-similar "
                                 "cross-label neighbor per anchor "
