@@ -421,6 +421,28 @@ def ams_sketch(df: DataFrame, key_col: str = "k",
               .agg(F.sum("s").cast("long").alias("s")))
 
 
+def ams_inner_product(a: DataFrame, b: DataFrame,
+                      key_a: str, key_b: str,
+                      d: int = AMS_D, w: int = AMS_W) -> DataFrame:
+    """The PRODUCTION path of the join-size estimator: one row
+    (est_pairs) — median over depths of the signed-counter inner
+    product, from the two bounded sketch builds alone. No audit, no
+    key-wise shuffle of either input: this is everything a 100 TB
+    deployment runs to size a join before committing to it."""
+    dots = (ams_sketch(a.select(F.col(key_a).alias("k")), "k", d, w)
+            .withColumnRenamed("s", "sa")
+            .join(ams_sketch(b.select(F.col(key_b).alias("k")), "k", d, w)
+                  .withColumnRenamed("s", "sb"),
+                  ["r", "c"], "full")
+            .groupBy("r")
+            .agg(F.expr("CAST(sum(coalesce(sa, 0L) * coalesce(sb, 0L)) "
+                        "AS BIGINT)").alias("dot")))
+    return (dots
+            .withColumn("_rk", F.expr("row_number() OVER (ORDER BY dot)"))
+            .where(F.col("_rk") == (d + 1) // 2)
+            .select(F.col("dot").alias("est_pairs")))
+
+
 def ams_join_size(a: DataFrame, b: DataFrame,
                   key_a: str, key_b: str,
                   d: int = AMS_D, w: int = AMS_W) -> DataFrame:
@@ -440,18 +462,7 @@ def ams_join_size(a: DataFrame, b: DataFrame,
     contribute 0), a d-row median. The exact twin shuffles each side
     once on the key — exactly the cost the estimator exists to
     predict, paid here only for the audit."""
-    dots = (ams_sketch(a.select(F.col(key_a).alias("k")), "k", d, w)
-            .withColumnRenamed("s", "sa")
-            .join(ams_sketch(b.select(F.col(key_b).alias("k")), "k", d, w)
-                  .withColumnRenamed("s", "sb"),
-                  ["r", "c"], "full")
-            .groupBy("r")
-            .agg(F.expr("CAST(sum(coalesce(sa, 0L) * coalesce(sb, 0L)) "
-                        "AS BIGINT)").alias("dot")))
-    est = (dots
-           .withColumn("_rk", F.expr("row_number() OVER (ORDER BY dot)"))
-           .where(F.col("_rk") == (d + 1) // 2)
-           .select(F.col("dot").alias("est_pairs")))
+    est = ams_inner_product(a, b, key_a, key_b, d, w)
     na = (a.groupBy(F.col(key_a).alias("k"))
            .agg(F.count(F.lit(1)).cast("long").alias("na")))
     nb = (b.groupBy(F.col(key_b).alias("k"))

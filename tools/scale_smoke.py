@@ -138,7 +138,7 @@ def main() -> int:
     JOIN_OPS = {"plain_join", "bucketed_join", "bucket_write"}
     n_li = 0
     big_li = None
-    if ONLY is None or ({"q1_agg"} | JOIN_OPS) & ONLY:
+    if ONLY is None or ({"q1_agg", "ams_est"} | JOIN_OPS) & ONLY:
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         n_li = li.count()
         big_li = (li.crossJoin(copies)
@@ -147,6 +147,17 @@ def main() -> int:
                     .drop("copy"))
         big_li.write.mode("overwrite").parquet(f"{out}/lineitem")
         big_li = spark.read.parquet(f"{out}/lineitem")
+
+    big_orders = None
+    if ONLY is None or "ams_est" in ONLY:
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        big_orders = (o.crossJoin(copies)
+                        .withColumn("o_orderkey",
+                                    F.col("o_orderkey")
+                                    + F.col("copy") * 200_000)
+                        .drop("copy"))
+        big_orders.write.mode("overwrite").parquet(f"{out}/orders")
+        big_orders = spark.read.parquet(f"{out}/orders")
 
     timings: dict[str, float] = {}
 
@@ -170,6 +181,23 @@ def main() -> int:
           .agg(F.count(F.lit(1)).alias("n"),
                F.expr("CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)")
                 .alias("cents")))
+
+    def ams_est():
+        # the production path of q_join_size_estimate: both inputs
+        # grow ×AMPLIFY but the sketch exchange stays ≤ d·w cells per
+        # task — shuffle bytes should be ~flat across scales
+        from ethereum_export_pipeline_spark.operators import sketch
+        return sketch.ams_inner_product(big_orders, big_li,
+                                        "o_orderkey", "l_orderkey")
+
+    bench("ams_est", ams_est)
+
+    def pseudonymize():
+        # map-only release transform: scan-rate, zero shuffle
+        from ethereum_export_pipeline_spark.plans.llm import PSEUDONYM_TERMS
+        return text.pseudonymize_terms(big_docs, PSEUDONYM_TERMS)
+
+    bench("pseudonymize", pseudonymize)
 
     # bucketed vs plain fact-fact join (the eth_bucketed_join claim,
     # measured): the plain join exchanges BOTH amplified sides on the
@@ -606,7 +634,7 @@ def main() -> int:
 
     bench("heaps_law", heaps_law)
 
-    stream_ops = {"stream_cusum", "stream_cep"}
+    stream_ops = {"stream_cusum", "stream_cep", "rate_limit"}
     if ONLY is None or (ONLY & stream_ops):
         ev_src = spark.read.parquet(f"{SF_DIR}/events.parquet")
         n_users = ev_src.selectExpr("max(user_id) + 1 AS m").first()["m"]
@@ -630,6 +658,21 @@ def main() -> int:
 
         bench("stream_cusum", stream_cusum)
         bench("stream_cep", stream_cep)
+
+        def rate_limit():
+            # keys grow ×AMPLIFY (user_id shifted per copy), per-key
+            # group size constant — the claimed parallelization axis
+            from ethereum_export_pipeline_spark.plans.analytics import (
+                rate_limit_frame)
+            from ethereum_export_pipeline_spark.sources.tables import (
+                with_event_time)
+            ev = (with_event_time(spark.read.parquet(f"{out}/events"))
+                  .where(F.col("user_id").isNotNull())
+                  .select("event_id", "user_id",
+                          F.expr("ts_ns div 1000").alias("ts_us")))
+            return rate_limit_frame(ev)
+
+        bench("rate_limit", rate_limit)
 
     bench("dup_lpa", dup_lpa)
 
