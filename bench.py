@@ -385,6 +385,13 @@ def _artifact_builders():
     from ethereum_export_pipeline_spark.plans import analytics, eth, llm
     return {
         "artifact:quantizers": lambda spark, sf: llm.get_quantizers(),
+        # round-11 optimization: two more shared computations moved
+        # to the artifact discipline (guide §2.4 reuse) — the exact
+        # PPJoin pair list (doc_ssjoin_prefix + doc_neardup_recall)
+        # and the exact top-k ground truth (emb_bruteforce_topk +
+        # the ann/ivf/pq recall trio)
+        "artifact:ssjoin_pairs": llm._ssjoin_pairs,
+        "artifact:exact_topk": llm._exact_topk,
         "artifact:dualprec_csv": eth._dualprec_csv,
         "artifact:bucketed_tables": eth._bucketed_tables,
         "artifact:minhash_pair_graph": llm._lsh_pairs,

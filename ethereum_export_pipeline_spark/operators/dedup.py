@@ -96,20 +96,57 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def _sized_shingles(df: DataFrame, id_col: str, text_col: str, n: int,
                     max_shingle_df: int | None) -> DataFrame:
     """(id, shingle, sz) — the inverted index with the df-cut and the
-    per-doc size attached VIA WINDOWS over one lineage, instead of
-    separate aggregations joined back in. Two wins at scale:
+    per-doc size attached.
+
+    With a df-cut, `sz` counts the SURVIVING shingles per doc, so both
+    values attach VIA WINDOWS over one lineage, instead of separate
+    aggregations joined back in. Two wins at scale:
       * one computation of the explode+distinct subtree (a self-join of
         this frame reuses the same shuffle — ReusedExchange — where
         separate agg branches each recompute it);
       * the df-cut window partitions by `shingle`, the same key the
         candidate join shuffles on, so its exchange is on the hot path
-        anyway."""
+        anyway.
+
+    Without a df-cut (optimization r11, guide §2.4): `sz` is just the
+    size of the per-doc distinct array, known MAP-SIDE before the
+    explode — emitting (shingle, sz) structs from ONE generator
+    removes what was a full exchange of the inverted index
+    (Window.partitionBy(doc) count) from the minhash/incremental
+    verify paths. Values are identical: the window counted the
+    exploded rows of the same array.
+
+    Expression-duplication trap (measured this round, guide §1.1):
+    the obvious two-step form — Project `_sharr = <distinct-shingle
+    expr over t>` then `explode(_sharr), size(_sharr)` — ran ~10×
+    SLOWER (doc_ngram_pairs 2.2 → 24 s): CollapseProject inlines the
+    lower Project's aliases into every reference site, so `tokens()`
+    re-evaluates inside `size(t)`, the `sequence` bound and EVERY
+    `element_at` of the transform lambda. A Project directly under a
+    Generate is NOT collapsed (the fast shape `shingles` already
+    uses), and the array reference is let-bound through a 1-element
+    `transform(array(..), a -> ..)` lambda, which Catalyst never
+    inlines — so tokenize and the shingle array each evaluate exactly
+    once per row."""
     from pyspark.sql import Window
+    if max_shingle_df is None:
+        joined = ", ".join(f"element_at(t, i + {k + 1})" for k in range(n))
+        arr = (
+            f"CASE WHEN size(t) < {n} THEN array() "
+            f"ELSE array_distinct(transform(sequence(0, size(t) - {n}), "
+            f"i -> concat_ws(' ', {joined}))) END"
+        )
+        gen = (f"element_at(transform(array({arr}), a -> "
+               f"transform(a, x -> named_struct("
+               f"'shingle', x, 'sz', CAST(size(a) AS BIGINT)))), 1)")
+        return (df.select(F.col(id_col), tokens(text_col).alias("t"))
+                  .select(id_col, F.explode(F.expr(gen)).alias("_s"))
+                  .select(id_col, F.col("_s.shingle").alias("shingle"),
+                          F.col("_s.sz").alias("sz")))
     sh = shingles(df, id_col, text_col, n)
-    if max_shingle_df is not None:
-        w_sh = Window.partitionBy("shingle")
-        sh = (sh.withColumn("df", F.count(F.lit(1)).over(w_sh))
-                .where(F.col("df") <= max_shingle_df).drop("df"))
+    w_sh = Window.partitionBy("shingle")
+    sh = (sh.withColumn("df", F.count(F.lit(1)).over(w_sh))
+            .where(F.col("df") <= max_shingle_df).drop("df"))
     w_doc = Window.partitionBy(id_col)
     return sh.withColumn("sz", F.count(F.lit(1)).over(w_doc))
 
@@ -213,8 +250,15 @@ def ssjoin_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
     tn, td = threshold_num, threshold_den
 
     # ---- phase 0: collapse exact duplicates (one rep per md5(text))
-    base = (df.where(F.col(text_col).isNotNull())
-              .select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")))
+    # scan-width spread first (optimization r11, guide §2.5): the md5
+    # grouping and the rep-doc tokenize both run in the scan stage; a
+    # one-file input would serialize them onto one core (no-op on
+    # well-split input — the 100 TB case)
+    from .similarity import _ensure_scan_width
+    base = _ensure_scan_width(
+        df.where(F.col(text_col).isNotNull())
+          .select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")),
+        df.sparkSession.sparkContext.defaultParallelism)
     grp = base.select("doc", F.md5(F.col("text")).alias("ck"))
     reps = grp.groupBy("ck").agg(F.min("doc").alias("rep"))
     # (member, rep): consumed three times (semi-join + both expansion
@@ -326,7 +370,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         n: int = NGRAM_N,
                         max_shingle_df: int | None = DEFAULT_MAX_DF) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard via an inverted-index
-    self-join. Output: (doc_a, doc_b, n_common, jaccard)."""
+    self-join. Output: (doc_a, doc_b, n_common, jaccard). Tokenize
+    runs at scan width (spread-first, no-op on well-split input)."""
+    from .similarity import _ensure_scan_width
+    df = _ensure_scan_width(
+        df.select(id_col, text_col),
+        df.sparkSession.sparkContext.defaultParallelism)
     sh = _sized_shingles(df, id_col, text_col, n, max_shingle_df)
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle",
                   F.col("sz").alias("sz_a"))
@@ -378,7 +427,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       n: int = NGRAM_N) -> DataFrame:
     """MinHash LSH near-dup pairs, verified with exact Jaccard.
     Output: (doc_a, doc_b, n_common, jaccard) for candidates whose
-    verified Jaccard ≥ threshold."""
+    verified Jaccard ≥ threshold.
+
+    Scan width (optimization r11, guide §2.5 input skew): the
+    signature pass and both verify sides re-tokenize the corpus in
+    their SCAN stage, so a narrow input (one small parquet file = one
+    task) serializes the whole tokenize+md5 bill onto one core while
+    the rest idle. `_ensure_scan_width` round-robins the (id, text)
+    projection up to default parallelism FIRST — all three consumers
+    plan over the same repartition exchange, which Spark reuses
+    (one text-sized shuffle, three parallel tokenize passes). On a
+    well-split input (the 100 TB case) it is a no-op."""
+    from .similarity import _ensure_scan_width
+    df = _ensure_scan_width(
+        df.select(id_col, text_col),
+        df.sparkSession.sparkContext.defaultParallelism)
     sig = minhash_signatures(df, id_col, text_col, n)
     melted = _banded_buckets(sig, id_col)
     l = melted.select(F.col(id_col).alias("doc_a"), "bucket")
@@ -427,19 +490,27 @@ def incremental_neardup(new_df: DataFrame, seen_df: DataFrame,
 
     Returns ONE row per new doc (NULL-text docs included, never dup):
     (id, is_dup 0/1, matched_seen, n_common, jaccard) — match columns
-    NULL for clean docs; ties broken (jaccard desc, seen id asc)."""
-    mn = (_banded_buckets(minhash_signatures(new_df, id_col, text_col, n),
+    NULL for clean docs; ties broken (jaccard desc, seen id asc).
+
+    Both sides' tokenize passes (signature + verify) run at scan
+    width — same spread-first discipline as `minhash_lsh_pairs`
+    (no-op on well-split input)."""
+    from .similarity import _ensure_scan_width
+    par = new_df.sparkSession.sparkContext.defaultParallelism
+    new_s = _ensure_scan_width(new_df.select(id_col, text_col), par)
+    seen_s = _ensure_scan_width(seen_df.select(id_col, text_col), par)
+    mn = (_banded_buckets(minhash_signatures(new_s, id_col, text_col, n),
                           id_col)
           .select(F.col(id_col).alias("new_id"), "bucket"))
-    ms = (_banded_buckets(minhash_signatures(seen_df, id_col, text_col, n),
+    ms = (_banded_buckets(minhash_signatures(seen_s, id_col, text_col, n),
                           id_col)
           .select(F.col(id_col).alias("seen_id"), "bucket"))
     cand = (mn.join(ms, "bucket")
               .select("new_id", "seen_id").distinct())
 
-    sh_new = _sized_shingles(new_df, id_col, text_col, n,
+    sh_new = _sized_shingles(new_s, id_col, text_col, n,
                              max_shingle_df=None)
-    sh_seen = _sized_shingles(seen_df, id_col, text_col, n,
+    sh_seen = _sized_shingles(seen_s, id_col, text_col, n,
                               max_shingle_df=None)
     a = (sh_new.select(F.col(id_col).alias("new_id"), "shingle",
                        F.col("sz").alias("sz_a"))
@@ -481,7 +552,15 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text",
                          bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc simhash: bit b of the fingerprint is the sign of the
-    vote Σ_tokens (±1 per token's hash bit b) over distinct tokens."""
+    vote Σ_tokens (±1 per token's hash bit b) over distinct tokens.
+
+    The tokenize + per-token md5 runs in the scan stage — scan-width
+    spread first (optimization r11, guide §2.5; no-op on well-split
+    input)."""
+    from .similarity import _ensure_scan_width
+    df = _ensure_scan_width(
+        df.select(id_col, text_col),
+        df.sparkSession.sparkContext.defaultParallelism)
     # per-doc token dedup map-side (array_distinct) — no shuffle
     toks = (
         df.select(F.col(id_col),
@@ -791,7 +870,11 @@ def decontaminate(df: DataFrame, id_col: str = "doc_id",
     shuffles exactly once — a single map-side-combining aggregate on
     the doc key computes totals and hits together (a semi-join +
     separate aggregates would scan and shuffle the corpus twice)."""
-    sh = shingles(df, id_col, text_col, n)
+    from .similarity import _ensure_scan_width
+    sh = shingles(_ensure_scan_width(
+        df.select(id_col, text_col),
+        df.sparkSession.sparkContext.defaultParallelism),
+        id_col, text_col, n)
     is_bench = (F.col(id_col) % bench_mod) == 0
     bench_sh = (sh.where(is_bench).select("shingle").distinct()
                   .withColumn("_hit", F.lit(1)))
@@ -1058,7 +1141,11 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     pairs only materialize for docs sharing a shingle, hot shingles
     bounded by the df-cut; the directional division adds two codegen
     expressions to the same aggregate."""
-    sh = _sized_shingles(df, id_col, text_col, n, max_shingle_df)
+    from .similarity import _ensure_scan_width
+    sh = _sized_shingles(
+        _ensure_scan_width(df.select(id_col, text_col),
+                           df.sparkSession.sparkContext.defaultParallelism),
+        id_col, text_col, n, max_shingle_df)
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle",
                   F.col("sz").alias("sz_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle",
@@ -1106,6 +1193,10 @@ def minhash_estimator_quality(df: DataFrame, id_col: str = "doc_id",
     reuse an already-materialized candidate list."""
     if pairs is None:
         pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, n)
+    from .similarity import _ensure_scan_width
+    df = _ensure_scan_width(
+        df.select(id_col, text_col),
+        df.sparkSession.sparkContext.defaultParallelism)
     sz = (shingles(df, id_col, text_col, n)
           .groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")))
     pairs = (pairs

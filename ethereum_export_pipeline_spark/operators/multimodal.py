@@ -63,13 +63,28 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def _spread_source(src: DataFrame) -> DataFrame:
+    """Scan-width spread of the PRE-PAYLOAD (id, text) source rows
+    (optimization r11, guide §2.5): a one-file corpus is one scan
+    task, which would serialize media generation AND every downstream
+    mapInPandas decode onto one Python worker while 31 idle. The
+    round-robin moves only the light text rows — payloads are
+    generated AFTER it, so heavy media bytes still never cross an
+    exchange (the mm-tier scale claim, pinned by
+    test_scene_cuts_no_shuffle's above-the-generator assertion).
+    No-op when file splits already provide the width (100 TB case)."""
+    from .similarity import _ensure_scan_width
+    return _ensure_scan_width(
+        src, src.sparkSession.sparkContext.defaultParallelism)
+
+
 def documents_as_media(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Make an opaque-binary media table out of the documents fixture:
     payload = utf-8 bytes, metadata struct alongside — the canonical
     multimodal column layout."""
     payload = F.encode(F.col(text_col), "utf-8")
-    return df.select(
+    return _spread_source(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("media_id"),
         payload.alias("payload"),
         F.struct(
@@ -104,10 +119,11 @@ def documents_as_ppm_media(df: DataFrame, id_col: str = "doc_id",
     import numpy as np
 
     id_out, txt, fmt = "media_id", "__txt", "__fmt"
-    src = df.select(F.col(id_col).alias(id_out),
-                    F.col(text_col).alias(txt),
-                    (F.col(format_col) if format_col
-                     else F.lit("image/x-portable-pixmap")).alias(fmt))
+    src = _spread_source(
+        df.select(F.col(id_col).alias(id_out),
+                  F.col(text_col).alias(txt),
+                  (F.col(format_col) if format_col
+                   else F.lit("image/x-portable-pixmap")).alias(fmt)))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -944,8 +960,9 @@ def documents_as_jpeg_media(df: DataFrame, id_col: str = "doc_id",
     import numpy as np
 
     id_out, txt = "media_id", "__txt"
-    src = df.select(F.col(id_col).alias(id_out),
-                    F.col(text_col).alias(txt))
+    src = _spread_source(
+        df.select(F.col(id_col).alias(id_out),
+                  F.col(text_col).alias(txt)))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -992,8 +1009,9 @@ def documents_as_png_media(df: DataFrame, id_col: str = "doc_id",
     import numpy as np
 
     id_out, txt = "media_id", "__txt"
-    src = df.select(F.col(id_col).alias(id_out),
-                    F.col(text_col).alias(txt))
+    src = _spread_source(
+        df.select(F.col(id_col).alias(id_out),
+                  F.col(text_col).alias(txt)))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1358,8 +1376,9 @@ def documents_as_wav_media(df: DataFrame, id_col: str = "doc_id",
     so the oracle recomputes every decoded-sample statistic from the
     text. NULL text → NULL payload; empty text → a data-less WAV."""
     id_out, txt = "media_id", "__txt"
-    src = df.select(F.col(id_col).alias(id_out),
-                    F.col(text_col).alias(txt))
+    src = _spread_source(
+        df.select(F.col(id_col).alias(id_out),
+                  F.col(text_col).alias(txt)))
 
     import numpy as np
 
@@ -1460,7 +1479,8 @@ def documents_as_video_media(df: DataFrame, id_col: str = "doc_id",
     import numpy as np
 
     id_out, txt = "media_id", "__txt"
-    src = df.select(F.col(id_col).alias(id_out), F.col(text_col).alias(txt))
+    src = _spread_source(
+        df.select(F.col(id_col).alias(id_out), F.col(text_col).alias(txt)))
     n_px = frame_w * frame_h * 3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -42,10 +42,18 @@ def resolve_reorgs(blocks: DataFrame, max_depth: int = 16,
                       F.col(hash_col).alias("bhash"),
                       F.col(parent_col).alias("parent"))
     b = b.localCheckpoint(eager=True)  # referenced every walk step
+    # Walk-step checkpoints are LAZY (optimization r11, guide §1.2
+    # step 1): each head_i is referenced twice (the canon union AND
+    # the next step's join), so WITHOUT a checkpoint the unrolled
+    # lineage re-executes O(depth²) one-row joins — but the EAGER
+    # form paid one blocking Spark job per step (~max_depth job
+    # launches for ~1-row frames). eager=False keeps the plan-level
+    # truncation (LogicalRDD, computed once, persisted) while the
+    # whole walk fuses into the final action's single job.
     tip = (b.orderBy(F.col("height").desc(), F.col("bhash").asc())
             .limit(1)
             .select("height", "bhash", "parent")
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
     canon = tip.select("bhash")
     head = tip
     for _ in range(max_depth - 1):
@@ -53,7 +61,7 @@ def resolve_reorgs(blocks: DataFrame, max_depth: int = 16,
                                                .alias("_want"))),
                        F.col("bhash") == F.col("_want"))
                  .select("height", "bhash", "parent")
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
         canon = canon.unionAll(head.select("bhash"))
     tip_h = tip.select(F.col("height").alias("tip_h"))
     chashes = (canon.select(F.col("bhash").alias("_chash"))

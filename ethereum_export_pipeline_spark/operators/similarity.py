@@ -108,9 +108,16 @@ def brute_force_topk(df: DataFrame, id_col: str = "vec_id",
     query set, which MUST stay small. `max_queries` enforces that with
     a cheap bounded count before the broadcast cross join is built
     (a predicate that accidentally selects a million rows would
-    otherwise OOM the driver); use `lsh_topk` as the scale path."""
+    otherwise OOM the driver); use `lsh_topk` as the scale path.
+
+    The candidate side's Q·dim multiply-adds per row evaluate in the
+    scan stage — same scan-width spread as `lsh_topk` (no-op on
+    well-split input)."""
     query_pred = query_pred or f"{id_col} < 10"
-    base = with_quantized(df, emb_col).select(id_col, "qvec", "n2")
+    base = with_quantized(
+        _ensure_scan_width(df.select(id_col, emb_col),
+                           df.sparkSession.sparkContext.defaultParallelism),
+        emb_col).select(id_col, "qvec", "n2")
     q = (base.where(query_pred)
              .select(F.col(id_col).alias("query_id"),
                      F.col("qvec").alias("qv"), F.col("n2").alias("qn2")))
@@ -184,10 +191,20 @@ def lsh_topk(df: DataFrame, id_col: str = "vec_id",
 
     `n_planes` trades recall for bucket size per band: 2^n_planes
     buckets (default 16 suits 10^7+ rows); `n_bands` multiplies recall
-    (and candidate count) by OR-ing independent projections."""
+    (and candidate count) by OR-ing independent projections.
+
+    Scan width (optimization r11, guide §2.5): the quantize + plane
+    projections (n_bands·n_planes·dim multiply-adds per row) evaluate
+    in the SCAN stage, so a narrow input (one small file = one task)
+    runs them on one core; `_ensure_scan_width` spreads the (id, emb)
+    projection first — a no-op when file splits already provide the
+    parallelism (the 100 TB case)."""
     query_pred = query_pred or f"{id_col} < 10"
+    narrowed = _ensure_scan_width(
+        df.where(F.size(F.col(emb_col)) == dim).select(id_col, emb_col),
+        df.sparkSession.sparkContext.defaultParallelism)
     base = banded_buckets(
-        with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+        with_quantized(narrowed, emb_col)
         .select(id_col, "qvec", "n2"), dim, n_planes, n_bands)
     q = (base.where(query_pred)
              .select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qv"),
@@ -232,8 +249,11 @@ def range_search(df: DataFrame, id_col: str = "vec_id",
     production radius query tightens/widens `n_bands`, never falls
     back to all-pairs."""
     query_pred = query_pred or f"{id_col} < 10"
+    narrowed = _ensure_scan_width(
+        df.where(F.size(F.col(emb_col)) == dim).select(id_col, emb_col),
+        df.sparkSession.sparkContext.defaultParallelism)
     base = banded_buckets(
-        with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+        with_quantized(narrowed, emb_col)
         .select(id_col, "qvec", "n2"), dim, n_planes, n_bands)
     q = (base.where(query_pred)
              .select(F.col(id_col).alias("query_id"),
@@ -283,7 +303,8 @@ def hard_negatives(df: DataFrame, id_col: str = "vec_id",
                    emb_col: str = "embedding", label_col: str = "label",
                    k: int = 5, dim: int = EMB_DIM,
                    n_planes: int = N_PLANES,
-                   n_bands: int = 3) -> DataFrame:
+                   n_bands: int = 3,
+                   graph: DataFrame | None = None) -> DataFrame:
     """Hard-negative mining for contrastive / embedding training: for
     every labeled vector, the single most-similar neighbor carrying a
     DIFFERENT label — the negatives that actually move a contrastive
@@ -298,10 +319,15 @@ def hard_negatives(df: DataFrame, id_col: str = "vec_id",
     both endpoints' labels (label table = the corpus, NOT broadcast)
     and one per-anchor top-1 window partitioned on the same anchor
     key the graph already carries. Widening `k` is the recall knob —
-    an anchor whose entire k-list shares its label yields no row."""
+    an anchor whose entire k-list shares its label yields no row.
+
+    `graph` (optimization r11, guide §2.4 reuse): an already-computed
+    `knn_graph(df, k=k, ...)` frame — callers holding the memoized
+    catalog graph skip re-running the banded-candidate + rerank pass."""
     from pyspark.sql import Window
-    g = knn_graph(df, id_col, emb_col, k=k, dim=dim,
-                  n_planes=n_planes, n_bands=n_bands)
+    g = graph if graph is not None else knn_graph(
+        df, id_col, emb_col, k=k, dim=dim,
+        n_planes=n_planes, n_bands=n_bands)
     lab = df.select(F.col(id_col), F.col(label_col).cast("long"))
     anchored = (
         g.join(lab.select(F.col(id_col),
@@ -343,8 +369,11 @@ def semantic_decontaminate(df: DataFrame, id_col: str = "vec_id",
     corpus × bench. The verdict re-attaches to the corpus with one
     left join on id."""
     from pyspark.sql import Window
+    narrowed = _ensure_scan_width(
+        df.where(F.size(F.col(emb_col)) == dim).select(id_col, emb_col),
+        df.sparkSession.sparkContext.defaultParallelism)
     base = banded_buckets(
-        with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+        with_quantized(narrowed, emb_col)
         .select(id_col, "qvec", "n2"), dim, n_planes, n_bands)
     bench = base.where(F.col(id_col) % bench_mod == 0).select(
         F.col(id_col).alias("bench_id"), F.col("qvec").alias("cv"),
@@ -393,9 +422,13 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     sharing a bucket in ≥1 band with cosine ≥ threshold (the scale
     path — exact all-pairs would be O(N²)). Output: (id_a, id_b,
     cosine). Same `dim` guard and `n_planes`/`n_bands` trade-offs as
-    `lsh_topk`."""
+    `lsh_topk`, and the same scan-width spread before the quantize +
+    plane projections."""
+    narrowed = _ensure_scan_width(
+        df.where(F.size(F.col(emb_col)) == dim).select(id_col, emb_col),
+        df.sparkSession.sparkContext.defaultParallelism)
     base = banded_buckets(
-        with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+        with_quantized(narrowed, emb_col)
         .select(id_col, "qvec", "n2"), dim, n_planes, n_bands)
     a = base.select(F.col(id_col).alias("id_a"), F.col("qvec").alias("va"),
                     F.col("n2").alias("na"), "bucket")
@@ -425,8 +458,16 @@ def _ensure_scan_width(df: DataFrame, target: int | None) -> DataFrame:
     task), while an already-well-split input — the 100 TB case, where
     file splits provide the parallelism — keeps its splits and skips
     what would be a wasted full round-robin shuffle of the table. The
-    partition count is inspected once at plan-build time."""
-    if target is None or df.rdd.getNumPartitions() >= target:
+    partition count is inspected once at plan-build time.
+
+    `SPARK_GRAFT_SPREAD=0` disables every spread call site (the A/B
+    lever used to measure each family in-place; production clusters
+    whose inputs are always well-split can set it to skip the
+    plan-build partition probe too)."""
+    import os
+    if target is None or os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
+        return df
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 
@@ -797,7 +838,10 @@ def jl_rerank_topk(df: DataFrame, id_col: str = "vec_id",
     from pyspark.sql import Window
     query_pred = query_pred or f"{id_col} < 10"
     S = matrix_lit(jl_signs(out_dim, dim))
-    base = (with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+    narrowed = _ensure_scan_width(
+        df.where(F.size(F.col(emb_col)) == dim).select(id_col, emb_col),
+        df.sparkSession.sparkContext.defaultParallelism)
+    base = (with_quantized(narrowed, emb_col)
             .withColumn("p", F.transform(
                 S, lambda s: F.aggregate(
                     F.zip_with(F.col("qvec"), s, lambda x, y: x * y),
@@ -808,7 +852,12 @@ def jl_rerank_topk(df: DataFrame, id_col: str = "vec_id",
              .select(F.col(id_col).alias("query_id"),
                      F.col("p").alias("pq"), F.col("pn2").alias("pqn2")))
     if max_queries is not None:
-        n_q = q.limit(max_queries + 1).count()
+        # guard job counts on the PRE-projection frame (optimization
+        # r11, guide §1.2 step 2): same rows pass the dim filter +
+        # query_pred, but the JL transform / quantize columns are
+        # never computed just to count them
+        n_q = (narrowed.where(query_pred)
+                       .limit(max_queries + 1).count())
         if n_q > max_queries:
             raise ValueError(
                 f"jl_rerank_topk: query_pred selects > {max_queries} rows; "
@@ -926,7 +975,8 @@ def ann_recall_report(df: DataFrame, k: int = 5,
                       emb_col: str = "embedding",
                       query_pred: str | None = None,
                       dim: int = EMB_DIM, n_planes: int = N_PLANES,
-                      n_bands: int = 1) -> DataFrame:
+                      n_bands: int = 1,
+                      exact: DataFrame | None = None) -> DataFrame:
     """recall@k of the LSH path against the exact top-k — the metric
     that TUNES an ANN deployment (how many bands/planes buy how much
     recall) turned into a first-class query: per query,
@@ -942,10 +992,16 @@ def ann_recall_report(df: DataFrame, k: int = 5,
     definition — this is an EVALUATION harness for a bounded query
     sample (inherits brute force's `max_queries` guard), not a
     production path; the LSH side and the final per-query join/agg
-    are the production plans themselves."""
+    are the production plans themselves.
+
+    `exact` (optimization r11, guide §2.4 reuse): an already-computed
+    `brute_force_topk(df, k=k, query_pred=query_pred)` frame — the
+    recall trio (LSH / IVF / PQ) shares ONE ground-truth computation
+    instead of each report re-running the O(Q·N) pass."""
     query_pred = query_pred or f"{id_col} < 10"
-    exact = brute_force_topk(df, id_col, emb_col, k=k,
-                             query_pred=query_pred)
+    if exact is None:
+        exact = brute_force_topk(df, id_col, emb_col, k=k,
+                                 query_pred=query_pred)
     approx = lsh_topk(df, id_col, emb_col, k=k, query_pred=query_pred,
                       dim=dim, n_planes=n_planes, n_bands=n_bands)
     return _recall_vs_exact(exact, approx, k)
@@ -1128,8 +1184,11 @@ def with_binary_codes(df: DataFrame, id_col: str = "vec_id",
     the 8 one-byte band keys. 64 dims × 4 B floats → 8 B of code:
     a 32× cut in vector state — THE serving-tier story at 100 TB."""
     assert dim == HAM_BANDS * HAM_BAND_BITS, dim
-    base = with_quantized(df.where(F.size(F.col(emb_col)) == dim),
-                          emb_col)
+    base = with_quantized(
+        _ensure_scan_width(
+            df.where(F.size(F.col(emb_col)) == dim).select(id_col, emb_col),
+            df.sparkSession.sparkContext.defaultParallelism),
+        emb_col)
     band_cols = [F.expr(hamming_band_expr("qvec", b)).alias(f"band{b}")
                  for b in range(HAM_BANDS)]
     coded = base.select(id_col, *band_cols)
@@ -1233,53 +1292,69 @@ def kmeans_assign(df: DataFrame, id_col: str = "vec_id",
 
     Init: first k vectors by id (deterministic, the
     `train_ivf_centroids` convention). Per round:
-      1. assign — broadcast the k-row centroid frame into a corpus
-         scan; argmin cell, ties → smallest cell id (row_number);
+      1. assign — the k·dim centroid INTS are plan literals (the
+         `ivf_cell_col` convention): argmin over a k-element literal
+         struct array via array_min on struct(dist2, cell), ties →
+         smallest cell id. Map-only: no join, no window, no exchange;
       2. update — posexplode the assigned vectors, one (cell, pos)
-         hash-agg (map-side combined), re-assemble component arrays
-         with a sorted collect_list (k·dim rows — driver-free).
-    Returns (vec_id, cell, dist2) for the FINAL assignment.
+         hash-agg (map-side combined), k·dim rows collected to the
+         driver to become the next round's literals (bounded by
+         construction: 8 cells × 64 dims = 512 ints, the same
+         driver-side-quantizer discipline as `train_ivf_centroids`).
+    Returns (vec_id, cell, dist2) for the FINAL assignment — a pure
+    map over the corpus (zero exchanges in the returned plan).
 
-    Scale shape: per round ONE corpus-sized exchange (the (cell,pos)
-    update agg, whose input is dim rows per vector — the classic
-    Spark k-means cost); assignment is shuffle-free (k-row broadcast
-    nested loop, k tiny). Centroid frames are k·dim-sized and
-    localCheckpointed per round so the plan stays O(1) deep. Empty
-    cells keep their previous centroid (left join + coalesce), so the
-    cell count never silently shrinks."""
-    from pyspark.sql import Window
-    vecs = (with_quantized(df.where(F.size(F.col(emb_col)) == dim), emb_col)
+    Scale shape (optimization r11, guide §2.4/§3.1): per round ONE
+    corpus-sized exchange — the (cell, pos) update agg, whose input
+    is dim rows per vector, the classic Spark k-means cost. The old
+    form paid a SECOND corpus-sized exchange per round: assignment
+    via crossJoin(k-row centroid frame) + row_number over
+    Window.partitionBy(vid) shuffled k rows per vector every round
+    just to take the argmin; with literal centroids the argmin
+    evaluates inside the scan projection. Empty cells keep their
+    previous centroid (the driver-side merge defaults), so the cell
+    count never silently shrinks."""
+    vecs = (with_quantized(
+                _ensure_scan_width(
+                    df.where(F.size(F.col(emb_col)) == dim)
+                      .select(id_col, emb_col),
+                    df.sparkSession.sparkContext.defaultParallelism),
+                emb_col)
             .select(F.col(id_col).alias("vid"), "qvec")
             .localCheckpoint(eager=True))  # scanned once per round
-    wcell = Window.orderBy("vid")
-    cents = (vecs.orderBy("vid").limit(k)
-                 .select(F.row_number().over(wcell).cast("long").alias("cell"),
-                         F.col("qvec").alias("c"))
-                 .localCheckpoint(eager=True))
-    wmin = Window.partitionBy("vid").orderBy("dist2", "cell")
-    dist2 = F.expr("aggregate(zip_with(qvec, c, (x, y) -> (x - y) * (x - y)), "
-                   "0L, (a, b) -> a + b)")
+    init = vecs.orderBy("vid").limit(k).select("qvec").collect()
+    cents: list[tuple[int, list[int]]] = [
+        (i + 1, [int(v) for v in row["qvec"]]) for i, row in enumerate(init)]
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        return (vecs.crossJoin(F.broadcast(centroids))
-                    .withColumn("dist2", dist2)
-                    .withColumn("_rn", F.row_number().over(wmin))
-                    .where(F.col("_rn") == 1)
-                    .select("vid", "qvec", "cell", "dist2"))
+    def argmin_expr(centroids: list[tuple[int, list[int]]]) -> Column:
+        structs = ", ".join(
+            "named_struct('dist2', aggregate(zip_with(qvec, array(%s), "
+            "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b), "
+            "'cell', %dL)" % (", ".join(f"{v}L" for v in c), cell)
+            for cell, c in centroids)
+        # array_min on struct(dist2, cell) = lexicographic min —
+        # smallest dist2, ties to the smallest cell id
+        return F.expr(f"array_min(array({structs}))")
+
+    def assign(centroids) -> DataFrame:
+        return (vecs.withColumn("_am", argmin_expr(centroids))
+                    .select("vid", "qvec",
+                            F.col("_am.cell").alias("cell"),
+                            F.col("_am.dist2").alias("dist2")))
 
     for _ in range(rounds):
-        a = assign(cents)
-        comp = (a.select("cell", F.posexplode("qvec").alias("pos", "v"))
-                 .groupBy("cell", "pos")
-                 .agg(F.expr(f"(sum(v) + count(*) * {KMEANS_MEAN_OFF}) "
-                             f"div count(*) - {KMEANS_MEAN_OFF}")
-                       .cast("long").alias("m")))
-        upd = (comp.groupBy("cell")
-                   .agg(F.expr("transform(array_sort(collect_list("
-                               "struct(pos, m))), x -> x.m)").alias("cnew")))
-        cents = (cents.join(upd, "cell", "left")
-                      .select("cell", F.coalesce("cnew", "c").alias("c"))
-                      .localCheckpoint(eager=True))
+        comp = (assign(cents)
+                .select("cell", F.posexplode("qvec").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.expr(f"(sum(v) + count(*) * {KMEANS_MEAN_OFF}) "
+                            f"div count(*) - {KMEANS_MEAN_OFF}")
+                      .cast("long").alias("m")))
+        got: dict[int, dict[int, int]] = {}
+        for r in comp.collect():                      # ≤ k·dim rows
+            got.setdefault(r["cell"], {})[r["pos"]] = int(r["m"])
+        cents = [(cell, [got[cell][p] for p in range(len(c))]
+                        if cell in got else c)
+                 for cell, c in cents]
     return (assign(cents)
             .select(F.col("vid").alias(id_col), "cell", "dist2"))
 
@@ -1293,7 +1368,8 @@ def density_sample(df: DataFrame, id_col: str = "vec_id",
                    dim: int = EMB_DIM, n_planes: int = N_PLANES,
                    n_bands: int = 3,
                    target_ppb: int = DENSITY_TARGET_PPB,
-                   salt: str = DENSITY_SALT) -> DataFrame:
+                   salt: str = DENSITY_SALT,
+                   graph: DataFrame | None = None) -> DataFrame:
     """DENSITY-INVERSE diversity sampling — the soft cousin of
     SemDeDup's hard drop: instead of deleting near-duplicates, keep
     every vector with probability inversely proportional to its local
@@ -1318,10 +1394,14 @@ def density_sample(df: DataFrame, id_col: str = "vec_id",
     Scale shape: `knn_graph`'s banded-candidate exchange dominates;
     density is one vec-keyed agg over the k·N edge rows; the weight
     normalizer is a 1-row broadcast; the coin is a map-side filter.
+    `graph` (optimization r11, guide §2.4 reuse): an already-computed
+    `knn_graph(df, k=k, ...)` frame — callers holding the memoized
+    catalog graph skip re-running the banded-candidate + rerank pass.
     """
     from ..functions import h60
-    g = knn_graph(df, id_col, emb_col, k=k, dim=dim,
-                  n_planes=n_planes, n_bands=n_bands)
+    g = graph if graph is not None else knn_graph(
+        df, id_col, emb_col, k=k, dim=dim,
+        n_planes=n_planes, n_bands=n_bands)
     dens = (g.groupBy(id_col)
              .agg(F.count(F.lit(1)).cast("long").alias("n_nbrs"),
                   F.expr("CAST(sum(1000000 + CAST(round(cosine * 1000000)"
@@ -1447,7 +1527,11 @@ def mmr_rerank(df: DataFrame, id_col: str = "vec_id",
     the stage-1 pool bound is what keeps MMR's quadratic term local."""
     query_pred = query_pred or f"{id_col} < 10"
     from pyspark.sql import Window
-    base = (with_quantized(df.where(F.size(emb_col) == dim), emb_col)
+    base = (with_quantized(
+                _ensure_scan_width(
+                    df.where(F.size(emb_col) == dim).select(id_col, emb_col),
+                    df.sparkSession.sparkContext.defaultParallelism),
+                emb_col)
             .select(id_col, "qvec", "n2"))
     q = (base.where(query_pred)
              .select(F.col(id_col).alias("query_id"),
@@ -1467,8 +1551,14 @@ def mmr_rerank(df: DataFrame, id_col: str = "vec_id",
          .select("query_id", "cand_id", "cv", "cn2", "cos_q")
          # |Q|·pool rows, re-read by every unrolled stage: without the
          # cut, stage i re-evaluates the pool subtree 2i+1 times and
-         # the plan grows combinatorially (19 s → ~2 s at sf0.01)
-         .localCheckpoint(eager=True))
+         # the plan grows combinatorially (19 s → ~2 s at sf0.01).
+         # LAZY (optimization r11, guide §1.2 step 1): the lineage is
+         # truncated at plan-build either way (LogicalRDD); eager
+         # materialization was one blocking job per checkpoint — with
+         # all of them lazy the whole unrolled greedy loop fuses into
+         # the ONE job of the final action, each persisted frame
+         # computing exactly once inside it.
+         .localCheckpoint(eager=False))
     a = pool_df.select("query_id", "cand_id", "cv", "cn2")
     b = pool_df.select(F.col("query_id").alias("query_id_b"),
                        F.col("cand_id").alias("other_id"),
@@ -1479,7 +1569,7 @@ def mmr_rerank(df: DataFrame, id_col: str = "vec_id",
               .withColumn("cos_ab", _cosine(F.col("pdot"), F.col("cn2"),
                                             F.col("on2")))
               .select("query_id", "cand_id", "other_id", "cos_ab")
-              .localCheckpoint(eager=True))   # |Q|·pool² rows, reused k−1×
+              .localCheckpoint(eager=False))  # |Q|·pool² rows, reused k−1×
     cands = pool_df.select("query_id", "cand_id", "cos_q")
     wp = (Window.partitionBy("query_id")
                 .orderBy(F.col("mmr").desc(), F.col("cand_id").asc()))
@@ -1509,7 +1599,7 @@ def mmr_rerank(df: DataFrame, id_col: str = "vec_id",
                .select("query_id", "cand_id", "cos_q", "mmr",
                        F.lit(step).cast("long").alias("step"))
                # |Q| rows; later stages re-read every earlier pick
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         steps.append(nxt)
     out = steps[0]
     for s in steps[1:]:
@@ -1524,17 +1614,20 @@ def ivf_recall_report(df: DataFrame, centroids: list[list[int]],
                       emb_col: str = "embedding",
                       query_pred: str | None = None,
                       dim: int = EMB_DIM,
-                      scan_parallelism: int | None = None) -> DataFrame:
+                      scan_parallelism: int | None = None,
+                      exact: DataFrame | None = None) -> DataFrame:
     """`ann_recall_report`'s IVF sibling — recall@k of the nprobe=1
     IVF path against the exact top-k, the measurement that tunes the
     CELL COUNT / nprobe trade the way the LSH report tunes bands and
     planes (IVF loses exactly the neighbors whose nearest centroid
     differs from the query's; this counts them). Same evaluation
     contract: bounded query sample, set membership not rank
-    agreement, recall_ppm = n_hits·10⁶ div k, exact integers."""
+    agreement, recall_ppm = n_hits·10⁶ div k, exact integers — and
+    the same shared-ground-truth `exact` hook as `ann_recall_report`."""
     query_pred = query_pred or f"{id_col} < 10"
-    exact = brute_force_topk(df, id_col, emb_col, k=k,
-                             query_pred=query_pred)
+    if exact is None:
+        exact = brute_force_topk(df, id_col, emb_col, k=k,
+                                 query_pred=query_pred)
     approx = ivf_topk(df, centroids, id_col, emb_col, k=k,
                       query_pred=query_pred, dim=dim,
                       scan_parallelism=scan_parallelism)
@@ -1547,17 +1640,20 @@ def pq_recall_report(df: DataFrame, centroids: list[list[int]],
                      emb_col: str = "embedding",
                      query_pred: str | None = None,
                      dim: int = EMB_DIM,
-                     scan_parallelism: int | None = None) -> DataFrame:
+                     scan_parallelism: int | None = None,
+                     exact: DataFrame | None = None) -> DataFrame:
     """Completes the recall-measurement trio (LSH bands →
     `ann_recall_report`, IVF cells → `ivf_recall_report`, PQ codes →
     THIS): recall@k of the full IVF-PQ path — cell pruning PLUS the
     ADC approximation, so the number isolates how much the 8-byte
     code compression costs on top of the cell miss rate (compare
     against `ivf_recall_report` at the same centroids). Same
-    contract: bounded query sample, set membership, exact ppm."""
+    contract: bounded query sample, set membership, exact ppm — and
+    the same shared-ground-truth `exact` hook as `ann_recall_report`."""
     query_pred = query_pred or f"{id_col} < 10"
-    exact = brute_force_topk(df, id_col, emb_col, k=k,
-                             query_pred=query_pred)
+    if exact is None:
+        exact = brute_force_topk(df, id_col, emb_col, k=k,
+                                 query_pred=query_pred)
     approx = ivfpq_topk(df, centroids, codebooks, id_col, emb_col,
                         k=k, query_pred=query_pred, dim=dim,
                         scan_parallelism=scan_parallelism)

@@ -406,16 +406,24 @@ def ams_sketch(df: DataFrame, key_col: str = "k",
     (cell, sign) entries and the (r, c) hash-agg map-side-combines to
     ≤ d·w partials per task BEFORE the exchange — shuffle bounded by
     d·w·n_tasks rows regardless of corpus size. Signed counters are
-    linear, so two slices' sketches merge by cell-wise addition."""
-    h = h32(F.col(key_col))
+    linear, so two slices' sketches merge by cell-wise addition.
+
+    The md5-based `h32` is bound ONCE in a Project under the
+    posexplode (optimization r11, guide §1.2 step 2): inlining the
+    Column expression into all 2·d cell/sign slots evaluated md5
+    10× per input row — the per-task cost that dominated the sketch
+    build. A Project directly under a Generate is never collapsed
+    (see dedup._sized_shingles' trap note), so `h` computes once."""
+    hc = F.col("__h")
     entries = F.array(*[
         F.struct(
-            (affine_hash(h, ca, cb) % w).cast("long").alias("c"),
-            (F.lit(1) - F.lit(2) * (affine_hash(h, sa, sb) % 2))
+            (affine_hash(hc, ca, cb) % w).cast("long").alias("c"),
+            (F.lit(1) - F.lit(2) * (affine_hash(hc, sa, sb) % 2))
             .cast("long").alias("s"))
         for (ca, cb), (sa, sb) in zip(AMS_CELL_FAMILY[:d],
                                       AMS_SIGN_FAMILY[:d])])
-    return (df.select(F.posexplode(entries).alias("r", "e"))
+    return (df.select(h32(F.col(key_col)).alias("__h"))
+              .select(F.posexplode(entries).alias("r", "e"))
               .select("r", "e.c", "e.s")
               .groupBy("r", "c")
               .agg(F.sum("s").cast("long").alias("s")))

@@ -38,6 +38,20 @@ STOPWORDS = {
 TOKENS_COL = "toks"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scan-width spread (optimization r11, guide §2.5) for operators
+    whose tokenize + per-token hashing runs in the scan stage AND is
+    followed by a shuffle anyway: a one-file corpus is one scan task,
+    serializing the heavy projection onto one core. Round-robins only
+    the light pre-tokenize rows; no-op when file splits already
+    provide the width (the 100 TB case). NOT applied to map-only
+    operators (blocklist/phrase/pseudonymize/…): their zero-exchange
+    plans are the contract, and at scale the scan is already wide."""
+    from .similarity import _ensure_scan_width
+    return _ensure_scan_width(
+        df, df.sparkSession.sparkContext.defaultParallelism)
+
+
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(TOKENS_COL, tokens(text_col))
 
@@ -159,7 +173,7 @@ def top_terms(df: DataFrame, id_col: str = "doc_id",
     partitioned top-k window; the window shuffles on the doc key only."""
     from pyspark.sql import Window
     counts = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        _spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
           .groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -175,7 +189,7 @@ def corpus_stats(df: DataFrame, id_col: str = "doc_id",
     size, exact-duplicate ratio — the first report a training-data
     pipeline prints. Two scans (token stats + dup grouping), both
     map-side-combining aggregates."""
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    toks = _spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tok_stats = toks.agg(
         F.count(F.lit(1)).alias("total_tokens"),
         F.countDistinct("term").alias("vocab_size"))
@@ -230,7 +244,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     per-doc aggregate; both group-bys shuffle on the doc key, ratios
     are single divisions over exact ints (engine-identical doubles)."""
     counts = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        _spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
           .groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -311,7 +325,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
     dedup inverted index. n_docs is a 1-row broadcast cross join whose
     scan prunes to the text column with no tokenize."""
     from pyspark.sql import Window
-    tf = (df.where(F.col(text_col).isNotNull())
+    tf = (_spread(df.where(F.col(text_col).isNotNull()))
             .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
             .groupBy(id_col, "term")
             .agg(F.count(F.lit(1)).alias("tf")))
@@ -492,7 +506,7 @@ def token_rarity(df: DataFrame, id_col: str = "doc_id",
     token key. The final per-doc aggregate is map-side-combining.
     mean_df is the single double division over exact BIGINTs
     (cross-engine exact)."""
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -523,7 +537,7 @@ def duplicated_sentences(df: DataFrame, id_col: str = "doc_id",
     HAVING on the aggregate, so singleton sentences — the vast
     majority — die in the combiner."""
     sent = (
-        df.select(F.col(id_col),
+        _spread(df).select(F.col(id_col),
                   F.explode(F.split(F.col(text_col), "[.]")).alias("s"))
           .select(id_col, F.trim(F.lower(F.col("s"))).alias("s"))
           .where(F.length("s") >= min_chars)
@@ -612,7 +626,7 @@ def token_drift(df: DataFrame, id_col: str = "doc_id",
     tf-idf's, bounded by vocabulary size after map-side combine."""
     side = side_col if side_col is not None \
         else (F.col(id_col) % 2 == 0).cast("int")
-    occ = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+    occ = (with_tokens(_spread(df.where(F.col(text_col).isNotNull())), text_col)
            .select(side.alias("_a"), F.explode(TOKENS_COL).alias("tok")))
     counts = (occ.groupBy("tok")
                  .agg(F.sum("_a").cast("long").alias("cnt_a"),
@@ -669,7 +683,7 @@ def bm25_topk(df: DataFrame, id_col: str = "doc_id",
     row, the query terms as `n_query_terms` rows; final top-k is a
     TakeOrdered, not a global sort."""
     from pyspark.sql import Window
-    tf = (df.where(F.col(text_col).isNotNull())
+    tf = (_spread(df.where(F.col(text_col).isNotNull()))
             .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
             .groupBy(id_col, "term")
             .agg(F.count(F.lit(1)).alias("tf")))
@@ -738,7 +752,7 @@ def bigram_fluency(df: DataFrame, id_col: str = "doc_id",
     way hot terms skew tf-idf's df window — the same salt/df-cut
     mitigations apply."""
     from pyspark.sql import Window
-    bg = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+    bg = (with_tokens(_spread(df.where(F.col(text_col).isNotNull())), text_col)
           .where(F.size(TOKENS_COL) >= 2)
           .select(F.col(id_col),
                   F.explode(F.expr(
@@ -862,13 +876,27 @@ def bpe_train(df: DataFrame, text_col: str = "text",
 
     Scale shape: one tokenize scan into the word-count hash-agg
     (corpus-bounded, map-side combined); per round one pair hash-agg
-    over the vocabulary, a 1-row TakeOrdered argmax broadcast into
-    the rewrite projection, and an eager checkpoint (the usual
-    iteration discipline — 2·rounds lazy stages otherwise pile onto
-    the scan lineage). Production BPE trains on a word-count SAMPLE
-    for the same reason this plan never rescans the corpus."""
+    over the vocabulary ending in a 1-row TakeOrdered argmax.
+    Production BPE trains on a word-count SAMPLE for the same reason
+    this plan never rescans the corpus.
+
+    Per-round cost (optimization r11, guide §1.2 step 1): the argmax
+    row is COLLECTED (1 row/round — bounded by construction, the
+    kmeans/`train_ivf_centroids` driver-side discipline) and becomes
+    string literals in the next round's rewrite projection, and the
+    word-table checkpoint is LAZY (materialized by the next round's
+    argmax job, stored for the one after). The old form paid three
+    extra structures per round: an eager 1-row `best` checkpoint (a
+    blocking job), a broadcast exchange of that row, and a
+    crossJoin — with the literals all three vanish and each round is
+    exactly ONE job. The learned merge table is rebuilt as a literal
+    DataFrame: values identical (same argmax over the same pair
+    counts), and the early-stop when no pair remains matches the old
+    empty-frame fixpoint (empty `best` emptied `words`, so no later
+    round could emit a row either)."""
+    from pyspark.sql import types as T
     from ..functions import tokens
-    words = (df.where(F.col(text_col).isNotNull())
+    words = (_spread(df.where(F.col(text_col).isNotNull()))
                .select(F.explode(tokens(text_col)).alias("word"))
                .groupBy("word")
                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -877,7 +905,7 @@ def bpe_train(df: DataFrame, text_col: str = "text",
                        "cnt")
                .localCheckpoint(eager=True))
     spark = df.sparkSession
-    merges = None
+    merge_rows: list[tuple[int, str, str, int]] = []
     for r in range(rounds):
         pairs = (words
                  .select(F.expr("split(trim(w), ' ')").alias("s"), "cnt")
@@ -888,21 +916,24 @@ def bpe_train(df: DataFrame, text_col: str = "text",
                      "cnt")
                  .groupBy("p.x", "p.y")
                  .agg(F.expr("CAST(sum(cnt) AS BIGINT)").alias("pair_n")))
-        best = (pairs.orderBy(F.col("pair_n").desc(), F.col("x").asc(),
-                              F.col("y").asc())
-                     .limit(1)
-                     .select(F.lit(r + 1).cast("long").alias("round"),
-                             "x", "y", "pair_n")
-                     .localCheckpoint(eager=True))
-        merges = best if merges is None else merges.unionAll(best)
-        words = (words.crossJoin(F.broadcast(
-                     best.select(F.col("x").alias("_x"),
-                                 F.col("y").alias("_y"))))
-                      .select(F.expr(
-                          "replace(w, concat(' ', _x, ' ', _y, ' '), "
-                          "concat(' ', _x, _y, ' '))").alias("w"), "cnt")
-                      .localCheckpoint(eager=True))
-    return merges
+        top = (pairs.orderBy(F.col("pair_n").desc(), F.col("x").asc(),
+                             F.col("y").asc())
+                    .limit(1).collect())
+        if not top:
+            break
+        x, y, pair_n = top[0]["x"], top[0]["y"], int(top[0]["pair_n"])
+        merge_rows.append((r + 1, x, y, pair_n))
+        words = (words.select(
+                     F.replace(F.col("w"),
+                               F.lit(f" {x} {y} "),
+                               F.lit(f" {x}{y} ")).alias("w"), "cnt")
+                      .localCheckpoint(eager=False))
+    schema = T.StructType([
+        T.StructField("round", T.LongType()),
+        T.StructField("x", T.StringType()),
+        T.StructField("y", T.StringType()),
+        T.StructField("pair_n", T.LongType())])
+    return spark.createDataFrame(merge_rows, schema)
 
 
 def bpe_encode_counts(df: DataFrame, text_col: str = "text",
@@ -972,7 +1003,7 @@ def shingle_novelty(df: DataFrame, id_col: str = "doc_id",
     roll-up exchanges on the doc key. No joins, two exchanges."""
     from pyspark.sql import Window
     from ..operators.dedup import shingles
-    sh = shingles(df, id_col, text_col)
+    sh = shingles(_spread(df.select(id_col, text_col)), id_col, text_col)
     w = Window.partitionBy("shingle")
     flagged = sh.withColumn("first_seen", F.min(id_col).over(w))
     return (flagged.groupBy(id_col)
@@ -1013,7 +1044,7 @@ def collocations(df: DataFrame, text_col: str = "text",
     global window) over candidates surviving the min_count cut —
     at web scale the cut is what keeps that input small."""
     from pyspark.sql import Window
-    bg = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+    bg = (with_tokens(_spread(df.where(F.col(text_col).isNotNull())), text_col)
           .where(F.size(TOKENS_COL) >= 2)
           .select(F.explode(F.expr(
                       f"transform(sequence(0, size({TOKENS_COL}) - 2), "
@@ -1163,7 +1194,7 @@ def dsir_bucket_scores(df: DataFrame, target_pred: str,
     artifact discipline (IVF centroids, Bloom bits): B counters
     however big the corpus. Overflow: tcnt·SCALE stays in int64 up to
     ~9e12 target tokens per bucket; shrink SCALE past that."""
-    d = with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+    d = with_tokens(_spread(df.where(F.col(text_col).isNotNull())), text_col)
     h = f"(CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT) % {MERSENNE31})"
     cnt = (d.select(F.expr(f"CAST({target_pred} AS INT)").alias("is_t"),
                     F.explode(F.expr(
@@ -1564,7 +1595,7 @@ def textrank_keywords(df: DataFrame, text_col: str = "text",
     per iteration regardless of corpus bytes."""
     from pyspark.sql import Window
     from .graph import pagerank_exact
-    bg = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+    bg = (with_tokens(_spread(df.where(F.col(text_col).isNotNull())), text_col)
           .where(F.size(TOKENS_COL) >= 2)
           .select(F.explode(F.expr(
                       f"transform(sequence(0, size({TOKENS_COL}) - 2), "
@@ -1616,7 +1647,7 @@ def rake_keywords(df: DataFrame, id_col: str = "doc_id",
     mega-phrase."""
     from pyspark.sql import Window
     stop = STOPWORDS["en"]
-    u = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+    u = (with_tokens(_spread(df.where(F.col(text_col).isNotNull())), text_col)
          .select(id_col, F.posexplode(TOKENS_COL).alias("pos", "w")))
     ns = u.where(~F.col("w").isin(*stop))
     wi = Window.partitionBy(id_col).orderBy("pos")
@@ -1717,7 +1748,7 @@ def trigram_fluency(df: DataFrame, id_col: str = "doc_id",
     plus one 1-row total broadcast, then the per-doc hash agg — the
     bigram op's shape with one extra vocabulary-keyed exchange."""
     from pyspark.sql import Window
-    tg = (with_tokens(df.where(F.col(text_col).isNotNull()), text_col)
+    tg = (with_tokens(_spread(df.where(F.col(text_col).isNotNull())), text_col)
           .where(F.size(TOKENS_COL) >= 3)
           .select(F.col(id_col),
                   F.explode(F.expr(

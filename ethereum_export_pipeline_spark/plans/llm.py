@@ -114,6 +114,8 @@ inter AS (
 _PAIR_GRAPH: dict[tuple[str, str], DataFrame] = {}
 _CC_LABELS: dict[tuple[str, str], DataFrame] = {}
 _KMEANS_CELLS: dict[tuple[str, str], DataFrame] = {}
+_SSJOIN_PAIRS: dict[tuple[str, str], DataFrame] = {}
+_EXACT_TOPK: dict[tuple[str, str], DataFrame] = {}
 
 #: per-artifact memo bound: a long-lived process that walks many
 #: (session, corpus) pairs must not pin checkpointed frames forever —
@@ -143,6 +145,21 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     threshold=NGRAM_THRESHOLD)
             .localCheckpoint(eager=True)))
     return _PAIR_GRAPH[key]
+
+
+def _ssjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact PPJoin pair list, memoized per (session, corpus)
+    like `_lsh_pairs` (optimization r11, guide §2.4 reuse):
+    `doc_ssjoin_prefix` and `doc_neardup_recall` consume the SAME
+    exact-Jaccard computation — before the memo each ran the full
+    prefix-filter join independently (the recall audit's exact side
+    was the single most expensive recomputation in the catalog)."""
+    key = _memo_key(spark, sf_dir)
+    if key not in _SSJOIN_PAIRS:
+        _memo_put(_SSJOIN_PAIRS, key, (
+            dedup.ssjoin_prefix_pairs(load_table(spark, sf_dir, "documents"))
+            .localCheckpoint(eager=True)))
+    return _SSJOIN_PAIRS[key]
 
 
 def _cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,9 +578,25 @@ SELECT query_id, neighbor_id, cosine, rk AS "rank" FROM (
 """
 
 
+def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The guarded exact cosine top-k over the standard 10-query
+    evaluation sample, memoized per (session, corpus) like
+    `_lsh_pairs` (optimization r11, guide §2.4 reuse):
+    `emb_bruteforce_topk` and the recall trio (`emb_ann_recall`,
+    `emb_ivf_recall`, `emb_pq_recall`) all rank against this SAME
+    O(Q·N) ground-truth pass — before the memo each of the four ran
+    it independently."""
+    key = _memo_key(spark, sf_dir)
+    if key not in _EXACT_TOPK:
+        _memo_put(_EXACT_TOPK, key, (
+            similarity.brute_force_topk(
+                load_table(spark, sf_dir, "embeddings"), k=TOPK_K)
+            .localCheckpoint(eager=True)))
+    return _EXACT_TOPK[key]
+
+
 def _brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"),
-                                       k=TOPK_K)
+    return _exact_topk(spark, sf_dir)
 
 
 def _brute_topk_sql() -> str:
@@ -1640,8 +1673,15 @@ def _crawl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}')"
     wrapped = _html_wrap_sql("STRING")
     stripped = _html_strip_sql("html", rr)
-    crawl = (load_table(spark, sf_dir, "documents")
-             .where("text IS NOT NULL")
+    # scan-width spread BEFORE the six regexp passes (optimization
+    # r11, guide §2.5): a one-file corpus runs the whole strip on one
+    # core otherwise; the checkpointed frame then hands its width to
+    # all seven downstream consumers. No-op on well-split input.
+    from ..operators.similarity import _ensure_scan_width
+    crawl = (_ensure_scan_width(
+                 load_table(spark, sf_dir, "documents")
+                 .where("text IS NOT NULL").select("doc_id", "source", "text"),
+                 spark.sparkContext.defaultParallelism)
              .selectExpr("doc_id", "source", f"{wrapped} AS html")
              .selectExpr("doc_id", "source", f"{stripped} AS text")
              .localCheckpoint(eager=True))
@@ -2950,7 +2990,8 @@ def _density_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rides the graded kNN graph (banded LSH + exact integer rerank)."""
     return similarity.density_sample(
         load_table(spark, sf_dir, "embeddings"),
-        k=TOPK_K, n_planes=LSH_PLANES, n_bands=MULTIBAND_BANDS)
+        k=TOPK_K, n_planes=LSH_PLANES, n_bands=MULTIBAND_BANDS,
+        graph=_knn_graph_memo(spark, sf_dir))
 
 
 def _density_sample_sql() -> str:
@@ -3216,7 +3257,8 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a first-class query over the 10-query evaluation sample."""
     return similarity.ann_recall_report(
         load_table(spark, sf_dir, "embeddings"), k=TOPK_K,
-        n_planes=LSH_PLANES, n_bands=LSH_TOPK_BANDS)
+        n_planes=LSH_PLANES, n_bands=LSH_TOPK_BANDS,
+        exact=_exact_topk(spark, sf_dir))
 
 
 def _ann_recall_sql() -> str:
@@ -3477,9 +3519,10 @@ def _ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability; pruning comes from the global df-ascending shingle
     order (only each doc's rare prefix enters the candidate index)
     plus the length filter. The superset relation vs the df-cut
-    variant is pinned in tests."""
-    return dedup.ssjoin_prefix_pairs(
-        load_table(spark, sf_dir, "documents"))
+    variant is pinned in tests. Serves the memoized shared pair list
+    (`_ssjoin_pairs`) — `doc_neardup_recall` ranks against the same
+    computation."""
+    return _ssjoin_pairs(spark, sf_dir)
 
 
 def _ssjoin_prefix_sql() -> str:
@@ -3705,8 +3748,23 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 6 BPE merge rules learned from the corpus
     (operators/text.bpe_train): iterative argmax-pair fusion over the
     vocabulary-sized word-frequency table — the tokenizer-side
-    artifact of the pipeline."""
-    return text.bpe_train(load_table(spark, sf_dir, "documents"))
+    artifact of the pipeline.
+
+    Serves the `_get_bpe_merges` memo (optimization r11, guide §2.4
+    reuse): `doc_bpe_encode` already trained through the memo, so the
+    old form ran the ENTIRE 6-round training a second time for this
+    row. The merge list is ≤ `rounds` rows by construction (the
+    quantizer discipline), so rebuilding the frame from the memoized
+    rows is exact."""
+    from pyspark.sql import types as T
+    rows = _get_bpe_merges(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("round", T.LongType()),
+        T.StructField("x", T.StringType()),
+        T.StructField("y", T.StringType()),
+        T.StructField("pair_n", T.LongType())])
+    return spark.createDataFrame(
+        [(r["round"], r["x"], r["y"], r["pair_n"]) for r in rows], schema)
 
 
 def _bpe_chain(rounds: int = text.BPE_ROUNDS) -> str:
@@ -4156,8 +4214,7 @@ def _neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     role SCALE.md assigns the exact tier. The LSH side reuses the
     memoized shared pair graph; the band comes from the identical
     IEEE double both engines compute, truncated to an int decile."""
-    docs = load_table(spark, sf_dir, "documents")
-    exact = dedup.ssjoin_prefix_pairs(docs)
+    exact = _ssjoin_pairs(spark, sf_dir)
     lsh = (_lsh_pairs(spark, sf_dir)
            .select("doc_a", "doc_b", F.lit(1).alias("found")))
     j = (exact.join(lsh, ["doc_a", "doc_b"], "left")
@@ -5169,7 +5226,8 @@ def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     learns from."""
     return similarity.hard_negatives(
         load_table(spark, sf_dir, "embeddings"),
-        k=TOPK_K, n_planes=LSH_PLANES, n_bands=MULTIBAND_BANDS)
+        k=TOPK_K, n_planes=LSH_PLANES, n_bands=MULTIBAND_BANDS,
+        graph=_knn_graph_memo(spark, sf_dir))
 
 
 def _hard_negatives_sql() -> str:
@@ -5275,7 +5333,8 @@ def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_recall_report(
         load_table(spark, sf_dir, "embeddings"), get_quantizers()[0],
         k=TOPK_K,
-        scan_parallelism=spark.sparkContext.defaultParallelism)
+        scan_parallelism=spark.sparkContext.defaultParallelism,
+        exact=_exact_topk(spark, sf_dir))
 
 
 def _ivf_recall_sql() -> str:
@@ -5330,7 +5389,8 @@ def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_recall_report(
         load_table(spark, sf_dir, "embeddings"), cents, books,
         k=TOPK_K,
-        scan_parallelism=spark.sparkContext.defaultParallelism)
+        scan_parallelism=spark.sparkContext.defaultParallelism,
+        exact=_exact_topk(spark, sf_dir))
 
 
 def _pq_recall_sql() -> str:

@@ -298,10 +298,18 @@ def test_phrase_search_is_map_only(spark, catalog):
 
 
 def test_scene_cuts_no_shuffle(spark, catalog):
-    """Video demux + decode + SAD is one Arrow projection chain —
-    no Exchange."""
+    """Video demux + decode + SAD is one Arrow projection chain — no
+    Exchange of PAYLOAD bytes. The only allowed exchange is the
+    scan-width spread of the pre-payload (id, text) source (a
+    RoundRobinPartitioning BELOW the media generator, optimization
+    r11); everything above the first MapInPandas must stay
+    exchange-free, so heavy media bytes still never shuffle."""
     plan = plan_of(catalog["mm_scene_cuts"].fn(spark, SF_DIR))
-    assert "Exchange" not in plan
+    above_generator = plan.split("MapInPandas", 1)[0]
+    assert "Exchange" not in above_generator, above_generator
+    for line in plan.splitlines():
+        if "Exchange" in line and "RoundRobinPartitioning" not in line:
+            raise AssertionError(f"non-spread Exchange in plan: {line}")
 
 
 def test_salted_agg_is_two_phase(spark, catalog):
