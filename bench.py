@@ -392,6 +392,7 @@ def _artifact_builders():
         # the ann/ivf/pq recall trio)
         "artifact:ssjoin_pairs": llm._ssjoin_pairs,
         "artifact:exact_topk": llm._exact_topk,
+        "artifact:exact_topk_dim": llm._exact_topk_dim,
         "artifact:dualprec_csv": eth._dualprec_csv,
         "artifact:bucketed_tables": eth._bucketed_tables,
         "artifact:minhash_pair_graph": llm._lsh_pairs,
@@ -622,6 +623,24 @@ def main() -> int:
     if io_trace_min < io_gate:
         discard_reasons.append(
             f"io_trace_min {io_trace_min:.0f} < {io_gate:.0f}")
+    # CPU contamination mid-run (optimization r11): a co-tenant CPU
+    # burst after the pre-gate passes leaves io healthy but steps the
+    # pure-JVM canary (fixed work, no I/O, no Python) — a run this
+    # session passed every io gate with 'discard': false while its
+    # jvm canary walked 0.33 → 0.80 s under ambient load 14. The
+    # fixed workload's only degrees of freedom are host CPU and GC;
+    # a > 2.5× spread across one run is contention, not noise
+    # (healthy runs hold ~1.4×). RELATIVE on purpose: the driver
+    # re-runs the bench at lower $SPARK_GRAFT_CPUS, which scales
+    # every reading together and leaves the ratio alone.
+    jvm_samples = ([calib, calib_end]
+                   + [p["jvm"] for p in canary_trace if "jvm" in p])
+    jvm_min, jvm_max = min(jvm_samples), max(jvm_samples)
+    if jvm_min > 0 and jvm_max / jvm_min > 2.5:
+        discard_reasons.append(
+            f"jvm canary spread {jvm_max:.2f}/{jvm_min:.2f}"
+            f" = {jvm_max / jvm_min:.1f}x > 2.5x (CPU contention"
+            f" mid-run)")
     discard = bool(discard_reasons)
     if discard:
         print(f"# DISCARD: {'; '.join(discard_reasons)} — not"

@@ -1015,7 +1015,8 @@ def matryoshka_recall_report(df: DataFrame, k: int = 5,
                              emb_col: str = "embedding",
                              query_pred: str | None = None,
                              dim: int = EMB_DIM,
-                             prefixes: tuple = MRL_PREFIXES) -> DataFrame:
+                             prefixes: tuple = MRL_PREFIXES,
+                             exact: DataFrame | None = None) -> DataFrame:
     """recall@k of PREFIX-dimension retrieval against the full-width
     exact top-k — the Matryoshka-representation question ("how many
     leading dims does serving actually need?") as a first-class
@@ -1030,7 +1031,13 @@ def matryoshka_recall_report(df: DataFrame, k: int = 5,
     once map-side against broadcast queries — the slice shortens the
     zip_with, it never adds an exchange. Production then serves at
     the cheapest prefix whose recall clears the bar, cutting vector
-    state and wire bytes proportionally."""
+    state and wire bytes proportionally.
+
+    `exact` (optimization r11, guide §2.4 reuse): an already-computed
+    `brute_force_topk(df.where(size(emb) = dim), k=k,
+    query_pred=query_pred)` frame — the DIM-FILTERED ground truth
+    (same expression this function builds itself), so callers holding
+    the memoized filtered exact pass skip the O(Q·N) rebuild."""
     query_pred = query_pred or f"{id_col} < 10"
     # the ground-truth frame is Q·k rows consumed by every prefix's
     # recall tail (2 consumers each) — eager-checkpoint it or each
@@ -1040,12 +1047,25 @@ def matryoshka_recall_report(df: DataFrame, k: int = 5,
     # filter the exact pass to full-width rows, matching the prefix
     # sides and the oracle's len(embedding)=dim guard — otherwise a
     # wrong-dim/NULL embedding row makes ground truth diverge
-    exact = (brute_force_topk(df.where(F.size(F.col(emb_col)) == dim),
-                              id_col, emb_col, k=k,
-                              query_pred=query_pred)
-             .localCheckpoint(eager=True))
+    if exact is None:
+        exact = (brute_force_topk(df.where(F.size(F.col(emb_col)) == dim),
+                                  id_col, emb_col, k=k,
+                                  query_pred=query_pred)
+                 .localCheckpoint(eager=True))
     reports = []
     for p in prefixes:
+        if p == dim:
+            # slice(emb, 1, dim) of a dim-guard-passing row is the
+            # identity, so the full-width "prefix" ranking IS the
+            # ground truth — reuse the frame instead of re-running
+            # the brute-force pass (its rows are the recall-100%
+            # sanity floor either way)
+            approx = exact
+            reports.append(
+                _recall_vs_exact(exact, approx, k)
+                .select(F.lit(p).cast("long").alias("prefix_dim"),
+                        "query_id", "n_hits", "recall_ppm"))
+            continue
         sliced = (df.where(F.size(F.col(emb_col)) == dim)
                     .select(id_col,
                             F.slice(F.col(emb_col), 1, p).alias(emb_col)))
@@ -1103,7 +1123,8 @@ def sq8_recall_report(df: DataFrame, k: int = 5,
                       id_col: str = "vec_id",
                       emb_col: str = "embedding",
                       query_pred: str | None = None,
-                      dim: int = EMB_DIM) -> DataFrame:
+                      dim: int = EMB_DIM,
+                      exact: DataFrame | None = None) -> DataFrame:
     """recall@k of int8 SCALAR-quantized serving against the exact
     top-k — the quantization tier between full-width floats and PQ
     codes (4 B/dim → 1 B/dim, no codebook training): per dimension,
@@ -1122,10 +1143,14 @@ def sq8_recall_report(df: DataFrame, k: int = 5,
     query_pred = query_pred or f"{id_col} < 10"
     full = df.where(F.size(F.col(emb_col)) == dim)
     # ground truth consumed by the recall tail twice — checkpoint the
-    # Q·k frame or each consumer re-runs the brute-force corpus pass
-    exact = brute_force_topk(full, id_col, emb_col, k=k,
-                             query_pred=query_pred
-                             ).localCheckpoint(eager=True)
+    # Q·k frame or each consumer re-runs the brute-force corpus pass.
+    # `exact` (optimization r11, guide §2.4 reuse): callers holding
+    # the memoized DIM-FILTERED ground truth (the same
+    # brute_force_topk(full, ...) expression) skip the rebuild.
+    if exact is None:
+        exact = brute_force_topk(full, id_col, emb_col, k=k,
+                                 query_pred=query_pred
+                                 ).localCheckpoint(eager=True)
     base = with_quantized(full, emb_col).select(id_col, "qvec", "n2")
     bounds = sq8_bounds(full, emb_col)
     recon_expr = (f"transform(code, (c, i) -> mn[i] + "

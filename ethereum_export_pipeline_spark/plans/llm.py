@@ -116,6 +116,7 @@ _CC_LABELS: dict[tuple[str, str], DataFrame] = {}
 _KMEANS_CELLS: dict[tuple[str, str], DataFrame] = {}
 _SSJOIN_PAIRS: dict[tuple[str, str], DataFrame] = {}
 _EXACT_TOPK: dict[tuple[str, str], DataFrame] = {}
+_EXACT_TOPK_DIM: dict[tuple[str, str], DataFrame] = {}
 
 #: per-artifact memo bound: a long-lived process that walks many
 #: (session, corpus) pairs must not pin checkpointed frames forever —
@@ -593,6 +594,28 @@ def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 load_table(spark, sf_dir, "embeddings"), k=TOPK_K)
             .localCheckpoint(eager=True)))
     return _EXACT_TOPK[key]
+
+
+def _exact_topk_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_exact_topk`'s DIM-FILTERED sibling (optimization r11, guide
+    §2.4 reuse): ground truth over rows passing the
+    size(embedding) = EMB_DIM guard — the exact expression
+    `matryoshka_recall_report` and `sq8_recall_report` each built
+    internally (their oracles' len(embedding)=dim guard), now
+    computed once per (session, corpus) and shared. Kept separate
+    from the unfiltered `_exact_topk` because `emb_bruteforce_topk`'s
+    declared contract has no dim filter; on the graded fixtures
+    (every row dim-64) the two frames hold identical rows, but the
+    memo keys the CONTRACT, not the coincidence."""
+    key = _memo_key(spark, sf_dir)
+    if key not in _EXACT_TOPK_DIM:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _memo_put(_EXACT_TOPK_DIM, key, (
+            similarity.brute_force_topk(
+                emb.where(F.size(F.col("embedding")) == similarity.EMB_DIM),
+                k=TOPK_K)
+            .localCheckpoint(eager=True)))
+    return _EXACT_TOPK_DIM[key]
 
 
 def _brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3323,7 +3346,8 @@ def _mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for MRL-trained embeddings. prefix 64 = full width, so its rows
     are the built-in sanity floor (recall 100%)."""
     return similarity.matryoshka_recall_report(
-        load_table(spark, sf_dir, "embeddings"), k=TOPK_K)
+        load_table(spark, sf_dir, "embeddings"), k=TOPK_K,
+        exact=_exact_topk_dim(spark, sf_dir))
 
 
 def _mrl_recall_sql() -> str:
@@ -3394,7 +3418,8 @@ def _sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer). Completes the serving-compression ladder the catalog
     grades: float (exact) → MRL prefixes → SQ8 → PQ → binary."""
     return similarity.sq8_recall_report(
-        load_table(spark, sf_dir, "embeddings"), k=TOPK_K)
+        load_table(spark, sf_dir, "embeddings"), k=TOPK_K,
+        exact=_exact_topk_dim(spark, sf_dir))
 
 
 def _sq8_recall_sql() -> str:
