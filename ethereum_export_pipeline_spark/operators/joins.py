@@ -169,16 +169,15 @@ def fuzzy_pairs(df: DataFrame, id_col: str, name_col: str,
     df-cut discipline as `dedup.DEFAULT_MAX_DF`. levenshtein runs
     post-join on the residual, JVM codegen (no UDF).
 
-    Per-pair cost (optimization r11, guide §1.2 step 2): two exact
-    pre-filters run BEFORE the O(|a|·|b|) DP — (1) a length filter
-    (levenshtein ≥ abs(len(a) − len(b)), so pairs whose lengths differ
-    by more than `max_dist` can never qualify), and (2) the DP itself
-    is the BANDED form — Spark ≥3.5's ``levenshtein(l, r, threshold)``
-    computes only the ±threshold diagonal band and early-exits with −1
-    once the distance provably exceeds it, O(min(len)·threshold)
-    instead of O(|a|·|b|). −1 < 1 fails the `dist >= 1` filter, and
-    every surviving pair's distance is the true distance, so the
-    output rows are bit-identical to the unbounded form."""
+    Per-pair cost (optimization r11, guide §1.2 step 2 — measured,
+    then REVERTED): the banded form (length pre-filter + Spark ≥3.5's
+    ``levenshtein(l, r, threshold)``) was tried and measured SLOWER on
+    short entity names — paired in-process A/B over the same 999 831
+    candidate pairs: banded min 9.04 s vs unbounded min 6.73 s
+    (+34%; `tools/r11_ab_probe.py`). The O(min·threshold) band only
+    pays when strings are long, and names stay short at any corpus
+    scale, so the unbounded DP is kept; identical output rows were
+    verified before reverting (count MATCH + oracle)."""
     base = (df.where(F.col(name_col).isNotNull())
               .select(F.col(id_col).alias("_id"),
                       F.col(name_col).alias("_name"),
@@ -196,10 +195,7 @@ def fuzzy_pairs(df: DataFrame, id_col: str, name_col: str,
                     F.col("_name").alias("name_b"))
     return (a.join(b, "_blk")
              .where(F.col("id_a") < F.col("id_b"))
-             .where(F.abs(F.length("name_a") - F.length("name_b"))
-                    <= max_dist)
              .withColumn("dist",
-                         F.levenshtein("name_a", "name_b", max_dist)
-                          .cast("long"))
+                         F.levenshtein("name_a", "name_b").cast("long"))
              .where((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
              .select("id_a", "id_b", "name_a", "name_b", "dist"))

@@ -1374,11 +1374,18 @@ def documents_as_wav_media(df: DataFrame, id_col: str = "doc_id",
     """The AUDIO media fixture: one real 8-bit mono PCM WAV per
     document whose sample data IS the utf-8 text bytes — deterministic,
     so the oracle recomputes every decoded-sample statistic from the
-    text. NULL text → NULL payload; empty text → a data-less WAV."""
+    text. NULL text → NULL payload; empty text → a data-less WAV.
+
+    NOT spread (optimization r11, measured): unlike the image/video
+    generators, the WAV tier's python work is a few vectorized numpy
+    ops per row — paired in-process A/B read spread ON 1.20 s vs OFF
+    0.46 s at sf0.1 on the resample pipeline AND ON 3.43 s vs OFF
+    2.53 s at ×10 (3 chained mapInPandas × 32 task/Arrow setups cost
+    more than the work they parallelize), so the audio family keeps
+    the narrow scan; a well-split real corpus provides width anyway."""
     id_out, txt = "media_id", "__txt"
-    src = _spread_source(
-        df.select(F.col(id_col).alias(id_out),
-                  F.col(text_col).alias(txt)))
+    src = df.select(F.col(id_col).alias(id_out),
+                    F.col(text_col).alias(txt))
 
     import numpy as np
 
