@@ -3,10 +3,13 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {slowest-10 name: sec}, "families": {prefix: sec}, "sf": ...}.
 
-The driver captures only the tail of stdout (~2,000 chars), so the
-emitted line is kept compact: total + per-family subtotals + the 10
-slowest queries. The FULL per-query timing map is written to
-BENCH_FULL.json next to this file.
+The driver captures only the tail of stdout (2,000 chars — every
+BENCH_r*.json carries exactly tail==2000), so the emitted line is
+kept compact: total + per-family subtotals + a `queries` map holding
+the previous round's line keys (always — zero phantom drops in the
+driver's diff) plus as many of this run's slowest rows as fit the
+window. The FULL per-query timing map is written to BENCH_FULL.json
+next to this file.
 
 Each query is timed as plan-build + full execution (noop sink: full
 execution of every column, zero driver transfer). The headline set
@@ -445,18 +448,6 @@ def main() -> int:
         # transfer — measures the engine, not py4j serialization
         df.write.mode("overwrite").format("noop").save()
 
-    # shared-artifact builds first, timed under their own names (the
-    # memo getters materialize via eager localCheckpoint, so the
-    # consumers below measure incremental work only)
-    timings_art: dict[str, float] = {}
-    art_total = 0.0
-    for name, builder in _artifact_builders().items():
-        t0 = time.time()
-        builder(spark, sf_dir)
-        timings_art[name] = round(time.time() - t0, 3)
-        art_total += timings_art[name]
-        print(f"# {name}: {timings_art[name]:.3f}s", file=sys.stderr)
-
     # min-of-2 per query: the first run compiles the query's
     # whole-stage-codegen classes (a separate corpus-wide warm pass
     # became a third full execution once HEADLINE passed 130 queries
@@ -490,14 +481,18 @@ def main() -> int:
     # host-vs-engine attribution separable per path: if only
     # py_calibration moved, the Python workers/GIL/fork side of the
     # host moved; if both moved, the whole host did.
+    # Cold-start attribution (optimization r12, VERDICT item 4): the
+    # canaries run BEFORE the artifact builds, so the Python worker
+    # pool spawn, first Arrow batches and first-shuffle JIT land on
+    # the canaries' own warm-up passes (min-of-3 reports the warm
+    # reading) instead of inflating the FIRST timed artifact row —
+    # r11's artifact:ssjoin_pairs read 13-22 s in-bench vs a 3.6-5 s
+    # warm probe purely because it built second in a cold session.
+    # The begin-canary's worker pool is pristine by construction now
+    # (nothing Arrow-heavy has run yet), so no pre-recycle is needed.
     def _py_canary(pdfs):
         for pdf in pdfs:
             yield pdf.assign(v=(pdf["id"] * 2654435761 % 1000003))
-    # fresh workers for the begin-canary: the artifact phase above is
-    # Arrow-heavy and would otherwise pre-age the reference reading
-    from ethereum_export_pipeline_spark.session import (
-        recycle_python_workers as _recycle)
-    _recycle(spark)
     py_calib = float("inf")
     for _ in range(3):
         t0 = time.time()
@@ -509,6 +504,18 @@ def main() -> int:
     load_begin = _load1()
     print(f"# calibration (mapInPandas canary): {py_calib:.3f}s "
           f"(host load {load_begin:.1f})", file=sys.stderr)
+
+    # shared-artifact builds, timed under their own names (the
+    # memo getters materialize via eager localCheckpoint, so the
+    # consumers below measure incremental work only)
+    timings_art: dict[str, float] = {}
+    art_total = 0.0
+    for name, builder in _artifact_builders().items():
+        t0 = time.time()
+        builder(spark, sf_dir)
+        timings_art[name] = round(time.time() - t0, 3)
+        art_total += timings_art[name]
+        print(f"# {name}: {timings_art[name]:.3f}s", file=sys.stderr)
 
     # Python-worker recycling (the round-9 canaries' mitigation): the
     # bracketing canaries measured the mapInPandas path degrading 2.5×
@@ -686,29 +693,68 @@ def main() -> int:
     for name, sec in timings.items():
         fam = re.match(r"[a-z]+", name).group(0)  # q7_x → q, mm_y → mm
         families[fam] = round(families.get(fam, 0.0) + sec, 2)
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
 
-    line = json.dumps({
-        "metric": "headline_queries_total",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": slowest,          # 10 slowest; full map in BENCH_FULL.json
-        "families": families,        # per-prefix subtotals over all queries
-        "n_queries": sum(not k.startswith("artifact:") for k in timings),
-        "full_map": "BENCH_FULL.json",
-        "calibration_sec": calib,
-        "py_calibration_sec": py_calib,
-        "calibration_end_sec": calib_end,
-        "py_calibration_end_sec": py_calib_end,
-        "py_worker_recycles": recycles,
-        "load1_begin": load_begin,
-        "load1_end": load_end,
-        "load1_ambient": load_ambient,
-        "io_write_mbps_begin": io_begin,
-        "io_write_mbps_end": io_end,
-        "discard": discard,
-        "sf": sf,
-    })
+    # The driver's round-over-round PERF comparison diffs THIS line's
+    # `queries` map against the previous round's line (it does not
+    # read BENCH_FULL.json), and its stdout capture window is 2,000
+    # chars (BENCH_r{09,10,11}.json each carry exactly tail==2000) —
+    # so the full ~230-row map cannot fit: a longer line would be
+    # truncated at the HEAD and become unparseable. r11's top-10-only
+    # map reduced PERF_r11 to a 4-row comparison with 6 phantom
+    # "dropped" rows (VERDICT item 1). Two mechanical rules fix that
+    # within the window (optimization r12):
+    #   * every key the driver saw in the PREVIOUS round's line is
+    #     ALWAYS present → zero phantom drops, n_common == |prev|;
+    #   * the remaining budget is packed with this run's slowest rows
+    #     (deterministic order), maximizing next round's n_common.
+    _PREV_LINE_KEYS = (
+        "artifact:minhash_pair_graph", "mm_resize", "artifact:bpe_merges",
+        "artifact:kmeans_cells", "doc_crawl_manifest",
+        "artifact:ssjoin_pairs", "artifact:fuzzy_pairs",
+        "artifact:emb_neardup_pairs", "artifact:knn_graph",
+        "doc_bigram_fluency",
+    )
+
+    def _line(qmap: dict[str, float]) -> str:
+        return json.dumps({
+            "metric": "headline_queries_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": qmap,         # pinned + slowest; full map in sidecar
+            "families": families,    # per-prefix subtotals over all queries
+            "n_queries": sum(not k.startswith("artifact:") for k in timings),
+            "full_map": "BENCH_FULL.json",
+            "calibration_sec": calib,
+            "py_calibration_sec": py_calib,
+            "calibration_end_sec": calib_end,
+            "py_calibration_end_sec": py_calib_end,
+            "py_worker_recycles": recycles,
+            "load1_begin": load_begin,
+            "load1_end": load_end,
+            "load1_ambient": load_ambient,
+            "io_write_mbps_begin": io_begin,
+            "io_write_mbps_end": io_end,
+            "discard": discard,
+            "sf": sf,
+        })
+
+    by_slowest = [k for k, _ in sorted(timings.items(),
+                                       key=lambda kv: (-kv[1], kv[0]))]
+    sel = ([k for k in _PREV_LINE_KEYS if k in timings]
+           + [k for k in by_slowest[:10] if k not in _PREV_LINE_KEYS])
+    # pack next-slowest rows while the line stays clear of the 2,000-
+    # char capture window (budget 1780: leaves >200 chars of slack for
+    # any post-line shutdown noise the capture would otherwise charge
+    # against the line's head)
+    for k in by_slowest:
+        if k in sel:
+            continue
+        if len(_line({k2: timings[k2] for k2 in sel + [k]})) > 1780:
+            break
+        sel.append(k)
+    qmap = {k: timings[k] for k in
+            sorted(sel, key=lambda k: (-timings[k], k))}
+    line = _line(qmap)
     assert len(line) < 1800, f"bench line too long: {len(line)} chars"
     print(line)
     return 0

@@ -392,17 +392,27 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # ----------------------------------------------------------- minhash
 
-def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", n: int = NGRAM_N) -> DataFrame:
-    """K minhash values per doc: m_k = min over shingles of
-    (a_k·h32(shingle) + b_k) mod p. One explode + one aggregate."""
-    sh = shingles(df, id_col, text_col, n)
+def _signatures_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
+    """K minhash values per doc from an already-built (id, shingle)
+    frame: m_k = min over shingles of (a_k·h32(shingle) + b_k) mod p.
+    Split out (optimization r12) so the LSH pair/incremental paths can
+    feed the SAME materialized shingle frame to both the signature agg
+    and the exact-Jaccard verify, instead of tokenizing the corpus
+    once per consumer."""
     hashed = sh.select(id_col, h32(F.col("shingle")).alias("h"))
     aggs = [
         F.min(affine_hash(F.col("h"), a, b)).alias(f"m{k}")
         for k, (a, b) in enumerate(MINHASH_FAMILY)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = NGRAM_N) -> DataFrame:
+    """K minhash values per doc: m_k = min over shingles of
+    (a_k·h32(shingle) + b_k) mod p. One explode + one aggregate."""
+    return _signatures_from_shingles(shingles(df, id_col, text_col, n),
+                                     id_col)
 
 
 def _banded_buckets(sig: DataFrame, id_col: str) -> DataFrame:
@@ -430,19 +440,30 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     verified Jaccard ≥ threshold.
 
     Scan width (optimization r11, guide §2.5 input skew): the
-    signature pass and both verify sides re-tokenize the corpus in
-    their SCAN stage, so a narrow input (one small parquet file = one
-    task) serializes the whole tokenize+md5 bill onto one core while
-    the rest idle. `_ensure_scan_width` round-robins the (id, text)
-    projection up to default parallelism FIRST — all three consumers
-    plan over the same repartition exchange, which Spark reuses
-    (one text-sized shuffle, three parallel tokenize passes). On a
-    well-split input (the 100 TB case) it is a no-op."""
+    tokenize+shingle pass runs in the SCAN stage, so a narrow input
+    (one small parquet file = one task) serializes the whole
+    tokenize+md5 bill onto one core while the rest idle.
+    `_ensure_scan_width` round-robins the (id, text) projection up to
+    default parallelism FIRST; on a well-split input (the 100 TB
+    case) it is a no-op. Since optimization r12 that pass runs ONCE:
+    the shingle index is materialized (eager localCheckpoint) and
+    shared by the signature aggregate and both verify join sides —
+    before, each of the three consumers re-ran tokenize+shingle+
+    distinct above the shared repartition exchange."""
     from .similarity import _ensure_scan_width
     df = _ensure_scan_width(
         df.select(id_col, text_col),
         df.sparkSession.sparkContext.defaultParallelism)
-    sig = minhash_signatures(df, id_col, text_col, n)
+    # ONE tokenize+shingle pass (optimization r12, guide §2.4): the
+    # inverted index is materialized once (eager localCheckpoint, the
+    # multi-consumer discipline) and feeds all three consumers — the
+    # signature aggregate and both verify join sides. Before, each
+    # consumer re-ran tokenize+shingle+distinct above the shared scan
+    # exchange (three full text passes; count-agg subtrees never
+    # canonicalize for AQE stage reuse).
+    sh = (_sized_shingles(df, id_col, text_col, n, max_shingle_df=None)
+          .localCheckpoint(eager=True))
+    sig = _signatures_from_shingles(sh, id_col)
     melted = _banded_buckets(sig, id_col)
     l = melted.select(F.col(id_col).alias("doc_a"), "bucket")
     r = melted.select(F.col(id_col).alias("doc_b"), "bucket")
@@ -451,7 +472,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
     # verify candidates with exact Jaccard (inverted index restricted
     # to candidate docs — semi-join pushdown keeps this cheap)
-    sh = _sized_shingles(df, id_col, text_col, n, max_shingle_df=None)
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle",
                   F.col("sz").alias("sz_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle",
@@ -492,26 +512,33 @@ def incremental_neardup(new_df: DataFrame, seen_df: DataFrame,
     (id, is_dup 0/1, matched_seen, n_common, jaccard) — match columns
     NULL for clean docs; ties broken (jaccard desc, seen id asc).
 
-    Both sides' tokenize passes (signature + verify) run at scan
-    width — same spread-first discipline as `minhash_lsh_pairs`
-    (no-op on well-split input)."""
+    Each side tokenizes ONCE at scan width (spread-first discipline,
+    no-op on well-split input): the side's shingle index is
+    materialized and shared by its signature aggregate and its verify
+    join side (optimization r12 — see `minhash_lsh_pairs`)."""
     from .similarity import _ensure_scan_width
     par = new_df.sparkSession.sparkContext.defaultParallelism
     new_s = _ensure_scan_width(new_df.select(id_col, text_col), par)
     seen_s = _ensure_scan_width(seen_df.select(id_col, text_col), par)
-    mn = (_banded_buckets(minhash_signatures(new_s, id_col, text_col, n),
+    # ONE tokenize+shingle pass per side (optimization r12, guide
+    # §2.4 — same shared-index discipline as `minhash_lsh_pairs`):
+    # each side's inverted index is materialized once and feeds both
+    # its signature aggregate and its verify join side, instead of
+    # re-tokenizing per consumer (was 4 full text passes, 2 per side).
+    sh_new = (_sized_shingles(new_s, id_col, text_col, n,
+                              max_shingle_df=None)
+              .localCheckpoint(eager=True))
+    sh_seen = (_sized_shingles(seen_s, id_col, text_col, n,
+                               max_shingle_df=None)
+               .localCheckpoint(eager=True))
+    mn = (_banded_buckets(_signatures_from_shingles(sh_new, id_col),
                           id_col)
           .select(F.col(id_col).alias("new_id"), "bucket"))
-    ms = (_banded_buckets(minhash_signatures(seen_s, id_col, text_col, n),
+    ms = (_banded_buckets(_signatures_from_shingles(sh_seen, id_col),
                           id_col)
           .select(F.col(id_col).alias("seen_id"), "bucket"))
     cand = (mn.join(ms, "bucket")
               .select("new_id", "seen_id").distinct())
-
-    sh_new = _sized_shingles(new_s, id_col, text_col, n,
-                             max_shingle_df=None)
-    sh_seen = _sized_shingles(seen_s, id_col, text_col, n,
-                              max_shingle_df=None)
     a = (sh_new.select(F.col(id_col).alias("new_id"), "shingle",
                        F.col("sz").alias("sz_a"))
                .join(cand.select("new_id").distinct(), "new_id",
@@ -1197,14 +1224,18 @@ def minhash_estimator_quality(df: DataFrame, id_col: str = "doc_id",
     df = _ensure_scan_width(
         df.select(id_col, text_col),
         df.sparkSession.sparkContext.defaultParallelism)
-    sz = (shingles(df, id_col, text_col, n)
-          .groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")))
+    # ONE tokenize+shingle pass (optimization r12, guide §2.4): the
+    # materialized index feeds the two sz join sides AND the signature
+    # aggregate (was 3 full text passes — sz consumed twice, sig once)
+    sh = (_sized_shingles(df, id_col, text_col, n, max_shingle_df=None)
+          .localCheckpoint(eager=True))
+    sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     pairs = (pairs
              .join(sz.select(F.col(id_col).alias("doc_a"),
                              F.col("sz").alias("sz_a")), "doc_a")
              .join(sz.select(F.col(id_col).alias("doc_b"),
                              F.col("sz").alias("sz_b")), "doc_b"))
-    sig = minhash_signatures(df, id_col, text_col, n)
+    sig = _signatures_from_shingles(sh, id_col)
     k = MINHASH_K
     sa = sig.select(F.col(id_col).alias("doc_a"),
                     *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)])

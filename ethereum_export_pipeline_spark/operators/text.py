@@ -679,21 +679,39 @@ def bm25_topk(df: DataFrame, id_col: str = "doc_id",
 
     Scale shape: identical to `tfidf_top_terms` — ONE tokenize scan
     into the (doc, term) tf aggregate; df and dl are windows over
-    that frame (term-key and doc-key exchanges); T broadcasts as one
-    row, the query terms as `n_query_terms` rows; final top-k is a
-    TakeOrdered, not a global sort."""
+    that frame (term-key and doc-key exchanges); the query terms
+    broadcast as `n_query_terms` rows; final top-k is a TakeOrdered,
+    not a global sort. N and T come from ONE 1-row scan subtree
+    (optimization r12, guide §1.2: T = Σ_docs size(tokens) ≡ Σ tf, so
+    the old totals subtree's second (doc, term) aggregate pass and
+    the second scalar cross join are gone) broadcast by a single
+    cross join.
+
+    Tried, measured, REVERTED (optimization r12, guide §1.1): moving
+    `dl` map-side (size of the token array carried through the
+    explode) removes the doc-key window exchange from the plan — and
+    measured consistently ~25-45% SLOWER at ×10 in three paired
+    probes (stats subtree alone: 3.19 vs 2.15 s min). The removed
+    exchange carries only the compact tf frame (the smallest of the
+    chain's three), while the map-side form widens the full
+    OCCURRENCE stream (+8 bytes × every token) through the explode,
+    projection, partial aggregate and (doc, term) exchange, and adds
+    a max() buffer per group — per-row cost that scales with the
+    corpus, unlike the window it replaces. The two-window form is the
+    measured keeper at both sf0.1 and ×10."""
     from pyspark.sql import Window
     tf = (_spread(df.where(F.col(text_col).isNotNull()))
             .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
             .groupBy(id_col, "term")
             .agg(F.count(F.lit(1)).alias("tf")))
-    n_docs = (df.where(F.col(text_col).isNotNull())
-                .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = (_spread(df.where(F.col(text_col).isNotNull()))
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.size(tokens(text_col))).cast("long")
+                 .alias("t_tokens")))
     stats = (tf.withColumn("df", F.count(F.lit(1)).over(
                  Window.partitionBy("term")).cast("long"))
                .withColumn("dl", F.sum("tf").over(
                  Window.partitionBy(id_col)).cast("long")))
-    totals = tf.agg(F.sum("tf").cast("long").alias("t_tokens"))
     qterms = (stats.select("term", "df").distinct()
                    .withColumn("_qr", F.row_number().over(
                        Window.orderBy(F.col("df").desc(),
@@ -701,8 +719,7 @@ def bm25_topk(df: DataFrame, id_col: str = "doc_id",
                    .where(F.col("_qr") <= n_query_terms)
                    .select("term"))
     scored = (stats.join(F.broadcast(qterms), "term")
-                   .crossJoin(F.broadcast(totals))
-                   .crossJoin(F.broadcast(n_docs))
+                   .crossJoin(F.broadcast(tot))
                    .withColumn("sat_ppm", F.expr(
                        "(44 * tf * t_tokens * 1000000) div "
                        "(20 * t_tokens * tf + 6 * t_tokens + 18 * dl * n)"))
@@ -852,6 +869,12 @@ def stratified_reservoir(df: DataFrame, id_col: str = "doc_id",
 
 BPE_ROUNDS = 6
 
+#: A/B lever (optimization r12): cadence of the per-round word-table
+#: checkpoint in `bpe_train` — False = lazy (materialized by the next
+#: round's argmax job), True = eager (one blocking job per round).
+#: Values are identical either way; only materialization timing moves.
+_BPE_WORDS_EAGER = False
+
 
 def bpe_train(df: DataFrame, text_col: str = "text",
               rounds: int = BPE_ROUNDS) -> DataFrame:
@@ -927,7 +950,7 @@ def bpe_train(df: DataFrame, text_col: str = "text",
                      F.replace(F.col("w"),
                                F.lit(f" {x} {y} "),
                                F.lit(f" {x}{y} ")).alias("w"), "cnt")
-                      .localCheckpoint(eager=False))
+                      .localCheckpoint(eager=_BPE_WORDS_EAGER))
     schema = T.StructType([
         T.StructField("round", T.LongType()),
         T.StructField("x", T.StringType()),
