@@ -505,6 +505,39 @@ def main() -> int:
     print(f"# calibration (mapInPandas canary): {py_calib:.3f}s "
           f"(host load {load_begin:.1f})", file=sys.stderr)
 
+    # Fixed synthetic warmup (optimization r12, VERDICT item 4): the
+    # artifact rows run ONCE each (a memoized build has no second
+    # sample for min-of-N to absorb first-touch costs), so the first
+    # heavy SQL job in the session was absorbing the JVM's whole
+    # codegen/JIT ramp — measured on a calm host: the ssjoin build's
+    # trivial members checkpoint reads 12.3 s as the session's first
+    # SQL job vs 1.2 s warm, and the full build 31 s cold vs ~6-9 s
+    # warm, AFTER both canaries (they exercise none of the join/
+    # window/generate/object-agg codegen paths). This warmup is fixed
+    # synthetic work over spark.range — independent of the corpus, so
+    # it precomputes nothing — touching the paths the artifact builds
+    # compile: broadcast + shuffle joins, window + sort, posexplode,
+    # collect_list/array_sort/array_intersect object aggregation, and
+    # an eager localCheckpoint.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+    _wdf = spark.range(0, 200_000, 1, 32).selectExpr(
+        "id % 997 AS g", "id",
+        "sequence(0, CAST(id % 7 AS INT)) AS arr")
+    _ex = (_wdf.select("g", "id", _F.posexplode("arr").alias("p", "x"))
+               .localCheckpoint(eager=True))
+    _agg = _ex.groupBy("g").agg(
+        _F.array_sort(_F.collect_list("x")).alias("xs"),
+        _F.count(_F.lit(1)).alias("n"))
+    _j = (_ex.join(_agg, "g")
+             .withColumn("r", _F.row_number().over(
+                 _W.partitionBy("g").orderBy("id")))
+             .where("r <= 3")
+             .select("g", _F.size(_F.array_intersect(
+                 "xs", _F.array(_F.col("x").cast("int")))).alias("s")))
+    (_j.join(_F.broadcast(_agg.select("g", "n")), "g")
+       .groupBy().sum("s", "n").collect())
+
     # shared-artifact builds, timed under their own names (the
     # memo getters materialize via eager localCheckpoint, so the
     # consumers below measure incremental work only)

@@ -82,6 +82,82 @@ for _mod_queries in (eth.QUERIES, llm.QUERIES, _STREAM_QUERIES,
 #: q_sketch_percentiles, q_l_diversity, q_t_closeness,
 #: q_asof_skew_bucketed, after which the oldest stamp anywhere is
 #: r07. Everything demoted stays green in the full local sweep.
+#: Round 12 (optimization round 2): (a) re-grades of every path whose
+#: CODE was rewritten in optimization rounds 11-12, per the r9-r11
+#: precedent that a stamp certifies the code that earned it — the r11
+#: rewrites (k-means literal-centroid assign, ssjoin memo consumers,
+#: bpe-merge memo, sized-shingle paths, fuzzy revert closure, pagerank
+#: cadence, reorg lazy walk) and the r12 rewrites (bm25 scalar-subtree
+#: merge → doc_bm25 + doc_hybrid_rrf, the shared shingle-index
+#: checkpoint → doc_minhash_pairs/quality, doc_incremental_neardup,
+#: doc_crawl_manifest, plus the bpe_train cadence knob → doc_bpe_*),
+#: with doc_dedup_clusters + doc_dedup_canonical as representatives of
+#: the rewritten pair-graph build's memo consumers (the remaining
+#: consumers stay green in the full local sweep); (b) the 12 promised
+#: r06 stamps (mm_image_neardup, stream_histogram, stream_trending
+#: head the queue per the r11 note; q_entity_resolution is already in
+#: (a)), emptying the pre-r07 backlog; (c) the first 20 r07 stamps in
+#: ledger order (doc_hybrid_rrf and doc_minhash_quality are already in
+#: (a)) — q19_bracket_revenue, q_event_transitions, q_props_keys,
+#: doc_dup_source_matrix, doc_sentence_dedup head the round-13 queue.
+#: Everything demoted stays green in the full local sweep.
+_WINDOW_R12 = (
+    # (a) r11-rewritten re-grades
+    "emb_kmeans_assign",
+    "doc_ssjoin_prefix",
+    "doc_neardup_recall",
+    "doc_bpe_merges",
+    "doc_minhash_pairs",
+    "doc_minhash_quality",
+    "doc_ngram_pairs",
+    "doc_containment",
+    "q_fuzzy_match",
+    "q_entity_resolution",
+    "doc_trade_pagerank",
+    "eth_reorg_resolve",
+    # (a) r12-rewritten
+    "doc_bm25",
+    "doc_hybrid_rrf",
+    "doc_incremental_neardup",
+    "doc_crawl_manifest",
+    "doc_bpe_encode",
+    "doc_dedup_clusters",
+    "doc_dedup_canonical",
+    # (b) the promised r06 queue
+    "mm_image_neardup",
+    "stream_histogram",
+    "stream_trending",
+    "stream_decontaminate",
+    "q_salted_agg",
+    "q_attribution",
+    "q_k_anonymity",
+    "q_sketch_percentiles",
+    "q_l_diversity",
+    "q_t_closeness",
+    "q_asof_skew_bucketed",
+    # (c) oldest r07 stamps, ledger order
+    "eth_staged_sink",
+    "eth_wei_limbs",
+    "doc_heaps_law",
+    "emb_range_search",
+    "doc_url_dedup",
+    "mm_video_neardup",
+    "q_benford_audit",
+    "emb_pq_recall",
+    "doc_phrase_search",
+    "doc_blocklist_tag",
+    "doc_gate_agreement",
+    "doc_score_calibration",
+    "doc_fertility",
+    "doc_cluster_split",
+    "doc_curriculum",
+    "doc_hll_distinct",
+    "q20_dominant_suppliers",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+)
+
 _WINDOW_R11 = (
     "doc_link_authority",
     "stream_crawl_gate",
@@ -261,7 +337,7 @@ _WINDOW_R9 = (
     "stream_tumbling_counts",
 )
 
-ALL_QUERIES: dict[str, Query] = {n: _MERGED[n] for n in _WINDOW_R11}
+ALL_QUERIES: dict[str, Query] = {n: _MERGED[n] for n in _WINDOW_R12}
 for _name, _q in _MERGED.items():
     if _name not in ALL_QUERIES:
         ALL_QUERIES[_name] = _q
@@ -269,8 +345,9 @@ for _name, _q in _MERGED.items():
 # the contract this layout exists for: the graded window is exactly
 # the curated rotation, with no typos pointing at missing queries
 _window = list(ALL_QUERIES)[:50]
-assert len(_WINDOW_R11) == 50, len(_WINDOW_R11)
-assert _window == list(_WINDOW_R11), "window drifted from rotation"
+assert len(_WINDOW_R12) == 50, len(_WINDOW_R12)
+assert _window == list(_WINDOW_R12), "window drifted from rotation"
+assert set(_WINDOW_R11) <= set(_MERGED), "r11 window names must stay valid"
 assert set(_WINDOW_R10) <= set(_MERGED), "r10 window names must stay valid"
 assert set(_WINDOW_R9) <= set(_MERGED), "r9 window names must stay valid"
 
