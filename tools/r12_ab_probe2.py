@@ -26,7 +26,7 @@ def noop_time(build):
     return time.monotonic() - t0
 
 
-def ab(sc, tag, new_build, old_build, n=4, check=None):
+def ab(sc, tag, new_build, old_build, n=int(os.environ.get("SPARK_GRAFT_AB_N", "4")), check=None):
     if check:
         check()
     sc.setJobDescription(f"ab:{tag} warm")
